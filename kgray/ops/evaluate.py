@@ -1,0 +1,193 @@
+"""Distributed SPO evaluation — the official calc_pr semantics.
+
+Reimplements /root/reference/legacy/labeling/bert/bin/evaluation/
+calc_pr.py:164-224 as a Ray Data aggregation instead of driver dicts:
+
+* per-sentence *sets* of (lower(del_bookname(s)), predicate,
+  lower(del_bookname(o))) on both sides (calc_pr.py:73-85, 112-117);
+* correct = predicted spo present in the golden set, where the subject and
+  object may each match under any alias surface form (broadcast alias
+  dict, calc_pr.py:141-161) — a predicted triple counts at most once no
+  matter how many alias combinations hit;
+* micro P/R/F1 from global sums (calc_pr.py:198-214).
+
+Dataflow (no alias): normalize both sides -> union with side flags -> one
+``groupby(key).aggregate(Max(flag))`` shuffle -> per-batch partial sums ->
+``ds.sum``.  With alias: expanded predicted keys carry an origin key and a
+second tiny aggregate collapses them ("matched under any form").  No
+driver-side row loops; only three scalars materialize.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kgray.ops.tagging import normalize_entity
+
+# NB: not "\x00" — pandas elementwise string concat silently drops NUL
+_SEP = "\x1f"
+
+
+@dataclass
+class PRF1:
+    tp: int
+    pred_n: int
+    gold_n: int
+
+    @property
+    def precision(self) -> float:
+        return self.tp / self.pred_n if self.pred_n else 0.0
+
+    @property
+    def recall(self) -> float:
+        return self.tp / self.gold_n if self.gold_n else 0.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "precision": self.precision,
+            "recall": self.recall,
+            "f1": self.f1,
+            "tp": self.tp,
+            "pred_n": self.pred_n,
+            "gold_n": self.gold_n,
+        }
+
+
+def _norm_frame(batch: pa.Table) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_pandas().astype(str),
+            "s": batch["subject"].to_pandas().map(normalize_entity),
+            "p": batch["predicate"].to_pandas(),
+            "o": batch["object"].to_pandas().map(normalize_entity),
+        }
+    )
+
+
+def _key_of(df: pd.DataFrame) -> pd.Series:
+    return df["doc_id"] + _SEP + df["s"] + _SEP + df["p"] + _SEP + df["o"]
+
+
+def _flag_batch(batch: pa.Table, flag: str) -> pa.Table:
+    df = _norm_frame(batch)
+    key = _key_of(df)
+    n = len(df)
+    return pa.table(
+        {
+            "key": pa.array(key, pa.string()),
+            "is_pred": pa.array(np.full(n, 1 if flag == "is_pred" else 0, np.int8)),
+            "is_gold": pa.array(np.full(n, 1 if flag == "is_gold" else 0, np.int8)),
+        }
+    )
+
+
+def _partial_counts(batch: pa.Table) -> pa.Table:
+    pred = batch["is_pred"].to_numpy(zero_copy_only=False)
+    gold = batch["is_gold"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "tp": pa.array([int(np.sum((pred > 0) & (gold > 0)))], pa.int64()),
+            "pred_n": pa.array([int(np.sum(pred > 0))], pa.int64()),
+            "gold_n": pa.array([int(np.sum(gold > 0))], pa.int64()),
+        }
+    )
+
+
+def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF1:
+    """Micro P/R/F1 of predicted vs golden triple Datasets.
+
+    Both inputs need columns (doc_id, subject, predicate, object).  The
+    per-doc set semantics of calc_pr fall out of the keyed Max-aggregate
+    (duplicate triples collapse onto one key).
+    """
+    from ray.data.aggregate import Max
+
+    if alias:
+        return _spo_prf1_alias(pred_ds, gold_ds, alias)
+
+    pred_keys = pred_ds.map_batches(
+        lambda b: _flag_batch(b, "is_pred"), batch_format="pyarrow"
+    )
+    gold_keys = gold_ds.map_batches(
+        lambda b: _flag_batch(b, "is_gold"), batch_format="pyarrow"
+    )
+    merged = pred_keys.union(gold_keys).groupby("key").aggregate(
+        Max("is_pred", alias_name="is_pred"),
+        Max("is_gold", alias_name="is_gold"),
+    )
+    sums = (
+        merged.map_batches(_partial_counts, batch_format="pyarrow")
+        .sum(["tp", "pred_n", "gold_n"])
+    )
+    return PRF1(tp=sums["sum(tp)"], pred_n=sums["sum(pred_n)"], gold_n=sums["sum(gold_n)"])
+
+
+def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
+    """Alias-aware variant: each predicted triple expands across alias
+    surface forms of its subject/object (calc_pr.py:146-154) but counts at
+    most once.  Expanded rows carry the origin key ``okey``; after the keyed
+    match a second aggregate collapses per-origin."""
+    import ray
+    from ray.data.aggregate import Max
+
+    alias_ref = ray.put({k.lower(): [a.lower() for a in v] for k, v in alias.items()})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        amap = ray.get(alias_ref)
+        df = _norm_frame(batch)
+        okey = _key_of(df)
+        keys, okeys = [], []
+        for (ok, t) in zip(okey, df.itertuples(index=False)):
+            for s in [t.s, *amap.get(t.s, ())]:
+                for o in [t.o, *amap.get(t.o, ())]:
+                    keys.append(f"{t.doc_id}{_SEP}{s}{_SEP}{t.p}{_SEP}{o}")
+                    okeys.append(ok)
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "okey": pa.array(okeys, pa.string()),
+                "is_gold": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def gold_rows(batch: pa.Table) -> pa.Table:
+        df = _norm_frame(batch)
+        key = _key_of(df)
+        n = len(df)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.string()),
+                "okey": pa.array([""] * n, pa.string()),
+                "is_gold": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    pred_keys = pred_ds.map_batches(expand, batch_format="pyarrow")
+    gold_keys = gold_ds.map_batches(gold_rows, batch_format="pyarrow")
+
+    def match_group(g: pd.DataFrame) -> pd.DataFrame:
+        has_gold = bool((g["is_gold"] > 0).any())
+        okeys = g.loc[g["okey"] != "", "okey"].unique()
+        return pd.DataFrame({"okey": okeys, "hit": np.int8(1 if has_gold else 0)})
+
+    matched = (
+        pred_keys.union(gold_keys)
+        .groupby("key")
+        .map_groups(match_group, batch_format="pandas")
+        .groupby("okey")
+        .aggregate(Max("hit", alias_name="hit"))
+    )
+    tp = int(matched.sum("hit") or 0)
+    pred_n = matched.count()
+    gold_n = gold_keys.groupby("key").aggregate(Max("is_gold", alias_name="g")).count()
+    return PRF1(tp=tp, pred_n=pred_n, gold_n=gold_n)

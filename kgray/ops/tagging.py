@@ -1,0 +1,183 @@
+"""Pure BIESO tag codec — the reference's core extraction semantics.
+
+Reimplements (from behavior, not code):
+
+* ``find_all``      — /root/reference/labeling/tagging.py:4-6
+* ``bieso_tags``    — M7 training-target builder, labeling/tagging.py:9-51,
+                      including the subject==object odd-occurrence rule
+                      (lines 25-26) and the 1/2/n-char span shapes
+                      (lines 29-49); identical copy in pytorch/labeling.
+* ``decode_tags``   — M12 tag-seq -> (subjects, objects) span decoder,
+                      labeling/predict.py:50-71.
+* ``assemble_spo``  — M13 cartesian sub x obj -> SPO dicts,
+                      labeling/predict.py:74-81.
+* ``normalize_entity`` — M14 eval normal form (lower + 《》 strip),
+                      legacy/labeling/bert/bin/evaluation/calc_pr.py:41-45.
+
+These are pure row-level functions; the pipeline calls them from inside
+vectorized ``map_batches`` stages (kgray.ops.label).
+"""
+
+from __future__ import annotations
+
+import re
+
+TAG_O = "O"
+
+
+def find_all(sub: str, sent: str) -> list[int]:
+    """All start offsets of ``sub`` in ``sent``, case-insensitive, overlaps
+    not merged (tagging.py:4-6 uses re.finditer on the escaped literal,
+    which yields non-overlapping matches — we preserve that)."""
+    if not sub:
+        return []
+    return [m.start() for m in re.finditer(re.escape(sub), sent, re.I)]
+
+
+def _mark_span(marks: list[str], start: int, length: int, role: str,
+               encoding_type: str) -> None:
+    """Write one span's B/I/E/S-{role} marks (tagging.py:29-49 shape rules)."""
+    if length == 1:
+        marks[start] = (f"S-{role}" if encoding_type == "bieso" else f"B-{role}")
+    elif length == 2:
+        marks[start] = f"B-{role}"
+        marks[start + 1] = f"E-{role}"
+    else:
+        marks[start] = f"B-{role}"
+        marks[start + length - 1] = f"E-{role}"
+        for i in range(1, length - 1):
+            marks[start + i] = f"I-{role}"
+
+
+def bieso_tags(
+    spo_concat: str,
+    sentence: str,
+    spo_list: list[dict],
+    encoding_type: str = "bieso",
+) -> list[str]:
+    """Per-char BIESO x {SUB,OBJ} marks for one (sentence, schema) pair.
+
+    Reference semantics (labeling/tagging.py:9-51):
+    - only spo entries whose subject_type+predicate+object_type equals
+      ``spo_concat`` contribute (line 19);
+    - every occurrence of subject/object in the sentence is marked;
+    - subject == object: object takes the odd-indexed occurrences of the
+      shared string, subject the rest (lines 25-26);
+    - rows whose spo dicts lack subject/object keys yield all-O (line 15).
+    """
+    encoding_type = encoding_type.lower()
+    if encoding_type not in ("bieo", "bieso"):
+        raise ValueError(f"unknown encoding_type {encoding_type!r}")
+
+    marks = [TAG_O] * len(sentence)
+    if not spo_list or "subject" not in spo_list[0] or "object" not in spo_list[0]:
+        return marks
+
+    for spo in spo_list:
+        if spo["subject_type"] + spo["predicate"] + spo["object_type"] != spo_concat:
+            continue
+        sub, obj = spo["subject"], spo["object"]
+        s_idx = find_all(sub, sentence)
+        o_idx = find_all(obj, sentence)
+        if sub == obj:
+            o_idx = [x for i, x in enumerate(s_idx) if i % 2 == 1]
+        for i in s_idx:
+            _mark_span(marks, i, len(sub), "SUB", encoding_type)
+        for i in o_idx:
+            _mark_span(marks, i, len(obj), "OBJ", encoding_type)
+    return marks
+
+
+def tags_for_pairs(
+    sentence: str,
+    pairs: list[tuple[str, str]],
+    encoding_type: str = "bieso",
+) -> list[str]:
+    """Same mark-writing semantics for model-predicted (subject, object)
+    pairs — the prediction-side analogue of ``bieso_tags`` used by the
+    deterministic labeler (types already implied by the schema)."""
+    marks = [TAG_O] * len(sentence)
+    for sub, obj in pairs:
+        s_idx = find_all(sub, sentence)
+        o_idx = find_all(obj, sentence)
+        if sub == obj:
+            o_idx = [x for i, x in enumerate(s_idx) if i % 2 == 1]
+        for i in s_idx:
+            _mark_span(marks, i, len(sub), "SUB", encoding_type)
+        for i in o_idx:
+            _mark_span(marks, i, len(obj), "OBJ", encoding_type)
+    return marks
+
+
+def decode_tags(labels: list[str], text: str) -> tuple[list[str], list[str]]:
+    """Tag sequence -> (subject strings, object strings).
+
+    Reference semantics (labeling/predict.py:50-71): S- emits a singleton;
+    B- records the start; E- emits text[start:end+1]; I- is skipped.  The
+    reference reads an unset start on a dangling E (NameError in degenerate
+    input); we skip a dangling E instead — unreachable for tags produced by
+    ``bieso_tags``/a constrained CRF, asserted divergence documented here.
+    """
+    subs: list[str] = []
+    objs: list[str] = []
+    start: int | None = None
+    for i, lab in enumerate(labels):
+        if lab == TAG_O:
+            continue
+        head = lab[0]
+        if head == "S":
+            (subs if "SUB" in lab else objs).append(text[i])
+        elif head == "B":
+            start = i
+        elif head == "E":
+            if start is None:
+                continue  # dangling E (see docstring)
+            span = text[start : i + 1]
+            (subs if "SUB" in lab else objs).append(span)
+            start = None
+    return subs, objs
+
+
+def assemble_spo(
+    subs: list[str],
+    objs: list[str],
+    schema_id: int,
+    subject_type: str,
+    predicate: str,
+    object_type: str,
+    dedup: bool = True,
+) -> list[dict]:
+    """Cartesian product sub x obj -> triple dicts (labeling/predict.py:74-81).
+
+    The reference appends duplicates and relies on set-eval to collapse
+    them (calc_pr.py:73-85); we dedup at assembly (D3 semantics,
+    SURVEY.md §2.7) keeping first occurrence order.
+    """
+    out: list[dict] = []
+    seen: set[tuple[str, str]] = set()
+    for s in subs:
+        for o in objs:
+            if dedup:
+                if (s, o) in seen:
+                    continue
+                seen.add((s, o))
+            out.append(
+                {
+                    "subject": s,
+                    "subject_type": subject_type,
+                    "predicate": predicate,
+                    "object": o,
+                    "object_type": object_type,
+                    "schema_id": schema_id,
+                }
+            )
+    return out
+
+
+def normalize_entity(name: str) -> str:
+    """Eval normal form: lower() then strip one enclosing 《》 pair
+    (calc_pr.py:41-45 del_bookname composed with .lower())."""
+    name = name.lower()
+    if name.startswith("《") and name.endswith("》"):
+        name = name[1:-1]
+    return name

@@ -1,0 +1,130 @@
+"""Pipeline assembly: named steps Dataset -> Dataset, extraction pipeline.
+
+The reference runs its stages as separate OS processes glued by files
+(SURVEY.md §3.1); here each stage is a Ray Data transform on one lazy,
+streaming Dataset — the executor pipelines and applies backpressure.
+
+Registry: steps are named callables (cfg) -> (Dataset -> Dataset),
+mirroring the reference's model-pluggability-by-name extension surface
+(/root/reference/classification/config.py:58, labeling/config.py:42).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kgray.ops.classify import CueClassifier, fanout, threshold_and_fallback
+from kgray.ops.label import TemplateLabeler
+from kgray.ops.spans import reassemble_text
+
+
+@dataclass
+class PipelineConfig:
+    # actor-pool sizing (concurrency tuples autoscale between min and max)
+    classifier_concurrency: tuple[int, int] = (1, 4)
+    labeler_concurrency: tuple[int, int] = (1, 8)
+    classify_batch_size: int = 4096
+    label_batch_size: int = 4096
+    encoding_type: str = "bieso"          # labeling/tagging.py:9-11 knob
+    threshold: float = 0.5                # prob2res.py:14 knob
+    fallback_top_k: int = 10              # prepare_data_for_labeling_infer.py:28
+    classifier_cls: type = CueClassifier  # pluggable scorer (A1-A3 slot)
+    labeler_cls: type = TemplateLabeler   # pluggable labeler (A4-A5 slot)
+
+
+def flatten_documents(docs, cfg: PipelineConfig | None = None):
+    """interleaved documents -> (doc_id, text) rows; spans dropped here so
+    downstream shuffles move only what they need (re-joined by doc_id at
+    materialization time)."""
+    return docs.map_batches(
+        lambda b: reassemble_text(b, keep_spans=False),
+        batch_format="pyarrow",
+    )
+
+
+def extract_triples(docs, cfg: PipelineConfig | None = None):
+    """Flagship extraction: interleaved docs -> SPO triple Dataset.
+
+    read -> span reassembly -> stage-1 classifier (actor pool) ->
+    threshold+fallback -> fan-out -> stage-2 labeler (actor pool, emits
+    tags -> decode -> assemble inside the batch).  One streaming pipeline,
+    all stages zero-copy Arrow (SURVEY.md §3.1 Ray-native restatement).
+    """
+    cfg = cfg or PipelineConfig()
+    ds = flatten_documents(docs, cfg)
+    ds = ds.map_batches(
+        cfg.classifier_cls,
+        batch_format="pyarrow",
+        batch_size=cfg.classify_batch_size,
+        concurrency=cfg.classifier_concurrency,
+    )
+    ds = ds.map_batches(
+        lambda b: fanout(
+            threshold_and_fallback(b, cfg.threshold, cfg.fallback_top_k)
+        ),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        cfg.labeler_cls,
+        batch_format="pyarrow",
+        batch_size=cfg.label_batch_size,
+        concurrency=cfg.labeler_concurrency,
+    )
+    return ds
+
+
+def golden_triples(sentences):
+    """Explode golden spo_list rows (doc_id, text, postag, spo_list) ->
+    flat triple rows — the eval oracle side (calc_pr.py:89-119 analogue).
+    Vectorized list-explode on Arrow offsets."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spo = batch["spo_list"]
+        if isinstance(spo, pa.ChunkedArray):
+            spo = spo.combine_chunks()
+        lengths = pc.list_value_length(spo).fill_null(0).to_numpy(zero_copy_only=False)
+        take = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        flat = spo.flatten()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(take)),
+                "subject": flat.field("subject"),
+                "subject_type": flat.field("subject_type"),
+                "predicate": flat.field("predicate"),
+                "object": flat.field("object"),
+                "object_type": flat.field("object_type"),
+            }
+        )
+
+    return sentences.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Step registry (extension surface)
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, object] = {}
+
+
+def register_step(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_step(name: str):
+    return _REGISTRY[name]
+
+
+def steps() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+register_step("flatten")(flatten_documents)
+register_step("extract")(extract_triples)
+register_step("golden")(lambda ds, cfg=None: golden_triples(ds))

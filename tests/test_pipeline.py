@@ -1,0 +1,153 @@
+"""End-to-end extraction pipeline tests: classifier, fanout, labeler,
+triples vs golden, calc_pr-style eval >= 0.95, span invariant."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from kgray.corpus import doc_ids_for_range, interleaved_table, sentences_table
+from kgray.ops.classify import (
+    PRED_COL,
+    CueClassifier,
+    fanout,
+    threshold_and_fallback,
+)
+from kgray.ops.evaluate import spo_prf1
+from kgray.ops.label import TemplateLabeler
+from kgray.pipeline import PipelineConfig, extract_triples, golden_triples
+from kgray.schema import CONCAT_TO_ID
+
+IDS = doc_ids_for_range(0, 120)
+
+
+def _docs():
+    return rd.from_arrow(interleaved_table(IDS, seed=42))
+
+
+def _sentences():
+    return rd.from_arrow(sentences_table(IDS, seed=42))
+
+
+def test_classifier_scores_match_golden_schemas():
+    t = sentences_table(IDS[:60], seed=42)
+    batch = pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+    scored = CueClassifier()(batch)
+    pred = threshold_and_fallback(scored)
+    got = {
+        d: set(ids)
+        for d, ids in zip(pred["doc_id"].to_pylist(), pred[PRED_COL].to_pylist())
+    }
+    for row in t.to_pylist():
+        expected = {
+            CONCAT_TO_ID[s["subject_type"] + s["predicate"] + s["object_type"]]
+            for s in row["spo_list"]
+        }
+        assert got[row["doc_id"]] == expected
+
+
+def test_fallback_top10_on_empty_prediction():
+    batch = pa.table({"doc_id": ["x"], "text": ["无关句子没有任何线索词"]})
+    pred = threshold_and_fallback(CueClassifier()(batch))
+    ids = pred[PRED_COL][0].as_py()
+    assert len(ids) == 10
+    assert ids == sorted(ids)  # ties broken by schema id, stable
+
+
+def test_fanout_explodes_rows():
+    batch = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "text": ["t1", "t2"],
+            PRED_COL: [[1, 2, 3], [7]],
+        }
+    )
+    out = fanout(batch)
+    assert out["doc_id"].to_pylist() == ["a", "a", "a", "b"]
+    assert out["schema_id"].to_pylist() == [1, 2, 3, 7]
+
+
+def test_labeler_emits_exact_triples_for_worked_row():
+    from kgray.corpus import make_sentence
+
+    row = make_sentence(42, IDS[0])
+    sids = {
+        CONCAT_TO_ID[s["subject_type"] + s["predicate"] + s["object_type"]]
+        for s in row["spo_list"]
+    }
+    batch = pa.table(
+        {
+            "doc_id": [row["doc_id"]] * len(sids),
+            "text": [row["text"]] * len(sids),
+            "schema_id": pa.array(sorted(sids), pa.int32()),
+        }
+    )
+    out = TemplateLabeler()(batch)
+    got = {
+        (r["subject"], r["predicate"], r["object"]) for r in out.to_pylist()
+    }
+    gold = {(s["subject"], s["predicate"], s["object"]) for s in row["spo_list"]}
+    assert got == gold
+
+
+def test_e2e_prf1_above_095():
+    cfg = PipelineConfig(
+        classifier_concurrency=(1, 2), labeler_concurrency=(1, 2)
+    )
+    pred = extract_triples(_docs(), cfg)
+    gold = golden_triples(_sentences())
+    m = spo_prf1(pred, gold)
+    assert m.pred_n > 100
+    assert m.precision >= 0.95, m.as_dict()
+    assert m.recall >= 0.95, m.as_dict()
+
+
+def test_eval_counts_on_known_input():
+    pred = rd.from_items(
+        [
+            {"doc_id": "d1", "subject": "《碑》", "predicate": "作者", "object": "X"},
+            {"doc_id": "d1", "subject": "碑", "predicate": "作者", "object": "X"},
+            {"doc_id": "d1", "subject": "碑", "predicate": "作者", "object": "Y"},
+            {"doc_id": "d2", "subject": "a", "predicate": "p", "object": "b"},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"doc_id": "d1", "subject": "碑", "predicate": "作者", "object": "x"},
+            {"doc_id": "d3", "subject": "m", "predicate": "p", "object": "n"},
+        ]
+    )
+    m = spo_prf1(pred, gold)
+    # pred set after normalization: {(d1,碑,作者,x), (d1,碑,作者,y), (d2,a,p,b)}
+    assert m.pred_n == 3 and m.gold_n == 2 and m.tp == 1
+
+
+def test_eval_alias_expansion():
+    pred = rd.from_items(
+        [{"doc_id": "d1", "subject": "维克多谢阁兰", "predicate": "作者", "object": "b"}]
+    )
+    gold = rd.from_items(
+        [{"doc_id": "d1", "subject": "维克多·谢阁兰", "predicate": "作者", "object": "b"}]
+    )
+    assert spo_prf1(pred, gold).tp == 0
+    m = spo_prf1(pred, gold, alias={"维克多谢阁兰": ["维克多·谢阁兰"]})
+    assert m.tp == 1 and m.pred_n == 1 and m.gold_n == 1
+
+
+def test_span_invariant_through_pipeline():
+    """The spans column (kind, text, media_ref, order) rides through
+    flatten-keep and out again bit-exact (FIXTURES.md F1 invariant)."""
+    from kgray.ops.spans import reassemble_text, span_fingerprints
+
+    t = interleaved_table(IDS[:40], seed=42)
+    in_fp = dict(zip(t["doc_id"].to_pylist(), span_fingerprints(t)))
+    out = (
+        rd.from_arrow(t)
+        .map_batches(lambda b: reassemble_text(b, keep_spans=True), batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    import ray
+
+    for ref in out:
+        tbl = ray.get(ref)
+        fps = span_fingerprints(tbl)
+        for d, fp in zip(tbl["doc_id"].to_pylist(), fps):
+            assert in_fp[d] == fp
