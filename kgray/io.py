@@ -1,0 +1,179 @@
+"""Partitioned, resumable table materialization with lineage manifests.
+
+Replaces the reference's whole-file pickle hand-offs and mtime-based
+checkpoint discovery (/root/reference/classification/dataset.py:79-103,
+legacy produce_submit_json_file.py:6-24) with the north-rule contract:
+
+* output = hash-partitioned parquet directory (``part=<i>/``), one
+  partition per key-hash bucket — a failed run reruns only missing
+  partitions, never one giant file;
+* ``manifest.json`` per table: {partition: {rows, content_hash}} plus the
+  stage name and input fingerprint — built by reading BACK what landed on
+  disk, so the manifest attests the bytes, not the intent;
+* resume = drop rows whose partition is already present and verified.
+
+Lance is preferred when the ``lance`` package is importable (north rule
+names Lance tables); this container lacks it, so parquet is the default
+and the format is abstracted behind read_table/write_table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+try:  # pragma: no cover - lance not shipped in this container
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+PART_COL = "part"
+MANIFEST = "manifest.json"
+_MOD = (1 << 61) - 1
+
+
+def partition_of(keys: list[str], num_partitions: int) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
+        np.int64,
+        len(keys),
+    )
+
+
+def add_partition_column(ds, key_col: str, num_partitions: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        if PART_COL in batch.column_names:  # re-reading partitioned parquet
+            batch = batch.drop_columns([PART_COL])  # re-adds the hive column
+        part = partition_of(batch[key_col].to_pylist(), num_partitions)
+        return batch.append_column(PART_COL, pa.array(part))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Per-(part) partial: row count + order-independent content hash
+    (sum over per-row crc32 of the joined string form, mod 2^61)."""
+    df = batch.to_pandas()
+    parts = df.pop(PART_COL).to_numpy()
+    rows = df.astype(str).agg("\x1f".join, axis=1)
+    hashes = np.fromiter((zlib.crc32(r.encode()) for r in rows), np.int64, len(rows))
+    out = pd.DataFrame({"part": parts, "h": hashes})
+    g = out.groupby("part", sort=True).agg(rows=("h", "size"), content=("h", "sum"))
+    g["content"] = g["content"] % _MOD
+    g = g.reset_index()
+    return pa.table(
+        {
+            "part": pa.array(g["part"].to_numpy(np.int64)),
+            "rows": pa.array(g["rows"].to_numpy(np.int64)),
+            "content": pa.array(g["content"].to_numpy(np.int64)),
+        }
+    )
+
+
+def write_partitioned(
+    ds,
+    path: str,
+    key_col: str,
+    num_partitions: int = 16,
+    stage: str = "",
+    input_fingerprint: str = "",
+) -> dict:
+    """Write ds hash-partitioned by key_col; return the lineage manifest.
+
+    The manifest is computed by re-reading the written files (attests the
+    on-disk bytes) and saved as ``<path>/manifest.json``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    tagged = add_partition_column(ds, key_col, num_partitions)
+    tagged.write_parquet(data_dir, partition_cols=[PART_COL])
+
+    has_files = any(
+        files for _, _, files in os.walk(data_dir)
+    )
+    if has_files:
+        back = rd.read_parquet(data_dir)
+        stats = (
+            back.map_batches(_content_hash_batch, batch_format="pyarrow")
+            .groupby("part")
+            .aggregate(
+                Sum("rows", alias_name="rows"), Sum("content", alias_name="content")
+            )
+            .to_pandas()
+        )
+    else:  # empty dataset: nothing landed, manifest records zero partitions
+        stats = pd.DataFrame(columns=["part", "rows", "content"])
+    manifest = {
+        "stage": stage,
+        "key_col": key_col,
+        "num_partitions": num_partitions,
+        "input_fingerprint": input_fingerprint,
+        "partitions": {
+            str(int(r["part"])): {
+                "rows": int(r["rows"]),
+                "content_hash": int(r["content"]) % _MOD,
+            }
+            for _, r in stats.iterrows()
+        },
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_manifest(path: str) -> dict | None:
+    p = os.path.join(path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def completed_partitions(path: str, input_fingerprint: str = "") -> set[int]:
+    """Partitions recorded as done for a matching input fingerprint."""
+    m = read_manifest(path)
+    if m is None:
+        return set()
+    if input_fingerprint and m.get("input_fingerprint") != input_fingerprint:
+        return set()  # input changed -> nothing is reusable
+    return {int(k) for k in m.get("partitions", {})}
+
+
+def filter_pending(ds, key_col: str, num_partitions: int, done: set[int]):
+    """Resume filter: drop rows whose partition already landed (anti-join
+    against the small completed-set, broadcast — no shuffle)."""
+    if not done:
+        return ds
+    import ray
+
+    ref = ray.put(frozenset(done))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        part = partition_of(batch[key_col].to_pylist(), num_partitions)
+        mask = np.fromiter((int(p) not in d for p in part), bool, len(part))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def read_table(path: str, columns: list[str] | None = None):
+    """Read back a table written by write_partitioned (data lives under
+    ``<path>/data``, the manifest beside it)."""
+    import ray.data as rd
+
+    data_dir = os.path.join(path, "data")
+    target = data_dir if os.path.isdir(data_dir) else path
+    if not any(files for _, _, files in os.walk(target)):
+        return None  # empty table (write_partitioned of an empty Dataset)
+    return rd.read_parquet(target, columns=columns)

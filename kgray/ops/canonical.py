@@ -1,0 +1,224 @@
+"""Canonicalization: connected components over link edges -> entity map.
+
+North-rule stage (SURVEY.md §7.1 step 9).  Min-label propagation over the
+candidate-edge graph, run as a bounded driver loop of Ray Data rounds —
+the dataflow formulation of union-find (cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14):
+
+  label(v) <- min(label(v), min_{(u,v) in E} label(u))   per round
+
+Each round is ONE cogroup shuffle: edge rows and label rows are unioned
+under a shared (node, nbr, label) schema and grouped by node; the group
+emits the node's current min label to itself and all neighbors, and a
+Min-aggregate folds the candidates.  No Dataset.join in the loop (an
+aggregate output can carry empty zero-schema blocks that Arrow's acero
+join rejects; the union/groupby path is insensitive to them).
+
+Link clusters here are alias groups (small diameter), so rounds ~ 2-3;
+``max_rounds`` bounds the worst case at the documented O(diameter).
+Every round's labels are a materialized Dataset — a resumable checkpoint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _edges_symmetric(edges):
+    """(u,v) -> both directions (src, dst)."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        def _c(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        u, v = _c(batch["u"]), _c(batch["v"])
+        return pa.table(
+            {
+                "src": pa.concat_arrays([u, v]),
+                "dst": pa.concat_arrays([v, u]),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+_COGROUP_SCHEMA = pa.schema(
+    [("node", pa.string()), ("nbr", pa.string()), ("label", pa.string())]
+)
+
+
+def _edge_rows(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table(
+        {
+            "node": batch["src"],
+            "nbr": batch["dst"],
+            "label": pa.nulls(n, pa.string()),
+        },
+        schema=_COGROUP_SCHEMA,
+    )
+
+
+def _label_rows(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table(
+        {
+            "node": batch["node"],
+            "nbr": pa.nulls(n, pa.string()),
+            "label": batch["label"],
+        },
+        schema=_COGROUP_SCHEMA,
+    )
+
+
+def _propagate(group: pd.DataFrame) -> pd.DataFrame:
+    """One node's group: emit min(own labels, node id) to self + neighbors."""
+    node = group["node"].iloc[0]
+    labels = group["label"].dropna()
+    own = labels.min() if len(labels) else node
+    own = min(own, node)
+    nbrs = group["nbr"].dropna().unique().tolist()
+    targets = [node, *nbrs]
+    return pd.DataFrame({"node": targets, "label": [own] * len(targets)})
+
+
+def connected_components(edges, max_rounds: int = 10):
+    """edges (u, v[, sim]) -> Dataset (node, component), component =
+    lexicographic-min node id of the component.
+
+    Nodes appearing in no edge are not emitted (identity mapping implied).
+    """
+    from ray.data.aggregate import Min
+
+    sym = _edges_symmetric(edges).materialize()
+    edge_part = sym.map_batches(_edge_rows, batch_format="pyarrow")
+
+    # round 0 labels: own node id (derived from edge endpoints)
+    def self_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["src"], "label": batch["src"]},
+        )
+
+    labels = (
+        sym.map_batches(self_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    prev_fp = None
+    for _ in range(max_rounds):
+        label_part = labels.map_batches(_label_rows, batch_format="pyarrow")
+        new_labels = (
+            edge_part.union(label_part)
+            .groupby("node")
+            .map_groups(_propagate, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        fp = _labels_fingerprint(new_labels)
+        labels = new_labels
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    from kgray.util import rename_cols
+
+    return rename_cols(labels, {"label": "component"})
+
+
+def _labels_fingerprint(labels) -> int:
+    """Order-independent fingerprint of the (node,label) pair set."""
+    import zlib
+
+    def h(batch: pa.Table) -> pa.Table:
+        s = batch["node"].to_pandas() + "->" + batch["label"].to_pandas()
+        acc = 0
+        for x in s:
+            acc ^= zlib.crc32(x.encode())
+        return pa.table({"h": pa.array([acc], pa.int64())})
+
+    out = labels.map_batches(h, batch_format="pyarrow").sum("h")
+    return int(out or 0)
+
+
+def canonicalize_triples(triples, entity_map, num_partitions: int = 16):
+    """Rewrite triple subject/object surfaces to canonical component ids.
+
+    entity_map: (node=mention_key, component).  Triples whose mention has
+    no component keep their own surface key (identity).  Two partitioned
+    hash joins (subject side, then object side).
+    """
+    from kgray.ops.joins import bucket_join
+    from kgray.ops.linking import mention_key
+    from kgray.ops.tagging import normalize_entity
+    from kgray.util import rename_cols
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        st = batch["subject_type"].to_pylist()
+        s = batch["subject"].to_pylist()
+        ot = batch["object_type"].to_pylist()
+        o = batch["object"].to_pylist()
+        sk = [mention_key(t, normalize_entity(x)) for t, x in zip(st, s)]
+        ok = [mention_key(t, normalize_entity(x)) for t, x in zip(ot, o)]
+        return batch.append_column("s_key", pa.array(sk, pa.string())).append_column(
+            "o_key", pa.array(ok, pa.string())
+        )
+
+    keyed = triples.map_batches(add_keys, batch_format="pyarrow")
+
+    if entity_map is None or entity_map.count() == 0:
+        # no linked entities: canonical id = own surface key
+        def identity(batch: pa.Table) -> pa.Table:
+            out = batch.drop_columns(["s_key", "o_key"])
+            return out.append_column(
+                "subject_canonical", batch["s_key"]
+            ).append_column("object_canonical", batch["o_key"])
+
+        return keyed.map_batches(identity, batch_format="pyarrow")
+
+    j1 = bucket_join(
+        keyed,
+        rename_cols(entity_map, {"component": "subject_canonical"}),
+        on="s_key",
+        right_on="node",
+        how="left",
+        num_buckets=num_partitions,
+    )
+    j2 = bucket_join(
+        j1,
+        rename_cols(entity_map, {"component": "object_canonical"}),
+        on="o_key",
+        right_on="node",
+        how="left",
+        num_buckets=num_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def as_str(col):
+            # an all-null pandas column arrives as Arrow null type
+            if pa.types.is_null(
+                col.type if not isinstance(col, pa.ChunkedArray) else col.type
+            ):
+                return col.cast(pa.string())
+            return col
+
+        sc = pc.coalesce(as_str(batch["subject_canonical"]), batch["s_key"])
+        oc = pc.coalesce(as_str(batch["object_canonical"]), batch["o_key"])
+        out = batch.drop_columns(
+            [
+                c
+                for c in ("s_key", "o_key", "subject_canonical", "object_canonical")
+                if c in batch.column_names
+            ]
+        )
+        return out.append_column("subject_canonical", sc).append_column(
+            "object_canonical", oc
+        )
+
+    return j2.map_batches(finalize, batch_format="pyarrow")

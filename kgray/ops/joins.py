@@ -1,0 +1,205 @@
+"""Join strategies: broadcast small-side lookup and partitioned hash join.
+
+The reference's only joins are line-aligned zip joins and tiny dict
+lookups (SURVEY.md §2.4 J1-J2); at 100 TB those become either a broadcast
+(`ray.put` once, read per actor) or an all-to-all hash join.  We wrap both
+behind two helpers so every caller states its choice explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_lookup(
+    ds,
+    mapping: dict,
+    key_col: str,
+    out_col: str,
+    default=None,
+):
+    """Map ``key_col`` through a small dict shipped via the object store.
+
+    The dict is ``ray.put`` once; every task reads the shared copy —
+    never re-shipped per batch (J2 semantics: schema lookups,
+    produce_submit_json_file.py:27-76).
+    """
+    import ray
+
+    ref = ray.put(mapping)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = batch[key_col].to_pylist()
+        vals = [m.get(k, default) for k in keys]
+        return batch.append_column(out_col, pa.array(vals))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def hash_join(
+    left,
+    right,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+    left_suffix: str | None = None,
+    right_suffix: str | None = "_r",
+):
+    """Partitioned hash join on Ray Data's native ``Dataset.join``
+    (both sides shuffled by key hash into ``num_partitions`` buckets).
+
+    Size ``num_partitions`` so each bucket fits a worker's heap; skewed
+    keys should be salted by the caller before joining (SURVEY.md §4).
+
+    The effective partition count is capped at the cluster CPU count:
+    Ray's hash-shuffle join runs one aggregator actor per partition, and
+    asking for more aggregators than CPUs deadlocks a small cluster (the
+    cap is a no-op on a real multi-node cluster where CPUs >> partitions).
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    num_partitions = max(2, min(num_partitions, cpus))
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on_t,
+        right_on=r_t,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+def bucket_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "left",
+    num_buckets: int = 32,
+    right_suffix: str = "_r",
+):
+    """Explicit partitioned hash join: bucket both sides by key hash,
+    cogroup via ONE groupby shuffle, pandas-merge inside each bucket.
+
+    The portable pattern from the Ray Data guide — used where
+    ``Dataset.join`` is fragile (its hash-shuffle emits right-schema-only
+    blocks for left-empty partitions, which poisons chained joins).
+    ``num_buckets`` is the shuffle fan-out: size so one bucket (both
+    sides) fits a worker's heap; salt skewed keys before calling.
+    """
+    import zlib
+
+    import pandas as pd
+
+    right_on = right_on or on
+
+    l_schema, r_schema = left.schema(), right.schema()
+    left_cols = l_schema.names
+    right_cols = r_schema.names
+    clash = (set(left_cols) & set(right_cols)) - ({on} if on == right_on else set())
+    ren = {c: c + right_suffix for c in clash}
+    def _pa_type(t) -> pa.DataType:
+        # Dataset.schema() reports python types for non-Arrow blocks
+        if isinstance(t, pa.DataType):
+            return t
+        return {
+            str: pa.string(), int: pa.int64(), float: pa.float64(),
+            bool: pa.bool_(), bytes: pa.binary(),
+        }.get(t, pa.string())
+
+    col_types: dict[str, pa.DataType] = {}
+    for n, t in zip(l_schema.names, l_schema.types):
+        col_types[n] = _pa_type(t)
+    for n, t in zip(r_schema.names, r_schema.types):
+        col_types[ren.get(n, n)] = _pa_type(t)
+
+    def tag(side: int, key_col: str, rename: dict[str, str]):
+        def apply(batch: pa.Table) -> pa.Table:
+            if rename:
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+            keys = batch[rename.get(key_col, key_col)].to_pylist()
+            bucket = np.fromiter(
+                (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
+                np.int64,
+                len(keys),
+            )
+            return batch.append_column("__bucket", pa.array(bucket)).append_column(
+                "__side", pa.array(np.full(len(keys), side, np.int8))
+            )
+
+        return apply
+
+    l_tagged = left.map_batches(tag(0, on, {}), batch_format="pyarrow")
+    r_tagged = right.map_batches(tag(1, right_on, ren), batch_format="pyarrow")
+
+    l_names = [*left_cols, "__bucket", "__side"]
+    r_names = [*(ren.get(c, c) for c in right_cols), "__bucket", "__side"]
+    all_names = list(dict.fromkeys([*l_names, *r_names]))
+
+    def widen(names_present):
+        missing = [c for c in all_names if c not in names_present]
+
+        def apply(batch: pa.Table) -> pa.Table:
+            for c in missing:
+                batch = batch.append_column(
+                    c, pa.nulls(len(batch), col_types.get(c, pa.string()))
+                )
+            return batch.select(all_names)
+
+        return apply
+
+    l_wide = l_tagged.map_batches(widen(l_names), batch_format="pyarrow")
+    r_wide = r_tagged.map_batches(widen(r_names), batch_format="pyarrow")
+
+    r_key = ren.get(right_on, right_on)
+    out_cols = [c for c in all_names if c not in ("__bucket", "__side")]
+    if r_key != on:
+        out_cols = [c for c in out_cols if c != r_key]
+    pd_how = {"left_outer": "left", "right_outer": "right", "inner": "inner"}.get(how, how)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lp = g[g["__side"] == 0][[c for c in l_names if c not in ("__bucket", "__side")]]
+        rp = g[g["__side"] == 1][
+            [c for c in r_names if c not in ("__bucket", "__side")]
+        ]
+        if r_key == on:
+            m = lp.merge(rp, on=on, how=pd_how)
+        else:
+            m = lp.merge(rp, left_on=on, right_on=r_key, how=pd_how)
+        return m[out_cols]
+
+    return (
+        l_wide.union(r_wide)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def semi_join_filter(ds, keys: set, key_col: str, keep: bool = True):
+    """Semi/anti join against a broadcast key set (SURVEY.md guide
+    pattern): filter inside map_batches, no shuffle."""
+    import ray
+
+    ref = ray.put(keys)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = batch[key_col].to_pylist()
+        mask = np.fromiter((c in ks for c in col), bool, len(col))
+        if not keep:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

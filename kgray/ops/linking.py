@@ -1,0 +1,222 @@
+"""Entity linking: mention table -> MinHash/LSH blocking -> scored edges.
+
+North-rule extension (SURVEY.md §7.1 step 8) — the reference has no
+near-dup machinery; this follows the standard MinHash-LSH construction
+(Broder 1997; Leskovec-Rajaraman-Ullman ch.3):
+
+  mentions  = distinct (entity_type, normalized surface) from both triple
+              sides, with occurrence counts (pre-aggregated per batch
+              before the groupby so the shuffle moves one row per distinct
+              mention per block, not one per triple — head entities like
+              主演 objects would otherwise hot-spot the exchange);
+  signature = k minhashes over char-2-gram shingles;
+  blocking  = b bands x r rows; band hash -> candidate block; pairwise
+              within a block only (blocks are capped — identical surfaces
+              were already collapsed, so a block holds distinct strings);
+  edges     = candidate pairs verified by exact shingle Jaccard >= tau.
+
+All stages are map_batches + one groupby per hop; pair verification runs
+where the block lives (map_groups), never on the driver.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kgray.ops.tagging import normalize_entity
+
+_SEP = "\x1f"
+
+
+def shingles(s: str, n: int = 2) -> set[str]:
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def _hash32(s: str) -> int:
+    return zlib.crc32(s.encode())
+
+
+# fixed random-odd multipliers for the k universal hash functions
+def _hash_params(k: int, seed: int = 1234) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, 2**31 - 1, size=k, dtype=np.int64) * 2 + 1
+    b = rs.randint(0, 2**31 - 1, size=k, dtype=np.int64)
+    return np.stack([a, b])
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signature(s: str, params: np.ndarray) -> np.ndarray:
+    """k-wide minhash over char-2-gram crc32 shingle hashes."""
+    sh = shingles(s)
+    if not sh:
+        return np.zeros(params.shape[1], np.uint64)
+    hv = np.fromiter((_hash32(x) for x in sh), np.int64, len(sh))
+    a, b = params
+    # (k, n) universal hashes, min over shingles
+    m = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return m.min(axis=1).astype(np.uint64)
+
+
+def jaccard(a: str, b: str, n: int = 2) -> float:
+    sa, sb = shingles(a, n), shingles(b, n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def mention_key(entity_type: str, name: str) -> str:
+    return f"{entity_type}{_SEP}{name}"
+
+
+def mentions_from_triples(triples):
+    """Distinct (entity_type, mention) rows with counts.
+
+    Per-batch partial aggregation first (combiner), then a small groupby —
+    the skew-defusing pattern for head entities (SURVEY.md §4).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "t": pd.concat(
+                    [
+                        batch["subject_type"].to_pandas(),
+                        batch["object_type"].to_pandas(),
+                    ],
+                    ignore_index=True,
+                ),
+                "m": pd.concat(
+                    [
+                        batch["subject"].to_pandas().map(normalize_entity),
+                        batch["object"].to_pandas().map(normalize_entity),
+                    ],
+                    ignore_index=True,
+                ),
+            }
+        )
+        g = df.groupby(["t", "m"], sort=True).size().reset_index(name="n")
+        return pa.table(
+            {
+                "mention_key": pa.array(g["t"] + _SEP + g["m"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby("mention_key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+class BandEmitter:
+    """mention -> (band_key, mention_key) rows; minhash params built once
+    per actor (stateful-stage pattern, SURVEY.md §2.3)."""
+
+    def __init__(self, num_hashes: int = 64, bands: int = 32):
+        assert num_hashes % bands == 0
+        self.params = _hash_params(num_hashes)
+        self.bands = bands
+        self.rows = num_hashes // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch["mention_key"].to_pylist()
+        out_band, out_key = [], []
+        for mk in keys:
+            name = mk.split(_SEP, 1)[1]
+            sig = minhash_signature(name, self.params)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                bh = zlib.crc32(chunk.tobytes())
+                out_band.append(f"{b}:{bh:08x}")
+                out_key.append(mk)
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.string()),
+                "mention_key": pa.array(out_key, pa.string()),
+            }
+        )
+
+
+def candidate_pairs(banded, max_block: int = 256):
+    """groupby(band) -> within-block pairs (u < v), deduped globally.
+
+    ``max_block`` caps pathological blocks (a block that large means the
+    band hash degenerated — log and skip rather than emit O(n^2) pairs).
+    """
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ms = sorted(set(g["mention_key"]))
+        us, vs = [], []
+        if 2 <= len(ms) <= max_block:
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    us.append(ms[i])
+                    vs.append(ms[j])
+        return pd.DataFrame(
+            {"u": pd.array(us, dtype="string"), "v": pd.array(vs, dtype="string")}
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        banded.groupby("band_key")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="nbands"))
+    )
+
+
+def verify_edges(pairs, tau: float = 0.6):
+    """Exact Jaccard verification of candidate pairs; same-type gate.
+
+    Types are encoded in the mention_key prefix, so cross-type candidates
+    are rejected here (schema-constrained linking)."""
+
+    def verify(batch: pa.Table) -> pa.Table:
+        us = batch["u"].to_pylist()
+        vs = batch["v"].to_pylist()
+        keep_u, keep_v, sims = [], [], []
+        for u, v in zip(us, vs):
+            tu, nu = u.split(_SEP, 1)
+            tv, nv = v.split(_SEP, 1)
+            if tu != tv:
+                continue
+            sim = jaccard(nu, nv)
+            if sim >= tau:
+                keep_u.append(u)
+                keep_v.append(v)
+                sims.append(sim)
+        return pa.table(
+            {
+                "u": pa.array(keep_u, pa.string()),
+                "v": pa.array(keep_v, pa.string()),
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def link_mentions(
+    triples,
+    num_hashes: int = 64,
+    bands: int = 32,
+    tau: float = 0.6,
+    concurrency=(1, 4),
+):
+    """Full linking pipeline: triples -> verified same-entity edges."""
+    ments = mentions_from_triples(triples)
+    banded = ments.map_batches(
+        BandEmitter, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
+    )
+    return verify_edges(candidate_pairs(banded), tau=tau)

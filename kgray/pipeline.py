@@ -103,6 +103,61 @@ def golden_triples(sentences):
     return sentences.map_batches(explode, batch_format="pyarrow")
 
 
+def kg_construct(
+    docs,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 16,
+    tau: float = 0.6,
+    input_fingerprint: str = "",
+    resume: bool = True,
+):
+    """Full KG construction: extract -> link -> canonicalize -> materialize.
+
+    Writes three partitioned, manifested tables under ``out_dir``:
+    ``triples/`` (hash(doc_id) layout, resumable), ``entities/`` (the
+    mention -> canonical component map) and ``triples_canonical/``.
+    Returns the manifests dict.
+    """
+    import os
+
+    from kgray import io
+    from kgray.ops.canonical import canonicalize_triples, connected_components
+    from kgray.ops.linking import link_mentions
+
+    cfg = cfg or PipelineConfig()
+    manifests = {}
+
+    triples_dir = os.path.join(out_dir, "triples")
+    done = io.completed_partitions(triples_dir, input_fingerprint) if resume else set()
+    pending_docs = io.filter_pending(docs, "doc_id", num_partitions, done)
+    # NOTE: per-partition resume appends only missing partitions; the
+    # written layout is the checkpoint (io.py docstring).
+    triples = extract_triples(pending_docs, cfg)
+    manifests["triples"] = io.write_partitioned(
+        triples, triples_dir, "doc_id", num_partitions,
+        stage="extract", input_fingerprint=input_fingerprint,
+    )
+
+    all_triples = io.read_table(triples_dir)
+    edges = link_mentions(all_triples, tau=tau)
+    entity_map = connected_components(edges)
+    manifests["entities"] = io.write_partitioned(
+        entity_map, os.path.join(out_dir, "entities"), "node", num_partitions,
+        stage="link+canonicalize", input_fingerprint=input_fingerprint,
+    )
+
+    canon = canonicalize_triples(
+        all_triples, io.read_table(os.path.join(out_dir, "entities")),
+        num_partitions=num_partitions,
+    )
+    manifests["triples_canonical"] = io.write_partitioned(
+        canon, os.path.join(out_dir, "triples_canonical"), "doc_id",
+        num_partitions, stage="materialize", input_fingerprint=input_fingerprint,
+    )
+    return manifests
+
+
 # ---------------------------------------------------------------------------
 # Step registry (extension surface)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,172 @@
+"""Entity linking, canonicalization, and resumable materialization tests."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgray.ops.linking import (
+    BandEmitter,
+    jaccard,
+    link_mentions,
+    mention_key,
+    mentions_from_triples,
+    minhash_signature,
+    _hash_params,
+    shingles,
+)
+
+
+def _triples(rows):
+    return rd.from_items(rows)
+
+
+def test_shingles_and_jaccard():
+    assert shingles("端脑") == {"端脑"}
+    assert shingles("abc") == {"ab", "bc"}
+    assert jaccard("维克多·谢阁兰", "维克多谢阁兰") > 0.5
+    assert jaccard("abc", "xyz") == 0.0
+
+
+def test_minhash_similarity_monotone():
+    p = _hash_params(64)
+    a = minhash_signature("维克多·谢阁兰", p)
+    b = minhash_signature("维克多谢阁兰", p)
+    c = minhash_signature("完全无关的字符串", p)
+    sim_ab = (a == b).mean()
+    sim_ac = (a == c).mean()
+    assert sim_ab > sim_ac
+    assert (minhash_signature("维克多·谢阁兰", p) == a).all()  # deterministic
+
+
+def test_mentions_dedup_and_count():
+    t = _triples(
+        [
+            {"subject": "端脑", "subject_type": "影视作品", "predicate": "主演",
+             "object": "朱元冰", "object_type": "人物"},
+            {"subject": "端脑", "subject_type": "影视作品", "predicate": "主演",
+             "object": "蒋依依", "object_type": "人物"},
+        ]
+    )
+    m = mentions_from_triples(t).to_pandas()
+    got = dict(zip(m["mention_key"], m["n"]))
+    assert got[mention_key("影视作品", "端脑")] == 2
+    assert got[mention_key("人物", "朱元冰")] == 1
+    assert len(got) == 3
+
+
+def test_link_mentions_finds_alias_edge():
+    rows = [
+        {"subject": "维克多·谢阁兰", "subject_type": "人物", "predicate": "作者",
+         "object": "碑", "object_type": "图书作品"},
+        {"subject": "维克多谢阁兰", "subject_type": "人物", "predicate": "作者",
+         "object": "别的书", "object_type": "图书作品"},
+        {"subject": "无关人名", "subject_type": "人物", "predicate": "作者",
+         "object": "第三本书", "object_type": "图书作品"},
+    ]
+    edges = link_mentions(_triples(rows), tau=0.5, concurrency=1).to_pandas()
+    pairs = {frozenset((u, v)) for u, v in zip(edges["u"], edges["v"])}
+    expected = frozenset(
+        (mention_key("人物", "维克多·谢阁兰"), mention_key("人物", "维克多谢阁兰"))
+    )
+    assert expected in pairs
+    # no cross-type or dissimilar edges
+    for u, v in zip(edges["u"], edges["v"]):
+        assert u.split("\x1f")[0] == v.split("\x1f")[0]
+
+
+def test_connected_components_two_clusters():
+    from kgray.ops.canonical import connected_components
+
+    edges = rd.from_items(
+        [
+            {"u": "b", "v": "a", "sim": 1.0},
+            {"u": "b", "v": "c", "sim": 1.0},
+            {"u": "x", "v": "y", "sim": 1.0},
+        ]
+    )
+    comp = connected_components(edges).to_pandas()
+    m = dict(zip(comp["node"], comp["component"]))
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["x"] == m["y"] == "x"
+    assert m["a"] != m["x"]
+
+
+def test_canonicalize_triples_rewrites_aliases():
+    from kgray.ops.canonical import canonicalize_triples
+
+    triples = _triples(
+        [
+            {"doc_id": "d1", "subject": "维克多·谢阁兰", "subject_type": "人物",
+             "predicate": "作者", "object": "碑", "object_type": "图书作品",
+             "schema_id": 1},
+            {"doc_id": "d2", "subject": "维克多谢阁兰", "subject_type": "人物",
+             "predicate": "作者", "object": "碑", "object_type": "图书作品",
+             "schema_id": 1},
+        ]
+    )
+    k1 = mention_key("人物", "维克多·谢阁兰")
+    k2 = mention_key("人物", "维克多谢阁兰")
+    canonical = min(k1, k2)
+    entity_map = rd.from_items(
+        [{"node": k1, "component": canonical}, {"node": k2, "component": canonical}]
+    )
+    out = canonicalize_triples(triples, entity_map).to_pandas()
+    assert set(out["subject_canonical"]) == {canonical}
+    # objects had no component -> identity surface key
+    assert set(out["object_canonical"]) == {mention_key("图书作品", "碑")}
+
+
+def test_write_partitioned_manifest_and_resume(tmp_path):
+    from kgray import io
+
+    rows = [{"doc_id": f"doc-{i:04d}", "val": i} for i in range(200)]
+    path = str(tmp_path / "t")
+    m = io.write_partitioned(
+        rd.from_items(rows), path, "doc_id", num_partitions=8,
+        stage="test", input_fingerprint="fp1",
+    )
+    assert sum(p["rows"] for p in m["partitions"].values()) == 200
+    assert len(m["partitions"]) == 8
+
+    # determinism of the content hash
+    m2 = io.read_manifest(path)
+    assert m2["partitions"] == m["partitions"]
+
+    done = io.completed_partitions(path, "fp1")
+    assert done == set(range(8))
+    assert io.completed_partitions(path, "other-fp") == set()
+
+    pending = io.filter_pending(
+        rd.from_items(rows), "doc_id", 8, done={0, 1, 2, 3, 4, 5, 6}
+    )
+    remaining = pending.count()
+    assert 0 < remaining < 200
+    from kgray.io import partition_of
+
+    expect = sum(1 for r in rows if partition_of([r["doc_id"]], 8)[0] == 7)
+    assert remaining == expect
+
+
+def test_kg_construct_end_to_end(tmp_path):
+    from kgray.corpus import doc_ids_for_range, interleaved_table
+    from kgray.pipeline import PipelineConfig, kg_construct
+
+    docs = rd.from_arrow(interleaved_table(doc_ids_for_range(0, 60), seed=42))
+    cfg = PipelineConfig(classifier_concurrency=(1, 2), labeler_concurrency=(1, 2))
+    out = str(tmp_path / "kg")
+    manifests = kg_construct(docs, out, cfg, num_partitions=4)
+    assert set(manifests) == {"triples", "entities", "triples_canonical"}
+    n_triples = sum(p["rows"] for p in manifests["triples"]["partitions"].values())
+    n_canon = sum(
+        p["rows"] for p in manifests["triples_canonical"]["partitions"].values()
+    )
+    assert n_triples > 50 and n_canon == n_triples
+    assert os.path.exists(os.path.join(out, "triples", "manifest.json"))
+
+    # resume: re-running with the same fingerprint extracts nothing new
+    docs2 = rd.from_arrow(interleaved_table(doc_ids_for_range(0, 60), seed=42))
+    manifests2 = kg_construct(docs2, out, cfg, num_partitions=4)
+    n_again = sum(p["rows"] for p in manifests2["triples"]["partitions"].values())
+    assert n_again == n_triples
