@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline over the
+deterministic interleaved corpus (BASELINE.json input_hint shape), sized
+from the sf0.001 documents table.  ``queries()`` exposes every
+implemented operator from SURVEY.md §2 (plus the training-data operator
+families); ``oracle_sql()`` gives the DuckDB-checkable subset.  The
+KG-pipeline entries run on this repo's synthetic LIC-shaped corpus (not
+registered as DuckDB views), so they are rows-only checks — their
+correctness gate is tests/ (reference-oracle parity + e2e P/R >= 0.95).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +18,173 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# number of synthetic interleaved docs the KG queries run over at the
+# driver's sf=0.01 correctness scale
+_KG_DOCS = 600
+_SEED = 42
+
+
+def _kg_docs_ds(n: int = _KG_DOCS):
+    from kgray.corpus import interleaved_dataset
+
+    return interleaved_dataset(n, seed=_SEED)
+
+
+def _kg_sentences_ds(n: int = _KG_DOCS):
+    import ray.data as rd
+
+    from kgray.corpus import doc_ids_for_range, sentences_table
+
+    return rd.from_arrow(sentences_table(doc_ids_for_range(0, n), seed=_SEED))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs (sized from sf0.001 documents table) ->
+    extraction -> SPO triples Dataset."""
+    import pyarrow.parquet as pq
+
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    n_docs = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    docs = _kg_docs_ds(max(200, n_docs))
+    return extract_triples(docs, PipelineConfig())
+
+
+def _kg_extract(sf_dir: str):
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(_kg_docs_ds(), PipelineConfig())
+
+
+def _kg_flatten(sf_dir: str):
+    from kgray.pipeline import flatten_documents
+
+    return flatten_documents(_kg_docs_ds())
+
+
+def _kg_golden(sf_dir: str):
+    from kgray.pipeline import golden_triples
+
+    return golden_triples(_kg_sentences_ds())
+
+
+def _kg_eval(sf_dir: str):
+    import pyarrow as pa
+
+    from kgray.ops.evaluate import spo_prf1
+    from kgray.pipeline import PipelineConfig, extract_triples, golden_triples
+
+    m = spo_prf1(
+        extract_triples(_kg_docs_ds(), PipelineConfig()),
+        golden_triples(_kg_sentences_ds()),
+    )
+    return pa.table(
+        {
+            "precision": pa.array([round(m.precision, 4)]),
+            "recall": pa.array([round(m.recall, 4)]),
+            "f1": pa.array([round(m.f1, 4)]),
+            "tp": pa.array([m.tp]),
+            "pred_n": pa.array([m.pred_n]),
+            "gold_n": pa.array([m.gold_n]),
+        }
+    )
+
+
+def _kg_link_edges(sf_dir: str):
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return link_mentions(extract_triples(_kg_docs_ds(), PipelineConfig()), tau=0.5)
+
+
+def _kg_canonical(sf_dir: str):
+    from kgray.ops.canonical import canonicalize_triples, connected_components
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    triples = extract_triples(_kg_docs_ds(), PipelineConfig())
+    edges = link_mentions(triples, tau=0.5)
+    entity_map = connected_components(edges)
+    triples2 = extract_triples(_kg_docs_ds(), PipelineConfig())
+    return canonicalize_triples(triples2, entity_map)
+
+
+def _minhash_dup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from kgray.ops.dedup import minhash_dup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dup_pairs(docs, tau=0.7)
+
+
+def _simhash_dup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from kgray.ops.dedup import simhash_dup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dup_pairs(docs, max_hamming=3)
+
+
+def _knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from kgray.ops.similarity import knn_ivf
+    from kgray.queries import _query_vec
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, _query_vec(sf_dir), k=10)
+
+
+def _media_features(sf_dir: str):
+    from kgray.ops.media import extract_media_features, media_table_from_documents
+
+    media = media_table_from_documents(_kg_docs_ds(200))
+    feats = extract_media_features(media)
+    import pyarrow as pa
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "dim": pa.array([len(v) for v in batch["features"].to_pylist()],
+                                 pa.int64()),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from kgray.queries import CATALOG
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in CATALOG.items()
+    }
+    out.update(
+        {
+            "kg_flatten": _kg_flatten,
+            "kg_extract": _kg_extract,
+            "kg_golden": _kg_golden,
+            "kg_eval": _kg_eval,
+            "kg_link_edges": _kg_link_edges,
+            "kg_canonical": _kg_canonical,
+            "minhash_dup_docs": _minhash_dup_docs,
+            "simhash_dup_docs": _simhash_dup_docs,
+            "knn_ivf": _knn_ivf,
+            "media_features": _media_features,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents for every SQL-expressible query (same column
+    names as the Ray results).  KG-pipeline / sketch-based entries are
+    intentionally absent (non-SQL-expressible; rows-only check)."""
+    from kgray.queries import CATALOG
+
+    return {name: sql for name, (fn, sql) in CATALOG.items() if sql}

@@ -73,15 +73,26 @@ def _label_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _propagate(group: pd.DataFrame) -> pd.DataFrame:
-    """One node's group: emit min(own labels, node id) to self + neighbors."""
-    node = group["node"].iloc[0]
-    labels = group["label"].dropna()
-    own = labels.min() if len(labels) else node
-    own = min(own, node)
-    nbrs = group["nbr"].dropna().unique().tolist()
-    targets = [node, *nbrs]
-    return pd.DataFrame({"node": targets, "label": [own] * len(targets)})
+def _propagate_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-bucket of nodes (all rows of a node co-located): emit
+    min(own labels, node id) to self + neighbors — per-node grouping
+    vectorized inside the bucket (kgray.util.grouped_map rationale)."""
+    nodes = df["node"].unique()
+    lab = df.loc[df["label"].notna()].groupby("node", sort=False)["label"].min()
+    own = lab.reindex(nodes)
+    own = own.fillna(pd.Series(nodes, index=nodes))
+    own = pd.Series(np.minimum(own.to_numpy(), nodes), index=nodes)  # min(label, id)
+    edges = df.loc[df["nbr"].notna(), ["node", "nbr"]].drop_duplicates()
+    out_nodes = np.concatenate([nodes, edges["nbr"].to_numpy()])
+    out_labels = np.concatenate(
+        [own.to_numpy(), own.reindex(edges["node"].to_numpy()).to_numpy()]
+    )
+    return pd.DataFrame(
+        {
+            "node": pd.array(out_nodes, dtype="string"),
+            "label": pd.array(out_labels, dtype="string"),
+        }
+    )
 
 
 def connected_components(edges, max_rounds: int = 10):
@@ -108,13 +119,16 @@ def connected_components(edges, max_rounds: int = 10):
         .materialize()
     )
 
+    from kgray.util import grouped_map
+
     prev_fp = None
     for _ in range(max_rounds):
         label_part = labels.map_batches(_label_rows, batch_format="pyarrow")
         new_labels = (
-            edge_part.union(label_part)
-            .groupby("node")
-            .map_groups(_propagate, batch_format="pandas")
+            grouped_map(
+                edge_part.union(label_part), "node", _propagate_bucket,
+                num_buckets=32,
+            )
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

@@ -1,0 +1,429 @@
+"""Deduplication family for training-data pipelines.
+
+Exact dedup, word-n-gram Jaccard near-dup, MinHash-LSH near-dup, SimHash
+near-dup, embedding-cosine near-dup — each expressed as Ray Data
+shuffles with per-batch combiners (no driver-side row loops):
+
+* exact: hash-partition on content -> per-group first (D3 first-wins);
+* n-gram Jaccard: inverted shingle index -> shared-count pairs ->
+  bucket-join doc shingle counts -> jaccard = shared/(na+nb-shared);
+* MinHash-LSH: reuse of the linking machinery (kgray.ops.linking) over
+  document text instead of mention surfaces;
+* SimHash: 64-bit signatures, banded by 16-bit chunks, hamming verify;
+* embedding: blocked brute-force cosine against a broadcast matrix (the
+  test-scale path; the LSH-bucketed variant for scale is in
+  kgray.ops.similarity).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per distinct content: (keep_id = min id, n_copies).
+
+    D3 semantics (SURVEY.md §2.7): global dedup = groupby(content hash),
+    first-wins by min id.  Shuffle moves one row per (batch, distinct
+    text) thanks to the per-batch combiner.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "text": batch[text_col].to_pandas(),
+                "id": batch[id_col].to_pandas(),
+            }
+        )
+        g = df.groupby("text", sort=True).agg(
+            keep_id=("id", "min"), n_copies=("id", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "text": pa.array(g["text"], pa.string()),
+                "keep_id": pa.array(g["keep_id"].to_numpy(np.int64)),
+                "n_copies": pa.array(g["n_copies"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("text")
+        .aggregate(
+            Min("keep_id", alias_name="keep_id"),
+            Sum("n_copies", alias_name="n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """The surviving rows (doc ids) after exact dedup."""
+    groups = exact_dedup_groups(docs, text_col, id_col)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["keep_id"]})
+
+    return groups.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram Jaccard near-dup (exact, SQL-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)] if toks != [""] else []
+    return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_buckets: int = 16, digits: int = 4):
+    """All doc pairs (u < v) with word-n-gram Jaccard >= tau.
+
+    Exact (no sketching): inverted index on distinct shingles ->
+    per-shingle pair emission -> shared counts -> jaccard via per-doc
+    shingle counts attached with bucket joins.  The per-shingle pair
+    emission is quadratic in a shingle's doc list — acceptable because
+    distinct n-grams are near-unique; a degenerate shingle shared by
+    > max_block docs is dropped (same cap rationale as LSH blocks).
+    """
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import bucket_join
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_s, out_d = [], []
+        for i, t in zip(ids, texts):
+            sh = word_shingles(t, n)
+            out_s.extend(sh)
+            out_d.extend([int(i)] * len(sh))
+        return pa.table(
+            {
+                "shingle": pa.array(out_s, pa.string()),
+                "doc": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    exploded = docs.map_batches(emit, batch_format="pyarrow")
+
+    max_block = 64
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from kgray.util import pairs_within_groups
+
+        out = pairs_within_groups(df, "shingle", "doc", max_block)
+        out["one"] = pd.array(np.ones(len(out), np.int64), dtype="int64")
+        return out
+
+    # coarse-bucket cogroup (ONE fn call per bucket, per-shingle grouping
+    # vectorized inside) — per-tiny-group map_groups overhead is 100x
+    from kgray.util import grouped_map
+
+    shared = (
+        grouped_map(exploded, "shingle", bucket_pairs, num_buckets=num_buckets)
+        .groupby(["u", "v"])
+        .aggregate(Sum("one", alias_name="shared"))
+    )
+
+    def count_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        return pa.table(
+            {
+                "doc": pa.array([int(i) for i in ids], pa.int64()),
+                "nsh": pa.array(
+                    [len(word_shingles(t, n)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    counts = docs.map_batches(count_shingles, batch_format="pyarrow")
+
+    j1 = bucket_join(shared, counts, on="u", right_on="doc", how="left",
+                     num_buckets=num_buckets, right_suffix="_u")
+    j2 = bucket_join(j1, counts, on="v", right_on="doc", how="left",
+                     num_buckets=num_buckets, right_suffix="_v")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        na = batch[[c for c in cols if c.startswith("nsh")][0]].to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        nb = batch[[c for c in cols if c.startswith("nsh")][1]].to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        sh = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        from kgray.util import round_half_up
+
+        jac = sh / (na + nb - sh)
+        keep = jac >= tau
+        return pa.table(
+            {
+                "u": batch["u"].filter(pa.array(keep)),
+                "v": batch["v"].filter(pa.array(keep)),
+                "jac": pa.array(round_half_up(jac[keep], digits)),
+            }
+        )
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over documents
+# ---------------------------------------------------------------------------
+
+def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 32, concurrency=(1, 4)):
+    """Near-dup pairs by MinHash-LSH over word-3-gram shingles."""
+    from kgray.ops.linking import _hash_params, minhash_signature
+
+    class DocBands:
+        def __init__(self):
+            self.params = _hash_params(num_hashes)
+            self.rows = num_hashes // bands
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            texts = batch[text_col].to_pylist()
+            out_band, out_doc = [], []
+            for i, t in zip(ids, texts):
+                sig = _doc_signature(t, self.params)
+                for b in range(bands):
+                    chunk = sig[b * self.rows : (b + 1) * self.rows]
+                    out_band.append(f"{b}:{zlib.crc32(chunk.tobytes()):08x}")
+                    out_doc.append(int(i))
+            return pa.table(
+                {
+                    "band_key": pa.array(out_band, pa.string()),
+                    "doc": pa.array(out_doc, pa.int64()),
+                }
+            )
+
+    banded = docs.map_batches(DocBands, batch_format="pyarrow",
+                              concurrency=concurrency)
+
+    max_block = 128
+
+    from ray.data.aggregate import Count
+
+    from kgray.util import grouped_map, pairs_within_groups
+
+    cand = (
+        grouped_map(
+            banded, "band_key",
+            lambda df: pairs_within_groups(df, "band_key", "doc", max_block),
+            num_buckets=32,
+        )
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="nbands"))
+    )
+
+    # verify with exact word-shingle jaccard; doc texts fetched via join
+    texts_ds = docs.map_batches(
+        lambda b: pa.table({"doc": b[id_col], "text": b[text_col]}),
+        batch_format="pyarrow",
+    )
+    from kgray.ops.joins import bucket_join
+
+    j1 = bucket_join(cand, texts_ds, on="u", right_on="doc", how="left",
+                     right_suffix="_u")
+    j2 = bucket_join(j1, texts_ds, on="v", right_on="doc", how="left",
+                     right_suffix="_v")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from kgray.util import round_half_up
+
+        cols = batch.column_names
+        tcols = [c for c in cols if c.startswith("text")]
+        ta = batch[tcols[0]].to_pylist()
+        tb = batch[tcols[1]].to_pylist()
+        us = batch["u"].to_pylist()
+        vs = batch["v"].to_pylist()
+        ku, kv, js = [], [], []
+        for u, v, a, b in zip(us, vs, ta, tb):
+            sa, sb = set(word_shingles(a or "")), set(word_shingles(b or ""))
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= tau:
+                ku.append(u)
+                kv.append(v)
+                js.append(float(round_half_up(j, 4)))
+        return pa.table(
+            {
+                "u": pa.array(ku, pa.int64()),
+                "v": pa.array(kv, pa.int64()),
+                "jac": pa.array(js, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _doc_signature(text: str, params: np.ndarray) -> np.ndarray:
+    sh = word_shingles(text)
+    if not sh:
+        return np.zeros(params.shape[1], np.uint64)
+    hv = np.fromiter((zlib.crc32(x.encode()) for x in sh), np.int64, len(sh))
+    a, b = params
+    m = (hv[None, :] * a[:, None] + b[:, None]) % ((1 << 61) - 1)
+    return m.min(axis=1).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
+    chunks (pigeonhole: hamming <= 3 implies one identical chunk), block
+    on (chunk_idx, chunk_value), verify hamming distance in-block."""
+    from kgray.ops.text import simhash64
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_k, out_d, out_s = [], [], []
+        for i, t in zip(ids, texts):
+            h = simhash64(t.split(" "))
+            for c in range(4):
+                chunk = (h >> (16 * c)) & 0xFFFF
+                out_k.append(f"{c}:{chunk:04x}")
+                out_d.append(int(i))
+                out_s.append(h if h < (1 << 63) else h - (1 << 64))
+        return pa.table(
+            {
+                "block": pa.array(out_k, pa.string()),
+                "doc": pa.array(out_d, pa.int64()),
+                "sig": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
+
+    max_block = 256
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[["block", "doc", "sig"]].drop_duplicates()
+        sizes = sub.groupby("block", sort=False)["doc"].transform("size")
+        sub = sub[(sizes >= 2) & (sizes <= max_block)]
+        us, vs, hs = [], [], []
+        for _, g in sub.groupby("block", sort=False):
+            order = np.argsort(g["doc"].to_numpy())
+            d = g["doc"].to_numpy()[order]
+            s = g["sig"].to_numpy()[order].astype(np.uint64)
+            n = len(d)
+            iu = np.repeat(np.arange(n), n - np.arange(n) - 1)
+            jv = np.concatenate([np.arange(i + 1, n) for i in range(n)])
+            x = s[iu] ^ s[jv]
+            # vectorized popcount via byte view
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = ham <= max_hamming
+            us.append(d[iu][keep])
+            vs.append(d[jv][keep])
+            hs.append(ham[keep])
+        if us:
+            return pd.DataFrame(
+                {
+                    "u": pd.array(np.concatenate(us), dtype="int64"),
+                    "v": pd.array(np.concatenate(vs), dtype="int64"),
+                    "hamming": pd.array(np.concatenate(hs), dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "u": pd.array([], dtype="int64"),
+                "v": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int64"),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    from kgray.util import grouped_map
+
+    return (
+        grouped_map(blocked, "block", bucket_pairs, num_buckets=32)
+        .groupby(["u", "v"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(embeddings, tau: float = 0.95, id_col: str = "vec_id",
+                        vec_col: str = "embedding", digits: int = 4):
+    """All vector pairs with cosine >= tau.
+
+    Test-scale path: the full (normalized) matrix is broadcast via the
+    object store once and every batch multiplies against it — O(n^2)
+    flops but one pass over the data and no shuffle.  The scale path is
+    LSH bucketing (kgray.ops.similarity.lsh_knn-style blocking).
+    """
+    import ray
+
+    tbl = embeddings.to_arrow_refs()
+    mats = []
+    ids = []
+    for ref in tbl:
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        m = np.vstack(
+            [np.asarray(x, np.float64) for x in t[vec_col].to_pylist()]
+        )
+        mats.append(m)
+        ids.append(np.asarray(t[id_col].to_pylist(), np.int64))
+    full = np.vstack(mats)
+    full_ids = np.concatenate(ids)
+    norms = np.linalg.norm(full, axis=1, keepdims=True)
+    full_n = full / np.where(norms == 0, 1, norms)
+    ref_mat = ray.put((full_ids, full_n))
+
+    def block(batch: pa.Table) -> pa.Table:
+        from kgray.util import round_half_up
+
+        all_ids, mat = ray.get(ref_mat)
+        q = np.vstack([np.asarray(x, np.float64) for x in batch[vec_col].to_pylist()])
+        qn = q / np.where(
+            np.linalg.norm(q, axis=1, keepdims=True) == 0,
+            1,
+            np.linalg.norm(q, axis=1, keepdims=True),
+        )
+        qids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        sims = qn @ mat.T
+        ui, vi = np.nonzero(sims >= tau)
+        u = qids[ui]
+        v = all_ids[vi]
+        keep = u < v  # each unordered pair once
+        return pa.table(
+            {
+                "u": pa.array(u[keep]),
+                "v": pa.array(v[keep]),
+                "cos": pa.array(round_half_up(sims[ui, vi][keep], digits)),
+            }
+        )
+
+    return embeddings.map_batches(block, batch_format="pyarrow")

@@ -175,15 +175,23 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
     pred_keys = pred_ds.map_batches(expand, batch_format="pyarrow")
     gold_keys = gold_ds.map_batches(gold_rows, batch_format="pyarrow")
 
-    def match_group(g: pd.DataFrame) -> pd.DataFrame:
-        has_gold = bool((g["is_gold"] > 0).any())
-        okeys = g.loc[g["okey"] != "", "okey"].unique()
-        return pd.DataFrame({"okey": okeys, "hit": np.int8(1 if has_gold else 0)})
+    def match_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """All keys of one hash bucket at once: hit = key has a gold row."""
+        has_gold = df.groupby("key", sort=False)["is_gold"].max() > 0
+        preds = df.loc[df["okey"] != "", ["key", "okey"]].drop_duplicates()
+        hit = has_gold.reindex(preds["key"]).fillna(False).to_numpy()
+        return pd.DataFrame(
+            {
+                "okey": pd.array(preds["okey"].to_numpy(), dtype="string"),
+                "hit": pd.array(hit.astype(np.int8), dtype="int8"),
+            }
+        )
+
+    from kgray.util import grouped_map
 
     matched = (
-        pred_keys.union(gold_keys)
-        .groupby("key")
-        .map_groups(match_group, batch_format="pandas")
+        grouped_map(pred_keys.union(gold_keys), "key", match_bucket,
+                    num_buckets=32)
         .groupby("okey")
         .aggregate(Max("hit", alias_name="hit"))
     )

@@ -89,17 +89,21 @@ def bucket_join(
     right_suffix: str = "_r",
 ):
     """Explicit partitioned hash join: bucket both sides by key hash,
-    cogroup via ONE groupby shuffle, pandas-merge inside each bucket.
+    cogroup via ONE groupby shuffle, Arrow-join inside each bucket.
 
     The portable pattern from the Ray Data guide — used where
-    ``Dataset.join`` is fragile (its hash-shuffle emits right-schema-only
-    blocks for left-empty partitions, which poisons chained joins).
-    ``num_buckets`` is the shuffle fan-out: size so one bucket (both
-    sides) fits a worker's heap; salt skewed keys before calling.
+    ``Dataset.join`` is fragile (its hash-shuffle builds a zero-column
+    left table for left-empty partitions, which Arrow's acero join
+    rejects).  Everything stays Arrow end-to-end: widening uses TYPED
+    nulls and the in-bucket join is ``pa.Table.join``, so int64 keys
+    never get floatified by pandas-null coercion (which would corrupt
+    the bucket hash of a chained join).  ``num_buckets`` is the shuffle
+    fan-out: size so one bucket (both sides) fits a worker's heap; salt
+    skewed keys before calling.
     """
     import zlib
 
-    import pandas as pd
+    import pyarrow.compute as pc
 
     right_on = right_on or on
 
@@ -108,6 +112,7 @@ def bucket_join(
     right_cols = r_schema.names
     clash = (set(left_cols) & set(right_cols)) - ({on} if on == right_on else set())
     ren = {c: c + right_suffix for c in clash}
+
     def _pa_type(t) -> pa.DataType:
         # Dataset.schema() reports python types for non-Arrow blocks
         if isinstance(t, pa.DataType):
@@ -123,20 +128,37 @@ def bucket_join(
     for n, t in zip(r_schema.names, r_schema.types):
         col_types[ren.get(n, n)] = _pa_type(t)
 
+    def _buckets(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
+                np.int64
+            ) % num_buckets
+        vals = col.to_pylist()
+        return np.fromiter(
+            (zlib.crc32(str(k).encode()) % num_buckets for k in vals),
+            np.int64,
+            len(vals),
+        )
+
     def tag(side: int, key_col: str, rename: dict[str, str]):
         def apply(batch: pa.Table) -> pa.Table:
             if rename:
                 batch = batch.rename_columns(
                     [rename.get(c, c) for c in batch.column_names]
                 )
-            keys = batch[rename.get(key_col, key_col)].to_pylist()
-            bucket = np.fromiter(
-                (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
-                np.int64,
-                len(keys),
-            )
+            # normalize physical types to the declared schema (pandas-block
+            # upstreams can report widened types)
+            for c in batch.column_names:
+                want = col_types.get(c)
+                if want is not None and batch.schema.field(c).type != want:
+                    i = batch.column_names.index(c)
+                    batch = batch.set_column(i, c, batch[c].cast(want))
+            bucket = _buckets(batch[rename.get(key_col, key_col)])
             return batch.append_column("__bucket", pa.array(bucket)).append_column(
-                "__side", pa.array(np.full(len(keys), side, np.int8))
+                "__side", pa.array(np.full(len(batch), side, np.int8))
             )
 
         return apply
@@ -167,23 +189,25 @@ def bucket_join(
     out_cols = [c for c in all_names if c not in ("__bucket", "__side")]
     if r_key != on:
         out_cols = [c for c in out_cols if c != r_key]
-    pd_how = {"left_outer": "left", "right_outer": "right", "inner": "inner"}.get(how, how)
+    arrow_how = {
+        "left": "left outer", "left_outer": "left outer",
+        "right": "right outer", "right_outer": "right outer",
+        "inner": "inner", "outer": "full outer", "full_outer": "full outer",
+    }[how]
+    l_data = [c for c in l_names if not c.startswith("__")]
+    r_data = [c for c in r_names if not c.startswith("__")]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lp = g[g["__side"] == 0][[c for c in l_names if c not in ("__bucket", "__side")]]
-        rp = g[g["__side"] == 1][
-            [c for c in r_names if c not in ("__bucket", "__side")]
-        ]
-        if r_key == on:
-            m = lp.merge(rp, on=on, how=pd_how)
-        else:
-            m = lp.merge(rp, left_on=on, right_on=r_key, how=pd_how)
-        return m[out_cols]
+    def merge(g: pa.Table) -> pa.Table:
+        mask = pc.equal(g["__side"], 0)
+        lp = g.filter(mask).select(l_data)
+        rp = g.filter(pc.invert(mask)).select(r_data)
+        m = lp.join(rp, keys=[on], right_keys=[r_key], join_type=arrow_how)
+        return m.select(out_cols).combine_chunks()
 
     return (
         l_wide.union(r_wide)
         .groupby("__bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

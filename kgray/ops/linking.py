@@ -148,28 +148,24 @@ class BandEmitter:
 
 
 def candidate_pairs(banded, max_block: int = 256):
-    """groupby(band) -> within-block pairs (u < v), deduped globally.
-
-    ``max_block`` caps pathological blocks (a block that large means the
-    band hash degenerated — log and skip rather than emit O(n^2) pairs).
+    """Coarse-bucket cogroup on band hash -> within-block pairs (u < v),
+    deduped globally.  ``max_block`` caps pathological blocks (a block
+    that large means the band hash degenerated — skip rather than emit
+    O(n^2) pairs).  Per-band grouping is vectorized inside one call per
+    bucket (kgray.util.grouped_map rationale).
     """
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ms = sorted(set(g["mention_key"]))
-        us, vs = [], []
-        if 2 <= len(ms) <= max_block:
-            for i in range(len(ms)):
-                for j in range(i + 1, len(ms)):
-                    us.append(ms[i])
-                    vs.append(ms[j])
-        return pd.DataFrame(
-            {"u": pd.array(us, dtype="string"), "v": pd.array(vs, dtype="string")}
-        )
-
     from ray.data.aggregate import Count
 
+    from kgray.util import grouped_map, pairs_within_groups
+
     return (
-        banded.groupby("band_key")
-        .map_groups(pairs, batch_format="pandas")
+        grouped_map(
+            banded, "band_key",
+            lambda df: pairs_within_groups(
+                df, "band_key", "mention_key", max_block, dtype="string"
+            ),
+            num_buckets=32,
+        )
         .groupby(["u", "v"])
         .aggregate(Count(alias_name="nbands"))
     )

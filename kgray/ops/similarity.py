@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``knn_brute`` — exact cosine top-k: the query matrix is broadcast via
+  the object store ONCE; every batch does one float64 matmul and emits
+  its local top-k candidates; a final tiny sort/limit picks the global
+  top-k.  One pass, no shuffle of the corpus.
+* ``knn_ivf`` — the scale path: a coarse k-means-style quantizer (fit on
+  a deterministic sample) assigns each vector to a centroid bucket; a
+  query probes only the nearest ``nprobe`` buckets.  Bucketing is a
+  partitioned groupby; probing touches a fraction of blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list<float> flatten -> (n, d) without per-row python
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1, norms)
+
+
+def knn_brute(embeddings, query_vec, k: int = 10, id_col: str = "vec_id",
+              vec_col: str = "embedding", digits: int = 4):
+    """Exact top-k by cosine: returns (vec_id, sim) sorted by
+    (sim desc, vec_id asc), sim rounded to ``digits`` (ties broken on
+    the rounded value so Ray and SQL oracles order identically)."""
+    import ray
+
+    q = np.asarray(query_vec, np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _normalize(_matrix(batch, vec_col))
+        from kgray.util import round_half_up
+
+        sims = round_half_up(m @ qv, digits)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "sim": pa.array(sims[order]),
+            }
+        )
+
+    cands = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return cands.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+class IvfIndex:
+    """Coarse quantizer state: centroids fit once per actor from a
+    broadcast sample (stateful-stage pattern)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)  # (C, d), normalized
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))
+        assign = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign))
+
+
+def fit_centroids(embeddings, num_centroids: int = 16, sample_rows: int = 2048,
+                  iters: int = 5, vec_col: str = "embedding", seed: int = 7):
+    """Deterministic mini k-means on a head sample (driver-side, small)."""
+    sample = embeddings.limit(sample_rows).to_arrow_refs()
+    import ray
+
+    mats = []
+    for ref in sample:
+        t = ray.get(ref)
+        if t.num_rows:
+            mats.append(_normalize(_matrix(t, vec_col)))
+    X = np.vstack(mats)
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_bucketize(embeddings, centroids: np.ndarray, concurrency=(1, 4)):
+    """Assign every vector to its nearest centroid bucket (actor pool)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, np.float64))
+    return embeddings.map_batches(
+        IvfIndex,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"centroids_ref": ref},
+    )
+
+
+def knn_ivf(embeddings, query_vec, k: int = 10, num_centroids: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+            digits: int = 4):
+    """Approximate top-k: probe only the ``nprobe`` buckets nearest the
+    query.  Recall < 1 by construction; the exactness oracle is
+    ``knn_brute`` (tested at small scale)."""
+    import pyarrow.compute as pc
+
+    C = fit_centroids(embeddings, num_centroids, vec_col=vec_col)
+    bucketed = ivf_bucketize(embeddings, C)
+    q = np.asarray(query_vec, np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(C @ qn))[:nprobe].tolist())
+
+    probed = bucketed.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(
+                    b["bucket"].to_numpy(zero_copy_only=False), list(probe)
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return knn_brute(probed, query_vec, k, id_col, vec_col, digits)

@@ -1,0 +1,663 @@
+"""Driver-contract query catalog: Ray Data implementation + DuckDB oracle
+SQL side by side for every operator exercised on the shared testdata
+tables (TESTDATA.md).  Names of computed columns MATCH between the two
+(the driver hashes values after sorting columns by name).
+
+Float columns are rounded (ROUND n digits) on BOTH sides so value-hash
+comparison is stable across summation orders.
+
+Each Ray callable takes ``sf_dir`` and returns a Dataset / pyarrow Table;
+these are wired into ``__ray_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(ds, col: str, digits: int):
+    """Round half-away-from-zero (SQL ROUND semantics).  Uses the numpy
+    floor(x*s+0.5)/s formulation, NOT pc.round: Arrow's scale/divide
+    round-trip can leave a one-ulp-off sum unchanged (e.g. 741376803.3100001
+    stays put) while DuckDB lands on the nearest double of the decimal —
+    the driver value-hash then mismatches on bit pattern."""
+    from kgray.util import round_half_up
+
+    def apply(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(col)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            i, col, pa.array(round_half_up(vals, digits), pa.float64())
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# documents analytics (reference G1-G4/G8/M16-M17 analogues, SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+def q_lang_counts(sf_dir: str):
+    """G8-style distinct-count: docs per lang."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
+def q_max_doc_length(sf_dir: str):
+    """G2 global max (max_length.py:4-11 analogue)."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return pa.table({"max_chars": pa.array([ds.max("n_chars")], pa.int64())})
+
+
+SQL_MAX_DOC_LENGTH = "SELECT MAX(n_chars) AS max_chars FROM documents"
+
+
+def q_doclen_hist(sf_dir: str):
+    """G1-style histogram: doc count per 50-char length bucket."""
+    from ray.data.aggregate import Count
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = pc.multiply(
+            pc.cast(pc.divide(batch["n_chars"], 50), pa.int64()), 50
+        )
+        return pa.table({"bucket": b})
+
+    return (
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_DOCLEN_HIST = (
+    "SELECT (n_chars // 50) * 50 AS bucket, COUNT(*) AS n "
+    "FROM documents GROUP BY bucket"
+)
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting rolled up per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgray.ops.text import add_token_count
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(add_token_count, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="total_tokens"),
+                   Count(alias_name="n_docs"))
+    )
+
+
+SQL_TOKEN_STATS = (
+    "SELECT lang, SUM(len(string_split(text, ' '))) AS total_tokens, "
+    "COUNT(*) AS n_docs FROM documents GROUP BY lang"
+)
+
+
+def q_contains_filter(sf_dir: str):
+    """M17-style substring filter: docs mentioning 'spark'."""
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch["text"], "spark")
+        t = batch.filter(mask)
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_CONTAINS_FILTER = (
+    "SELECT doc_id, n_chars FROM documents WHERE contains(text, 'spark')"
+)
+
+
+def q_avg_token_len(sf_dir: str):
+    """Per-doc quality proxy: chars per token."""
+    from kgray.ops.text import add_avg_token_len
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = add_avg_token_len(batch)
+        return pa.table({"doc_id": t["doc_id"], "avg_tok_len": t["avg_tok_len"]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_AVG_TOKEN_LEN = (
+    "SELECT doc_id, ROUND(CAST(length(text) AS DOUBLE) / "
+    "len(string_split(text, ' ')), 4) AS avg_tok_len FROM documents"
+)
+
+
+def q_stopword_ratio(sf_dir: str):
+    from kgray.ops.text import add_stopword_ratio
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = add_stopword_ratio(batch)
+        return pa.table({"doc_id": t["doc_id"], "stop_ratio": t["stop_ratio"]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_STOPWORD_RATIO = (
+    "SELECT doc_id, ROUND(CAST(len(list_filter(string_split(text, ' '), "
+    "w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE) / "
+    "len(string_split(text, ' ')), 4) AS stop_ratio FROM documents"
+)
+
+
+def q_langid(sf_dir: str):
+    """Marker-based language-ID heuristic; oracle mirrors the same rule."""
+    from kgray.ops.text import add_langid
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = add_langid(batch)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": t["lang_pred"]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_LANGID = """
+WITH s AS (
+  SELECT doc_id,
+    CAST(contains(text, 'the ') AS INT) + CAST(contains(text, ' and ') AS INT) + CAST(contains(text, ' of ') AS INT) AS s_en,
+    CAST(contains(text, 'der ') AS INT) + CAST(contains(text, ' und ') AS INT) + CAST(contains(text, ' sch') AS INT) AS s_de,
+    CAST(contains(text, ' le ') AS INT) + CAST(contains(text, ' de ') AS INT) + CAST(contains(text, ' est') AS INT) AS s_fr,
+    CAST(contains(text, ' el ') AS INT) + CAST(contains(text, ' de ') AS INT) + CAST(contains(text, 'ción') AS INT) AS s_es,
+    CAST(contains(text, '的') AS INT) + CAST(contains(text, '是') AS INT) + CAST(contains(text, '了') AS INT) AS s_zh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       WHEN s_es >= s_zh THEN 'es'
+       ELSE 'zh' END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Content fingerprint; md5 so the oracle is exactly expressible."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup groups: first-wins keeper + copy count per content."""
+    from kgray.ops.dedup import exact_dedup_groups
+
+    ds = exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"keep_id": batch["keep_id"], "n_copies": batch["n_copies"]}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EXACT_DEDUP = (
+    "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+    "FROM documents GROUP BY text"
+)
+
+
+def q_ngram_dup_pairs(sf_dir: str):
+    """Word-3-gram Jaccard near-dup pairs (exact, tau=0.8)."""
+    from kgray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.8
+    )
+
+
+SQL_NGRAM_DUP_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> list[float]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return t["embedding"][idx].as_py()
+
+
+def q_embed_knn(sf_dir: str):
+    """Exact cosine top-10 around vec_id=0 (brute force baseline)."""
+    from kgray.ops.similarity import knn_brute
+
+    return knn_brute(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vec(sf_dir),
+        k=10,
+    )
+
+
+SQL_EMBED_KNN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs.  tau=0.45 so the testdata's
+    planted similarity structure yields a non-empty, boundary-safe result
+    (max pairwise cosine in the synthetic tables is ~0.51; nothing within
+    5e-4 of the threshold)."""
+    from kgray.ops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.45
+    )
+
+
+SQL_EMBED_DUP_PAIRS = """
+SELECT a.vec_id AS u, b.vec_id AS v,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def q_embed_label_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "embeddings", ["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_EMBED_LABEL_COUNTS = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish conformance: groupby / join / sort / window
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    import datetime
+
+    cutoff = datetime.datetime(1998, 9, 2)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    ds = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        ds = _round_col(ds, c, 2)
+    return ds
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_mktsegment_revenue(sf_dir: str):
+    """customer x orders partitioned hash join -> revenue per segment."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgray.ops.joins import bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = bucket_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+        num_buckets=16,
+    )
+    ds = (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    return _round_col(ds, "revenue", 2)
+
+
+SQL_MKTSEGMENT_REVENUE = """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_supplier_balance_by_region(sf_dir: str):
+    """3-way dimension join: supplier -> nation -> region rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgray.ops.joins import bucket_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    j1 = bucket_join(sup, nat, on="s_nationkey", right_on="n_nationkey",
+                     how="inner", num_buckets=8)
+    j2 = bucket_join(j1, reg, on="n_regionkey", right_on="r_regionkey",
+                     how="inner", num_buckets=8)
+    ds = (
+        j2.groupby(["r_name", "n_name"])
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="total_bal"),
+        )
+    )
+    return _round_col(ds, "total_bal", 2)
+
+
+SQL_SUPPLIER_BALANCE_BY_REGION = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Global sort + limit (T-ops, SURVEY.md §2.6)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ds = _round_col(ds, "c_acctbal", 2)
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_CUSTOMERS = (
+    "SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM customer "
+    "ORDER BY c_acctbal DESC, c_custkey LIMIT 10"
+)
+
+
+def q_part_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean
+
+    ds = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+    )
+    return _round_col(ds, "avg_price", 2)
+
+
+SQL_PART_TYPE_STATS = """
+SELECT p_type, COUNT(*) AS n, ROUND(AVG(p_retailprice), 2) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_type
+"""
+
+
+def q_orders_monthly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        s = batch["o_orderdate"].to_pandas().dt.strftime("%Y-%m")
+        return pa.table(
+            {
+                "month": pa.array(s, pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total"),
+        )
+    )
+    return _round_col(ds, "total", 2)
+
+
+SQL_ORDERS_MONTHLY = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling window, top-k, session windows
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (streaming-shaped aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        # unit-safe: cast to us-resolution epoch, then floor-divide
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_bucket": hour,
+                "value": batch["value"],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    )
+    return _round_col(ds, "total_value", 2)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type, hour_bucket
+"""
+
+
+def q_events_user_topk(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"))
+    )
+    ds = _round_col(ds, "total_value", 2)
+    return ds.sort(["total_value", "user_id"], descending=[True, False]).limit(20)
+
+
+SQL_EVENTS_USER_TOPK = """
+SELECT user_id, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 20
+"""
+
+
+def q_events_sessions(sf_dir: str, gap_s: int = 1800):
+    """Session windows (gap 30 min) per user — coarse-bucket cogroup on
+    user hash, per-user windowing vectorized inside the bucket (one sort +
+    one grouped shift per bucket, no per-user python)."""
+    from kgray.util import grouped_map
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        new_sess = prev.isna() | ((df["ts"] - prev).dt.total_seconds() > gap_s)
+        g = df.groupby("user_id", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_sessions": new_sess.groupby(df["user_id"], sort=False)
+                .sum()
+                .astype("int64"),
+                "n_events": g.size().astype("int64"),
+            }
+        )
+        return out.reset_index()[["user_id", "n_sessions", "n_events"]]
+
+    return grouped_map(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id", sessions, num_buckets=32,
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                THEN 1 ELSE 0 END) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_event_type_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    ds = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value"))
+    )
+    return _round_col(ds, "avg_value", 2)
+
+
+SQL_EVENT_TYPE_COUNTS = """
+SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 2) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, tuple] = {
+    # name -> (ray_fn, sql or None)
+    "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
+    "max_doc_length": (q_max_doc_length, SQL_MAX_DOC_LENGTH),
+    "doclen_hist": (q_doclen_hist, SQL_DOCLEN_HIST),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "contains_filter": (q_contains_filter, SQL_CONTAINS_FILTER),
+    "avg_token_len": (q_avg_token_len, SQL_AVG_TOKEN_LEN),
+    "stopword_ratio": (q_stopword_ratio, SQL_STOPWORD_RATIO),
+    "langid": (q_langid, SQL_LANGID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "ngram_dup_pairs": (q_ngram_dup_pairs, SQL_NGRAM_DUP_PAIRS),
+    "embed_knn": (q_embed_knn, SQL_EMBED_KNN),
+    "embed_dup_pairs": (q_embed_dup_pairs, SQL_EMBED_DUP_PAIRS),
+    "embed_label_counts": (q_embed_label_counts, SQL_EMBED_LABEL_COUNTS),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "mktsegment_revenue": (q_mktsegment_revenue, SQL_MKTSEGMENT_REVENUE),
+    "supplier_balance_by_region": (
+        q_supplier_balance_by_region, SQL_SUPPLIER_BALANCE_BY_REGION
+    ),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
+    "orders_monthly": (q_orders_monthly, SQL_ORDERS_MONTHLY),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_user_topk": (q_events_user_topk, SQL_EVENTS_USER_TOPK),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
+}

@@ -2,7 +2,102 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+
+def round_half_up(x, digits: int = 4):
+    """Round half-away-from-zero, matching SQL ROUND (numpy/python round
+    is half-even and flips x.xxx5 boundary values vs DuckDB)."""
+    scale = 10.0 ** digits
+    arr = np.asarray(x, np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def bucket_of(col, num_buckets: int) -> np.ndarray:
+    """Deterministic hash buckets for an Arrow column (int: Fibonacci
+    multiplicative hash; other types: crc32 of str)."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        k = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
+            np.int64
+        ) % num_buckets
+    vals = col.to_pylist()
+    return np.fromiter(
+        (zlib.crc32(str(k).encode()) % num_buckets for k in vals),
+        np.int64,
+        len(vals),
+    )
+
+
+def grouped_map(ds, key: str, fn, num_buckets: int = 32, drop_key_bucket=True):
+    """Coarse-bucket cogroup: hash ``key`` into ``num_buckets`` buckets,
+    ONE groupby shuffle on the bucket, and ``fn`` (pandas DataFrame ->
+    pandas DataFrame) applied once per BUCKET — the caller vectorizes its
+    own per-key grouping inside (``df.groupby(key)`` in C).
+
+    Rationale: ``Dataset.groupby(key).map_groups`` pays per-group python +
+    block-conversion overhead; with 10^4+ tiny groups (shingles, band
+    keys, graph nodes) that dominates wall time by 100x.  All rows of a
+    key land in one bucket, so any per-key computation stays correct;
+    ``num_buckets`` is the parallelism/skew knob (same sizing rule as a
+    partitioned join).
+    """
+    import pandas as pd
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        if "__gbucket" in g.columns:
+            g = g.drop(columns="__gbucket")
+        return fn(g)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__gbucket", pa.array(bucket_of(batch[key], num_buckets))
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gbucket")
+        .map_groups(apply, batch_format="pandas")
+    )
+
+
+def pairs_within_groups(df, key: str, val: str, max_block: int,
+                        dtype: str = "int64"):
+    """All unordered pairs (u < v) of distinct ``val`` within each ``key``
+    group of ``df`` — the inner kernel for LSH-block / shingle-block pair
+    generation.  Groups larger than ``max_block`` are skipped (degenerate
+    blocks).  Returns a DataFrame (u, v) with ``dtype`` columns.
+    Python loops only over groups with >= 2 members; members drive numpy
+    repeat, so cost tracks emitted pairs, not input rows.
+    """
+    import pandas as pd
+
+    sub = df[[key, val]].drop_duplicates()
+    sizes = sub.groupby(key, sort=False)[val].transform("size")
+    sub = sub[(sizes >= 2) & (sizes <= max_block)]
+    us, vs = [], []
+    for _, g in sub.groupby(key, sort=False):
+        members = np.sort(g[val].to_numpy())
+        n = len(members)
+        iu = np.repeat(np.arange(n), n - np.arange(n) - 1)
+        jv = np.concatenate([np.arange(i + 1, n) for i in range(n)])
+        us.append(members[iu])
+        vs.append(members[jv])
+    if us:
+        return pd.DataFrame(
+            {
+                "u": pd.array(np.concatenate(us), dtype=dtype),
+                "v": pd.array(np.concatenate(vs), dtype=dtype),
+            }
+        )
+    return pd.DataFrame(
+        {"u": pd.array([], dtype=dtype), "v": pd.array([], dtype=dtype)}
+    )
 
 
 def rename_cols(ds, mapping: dict[str, str]):
