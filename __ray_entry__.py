@@ -137,6 +137,67 @@ def _knn_ivf(sf_dir: str):
     return knn_ivf(emb, _query_vec(sf_dir), k=10)
 
 
+def _kg_spo_hist(sf_dir: str):
+    from kgray.ops.featurize import spo_count_histogram
+
+    return spo_count_histogram(_kg_sentences_ds())
+
+
+def _kg_empty_counts(sf_dir: str):
+    from kgray.ops.featurize import empty_field_counts
+
+    return empty_field_counts(_kg_sentences_ds())
+
+
+def _kg_vocab_chars(sf_dir: str):
+    from kgray.ops.featurize import vocab_counts
+
+    return vocab_counts(_kg_sentences_ds(), "char")
+
+
+def _kg_filter_adapted(sf_dir: str):
+    import pyarrow as pa
+
+    from kgray.ops.featurize import filter_by_predicate
+
+    ds = filter_by_predicate(_kg_sentences_ds(), "改编自")
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _kg_multihot(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.ops.featurize import add_multihot_target
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = add_multihot_target(batch)
+        col = t["target"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.flatten()).reshape(len(t), -1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_schemas": pa.array(mat.sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return _kg_sentences_ds().map_batches(project, batch_format="pyarrow")
+
+
+def _kg_composition_check(sf_dir: str):
+    from kgray.ops.featurize import composition_check
+    from kgray.pipeline import PipelineConfig, extract_triples, flatten_documents
+
+    triples = extract_triples(_kg_docs_ds(), PipelineConfig())
+    flat = flatten_documents(_kg_docs_ds())
+    return composition_check(triples, flat)
+
+
 def _media_features(sf_dir: str):
     from kgray.ops.media import extract_media_features, media_table_from_documents
 
@@ -172,6 +233,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_eval": _kg_eval,
             "kg_link_edges": _kg_link_edges,
             "kg_canonical": _kg_canonical,
+            "kg_spo_hist": _kg_spo_hist,
+            "kg_empty_counts": _kg_empty_counts,
+            "kg_vocab_chars": _kg_vocab_chars,
+            "kg_filter_adapted": _kg_filter_adapted,
+            "kg_multihot": _kg_multihot,
+            "kg_composition_check": _kg_composition_check,
             "minhash_dup_docs": _minhash_dup_docs,
             "simhash_dup_docs": _simhash_dup_docs,
             "knn_ivf": _knn_ivf,
