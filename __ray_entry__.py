@@ -102,11 +102,11 @@ def _kg_canonical(sf_dir: str):
     from kgray.ops.linking import link_mentions
     from kgray.pipeline import PipelineConfig, extract_triples
 
-    triples = extract_triples(_kg_docs_ds(), PipelineConfig())
+    # materialize once: both the linking pass and the rewrite consume it
+    triples = extract_triples(_kg_docs_ds(), PipelineConfig()).materialize()
     edges = link_mentions(triples, tau=0.5)
     entity_map = connected_components(edges)
-    triples2 = extract_triples(_kg_docs_ds(), PipelineConfig())
-    return canonicalize_triples(triples2, entity_map)
+    return canonicalize_triples(triples, entity_map)
 
 
 def _minhash_dup_docs(sf_dir: str):

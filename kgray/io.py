@@ -167,6 +167,23 @@ def filter_pending(ds, key_col: str, num_partitions: int, done: set[int]):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def read_jsonl(path: str, **kwargs):
+    """S1: JSON-lines corpus reader (the reference's input format,
+    classification/dataset.py:32-41) -> Dataset.  Arrow's JSON reader
+    handles the nested postag/spo_list structs natively."""
+    import ray.data as rd
+
+    return rd.read_json(path, **kwargs)
+
+
+def write_jsonl(ds, path: str, **kwargs):
+    """S5: result JSON-lines writer (classification/predict.py:69-72,
+    legacy produce_submit_json_file.py:271-316 analogue): one shard per
+    block, never one giant file."""
+    ds.write_json(path, **kwargs)
+    return path
+
+
 def read_table(path: str, columns: list[str] | None = None):
     """Read back a table written by write_partitioned (data lives under
     ``<path>/data``, the manifest beside it)."""

@@ -1,0 +1,83 @@
+"""Pre-aggregated (combiner) groupby — the skew/volume-defusing pattern
+for wide aggregations (SURVEY.md §4: "pre-aggregate inside map_batches
+before a groupby").
+
+``pre_aggregate(ds, keys, specs)`` runs a pandas groupby inside EVERY
+batch first, so the all-to-all shuffle moves one row per (batch, distinct
+key) instead of one per input row, then folds the partials with Ray's
+native aggregate.  Supported specs: sum, count, min, max, mean (decomposed
+into sum+count; the final mean is computed after the fold, so it is exact).
+
+    pre_aggregate(lineitem, ["l_returnflag"],
+                  {"sum_qty": ("l_quantity", "sum"),
+                   "n": (None, "count"),
+                   "avg_price": ("l_extendedprice", "mean")})
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]]):
+    from ray.data.aggregate import Max, Min, Sum
+
+    # decompose: output column -> (src, op); mean -> hidden sum+count
+    partial_cols: dict[str, tuple[str | None, str]] = {}
+    mean_cols: dict[str, str] = {}  # out -> hidden sum col
+    count_col: str | None = None
+    for out, (src, op) in specs.items():
+        if op == "mean":
+            partial_cols[f"__{out}_sum"] = (src, "sum")
+            mean_cols[out] = f"__{out}_sum"
+            if count_col is None:
+                count_col = "__n_for_mean"
+                partial_cols[count_col] = (None, "count")
+        elif op == "count":
+            partial_cols[out] = (None, "count")
+        else:
+            partial_cols[out] = (src, op)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = {}
+        for name, (src, op) in partial_cols.items():
+            if op == "count":
+                out[name] = g.size()
+            else:
+                out[name] = getattr(g[src], op)()
+        res = pd.DataFrame(out).reset_index()
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    aggs = []
+    for name, (src, op) in partial_cols.items():
+        if op in ("sum", "count"):
+            aggs.append(Sum(name, alias_name=name))
+        elif op == "min":
+            aggs.append(Min(name, alias_name=name))
+        elif op == "max":
+            aggs.append(Max(name, alias_name=name))
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(*aggs)
+    )
+
+    if not mean_cols:
+        return folded
+
+    hidden = [c for c in partial_cols if c.startswith("__")]
+    out_order = keys + [o for o in specs]
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        for out, hidden_sum in mean_cols.items():
+            df[out] = df[hidden_sum] / df[count_col].replace(0, np.nan)
+        df = df.drop(columns=[c for c in hidden if c in df.columns])
+        return pa.Table.from_pandas(df[out_order], preserve_index=False)
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

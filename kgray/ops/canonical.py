@@ -159,14 +159,17 @@ def _labels_fingerprint(labels) -> int:
     return int(out or 0)
 
 
-def canonicalize_triples(triples, entity_map, num_partitions: int = 16):
+def canonicalize_triples(triples, entity_map, num_partitions: int = 16,
+                         broadcast_limit: int = 2_000_000):
     """Rewrite triple subject/object surfaces to canonical component ids.
 
     entity_map: (node=mention_key, component).  Triples whose mention has
-    no component keep their own surface key (identity).  Two partitioned
-    hash joins (subject side, then object side).
+    no component keep their own surface key (identity).  The map is the
+    small side (one row per LINKED mention, not per triple): broadcast it
+    when under ``broadcast_limit`` rows, else two partitioned hash joins
+    (subject side, then object side).
     """
-    from kgray.ops.joins import bucket_join
+    from kgray.ops.joins import broadcast_join, bucket_join
     from kgray.ops.linking import mention_key
     from kgray.ops.tagging import normalize_entity
     from kgray.util import rename_cols
@@ -184,7 +187,8 @@ def canonicalize_triples(triples, entity_map, num_partitions: int = 16):
 
     keyed = triples.map_batches(add_keys, batch_format="pyarrow")
 
-    if entity_map is None or entity_map.count() == 0:
+    map_rows = entity_map.count() if entity_map is not None else 0
+    if map_rows == 0:
         # no linked entities: canonical id = own surface key
         def identity(batch: pa.Table) -> pa.Table:
             out = batch.drop_columns(["s_key", "o_key"])
@@ -194,22 +198,30 @@ def canonicalize_triples(triples, entity_map, num_partitions: int = 16):
 
         return keyed.map_batches(identity, batch_format="pyarrow")
 
-    j1 = bucket_join(
-        keyed,
-        rename_cols(entity_map, {"component": "subject_canonical"}),
-        on="s_key",
-        right_on="node",
-        how="left",
-        num_buckets=num_partitions,
-    )
-    j2 = bucket_join(
-        j1,
-        rename_cols(entity_map, {"component": "object_canonical"}),
-        on="o_key",
-        right_on="node",
-        how="left",
-        num_buckets=num_partitions,
-    )
+    if map_rows <= broadcast_limit:
+        j1 = broadcast_join(
+            keyed,
+            rename_cols(entity_map, {"component": "subject_canonical"}),
+            on="s_key", right_on="node", how="left",
+        )
+        j2 = broadcast_join(
+            j1,
+            rename_cols(entity_map, {"component": "object_canonical"}),
+            on="o_key", right_on="node", how="left",
+        )
+    else:
+        j1 = bucket_join(
+            keyed,
+            rename_cols(entity_map, {"component": "subject_canonical"}),
+            on="s_key", right_on="node", how="left",
+            num_buckets=num_partitions,
+        )
+        j2 = bucket_join(
+            j1,
+            rename_cols(entity_map, {"component": "object_canonical"}),
+            on="o_key", right_on="node", how="left",
+            num_buckets=num_partitions,
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -153,10 +153,13 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
     counts = docs.map_batches(count_shingles, batch_format="pyarrow")
 
-    j1 = bucket_join(shared, counts, on="u", right_on="doc", how="left",
-                     num_buckets=num_buckets, right_suffix="_u")
-    j2 = bucket_join(j1, counts, on="v", right_on="doc", how="left",
-                     num_buckets=num_buckets, right_suffix="_v")
+    # per-doc shingle counts are one small int row per doc -> broadcast
+    from kgray.ops.joins import broadcast_join
+
+    j1 = broadcast_join(shared, counts, on="u", right_on="doc", how="left",
+                        right_suffix="_u")
+    j2 = broadcast_join(j1, counts, on="v", right_on="doc", how="left",
+                        right_suffix="_v")
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -188,7 +191,8 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
 def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
-                      bands: int = 32, concurrency=(1, 4)):
+                      bands: int = 32, concurrency=(1, 4),
+                      broadcast_texts: bool = True):
     """Near-dup pairs by MinHash-LSH over word-3-gram shingles."""
     from kgray.ops.linking import _hash_params, minhash_signature
 
@@ -198,19 +202,21 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
             self.rows = num_hashes // bands
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
+            ids = np.asarray(batch[id_col].to_pylist(), np.int64)
             texts = batch[text_col].to_pylist()
-            out_band, out_doc = [], []
-            for i, t in zip(ids, texts):
-                sig = _doc_signature(t, self.params)
-                for b in range(bands):
-                    chunk = sig[b * self.rows : (b + 1) * self.rows]
-                    out_band.append(f"{b}:{zlib.crc32(chunk.tobytes()):08x}")
-                    out_doc.append(int(i))
+            sigs = batch_signatures(
+                [word_shingles(t) for t in texts], self.params
+            )  # (n_docs, num_hashes) — one vectorized pass, no per-doc loop
+            out_band = [
+                f"{b}:{zlib.crc32(sigs[d, b * self.rows:(b + 1) * self.rows].tobytes()):08x}"
+                for d in range(len(ids))
+                for b in range(bands)
+            ]
+            out_doc = np.repeat(ids, bands)
             return pa.table(
                 {
                     "band_key": pa.array(out_band, pa.string()),
-                    "doc": pa.array(out_doc, pa.int64()),
+                    "doc": pa.array(out_doc),
                 }
             )
 
@@ -233,17 +239,29 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
         .aggregate(Count(alias_name="nbands"))
     )
 
-    # verify with exact word-shingle jaccard; doc texts fetched via join
+    # verify with exact word-shingle jaccard; doc texts attached via join.
+    # broadcast (default) collects the doc->text map once into the object
+    # store — right for a bounded working set; at 10^12-doc scale pass
+    # broadcast_texts=False to fall back to partitioned bucket joins.
     texts_ds = docs.map_batches(
-        lambda b: pa.table({"doc": b[id_col], "text": b[text_col]}),
+        lambda b: pa.table({"doc": b[id_col].cast(pa.int64()),
+                            "text": b[text_col]}),
         batch_format="pyarrow",
     )
-    from kgray.ops.joins import bucket_join
+    if broadcast_texts:
+        from kgray.ops.joins import broadcast_join
 
-    j1 = bucket_join(cand, texts_ds, on="u", right_on="doc", how="left",
-                     right_suffix="_u")
-    j2 = bucket_join(j1, texts_ds, on="v", right_on="doc", how="left",
-                     right_suffix="_v")
+        j1 = broadcast_join(cand, texts_ds, on="u", right_on="doc",
+                            how="left", right_suffix="_u")
+        j2 = broadcast_join(j1, texts_ds, on="v", right_on="doc",
+                            how="left", right_suffix="_v")
+    else:
+        from kgray.ops.joins import bucket_join
+
+        j1 = bucket_join(cand, texts_ds, on="u", right_on="doc", how="left",
+                         right_suffix="_u")
+        j2 = bucket_join(j1, texts_ds, on="v", right_on="doc", how="left",
+                         right_suffix="_v")
 
     def verify(batch: pa.Table) -> pa.Table:
         from kgray.util import round_half_up
@@ -283,6 +301,28 @@ def _doc_signature(text: str, params: np.ndarray) -> np.ndarray:
     a, b = params
     m = (hv[None, :] * a[:, None] + b[:, None]) % ((1 << 61) - 1)
     return m.min(axis=1).astype(np.uint64)
+
+
+def batch_signatures(shingle_sets: list, params: np.ndarray) -> np.ndarray:
+    """MinHash signatures for a whole batch in one vectorized pass:
+    flatten every doc's shingle hashes into one array, apply the k
+    universal hashes as a (k, total) matrix op, then per-doc min via
+    ``np.minimum.reduceat`` over the offsets — no per-doc python loop.
+    Empty docs get an all-zero signature (matches _doc_signature)."""
+    k = params.shape[1]
+    lens = np.fromiter((len(s) for s in shingle_sets), np.int64, len(shingle_sets))
+    if lens.sum() == 0:
+        return np.zeros((len(shingle_sets), k), np.uint64)
+    flat = [x for s in shingle_sets for x in s]
+    hv = np.fromiter((zlib.crc32(x.encode()) for x in flat), np.int64, len(flat))
+    a, b = params
+    m = (hv[None, :] * a[:, None] + b[:, None]) % ((1 << 61) - 1)  # (k, total)
+    nonempty = lens > 0
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])[nonempty]
+    mins = np.minimum.reduceat(m, offsets, axis=1)  # (k, n_nonempty)
+    out = np.zeros((len(shingle_sets), k), np.uint64)
+    out[nonempty] = mins.T.astype(np.uint64)
+    return out
 
 
 # ---------------------------------------------------------------------------

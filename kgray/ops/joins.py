@@ -211,6 +211,57 @@ def bucket_join(
     )
 
 
+def broadcast_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "left",
+    right_suffix: str = "_r",
+):
+    """Broadcast hash join: the SMALL right side is collected to one Arrow
+    table, `ray.put` once, and every left batch Arrow-joins against the
+    shared copy inside map_batches — zero shuffle, one pass over the left.
+
+    This is the correct join for dimension tables at any scale (the
+    customer/nation/region side of a fact join, a doc_id -> text map of a
+    bounded working set).  Wrong for big-big joins — use ``bucket_join``.
+    ``right`` may be a Dataset or a pyarrow Table.
+    """
+    import pyarrow.compute as pc  # noqa: F401 (kept for callers)
+    import ray
+
+    right_on = right_on or on
+    if hasattr(right, "to_arrow_refs"):  # Dataset -> one combined table
+        parts = [ray.get(r) for r in right.to_arrow_refs()]
+        parts = [p for p in parts if p.num_rows] or parts[:1]
+        right_tbl = pa.concat_tables(parts, promote_options="default")
+    else:
+        right_tbl = right
+
+    left_cols = set(left.schema().names)
+    clash = (left_cols & set(right_tbl.column_names)) - (
+        {on} if on == right_on else set()
+    )
+    if clash:
+        right_tbl = right_tbl.rename_columns(
+            [c + right_suffix if c in clash else c for c in right_tbl.column_names]
+        )
+    r_key = (right_on + right_suffix) if right_on in clash else right_on
+    arrow_how = {
+        "left": "left outer", "left_outer": "left outer",
+        "inner": "inner",
+    }[how]
+    ref = ray.put(right_tbl.combine_chunks())
+
+    def apply(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        out = batch.join(rt, keys=[on], right_keys=[r_key], join_type=arrow_how)
+        return out.combine_chunks()
+
+    return left.map_batches(apply, batch_format="pyarrow")
+
+
 def semi_join_filter(ds, keys: set, key_col: str, keep: bool = True):
     """Semi/anti join against a broadcast key set (SURVEY.md guide
     pattern): filter inside map_batches, no shuffle."""

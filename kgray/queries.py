@@ -335,9 +335,11 @@ SQL_EMBED_LABEL_COUNTS = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY l
 # ---------------------------------------------------------------------------
 
 def q_tpch_q1(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
+    """Per-batch combiner first (pre_aggregate): the shuffle moves one row
+    per (batch, flag, status) instead of one per lineitem."""
     import datetime
+
+    from kgray.ops.agg import pre_aggregate
 
     cutoff = datetime.datetime(1998, 9, 2)
 
@@ -356,21 +358,20 @@ def q_tpch_q1(sf_dir: str):
             }
         )
 
-    ds = (
+    ds = pre_aggregate(
         _read(
             sf_dir,
             "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
              "l_discount", "l_shipdate"],
-        )
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+        ).map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": (None, "count"),
+        },
     )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         ds = _round_col(ds, c, 2)
@@ -390,23 +391,20 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_mktsegment_revenue(sf_dir: str):
-    """customer x orders partitioned hash join -> revenue per segment."""
-    from ray.data.aggregate import Count, Sum
-
-    from kgray.ops.joins import bucket_join
+    """orders (fact) x customer (dim): BROADCAST the small side once via
+    the object store, Arrow-join per batch — no shuffle; then combiner
+    groupby."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = bucket_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
-        num_buckets=16,
+    joined = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
     )
-    ds = (
-        joined.groupby("c_mktsegment")
-        .aggregate(
-            Sum("o_totalprice", alias_name="revenue"),
-            Count(alias_name="n_orders"),
-        )
+    ds = pre_aggregate(
+        joined, ["c_mktsegment"],
+        {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
     )
     return _round_col(ds, "revenue", 2)
 
@@ -419,24 +417,21 @@ GROUP BY c_mktsegment
 
 
 def q_supplier_balance_by_region(sf_dir: str):
-    """3-way dimension join: supplier -> nation -> region rollup."""
-    from ray.data.aggregate import Count, Sum
-
-    from kgray.ops.joins import bucket_join
+    """3-way dimension join: nation and region are tiny -> both broadcast
+    (no shuffle at all before the final small groupby)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
-    j1 = bucket_join(sup, nat, on="s_nationkey", right_on="n_nationkey",
-                     how="inner", num_buckets=8)
-    j2 = bucket_join(j1, reg, on="n_regionkey", right_on="r_regionkey",
-                     how="inner", num_buckets=8)
-    ds = (
-        j2.groupby(["r_name", "n_name"])
-        .aggregate(
-            Count(alias_name="n_suppliers"),
-            Sum("s_acctbal", alias_name="total_bal"),
-        )
+    j1 = broadcast_join(sup, nat, on="s_nationkey", right_on="n_nationkey",
+                        how="inner")
+    j2 = broadcast_join(j1, reg, on="n_regionkey", right_on="r_regionkey",
+                        how="inner")
+    ds = pre_aggregate(
+        j2, ["r_name", "n_name"],
+        {"n_suppliers": (None, "count"), "total_bal": ("s_acctbal", "sum")},
     )
     return _round_col(ds, "total_bal", 2)
 
@@ -464,16 +459,16 @@ SQL_TOP_CUSTOMERS = (
 
 
 def q_part_type_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Mean
+    from kgray.ops.agg import pre_aggregate
 
-    ds = (
-        _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
-        .groupby("p_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Mean("p_retailprice", alias_name="avg_price"),
-            Max("p_size", alias_name="max_size"),
-        )
+    ds = pre_aggregate(
+        _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"]),
+        ["p_type"],
+        {
+            "n": (None, "count"),
+            "avg_price": ("p_retailprice", "mean"),
+            "max_size": ("p_size", "max"),
+        },
     )
     return _round_col(ds, "avg_price", 2)
 
@@ -497,14 +492,13 @@ def q_orders_monthly(sf_dir: str):
             }
         )
 
-    ds = (
+    from kgray.ops.agg import pre_aggregate
+
+    ds = pre_aggregate(
         _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="total"),
-        )
+        .map_batches(bucket, batch_format="pyarrow"),
+        ["month"],
+        {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
     )
     return _round_col(ds, "total", 2)
 
@@ -536,11 +530,13 @@ def q_events_hourly(sf_dir: str):
             }
         )
 
-    ds = (
+    from kgray.ops.agg import pre_aggregate
+
+    ds = pre_aggregate(
         _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "hour_bucket"],
+        {"n": (None, "count"), "total_value": ("value", "sum")},
     )
     return _round_col(ds, "total_value", 2)
 
@@ -553,12 +549,12 @@ FROM events GROUP BY event_type, hour_bucket
 
 
 def q_events_user_topk(sf_dir: str):
-    from ray.data.aggregate import Sum
+    from kgray.ops.agg import pre_aggregate
 
-    ds = (
-        _read(sf_dir, "events", ["user_id", "value"])
-        .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"))
+    ds = pre_aggregate(
+        _read(sf_dir, "events", ["user_id", "value"]),
+        ["user_id"],
+        {"total_value": ("value", "sum")},
     )
     ds = _round_col(ds, "total_value", 2)
     return ds.sort(["total_value", "user_id"], descending=[True, False]).limit(20)
@@ -612,12 +608,12 @@ FROM g GROUP BY user_id
 
 
 def q_event_type_counts(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    from kgray.ops.agg import pre_aggregate
 
-    ds = (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value"))
+    ds = pre_aggregate(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"],
+        {"n": (None, "count"), "avg_value": ("value", "mean")},
     )
     return _round_col(ds, "avg_value", 2)
 
