@@ -153,12 +153,17 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
     counts = docs.map_batches(count_shingles, batch_format="pyarrow")
 
-    # per-doc shingle counts are one small int row per doc -> broadcast
+    # per-doc shingle counts are one small int row per doc -> collect ONCE,
+    # broadcast to both joins
+    import ray
+
     from kgray.ops.joins import broadcast_join
 
-    j1 = broadcast_join(shared, counts, on="u", right_on="doc", how="left",
+    parts = [ray.get(r) for r in counts.to_arrow_refs()]
+    counts_tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
+    j1 = broadcast_join(shared, counts_tbl, on="u", right_on="doc", how="left",
                         right_suffix="_u")
-    j2 = broadcast_join(j1, counts, on="v", right_on="doc", how="left",
+    j2 = broadcast_join(j1, counts_tbl, on="v", right_on="doc", how="left",
                         right_suffix="_v")
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -191,7 +196,7 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
 def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
-                      bands: int = 32, concurrency=(1, 4),
+                      bands: int = 32, concurrency=None,
                       broadcast_texts: bool = True):
     """Near-dup pairs by MinHash-LSH over word-3-gram shingles."""
     from kgray.ops.linking import _hash_params, minhash_signature
@@ -220,8 +225,15 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
                 }
             )
 
-    banded = docs.map_batches(DocBands, batch_format="pyarrow",
-                              concurrency=concurrency)
+    # tasks by default (state = 64 hash params, trivial to ship in the
+    # closure; tasks scale to every core with no pool ramp).  Pass
+    # concurrency=(min,max) for an actor pool if the signature state ever
+    # becomes heavy.
+    if concurrency is None:
+        banded = docs.map_batches(DocBands(), batch_format="pyarrow")
+    else:
+        banded = docs.map_batches(DocBands, batch_format="pyarrow",
+                                  concurrency=concurrency)
 
     max_block = 128
 
@@ -249,11 +261,18 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
         batch_format="pyarrow",
     )
     if broadcast_texts:
+        import ray
+
         from kgray.ops.joins import broadcast_join
 
-        j1 = broadcast_join(cand, texts_ds, on="u", right_on="doc",
+        # collect the doc->text map ONCE; both joins share the table
+        parts = [ray.get(r) for r in texts_ds.to_arrow_refs()]
+        texts_tbl = pa.concat_tables(
+            [p for p in parts if p.num_rows] or parts[:1]
+        )
+        j1 = broadcast_join(cand, texts_tbl, on="u", right_on="doc",
                             how="left", right_suffix="_u")
-        j2 = broadcast_join(j1, texts_ds, on="v", right_on="doc",
+        j2 = broadcast_join(j1, texts_tbl, on="v", right_on="doc",
                             how="left", right_suffix="_v")
     else:
         from kgray.ops.joins import bucket_join
@@ -303,25 +322,65 @@ def _doc_signature(text: str, params: np.ndarray) -> np.ndarray:
     return m.min(axis=1).astype(np.uint64)
 
 
-def batch_signatures(shingle_sets: list, params: np.ndarray) -> np.ndarray:
-    """MinHash signatures for a whole batch in one vectorized pass:
-    flatten every doc's shingle hashes into one array, apply the k
-    universal hashes as a (k, total) matrix op, then per-doc min via
-    ``np.minimum.reduceat`` over the offsets — no per-doc python loop.
+_SIG_BUFFERS: dict = {}
+
+
+def batch_signatures(shingle_sets: list, params: np.ndarray,
+                     chunk_shingles: int = 16384) -> np.ndarray:
+    """MinHash signatures for a whole batch: flatten shingle hashes, apply
+    the k universal hashes as matrix ops, per-doc min via
+    ``np.minimum.reduceat`` — no per-doc python loop.
+
+    Work proceeds in doc-aligned CHUNKS through preallocated buffers
+    (``out=``): one giant (k, total) temporary would be a fresh 100MB+
+    allocation per call, and first-touch page faults on this class of VM
+    run at ~5 MB/s (measured: 26s fresh vs 0.03s warm for the same
+    multiply) — chunked+reused buffers keep every op on warm pages.
     Empty docs get an all-zero signature (matches _doc_signature)."""
     k = params.shape[1]
-    lens = np.fromiter((len(s) for s in shingle_sets), np.int64, len(shingle_sets))
+    n = len(shingle_sets)
+    lens = np.fromiter((len(s) for s in shingle_sets), np.int64, n)
+    out = np.zeros((n, k), np.uint64)
     if lens.sum() == 0:
-        return np.zeros((len(shingle_sets), k), np.uint64)
-    flat = [x for s in shingle_sets for x in s]
-    hv = np.fromiter((zlib.crc32(x.encode()) for x in flat), np.int64, len(flat))
+        return out
     a, b = params
-    m = (hv[None, :] * a[:, None] + b[:, None]) % ((1 << 61) - 1)  # (k, total)
-    nonempty = lens > 0
-    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])[nonempty]
-    mins = np.minimum.reduceat(m, offsets, axis=1)  # (k, n_nonempty)
-    out = np.zeros((len(shingle_sets), k), np.uint64)
-    out[nonempty] = mins.T.astype(np.uint64)
+    a_col = a[:, None]
+    b_col = b[:, None]
+    # per-process buffer cache: pages stay warm across calls in a
+    # long-lived Ray worker (first touch is the expensive part)
+    key = (k, chunk_shingles)
+    buf = _SIG_BUFFERS.get(key)
+    if buf is None:
+        buf = _SIG_BUFFERS[key] = np.empty((k, chunk_shingles), np.int64)
+        buf.fill(0)  # touch every page now, once
+    mersenne = (1 << 61) - 1
+
+    start_doc = 0
+    while start_doc < n:
+        end_doc = start_doc
+        tot = 0
+        while end_doc < n and (tot == 0 or tot + lens[end_doc] <= chunk_shingles):
+            tot += lens[end_doc]
+            end_doc += 1
+        docs = range(start_doc, end_doc)
+        flat = [x for d in docs for x in shingle_sets[d]]
+        if flat:
+            hv = np.fromiter(
+                (zlib.crc32(x.encode()) for x in flat), np.int64, len(flat)
+            )
+            w = buf[:, : len(hv)] if len(hv) <= chunk_shingles else np.empty(
+                (k, len(hv)), np.int64
+            )
+            np.multiply(a_col, hv[None, :], out=w)
+            np.add(w, b_col, out=w)
+            np.mod(w, mersenne, out=w)
+            sub_lens = lens[start_doc:end_doc]
+            ne = sub_lens > 0
+            offsets = np.concatenate([[0], np.cumsum(sub_lens)[:-1]])[ne]
+            mins = np.minimum.reduceat(w, offsets, axis=1)
+            idx = np.arange(start_doc, end_doc)[ne]
+            out[idx] = mins.T.astype(np.uint64)
+        start_doc = end_doc
     return out
 
 

@@ -208,12 +208,22 @@ def link_mentions(
     num_hashes: int = 64,
     bands: int = 32,
     tau: float = 0.6,
-    concurrency=(1, 4),
+    concurrency=None,
 ):
-    """Full linking pipeline: triples -> verified same-entity edges."""
+    """Full linking pipeline: triples -> verified same-entity edges.
+
+    Band emission runs as tasks by default (the minhash params are trivial
+    closure state); pass concurrency=(min,max) for an actor pool when the
+    blocking state is heavy (e.g. an embedding encoder)."""
     ments = mentions_from_triples(triples)
-    banded = ments.map_batches(
-        BandEmitter, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
-    )
+    if concurrency is None:
+        banded = ments.map_batches(
+            BandEmitter(num_hashes=num_hashes, bands=bands),
+            batch_format="pyarrow",
+        )
+    else:
+        banded = ments.map_batches(
+            BandEmitter, batch_format="pyarrow", concurrency=concurrency,
+            fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
+        )
     return verify_edges(candidate_pairs(banded), tau=tau)

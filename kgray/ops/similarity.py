@@ -103,11 +103,17 @@ def fit_centroids(embeddings, num_centroids: int = 16, sample_rows: int = 2048,
     return C
 
 
-def ivf_bucketize(embeddings, centroids: np.ndarray, concurrency=(1, 4)):
-    """Assign every vector to its nearest centroid bucket (actor pool)."""
+def ivf_bucketize(embeddings, centroids: np.ndarray, concurrency=None):
+    """Assign every vector to its nearest centroid bucket.  Tasks by
+    default (centroids ship via the object store ref either way); pass
+    concurrency=(min,max) for an actor pool."""
     import ray
 
     ref = ray.put(np.asarray(centroids, np.float64))
+    if concurrency is None:
+        return embeddings.map_batches(
+            IvfIndex(centroids_ref=ref), batch_format="pyarrow"
+        )
     return embeddings.map_batches(
         IvfIndex,
         batch_format="pyarrow",

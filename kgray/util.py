@@ -64,8 +64,13 @@ def grouped_map(ds, key: str, fn, num_buckets: int = 32, drop_key_bucket=True):
             "__gbucket", pa.array(bucket_of(batch[key], num_buckets))
         )
 
+    # coalesce to <= num_buckets blocks first: the sort barrier's fixed
+    # cost scales with map_blocks x reduce_partitions, and group
+    # parallelism is bounded by num_buckets anyway (measured: 6.8s -> sub
+    # -second barriers on 64-tiny-block inputs)
     return (
         ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_buckets)
         .groupby("__gbucket")
         .map_groups(apply, batch_format="pandas")
     )
