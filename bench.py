@@ -176,6 +176,22 @@ def main() -> int:
     kg_sec, triples = run_headline(SF_DIR, NUM_CPUS)
     times["kg_extract_e2e"] = round(kg_sec, 3)
 
+    # full KG construction: extract -> link -> canonicalize -> materialize
+    # (partitioned parquet + lineage manifests) on the synthetic corpus
+    import shutil
+
+    from kgray.corpus import interleaved_dataset
+    from kgray.pipeline import PipelineConfig, kg_construct
+
+    out_dir = "/tmp/kgray_bench_construct"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t1 = time.time()
+    kg_construct(
+        interleaved_dataset(5000, seed=42), out_dir, PipelineConfig(),
+        num_partitions=16, input_fingerprint="bench-5000-42",
+    )
+    times["kg_construct_e2e"] = round(time.time() - t1, 3)
+
     for name in SUITE:
         if name not in qs:
             continue

@@ -193,4 +193,15 @@ def read_table(path: str, columns: list[str] | None = None):
     target = data_dir if os.path.isdir(data_dir) else path
     if not any(files for _, _, files in os.walk(target)):
         return None  # empty table (write_partitioned of an empty Dataset)
-    return rd.read_parquet(target, columns=columns)
+    ds = rd.read_parquet(target, columns=columns)
+    if columns is not None:  # explicit projection: honor it verbatim
+        return ds
+
+    # drop the hive layout column: it is write-side metadata, and leaking
+    # it into joins creates suffix collisions (part -> part_r twice)
+    def strip(batch: pa.Table) -> pa.Table:
+        if PART_COL in batch.column_names:
+            return batch.drop_columns([PART_COL])
+        return batch
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -624,6 +624,133 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Distinct-count: per-batch unique combiner -> one tiny groupby ->
+    count (the G8 distinct pattern on a fact column)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["user_id"].combine_chunks()
+                      if isinstance(batch["user_id"], pa.ChunkedArray)
+                      else batch["user_id"])
+        return pa.table({"user_id": u})
+
+    ds = _read(sf_dir, "events", ["user_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    n = ds.groupby("user_id").count().count()
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+SQL_EVENTS_DISTINCT_USERS = (
+    "SELECT COUNT(DISTINCT user_id) AS n_users FROM events"
+)
+
+
+def q_events_top_per_user(sf_dir: str):
+    """Window top-1: each user's highest-value event (row_number analogue)
+    — coarse-bucket cogroup, idxmax vectorized inside the bucket."""
+    from kgray.util import grouped_map, round_half_up
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(),
+                "event_id": out["event_id"].to_numpy(),
+                "value": round_half_up(out["value"].to_numpy(), 2),
+            }
+        )
+
+    return grouped_map(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"]),
+        "user_id", top1, num_buckets=32,
+    )
+
+
+SQL_EVENTS_TOP_PER_USER = """
+SELECT user_id, event_id, ROUND(value, 2) AS value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_orders_priority_revenue(sf_dir: str):
+    """Big-big join (lineitem x orders) via the partitioned bucket join —
+    the path for joins whose small side is too big to broadcast."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def disc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "disc_price": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucket_join(
+        li.map_batches(disc, batch_format="pyarrow"), orders,
+        on="l_orderkey", right_on="o_orderkey", how="inner", num_buckets=16,
+    )
+    ds = pre_aggregate(
+        joined, ["o_orderpriority"],
+        {"revenue": ("disc_price", "sum"), "n_items": (None, "count")},
+    )
+    return _round_col(ds, "revenue", 2)
+
+
+SQL_ORDERS_PRIORITY_REVENUE = """
+SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_word_topk(sf_dir: str):
+    """Top-20 words over the documents corpus: per-batch value_counts
+    combiner -> groupby sum -> global sort+limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pd.Series(
+            [w for t in batch["text"].to_pylist() for w in t.split(" ")]
+        )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.astype(str), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_WORD_TOPK = """
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, word LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -656,4 +783,10 @@ CATALOG: dict[str, tuple] = {
     "events_user_topk": (q_events_user_topk, SQL_EVENTS_USER_TOPK),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
+    "events_distinct_users": (q_events_distinct_users, SQL_EVENTS_DISTINCT_USERS),
+    "events_top_per_user": (q_events_top_per_user, SQL_EVENTS_TOP_PER_USER),
+    "orders_priority_revenue": (
+        q_orders_priority_revenue, SQL_ORDERS_PRIORITY_REVENUE
+    ),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
 }
