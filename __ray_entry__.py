@@ -198,6 +198,54 @@ def _kg_composition_check(sf_dir: str):
     return composition_check(triples, flat)
 
 
+def _media_frames(sf_dir: str):
+    """Frame-sampling plumbing: media rows -> (media_ref, frame_idx, t_ms)."""
+    from kgray.ops.media import media_table_from_documents, sample_frames
+
+    media = media_table_from_documents(_kg_docs_ds(200))
+
+    def with_duration(batch):
+        import pyarrow as pa
+
+        n = len(batch)
+        dur = [(1000 + 700 * (i % 5)) for i in range(n)]
+        i = batch.column_names.index("duration_ms")
+        return batch.set_column(i, "duration_ms", pa.array(dur, pa.int32()))
+
+    return sample_frames(media.map_batches(with_duration, batch_format="pyarrow"))
+
+
+def _kg_eval_alias(sf_dir: str):
+    """Alias-aware calc_pr eval (S3/J3 alias expansion path)."""
+    import pyarrow as pa
+
+    from kgray.corpus import _build_pools
+    from kgray.ops.evaluate import spo_prf1
+    from kgray.pipeline import PipelineConfig, extract_triples, golden_triples
+
+    # the corpus plants alias surfaces by dropping the interpunct from
+    # dotted person names — the alias dict maps each form to the other
+    pools = _build_pools()
+    alias = {}
+    for name in pools["人物"]:
+        if "·" in name:
+            alias[name.replace("·", "")] = [name]
+            alias[name] = [name.replace("·", "")]
+    m = spo_prf1(
+        extract_triples(_kg_docs_ds(), PipelineConfig()),
+        golden_triples(_kg_sentences_ds()),
+        alias=alias,
+    )
+    return pa.table(
+        {
+            "precision": pa.array([round(m.precision, 4)]),
+            "recall": pa.array([round(m.recall, 4)]),
+            "f1": pa.array([round(m.f1, 4)]),
+            "tp": pa.array([m.tp]),
+        }
+    )
+
+
 def _media_features(sf_dir: str):
     from kgray.ops.media import extract_media_features, media_table_from_documents
 
@@ -243,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_dup_docs": _simhash_dup_docs,
             "knn_ivf": _knn_ivf,
             "media_features": _media_features,
+            "media_frames": _media_frames,
+            "kg_eval_alias": _kg_eval_alias,
         }
     )
     return out
