@@ -101,8 +101,6 @@ def connected_components(edges, max_rounds: int = 10):
 
     Nodes appearing in no edge are not emitted (identity mapping implied).
     """
-    from ray.data.aggregate import Min
-
     sym = _edges_symmetric(edges).materialize()
     edge_part = sym.map_batches(_edge_rows, batch_format="pyarrow")
 
@@ -112,27 +110,25 @@ def connected_components(edges, max_rounds: int = 10):
             {"node": batch["src"], "label": batch["src"]},
         )
 
-    labels = (
-        sym.map_batches(self_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    from kgray.ops.agg import pre_aggregate
+
+    labels = pre_aggregate(
+        sym.map_batches(self_labels, batch_format="pyarrow"),
+        ["node"], {"label": ("label", "min")},
+    ).materialize()
 
     from kgray.util import grouped_map
 
     prev_fp = None
     for _ in range(max_rounds):
         label_part = labels.map_batches(_label_rows, batch_format="pyarrow")
-        new_labels = (
+        new_labels = pre_aggregate(
             grouped_map(
                 edge_part.union(label_part), "node", _propagate_bucket,
                 num_buckets=32,
-            )
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+            ),
+            ["node"], {"label": ("label", "min")},
+        ).materialize()
         fp = _labels_fingerprint(new_labels)
         labels = new_labels
         if fp == prev_fp:
@@ -145,18 +141,27 @@ def connected_components(edges, max_rounds: int = 10):
 
 
 def _labels_fingerprint(labels) -> int:
-    """Order-independent fingerprint of the (node,label) pair set."""
+    """Order-independent fingerprint of the (node,label) pair set.
+
+    Runs as one plain Ray task per MATERIALIZED block (cheaper than a
+    full Ray Data job per convergence check; blocks stay remote)."""
+    import ray
     import zlib
 
-    def h(batch: pa.Table) -> pa.Table:
-        s = batch["node"].to_pandas() + "->" + batch["label"].to_pandas()
+    @ray.remote(num_cpus=0.5)
+    def h(tbl: pa.Table) -> int:
+        if "node" not in tbl.column_names:  # empty zero-schema block
+            return 0
         acc = 0
-        for x in s:
-            acc ^= zlib.crc32(x.encode())
-        return pa.table({"h": pa.array([acc], pa.int64())})
+        for n, l in zip(tbl["node"].to_pylist(), tbl["label"].to_pylist()):
+            acc ^= zlib.crc32(f"{n}->{l}".encode())
+        return acc
 
-    out = labels.map_batches(h, batch_format="pyarrow").sum("h")
-    return int(out or 0)
+    parts = ray.get([h.remote(ref) for ref in labels.to_arrow_refs()])
+    acc = 0
+    for p in parts:
+        acc ^= p
+    return acc
 
 
 def canonicalize_triples(triples, entity_map, num_partitions: int = 16,
