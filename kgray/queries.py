@@ -624,6 +624,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_orders_1995(sf_dir: str):
+    """Prune at the read: row filter pushed into read_parquet so only
+    matching row groups leave storage (plus column pruning)."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+
+    import datetime
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1996, 1, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    )
+    out = pre_aggregate(
+        ds, ["o_orderstatus"],
+        {"n": (None, "count"), "total": ("o_totalprice", "sum")},
+    )
+    return _round_col(out, "total", 2)
+
+
+SQL_ORDERS_1995 = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
+"""
+
+
 def q_events_distinct_users(sf_dir: str):
     """Distinct-count: per-batch unique combiner -> one tiny groupby ->
     count (the G8 distinct pattern on a fact column)."""
@@ -789,4 +821,5 @@ CATALOG: dict[str, tuple] = {
         q_orders_priority_revenue, SQL_ORDERS_PRIORITY_REVENUE
     ),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "orders_1995": (q_orders_1995, SQL_ORDERS_1995),
 }
