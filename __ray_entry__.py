@@ -97,6 +97,15 @@ def _kg_link_edges(sf_dir: str):
     return link_mentions(extract_triples(_kg_docs_ds(), PipelineConfig()), tau=0.5)
 
 
+def _kg_link_edges_embed(sf_dir: str):
+    from kgray.ops.linking import link_mentions_embedding
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return link_mentions_embedding(
+        extract_triples(_kg_docs_ds(), PipelineConfig()), tau=0.8
+    )
+
+
 def _kg_canonical(sf_dir: str):
     from kgray.ops.canonical import canonicalize_triples, connected_components
     from kgray.ops.linking import link_mentions
@@ -280,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_golden": _kg_golden,
             "kg_eval": _kg_eval,
             "kg_link_edges": _kg_link_edges,
+            "kg_link_edges_embed": _kg_link_edges_embed,
             "kg_canonical": _kg_canonical,
             "kg_spo_hist": _kg_spo_hist,
             "kg_empty_counts": _kg_empty_counts,

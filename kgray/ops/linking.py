@@ -203,6 +203,93 @@ def verify_edges(pairs, tau: float = 0.6):
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def mention_embeddings(ments, dim: int = 64):
+    """Deterministic char-bigram hashed-TF embedding per mention (the
+    dependency-free stand-in for a learned encoder; the Ray-side plumbing
+    — schema, normalization, blocking — is what a real encoder would
+    use).  Output: (mention_key, embedding fixed_size_list<float32>[dim])."""
+
+    def embed(batch: pa.Table) -> pa.Table:
+        keys = batch["mention_key"].to_pylist()
+        mat = np.zeros((len(keys), dim), np.float32)
+        for i, mk in enumerate(keys):
+            name = mk.split(_SEP, 1)[1]
+            for g in shingles(name):
+                mat[i, zlib.crc32(g.encode()) % dim] += 1.0
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0, 1, norms)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float32()), dim
+        )
+        return pa.table(
+            {"mention_key": pa.array(keys, pa.string()), "embedding": emb}
+        )
+
+    return ments.map_batches(embed, batch_format="pyarrow")
+
+
+def link_mentions_embedding(
+    triples,
+    tau: float = 0.85,
+    dim: int = 64,
+    num_centroids: int = 32,
+    max_block: int = 1024,
+):
+    """Embedding-blocked linking variant (north-star: "minhash/embedding
+    blocking"): mentions -> hashed-bigram embeddings -> IVF coarse buckets
+    (k-means quantizer as the blocking key) -> in-bucket pairwise cosine
+    >= tau, same-type gate.  The quantizer bounds the candidate set the
+    same way LSH bands do; ``max_block`` caps degenerate buckets.
+    """
+    import pandas as pd
+
+    from kgray.ops.similarity import fit_centroids, ivf_bucketize
+    from kgray.util import grouped_map
+
+    ments = mentions_from_triples(triples)
+    emb = mention_embeddings(ments, dim).materialize()
+    # blocking granularity scales with the mention count: aim for ~64+
+    # mentions per bucket so small corpora still form candidate blocks
+    n_mentions = emb.count()
+    k = max(1, min(num_centroids, n_mentions // 64))
+    C = fit_centroids(emb, k, vec_col="embedding")
+    bucketed = ivf_bucketize(emb, C)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        us, vs, sims = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            if not (2 <= len(g) <= max_block):
+                continue
+            keys = g["mention_key"].to_numpy()
+            mat = np.vstack([np.asarray(v, np.float64) for v in g["embedding"]])
+            s = mat @ mat.T
+            iu, jv = np.nonzero(np.triu(s >= tau, 1))
+            for i, j in zip(iu, jv):
+                ku, kv = sorted((keys[i], keys[j]))
+                tu = ku.split(_SEP, 1)[0]
+                tv = kv.split(_SEP, 1)[0]
+                if tu != tv:  # schema-constrained: same entity type only
+                    continue
+                us.append(ku)
+                vs.append(kv)
+                sims.append(float(s[i, j]))
+        return pd.DataFrame(
+            {
+                "u": pd.array(us, dtype="string"),
+                "v": pd.array(vs, dtype="string"),
+                "sim": pd.array(sims, dtype="float64"),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        grouped_map(bucketed, "bucket", bucket_pairs, num_buckets=16)
+        .groupby(["u", "v"])
+        .aggregate(Max("sim", alias_name="sim"))
+    )
+
+
 def link_mentions(
     triples,
     num_hashes: int = 64,

@@ -170,3 +170,32 @@ def test_kg_construct_end_to_end(tmp_path):
     manifests2 = kg_construct(docs2, out, cfg, num_partitions=4)
     n_again = sum(p["rows"] for p in manifests2["triples"]["partitions"].values())
     assert n_again == n_triples
+
+
+def test_link_mentions_embedding_finds_alias_edge(ray_session):
+    """The embedding-blocked variant must link the dotted/undotted alias
+    surfaces of the same person (char-bigram cosine is high)."""
+    import ray.data as rd
+
+    from kgray.ops.linking import link_mentions_embedding, mention_key
+
+    rows = []
+    for i, (s, o) in enumerate(
+        [("维克多·谢阁兰", "某书"), ("维克多谢阁兰", "某书"),
+         ("张三", "李四"), ("完全无关", "别的")]
+    ):
+        rows.append(
+            {
+                "doc_id": f"d{i}", "subject": s, "subject_type": "人物",
+                "predicate": "作者", "object": o, "object_type": "图书作品",
+                "schema_id": 0,
+            }
+        )
+    triples = rd.from_items(rows)
+    edges = link_mentions_embedding(triples, tau=0.7).to_pandas()
+    pair = {
+        mention_key("人物", "维克多·谢阁兰"),
+        mention_key("人物", "维克多谢阁兰"),
+    }
+    assert any(set(r) >= pair or {r[0], r[1]} == pair
+               for r in edges[["u", "v"]].itertuples(index=False)), edges
