@@ -33,24 +33,29 @@ def exact_dedup_groups(docs, text_col: str = "text", id_col: str = "doc_id"):
     """One row per distinct content: (keep_id = min id, n_copies).
 
     D3 semantics (SURVEY.md §2.7): global dedup = groupby(content hash),
-    first-wins by min id.  Shuffle moves one row per (batch, distinct
-    text) thanks to the per-batch combiner.
+    first-wins by min id.  The shuffle key is the md5 DIGEST, not the
+    text: the per-batch combiner already collapses duplicates, and
+    hashing shrinks the shuffled key from document-sized strings to 32
+    bytes — at corpus scale the exchange moves digests, never content.
     """
+    import hashlib
+
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
         df = pd.DataFrame(
             {
-                "text": batch[text_col].to_pandas(),
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in texts],
                 "id": batch[id_col].to_pandas(),
             }
         )
-        g = df.groupby("text", sort=True).agg(
+        g = df.groupby("h", sort=True).agg(
             keep_id=("id", "min"), n_copies=("id", "size")
         ).reset_index()
         return pa.table(
             {
-                "text": pa.array(g["text"], pa.string()),
+                "h": pa.array(g["h"], pa.string()),
                 "keep_id": pa.array(g["keep_id"].to_numpy(np.int64)),
                 "n_copies": pa.array(g["n_copies"].to_numpy(np.int64)),
             }
@@ -58,7 +63,7 @@ def exact_dedup_groups(docs, text_col: str = "text", id_col: str = "doc_id"):
 
     return (
         docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("text")
+        .groupby("h")
         .aggregate(
             Min("keep_id", alias_name="keep_id"),
             Sum("n_copies", alias_name="n_copies"),
