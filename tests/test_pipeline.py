@@ -151,3 +151,31 @@ def test_span_invariant_through_pipeline():
         fps = span_fingerprints(tbl)
         for d, fp in zip(tbl["doc_id"].to_pylist(), fps):
             assert in_fp[d] == fp
+
+
+def test_actor_pool_execution_parity(ray_session):
+    """PipelineConfig(execution='actors') — the heavy-model path — must
+    produce exactly the task-mode triples (same pipeline, pools instead
+    of closures)."""
+    from kgray.corpus import interleaved_dataset
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    docs = interleaved_dataset(60, seed=42)
+    a = (
+        extract_triples(
+            docs, PipelineConfig(execution="actors",
+                                 classifier_concurrency=(1, 2),
+                                 labeler_concurrency=(1, 2))
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "subject", "predicate", "object"],
+                     ignore_index=True)
+    )
+    b = (
+        extract_triples(interleaved_dataset(60, seed=42), PipelineConfig())
+        .to_pandas()
+        .sort_values(["doc_id", "subject", "predicate", "object"],
+                     ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
