@@ -113,6 +113,13 @@ def write_partitioned(
         )
     else:  # empty dataset: nothing landed, manifest records zero partitions
         stats = pd.DataFrame(columns=["part", "rows", "content"])
+    def _partition_bytes(part: int) -> int:
+        pdir = os.path.join(data_dir, f"{PART_COL}={part}")
+        total = 0
+        for root, _dirs, files in os.walk(pdir):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
     manifest = {
         "stage": stage,
         "key_col": key_col,
@@ -121,6 +128,7 @@ def write_partitioned(
         "partitions": {
             str(int(r["part"])): {
                 "rows": int(r["rows"]),
+                "bytes": _partition_bytes(int(r["part"])),
                 "content_hash": int(r["content"]) % _MOD,
             }
             for _, r in stats.iterrows()
