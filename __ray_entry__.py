@@ -97,6 +97,17 @@ def _kg_link_edges(sf_dir: str):
     return link_mentions(extract_triples(_kg_docs_ds(), PipelineConfig()), tau=0.5)
 
 
+def _kg_pred_set_rates(sf_dir: str):
+    """G6: per-doc predicate-set exact/subset/superset rates."""
+    from kgray.ops.evaluate import predicate_set_rates
+    from kgray.pipeline import PipelineConfig, extract_triples, golden_triples
+
+    return predicate_set_rates(
+        extract_triples(_kg_docs_ds(), PipelineConfig()),
+        golden_triples(_kg_sentences_ds()),
+    )
+
+
 def _kg_link_edges_embed(sf_dir: str):
     from kgray.ops.linking import link_mentions_embedding
     from kgray.pipeline import PipelineConfig, extract_triples
@@ -288,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_extract": _kg_extract,
             "kg_golden": _kg_golden,
             "kg_eval": _kg_eval,
+            "kg_pred_set_rates": _kg_pred_set_rates,
             "kg_link_edges": _kg_link_edges,
             "kg_link_edges_embed": _kg_link_edges_embed,
             "kg_canonical": _kg_canonical,

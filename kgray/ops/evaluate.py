@@ -131,6 +131,67 @@ def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF
     return PRF1(tp=sums["sum(tp)"], pred_n=sums["sum(pred_n)"], gold_n=sums["sum(gold_n)"])
 
 
+def predicate_set_rates(pred_ds, gold_ds) -> pa.Table:
+    """G6 (evaluate_classifiction.py:53-73 analogue): per-doc compare of
+    the PREDICATE sets — fraction of docs where predicted == golden,
+    predicted ⊆ golden, predicted ⊇ golden.
+
+    One coarse-bucket cogroup on doc_id (sets built vectorized inside),
+    then partial sums -> four scalars.
+    """
+    import pyarrow.compute as pc
+
+    from kgray.util import grouped_map
+
+    def side_rows(flag: str):
+        def apply(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.string()),
+                    "p": batch["predicate"],
+                    "is_pred": pa.array(
+                        np.full(n, 1 if flag == "pred" else 0, np.int8)
+                    ),
+                }
+            )
+
+        return apply
+
+    both = pred_ds.map_batches(side_rows("pred"), batch_format="pyarrow").union(
+        gold_ds.map_batches(side_rows("gold"), batch_format="pyarrow")
+    )
+
+    def compare(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc, g in df.groupby("doc_id", sort=False):
+            pred = set(g.loc[g["is_pred"] > 0, "p"])
+            gold = set(g.loc[g["is_pred"] == 0, "p"])
+            rows.append(
+                (1, int(pred == gold), int(pred <= gold), int(pred >= gold))
+            )
+        out = np.asarray(rows, np.int64) if rows else np.zeros((0, 4), np.int64)
+        return pd.DataFrame(
+            {
+                "n_docs": out[:, 0], "exact": out[:, 1],
+                "subset": out[:, 2], "superset": out[:, 3],
+            }
+        )
+
+    sums = grouped_map(both, "doc_id", compare, num_buckets=32).sum(
+        ["n_docs", "exact", "subset", "superset"]
+    )
+    n = sums["sum(n_docs)"] or 0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "exact_rate": pa.array([round((sums["sum(exact)"] or 0) / n, 4) if n else 0.0]),
+            "subset_rate": pa.array([round((sums["sum(subset)"] or 0) / n, 4) if n else 0.0]),
+            "superset_rate": pa.array([round((sums["sum(superset)"] or 0) / n, 4) if n else 0.0]),
+        }
+    )
+
+
 def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
     """Alias-aware variant: each predicted triple expands across alias
     surface forms of its subject/object (calc_pr.py:146-154) but counts at

@@ -179,3 +179,22 @@ def test_actor_pool_execution_parity(ray_session):
     )
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_predicate_set_rates_perfect_on_corpus(ray_session):
+    """G6: on the deterministic corpus the extractor predicts exactly the
+    golden predicate sets, so all three rates are 1.0."""
+    import ray.data as rd
+
+    from kgray.corpus import doc_ids_for_range, interleaved_dataset, sentences_table
+    from kgray.ops.evaluate import predicate_set_rates
+    from kgray.pipeline import PipelineConfig, extract_triples, golden_triples
+
+    pred = extract_triples(interleaved_dataset(80, seed=42), PipelineConfig())
+    gold = golden_triples(
+        rd.from_arrow(sentences_table(doc_ids_for_range(0, 80)))
+    )
+    t = predicate_set_rates(pred, gold).to_pylist()[0]
+    assert t["n_docs"] == 80
+    assert t["exact_rate"] == 1.0
+    assert t["subset_rate"] == 1.0 and t["superset_rate"] == 1.0
