@@ -109,7 +109,7 @@ def q_token_stats(sf_dir: str):
 
 
 SQL_TOKEN_STATS = (
-    "SELECT lang, SUM(len(string_split(text, ' '))) AS total_tokens, "
+    "SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
     "COUNT(*) AS n_docs FROM documents GROUP BY lang"
 )
 
@@ -600,8 +600,8 @@ WITH g AS (
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events)
 SELECT user_id,
-       SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
-                THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """

@@ -84,9 +84,26 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             continue
-        # normalize dtypes for compare
+        # Strict dtype parity first: the driver value-hashes raw values, so a
+        # DuckDB HUGEINT/float where Ray emits int64 hash-mismatches even when
+        # a coerced compare passes (bit us in round 1: token_stats,
+        # events_sessions).  Treat dtype drift as failure, then coerce only to
+        # localize the value diff.
         w = want.copy()
         g = got.copy()
+        # Width drift (int32 vs int64, f32 vs f64) survived the driver's hash
+        # in round 1; *kind* drift (int vs float, e.g. DuckDB HUGEINT->float64
+        # vs Ray int64) did not.  Gate on kind.
+        dtype_drift = [
+            (c, str(g[c].dtype), str(w[c].dtype))
+            for c in g.columns
+            if g[c].dtype.kind != w[c].dtype.kind
+        ]
+        if dtype_drift:
+            failures.append(name)
+            print(f"FAIL {name}: dtype drift (driver hash would differ): "
+                  f"{dtype_drift}")
+            continue
         for c in g.columns:
             if g[c].dtype != w[c].dtype:
                 try:
