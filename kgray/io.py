@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 import zlib
 
 import numpy as np
@@ -57,24 +59,111 @@ def add_partition_column(ds, key_col: str, num_partitions: int):
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
-def _content_hash_batch(batch: pa.Table) -> pa.Table:
-    """Per-(part) partial: row count + order-independent content hash
-    (sum over per-row crc32 of the joined string form, mod 2^61)."""
-    df = batch.to_pandas()
-    parts = df.pop(PART_COL).to_numpy()
-    rows = df.astype(str).agg("\x1f".join, axis=1)
-    hashes = np.fromiter((zlib.crc32(r.encode()) for r in rows), np.int64, len(rows))
-    out = pd.DataFrame({"part": parts, "h": hashes})
-    g = out.groupby("part", sort=True).agg(rows=("h", "size"), content=("h", "sum"))
-    g["content"] = g["content"] % _MOD
-    g = g.reset_index()
-    return pa.table(
-        {
-            "part": pa.array(g["part"].to_numpy(np.int64)),
-            "rows": pa.array(g["rows"].to_numpy(np.int64)),
-            "content": pa.array(g["content"].to_numpy(np.int64)),
-        }
-    )
+def _row_hashes(df: pd.DataFrame) -> np.ndarray:
+    """Vectorized per-row content hash (uint64).  ``hash_pandas_object`` is
+    a cython kernel over column buffers — no per-row python.  Exotic dtypes
+    (nested lists) fall back to the string-join crc path."""
+    try:
+        return pd.util.hash_pandas_object(df, index=False).to_numpy()
+    except TypeError:
+        rows = df.astype(str).agg("\x1f".join, axis=1)
+        return np.fromiter(
+            (zlib.crc32(r.encode()) for r in rows), np.uint64, len(rows)
+        )
+
+
+_STAT_SCHEMA = pa.schema(
+    [
+        ("part", pa.int64()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("content", pa.uint64()),
+        ("file", pa.string()),
+    ]
+)
+
+
+class _WriteSlices:
+    """Single-pass partitioned writer: each task writes its batch's
+    partition slices to uuid-named parquet files under ``part=<p>/`` and
+    emits one tiny stat row per (batch, partition) — rows, bytes, a
+    wrapping-uint64 content hash (commutative, so batch boundaries don't
+    matter) and the file name.  The manifest lists exactly the files the
+    surviving task attempts reported; a retried task's orphaned first
+    attempt is never read (read_table reads manifest-attested files only)
+    and is deleted by the next write's hygiene pass."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if len(batch) == 0:
+            return _STAT_SCHEMA.empty_table()
+        df = batch.to_pandas()
+        parts = df.pop(PART_COL).to_numpy(np.int64)
+        h = _row_hashes(df)
+        tbl = batch.drop_columns([PART_COL])
+        order = np.argsort(parts, kind="stable")
+        sp = parts[order]
+        bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1], True])
+        out = {k: [] for k in ("part", "rows", "bytes", "content", "file")}
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            p = int(sp[lo])
+            idx = order[lo:hi]
+            pdir = os.path.join(self.data_dir, f"{PART_COL}={p}")
+            os.makedirs(pdir, exist_ok=True)
+            fname = f"{uuid.uuid4().hex}.parquet"
+            fpath = os.path.join(pdir, fname)
+            pq.write_table(tbl.take(pa.array(idx)), fpath)
+            out["part"].append(p)
+            out["rows"].append(hi - lo)
+            out["bytes"].append(os.path.getsize(fpath))
+            out["content"].append(int(h[idx].sum(dtype=np.uint64)))
+            out["file"].append(f"{PART_COL}={p}/{fname}")
+        return pa.table(
+            {
+                "part": pa.array(out["part"], pa.int64()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "bytes": pa.array(out["bytes"], pa.int64()),
+                "content": pa.array(out["content"], pa.uint64()),
+                "file": pa.array(out["file"], pa.string()),
+            }
+        )
+
+
+def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int]) -> None:
+    """Delete on-disk data not attested by the kept manifest partitions:
+    whole dirs for partitions being rewritten, unmanifested files (crashed
+    or retried attempts) inside kept partitions.  Runs before every write
+    so a resumed run can never re-append next to stale bytes (the round-1
+    silent-duplication hazard)."""
+    if not os.path.isdir(data_dir):
+        return
+    kept_files: dict[int, set[str]] = {}
+    if keep_manifest is not None:
+        for pstr, meta in keep_manifest.get("partitions", {}).items():
+            kept_files[int(pstr)] = set(meta.get("files", []))
+    for entry in os.listdir(data_dir):
+        if not entry.startswith(PART_COL + "="):
+            continue
+        try:
+            p = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        pdir = os.path.join(data_dir, entry)
+        if p not in keep:
+            shutil.rmtree(pdir, ignore_errors=True)
+            continue
+        attested = {os.path.basename(f) for f in kept_files.get(p, ())}
+        for f in os.listdir(pdir):
+            if f not in attested:
+                try:
+                    os.remove(os.path.join(pdir, f))
+                except OSError:
+                    pass
 
 
 def write_partitioned(
@@ -84,58 +173,56 @@ def write_partitioned(
     num_partitions: int = 16,
     stage: str = "",
     input_fingerprint: str = "",
+    keep_partitions: set[int] | None = None,
 ) -> dict:
     """Write ds hash-partitioned by key_col; return the lineage manifest.
 
-    The manifest is computed by re-reading the written files (attests the
-    on-disk bytes) and saved as ``<path>/manifest.json``.
-    """
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
+    Single pass: the same tasks that write the parquet slices emit the
+    per-partition rows/bytes/content-hash stats (no write-then-re-read).
+    ``keep_partitions`` (resume): on-disk partitions in the set keep their
+    manifest-attested files and entries; everything else on disk is
+    deleted first, so only manifest-attested bytes ever survive a crash.
+    The stat stream is metadata-scale (one row per task×partition) and is
+    reduced on the driver."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    keep = set(keep_partitions or ())
+    old = read_manifest(path) if keep else None
+    _hygiene(data_dir, old, keep)
+
     tagged = add_partition_column(ds, key_col, num_partitions)
-    tagged.write_parquet(data_dir, partition_cols=[PART_COL])
+    raw = tagged.map_batches(_WriteSlices(data_dir), batch_format="pyarrow").to_pandas()
 
-    has_files = any(
-        files for _, _, files in os.walk(data_dir)
-    )
-    if has_files:
-        back = rd.read_parquet(data_dir)
-        stats = (
-            back.map_batches(_content_hash_batch, batch_format="pyarrow")
-            .groupby("part")
-            .aggregate(
-                Sum("rows", alias_name="rows"), Sum("content", alias_name="content")
+    partitions: dict[str, dict] = {}
+    if old is not None:
+        for pstr, meta in old.get("partitions", {}).items():
+            if int(pstr) in keep:
+                partitions[pstr] = dict(meta)
+    if len(raw):
+        for p, g in raw.groupby("part"):
+            e = partitions.setdefault(
+                str(int(p)), {"rows": 0, "bytes": 0, "content_hash": 0, "files": []}
             )
-            .to_pandas()
-        )
-    else:  # empty dataset: nothing landed, manifest records zero partitions
-        stats = pd.DataFrame(columns=["part", "rows", "content"])
-    def _partition_bytes(part: int) -> int:
-        pdir = os.path.join(data_dir, f"{PART_COL}={part}")
-        total = 0
-        for root, _dirs, files in os.walk(pdir):
-            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        return total
-
+            e.setdefault("files", [])
+            e["rows"] = int(e["rows"]) + int(g["rows"].sum())
+            e["bytes"] = int(e["bytes"]) + int(g["bytes"].sum())
+            e["content_hash"] = int(
+                (np.uint64(e.get("content_hash", 0) % _MOD)
+                 + g["content"].to_numpy(np.uint64).sum(dtype=np.uint64))
+                % np.uint64(_MOD)
+            )
+            e["files"] = sorted(set(e["files"]) | set(g["file"]))
     manifest = {
         "stage": stage,
         "key_col": key_col,
         "num_partitions": num_partitions,
         "input_fingerprint": input_fingerprint,
-        "partitions": {
-            str(int(r["part"])): {
-                "rows": int(r["rows"]),
-                "bytes": _partition_bytes(int(r["part"])),
-                "content_hash": int(r["content"]) % _MOD,
-            }
-            for _, r in stats.iterrows()
-        },
+        "partitions": partitions,
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
     return manifest
 
 
@@ -194,14 +281,31 @@ def write_jsonl(ds, path: str, **kwargs):
 
 def read_table(path: str, columns: list[str] | None = None):
     """Read back a table written by write_partitioned (data lives under
-    ``<path>/data``, the manifest beside it)."""
+    ``<path>/data``, the manifest beside it).
+
+    Reads ONLY manifest-attested files — stale bytes from crashed or
+    retried write attempts on disk are invisible to readers (exactly-once
+    at the read layer).  Falls back to a directory scan for tables written
+    without a files-bearing manifest."""
     import ray.data as rd
 
     data_dir = os.path.join(path, "data")
     target = data_dir if os.path.isdir(data_dir) else path
-    if not any(files for _, _, files in os.walk(target)):
-        return None  # empty table (write_partitioned of an empty Dataset)
-    ds = rd.read_parquet(target, columns=columns)
+    m = read_manifest(path)
+    paths = None
+    if m is not None and m.get("partitions"):
+        files = [
+            os.path.join(data_dir, f)
+            for meta in m["partitions"].values()
+            for f in meta.get("files", ())
+        ]
+        if files:
+            paths = files
+    if paths is None:
+        if not any(files for _, _, files in os.walk(target)):
+            return None  # empty table (write_partitioned of an empty Dataset)
+        paths = target
+    ds = rd.read_parquet(paths, columns=columns)
     if columns is not None:  # explicit projection: honor it verbatim
         return ds
 

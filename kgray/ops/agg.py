@@ -24,17 +24,16 @@ import pyarrow as pa
 def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]]):
     from ray.data.aggregate import Max, Min, Sum
 
-    # decompose: output column -> (src, op); mean -> hidden sum+count
+    # decompose: output column -> (src, op); mean -> hidden sum + per-column
+    # NON-NULL count (SQL AVG divides by the non-null count, not the row
+    # count — a shared size() diverges when the source column has nulls)
     partial_cols: dict[str, tuple[str | None, str]] = {}
-    mean_cols: dict[str, str] = {}  # out -> hidden sum col
-    count_col: str | None = None
+    mean_cols: dict[str, tuple[str, str]] = {}  # out -> (hidden sum, hidden cnt)
     for out, (src, op) in specs.items():
         if op == "mean":
             partial_cols[f"__{out}_sum"] = (src, "sum")
-            mean_cols[out] = f"__{out}_sum"
-            if count_col is None:
-                count_col = "__n_for_mean"
-                partial_cols[count_col] = (None, "count")
+            partial_cols[f"__{out}_cnt"] = (src, "nncount")
+            mean_cols[out] = (f"__{out}_sum", f"__{out}_cnt")
         elif op == "count":
             partial_cols[out] = (None, "count")
         else:
@@ -47,6 +46,8 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
         for name, (src, op) in partial_cols.items():
             if op == "count":
                 out[name] = g.size()
+            elif op == "nncount":
+                out[name] = g[src].count()  # non-null count
             else:
                 out[name] = getattr(g[src], op)()
         res = pd.DataFrame(out).reset_index()
@@ -54,7 +55,7 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
 
     aggs = []
     for name, (src, op) in partial_cols.items():
-        if op in ("sum", "count"):
+        if op in ("sum", "count", "nncount"):
             aggs.append(Sum(name, alias_name=name))
         elif op == "min":
             aggs.append(Min(name, alias_name=name))
@@ -75,8 +76,8 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
 
     def finalize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        for out, hidden_sum in mean_cols.items():
-            df[out] = df[hidden_sum] / df[count_col].replace(0, np.nan)
+        for out, (hidden_sum, hidden_cnt) in mean_cols.items():
+            df[out] = df[hidden_sum] / df[hidden_cnt].replace(0, np.nan)
         df = df.drop(columns=[c for c in hidden if c in df.columns])
         return pa.Table.from_pandas(df[out_order], preserve_index=False)
 

@@ -120,7 +120,11 @@ def connected_components(edges, max_rounds: int = 10):
     from kgray.util import grouped_map
 
     prev_fp = None
-    for _ in range(max_rounds):
+    converged = False
+    budget, extended = max_rounds, False
+    rounds = 0
+    while rounds < budget:
+        rounds += 1
         label_part = labels.map_batches(_label_rows, batch_format="pyarrow")
         new_labels = pre_aggregate(
             grouped_map(
@@ -132,8 +136,26 @@ def connected_components(edges, max_rounds: int = 10):
         fp = _labels_fingerprint(new_labels)
         labels = new_labels
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+        if rounds == budget and not extended:
+            # one automatic extension for long link chains, then fail loud
+            import warnings
+
+            warnings.warn(
+                f"connected_components not converged after {budget} rounds; "
+                f"extending once to {budget * 2}", RuntimeWarning,
+            )
+            budget, extended = budget * 2, True
+    if not converged:
+        # A component with diameter > the round budget would otherwise be
+        # SILENTLY split, and canonicalize_triples would merge aliases
+        # inconsistently — raise loudly instead of returning wrong maps.
+        raise RuntimeError(
+            f"connected_components did not converge in {budget} rounds; "
+            "raise max_rounds (long link chains in the edge set)"
+        )
 
     from kgray.util import rename_cols
 

@@ -88,7 +88,10 @@ def exact_dedup_keep(docs, text_col: str = "text", id_col: str = "doc_id"):
 def word_shingles(text: str, n: int = 3) -> list[str]:
     toks = text.split(" ")
     if len(toks) < n:
-        return [" ".join(toks)] if toks != [""] else []
+        # docs shorter than n tokens yield NO shingles — matches the SQL
+        # oracle's WHERE len >= n (a whole-text shingle here made two
+        # identical short docs a jac=1.0 pair in Ray but zero rows in SQL)
+        return []
     return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
 
 
@@ -103,6 +106,9 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
     emission is quadratic in a shingle's doc list — acceptable because
     distinct n-grams are near-unique; a degenerate shingle shared by
     > max_block docs is dropped (same cap rationale as LSH blocks).
+    NOTE: the max_block cap is an intentional divergence from the SQL
+    oracle (which has no cap); it only bites when a single shingle is
+    shared by >64 docs, which the oracle-checked corpora never hit.
     """
     from ray.data.aggregate import Sum
 

@@ -83,21 +83,10 @@ def _flag_batch(batch: pa.Table, flag: str) -> pa.Table:
     n = len(df)
     return pa.table(
         {
+            "doc_id": pa.array(df["doc_id"], pa.string()),
             "key": pa.array(key, pa.string()),
             "is_pred": pa.array(np.full(n, 1 if flag == "is_pred" else 0, np.int8)),
             "is_gold": pa.array(np.full(n, 1 if flag == "is_gold" else 0, np.int8)),
-        }
-    )
-
-
-def _partial_counts(batch: pa.Table) -> pa.Table:
-    pred = batch["is_pred"].to_numpy(zero_copy_only=False)
-    gold = batch["is_gold"].to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "tp": pa.array([int(np.sum((pred > 0) & (gold > 0)))], pa.int64()),
-            "pred_n": pa.array([int(np.sum(pred > 0))], pa.int64()),
-            "gold_n": pa.array([int(np.sum(gold > 0))], pa.int64()),
         }
     )
 
@@ -106,10 +95,13 @@ def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF
     """Micro P/R/F1 of predicted vs golden triple Datasets.
 
     Both inputs need columns (doc_id, subject, predicate, object).  The
-    per-doc set semantics of calc_pr fall out of the keyed Max-aggregate
-    (duplicate triples collapse onto one key).
+    per-doc set semantics of calc_pr fall out of a per-doc keyed dedup.
+    Like the reference (calc_pr.py:199-207 iterates only sentences present
+    in the golden file), predicted triples for docs ABSENT from the golden
+    set are ignored entirely — they count toward neither tp nor pred_n.
+    One doc-bucketed cogroup shuffle; only three scalars materialize.
     """
-    from ray.data.aggregate import Max
+    from kgray.util import grouped_map
 
     if alias:
         return _spo_prf1_alias(pred_ds, gold_ds, alias)
@@ -120,15 +112,31 @@ def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF
     gold_keys = gold_ds.map_batches(
         lambda b: _flag_batch(b, "is_gold"), batch_format="pyarrow"
     )
-    merged = pred_keys.union(gold_keys).groupby("key").aggregate(
-        Max("is_pred", alias_name="is_pred"),
-        Max("is_gold", alias_name="is_gold"),
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # restrict to docs that exist in gold (reference semantics)
+        doc_has_gold = df.groupby("doc_id", sort=False)["is_gold"].transform("max") > 0
+        d = df[doc_has_gold]
+        g = d.groupby("key", sort=False).agg(
+            pred=("is_pred", "max"), gold=("is_gold", "max")
+        )
+        hit = (g["pred"] > 0) & (g["gold"] > 0)
+        return pd.DataFrame(
+            {
+                "tp": [int(hit.sum())],
+                "pred_n": [int((g["pred"] > 0).sum())],
+                "gold_n": [int((g["gold"] > 0).sum())],
+            }
+        )
+
+    sums = grouped_map(
+        pred_keys.union(gold_keys), "doc_id", count_bucket, num_buckets=32
+    ).sum(["tp", "pred_n", "gold_n"])
+    return PRF1(
+        tp=sums["sum(tp)"] or 0,
+        pred_n=sums["sum(pred_n)"] or 0,
+        gold_n=sums["sum(gold_n)"] or 0,
     )
-    sums = (
-        merged.map_batches(_partial_counts, batch_format="pyarrow")
-        .sum(["tp", "pred_n", "gold_n"])
-    )
-    return PRF1(tp=sums["sum(tp)"], pred_n=sums["sum(pred_n)"], gold_n=sums["sum(gold_n)"])
 
 
 def predicate_set_rates(pred_ds, gold_ds) -> pa.Table:
@@ -206,15 +214,17 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
         amap = ray.get(alias_ref)
         df = _norm_frame(batch)
         okey = _key_of(df)
-        keys, okeys = [], []
+        docs, keys, okeys = [], [], []
         for (ok, t) in zip(okey, df.itertuples(index=False)):
             for s in [t.s, *amap.get(t.s, ())]:
                 for o in [t.o, *amap.get(t.o, ())]:
+                    docs.append(t.doc_id)
                     keys.append(f"{t.doc_id}{_SEP}{s}{_SEP}{t.p}{_SEP}{o}")
                     okeys.append(ok)
         n = len(keys)
         return pa.table(
             {
+                "doc_id": pa.array(docs, pa.string()),
                 "key": pa.array(keys, pa.string()),
                 "okey": pa.array(okeys, pa.string()),
                 "is_gold": pa.array(np.zeros(n, np.int8)),
@@ -227,6 +237,7 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
         n = len(df)
         return pa.table(
             {
+                "doc_id": pa.array(df["doc_id"], pa.string()),
                 "key": pa.array(key, pa.string()),
                 "okey": pa.array([""] * n, pa.string()),
                 "is_gold": pa.array(np.ones(n, np.int8)),
@@ -237,7 +248,12 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
     gold_keys = gold_ds.map_batches(gold_rows, batch_format="pyarrow")
 
     def match_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """All keys of one hash bucket at once: hit = key has a gold row."""
+        """All docs of one hash bucket at once: hit = key has a gold row.
+        Bucketing is by doc_id (keys are doc-prefixed, so a doc's pred and
+        gold keys colocate); predictions for docs absent from gold are
+        dropped up front, matching calc_pr.py:199-207."""
+        doc_has_gold = df.groupby("doc_id", sort=False)["is_gold"].transform("max") > 0
+        df = df[doc_has_gold]
         has_gold = df.groupby("key", sort=False)["is_gold"].max() > 0
         preds = df.loc[df["okey"] != "", ["key", "okey"]].drop_duplicates()
         hit = has_gold.reindex(preds["key"]).fillna(False).to_numpy()
@@ -251,7 +267,7 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
     from kgray.util import grouped_map
 
     matched = (
-        grouped_map(pred_keys.union(gold_keys), "key", match_bucket,
+        grouped_map(pred_keys.union(gold_keys), "doc_id", match_bucket,
                     num_buckets=32)
         .groupby("okey")
         .aggregate(Max("hit", alias_name="hit"))

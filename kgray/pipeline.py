@@ -178,6 +178,7 @@ def kg_construct(
     manifests["triples"] = io.write_partitioned(
         triples, triples_dir, "doc_id", num_partitions,
         stage="extract", input_fingerprint=input_fingerprint,
+        keep_partitions=done,
     )
 
     all_triples = io.read_table(triples_dir)

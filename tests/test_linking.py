@@ -149,6 +149,44 @@ def test_write_partitioned_manifest_and_resume(tmp_path):
     assert remaining == expect
 
 
+def test_write_partitioned_crash_hygiene(tmp_path):
+    """A file left by a crashed attempt (on disk, not in the manifest) must
+    not be read back or survive a resume-write (ADVICE round 1: silent row
+    duplication on resume)."""
+    import shutil
+
+    from kgray import io
+
+    rows = [{"doc_id": f"doc-{i:04d}", "val": i} for i in range(100)]
+    path = str(tmp_path / "t")
+    io.write_partitioned(
+        rd.from_items(rows), path, "doc_id", num_partitions=4,
+        stage="test", input_fingerprint="fp1",
+    )
+    assert io.read_table(path).count() == 100
+
+    # plant a stale duplicate file inside a completed partition
+    data_dir = os.path.join(path, "data")
+    pdir = os.path.join(data_dir, "part=0")
+    legit = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    stale = os.path.join(pdir, "deadbeef-stale.parquet")
+    shutil.copy(os.path.join(pdir, legit[0]), stale)
+
+    # readers only see manifest-attested files
+    assert io.read_table(path).count() == 100
+
+    # resume-write (nothing pending) cleans the stale file, keeps the rest
+    done = io.completed_partitions(path, "fp1")
+    pending = io.filter_pending(rd.from_items(rows), "doc_id", 4, done)
+    m = io.write_partitioned(
+        pending, path, "doc_id", num_partitions=4,
+        stage="test", input_fingerprint="fp1", keep_partitions=done,
+    )
+    assert not os.path.exists(stale)
+    assert sum(p["rows"] for p in m["partitions"].values()) == 100
+    assert io.read_table(path).count() == 100
+
+
 def test_kg_construct_end_to_end(tmp_path):
     from kgray.corpus import doc_ids_for_range, interleaved_table
     from kgray.pipeline import PipelineConfig, kg_construct

@@ -116,8 +116,10 @@ def test_eval_counts_on_known_input():
         ]
     )
     m = spo_prf1(pred, gold)
-    # pred set after normalization: {(d1,碑,作者,x), (d1,碑,作者,y), (d2,a,p,b)}
-    assert m.pred_n == 3 and m.gold_n == 2 and m.tp == 1
+    # pred set after normalization: {(d1,碑,作者,x), (d1,碑,作者,y)} — the
+    # d2 prediction is IGNORED because d2 is absent from gold, matching
+    # calc_pr.py:199-207 which iterates only golden sentences
+    assert m.pred_n == 2 and m.gold_n == 2 and m.tp == 1
 
 
 def test_eval_alias_expansion():
