@@ -90,6 +90,15 @@ def _kg_eval(sf_dir: str):
     )
 
 
+def _kg_extract_crf(sf_dir: str):
+    """A6: extraction with the numpy constrained-Viterbi CRF decode in the
+    labeler slot (template emissions -> viterbi -> shared codec)."""
+    from kgray.ops.crf import CrfLabeler
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(_kg_docs_ds(), PipelineConfig(labeler_cls=CrfLabeler))
+
+
 def _kg_link_edges(sf_dir: str):
     from kgray.ops.linking import link_mentions
     from kgray.pipeline import PipelineConfig, extract_triples
@@ -297,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "kg_flatten": _kg_flatten,
             "kg_extract": _kg_extract,
+            "kg_extract_crf": _kg_extract_crf,
             "kg_golden": _kg_golden,
             "kg_eval": _kg_eval,
             "kg_pred_set_rates": _kg_pred_set_rates,
