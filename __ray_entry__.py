@@ -99,6 +99,29 @@ def _kg_extract_crf(sf_dir: str):
     return extract_triples(_kg_docs_ds(), PipelineConfig(labeler_cls=CrfLabeler))
 
 
+def _kg_extract_ensemble(sf_dir: str):
+    """A3: stage-1 scores from a weighted two-member ensemble
+    (classification/ensemble.py:120-133 formula), rest of the pipeline
+    unchanged."""
+    from kgray.ops.ensemble import EnsembleClassifier
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        _kg_docs_ds(), PipelineConfig(classifier_cls=EnsembleClassifier)
+    )
+
+
+def _kg_extract_crf_ensemble(sf_dir: str):
+    """A7: stage-2 tags from a weighted labeler ensemble decoded once
+    through the constrained Viterbi (labeling/ensemble.py:126-166 shape)."""
+    from kgray.ops.ensemble import EnsembleCrfLabeler
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        _kg_docs_ds(), PipelineConfig(labeler_cls=EnsembleCrfLabeler)
+    )
+
+
 def _kg_link_edges(sf_dir: str):
     from kgray.ops.linking import link_mentions
     from kgray.pipeline import PipelineConfig, extract_triples
@@ -307,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_flatten": _kg_flatten,
             "kg_extract": _kg_extract,
             "kg_extract_crf": _kg_extract_crf,
+            "kg_extract_ensemble": _kg_extract_ensemble,
+            "kg_extract_crf_ensemble": _kg_extract_crf_ensemble,
             "kg_golden": _kg_golden,
             "kg_eval": _kg_eval,
             "kg_pred_set_rates": _kg_pred_set_rates,
