@@ -783,6 +783,57 @@ GROUP BY w ORDER BY n DESC, word LIMIT 20
 """
 
 
+def q_wordpiece_stats(sf_dir: str):
+    """M3: per-doc WordPiece piece/UNK/feature-length stats.  The real
+    tokenizer (basic + greedy longest-match) runs per batch; the SQL
+    oracle replays the hand-derived piece arithmetic of the fixed corpus
+    vocabulary (kgray/ops/wordpiece.py corpus_vocab)."""
+    from kgray.ops.wordpiece import UNK, WordPieceTokenizer
+
+    class Stats:
+        def __init__(self):
+            self.tok = WordPieceTokenizer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            n_pieces, n_unk, n_input = [], [], []
+            L = self.tok.max_seq_length
+            for t in texts:
+                pieces = self.tok.tokenize(t)
+                n_pieces.append(len(pieces))
+                n_unk.append(sum(p == UNK for p in pieces))
+                n_input.append(min(len(pieces) + 2, L))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_pieces": pa.array(n_pieces, pa.int64()),
+                    "n_unk": pa.array(n_unk, pa.int64()),
+                    "n_input": pa.array(n_input, pa.int64()),
+                }
+            )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Stats(), batch_format="pyarrow"
+    )
+
+
+SQL_WORDPIECE_STATS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+m(word, np, nu) AS (VALUES
+  ('batch',2,0),('column',2,0),('customer',2,0),('filter',2,0),('group',2,0),
+  ('merge',2,0),('order',2,0),('query',2,0),('spark',2,0),('stream',2,0),
+  ('table',2,0),('value',2,0),('vector',2,0),('window',2,0),
+  ('dup',1,1),
+  ('a',1,0),('the',1,0),('data',1,0),('row',1,0),('key',1,0),('agg',1,0),
+  ('fast',1,0),('slow',1,0),('hash',1,0),('join',1,0),('line',1,0),
+  ('part',1,0),('scan',1,0),('sort',1,0),('small',1,0),('big',1,0))
+SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
+       CAST(SUM(nu) AS BIGINT) AS n_unk,
+       CAST(LEAST(SUM(np) + 2, 128) AS BIGINT) AS n_input
+FROM w JOIN m USING (word) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -822,4 +873,5 @@ CATALOG: dict[str, tuple] = {
     ),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "orders_1995": (q_orders_1995, SQL_ORDERS_1995),
+    "wordpiece_stats": (q_wordpiece_stats, SQL_WORDPIECE_STATS),
 }
