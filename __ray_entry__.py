@@ -179,6 +179,19 @@ def _simhash_dup_docs(sf_dir: str):
     return simhash_dup_pairs(docs, max_hamming=3)
 
 
+def _embed_dup_bucketed(sf_dir: str):
+    """The 100-TB embedding-dedup path: multi-probe IVF blocking ->
+    in-bucket exact cosine (no whole-matrix broadcast).  Exactness oracle
+    is embed_dup_pairs (brute) at small scale."""
+    import ray.data as rd
+
+    from kgray.ops.dedup import embedding_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(emb, tau=0.45, strategy="ivf")
+
+
 def _knn_ivf(sf_dir: str):
     import ray.data as rd
 
@@ -347,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "minhash_dup_docs": _minhash_dup_docs,
             "simhash_dup_docs": _simhash_dup_docs,
             "knn_ivf": _knn_ivf,
+            "embed_dup_bucketed": _embed_dup_bucketed,
             "media_features": _media_features,
             "media_frames": _media_frames,
             "kg_eval_alias": _kg_eval_alias,

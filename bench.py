@@ -57,6 +57,7 @@ SUITE = [
     "simhash_dup_docs",
     "embed_knn",
     "knn_ivf",
+    "embed_dup_bucketed",
     "kg_link_edges",
 ]
 

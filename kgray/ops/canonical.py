@@ -129,7 +129,6 @@ def connected_components(edges, max_rounds: int = 10):
         new_labels = pre_aggregate(
             grouped_map(
                 edge_part.union(label_part), "node", _propagate_bucket,
-                num_buckets=32,
             ),
             ["node"], {"label": ("label", "min")},
         ).materialize()

@@ -208,8 +208,15 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 32, concurrency=None,
-                      broadcast_texts: bool = True):
-    """Near-dup pairs by MinHash-LSH over word-3-gram shingles."""
+                      broadcast_texts: bool | None = None,
+                      max_broadcast_bytes: int = 1 << 31):
+    """Near-dup pairs by MinHash-LSH over word-3-gram shingles.
+
+    ``broadcast_texts=None`` (default) auto-selects the verify join by the
+    Dataset's estimated size: under ``max_broadcast_bytes`` (2 GiB) the
+    doc->text map is collected once and broadcast via the object store;
+    above it (or when no size estimate exists) the partitioned
+    ``bucket_join`` path runs — never an unbounded driver-side collect."""
     from kgray.ops.linking import _hash_params, minhash_signature
 
     class DocBands:
@@ -256,21 +263,20 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
         grouped_map(
             banded, "band_key",
             lambda df: pairs_within_groups(df, "band_key", "doc", max_block),
-            num_buckets=32,
         )
         .groupby(["u", "v"])
         .aggregate(Count(alias_name="nbands"))
     )
 
     # verify with exact word-shingle jaccard; doc texts attached via join.
-    # broadcast (default) collects the doc->text map once into the object
-    # store — right for a bounded working set; at 10^12-doc scale pass
-    # broadcast_texts=False to fall back to partitioned bucket joins.
     texts_ds = docs.map_batches(
         lambda b: pa.table({"doc": b[id_col].cast(pa.int64()),
                             "text": b[text_col]}),
         batch_format="pyarrow",
     )
+    if broadcast_texts is None:
+        est = docs.size_bytes()
+        broadcast_texts = est is not None and est <= max_broadcast_bytes
     if broadcast_texts:
         import ray
 
@@ -473,7 +479,7 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     from kgray.util import grouped_map
 
     return (
-        grouped_map(blocked, "block", bucket_pairs, num_buckets=32)
+        grouped_map(blocked, "block", bucket_pairs)
         .groupby(["u", "v"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
@@ -484,15 +490,38 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def embedding_dup_pairs(embeddings, tau: float = 0.95, id_col: str = "vec_id",
-                        vec_col: str = "embedding", digits: int = 4):
+                        vec_col: str = "embedding", digits: int = 4,
+                        strategy: str = "auto",
+                        max_brute_rows: int = 100_000,
+                        num_centroids: int | None = None,
+                        probes: int = 4, max_block: int = 4096):
     """All vector pairs with cosine >= tau.
 
-    Test-scale path: the full (normalized) matrix is broadcast via the
-    object store once and every batch multiplies against it — O(n^2)
-    flops but one pass over the data and no shuffle.  The scale path is
-    LSH bucketing (kgray.ops.similarity.lsh_knn-style blocking).
+    ``strategy`` picks the execution plan; ``"auto"`` (default) gates on
+    row count:
+
+    * ``"brute"`` (exact, <= ``max_brute_rows``): the full normalized
+      matrix is broadcast via the object store once and every batch
+      multiplies against it — O(n^2) flops, one pass, no shuffle.  This
+      is the oracle-exact small-side path, NOT the 100-TB default.
+    * ``"ivf"`` (scale path): every vector is assigned to its ``probes``
+      nearest coarse centroids (multi-probe blocking via
+      similarity.fit_centroids); candidate pairs only form inside a
+      shared bucket (grouped_map cogroup, blocks capped at ``max_block``
+      rows), cosine verified exactly in-block, pairs deduped across
+      buckets with a Max-aggregate.  Near-dup vectors (cos >= 0.95) land
+      in the same nearest bucket with overwhelming probability; the
+      multi-probe assignment covers centroid-boundary pairs.
     """
     import ray
+
+    if strategy == "auto":
+        strategy = "brute" if embeddings.count() <= max_brute_rows else "ivf"
+    if strategy == "ivf":
+        return _embedding_dup_pairs_ivf(
+            embeddings, tau, id_col, vec_col, digits, num_centroids, probes,
+            max_block,
+        )
 
     tbl = embeddings.to_arrow_refs()
     mats = []
@@ -537,3 +566,84 @@ def embedding_dup_pairs(embeddings, tau: float = 0.95, id_col: str = "vec_id",
         )
 
     return embeddings.map_batches(block, batch_format="pyarrow")
+
+
+def _embedding_dup_pairs_ivf(embeddings, tau, id_col, vec_col, digits,
+                             num_centroids, probes, max_block):
+    """Scale path: multi-probe IVF blocking -> in-bucket exact cosine.
+
+    Shuffles (bucket, id, vec) rows — ``probes`` copies of each vector —
+    instead of broadcasting the whole matrix; per-bucket work is one
+    normalized matmul over <= max_block rows.  Exact within a bucket;
+    misses only pairs whose probe sets are disjoint (both far from every
+    shared centroid — incompatible with cos >= tau for high tau)."""
+    from ray.data.aggregate import Max
+
+    from kgray.ops.similarity import _matrix, _normalize, fit_centroids
+    from kgray.util import grouped_map, round_half_up
+
+    n = embeddings.count()
+    C = fit_centroids(
+        embeddings,
+        num_centroids or max(16, int(np.sqrt(max(n, 1)))),
+        vec_col=vec_col,
+    )
+    import ray
+
+    c_ref = ray.put(np.asarray(C, np.float64))
+    nprobe = max(1, min(probes, len(C)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        m = _normalize(_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe]
+        reps = np.repeat(np.arange(len(ids)), nprobe)
+        return pa.table(
+            {
+                "bucket": pa.array(top.reshape(-1).astype(np.int32)),
+                "vid": pa.array(ids[reps]),
+                "vec": pa.array(list(m[reps])),
+            }
+        )
+
+    blocked = embeddings.map_batches(assign, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        us, vs, cs = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.drop_duplicates("vid")
+            if len(g) < 2 or len(g) > max_block:
+                continue
+            ids = g["vid"].to_numpy(np.int64)
+            m = np.vstack(g["vec"].to_numpy())
+            sims = m @ m.T
+            ui, vi = np.nonzero(np.triu(sims >= tau, k=1))
+            u, v = ids[ui], ids[vi]
+            swap = u > v
+            u2 = np.where(swap, v, u)
+            v2 = np.where(swap, u, v)
+            us.append(u2)
+            vs.append(v2)
+            cs.append(round_half_up(sims[ui, vi], digits))
+        if us:
+            return pd.DataFrame(
+                {
+                    "u": pd.array(np.concatenate(us), dtype="int64"),
+                    "v": pd.array(np.concatenate(vs), dtype="int64"),
+                    "cos": pd.array(np.concatenate(cs), dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "u": pd.array([], dtype="int64"),
+                "v": pd.array([], dtype="int64"),
+                "cos": pd.array([], dtype="float64"),
+            }
+        )
+
+    return (
+        grouped_map(blocked, "bucket", bucket_pairs)
+        .groupby(["u", "v"])
+        .aggregate(Max("cos", alias_name="cos"))
+    )

@@ -130,7 +130,7 @@ def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF
         )
 
     sums = grouped_map(
-        pred_keys.union(gold_keys), "doc_id", count_bucket, num_buckets=32
+        pred_keys.union(gold_keys), "doc_id", count_bucket
     ).sum(["tp", "pred_n", "gold_n"])
     return PRF1(
         tp=sums["sum(tp)"] or 0,
@@ -186,7 +186,7 @@ def predicate_set_rates(pred_ds, gold_ds) -> pa.Table:
             }
         )
 
-    sums = grouped_map(both, "doc_id", compare, num_buckets=32).sum(
+    sums = grouped_map(both, "doc_id", compare).sum(
         ["n_docs", "exact", "subset", "superset"]
     )
     n = sums["sum(n_docs)"] or 0
@@ -267,8 +267,7 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
     from kgray.util import grouped_map
 
     matched = (
-        grouped_map(pred_keys.union(gold_keys), "doc_id", match_bucket,
-                    num_buckets=32)
+        grouped_map(pred_keys.union(gold_keys), "doc_id", match_bucket)
         .groupby("okey")
         .aggregate(Max("hit", alias_name="hit"))
     )

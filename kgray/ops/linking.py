@@ -165,7 +165,6 @@ def candidate_pairs(banded, max_block: int = 256):
             lambda df: pairs_within_groups(
                 df, "band_key", "mention_key", max_block, dtype="string"
             ),
-            num_buckets=32,
         )
         .groupby(["u", "v"])
         .aggregate(Count(alias_name="nbands"))

@@ -590,7 +590,7 @@ def q_events_sessions(sf_dir: str, gap_s: int = 1800):
 
     return grouped_map(
         _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
-        "user_id", sessions, num_buckets=32,
+        "user_id", sessions,
     )
 
 
@@ -696,7 +696,7 @@ def q_events_top_per_user(sf_dir: str):
 
     return grouped_map(
         _read(sf_dir, "events", ["user_id", "event_id", "value"]),
-        "user_id", top1, num_buckets=32,
+        "user_id", top1,
     )
 
 

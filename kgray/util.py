@@ -34,7 +34,24 @@ def bucket_of(col, num_buckets: int) -> np.ndarray:
     )
 
 
-def grouped_map(ds, key: str, fn, num_buckets: int = 32, drop_key_bucket=True):
+def default_num_buckets() -> int:
+    """Shuffle-parallelism default: 2x cluster CPUs, floor 32.  A fixed 32
+    caps shuffle parallelism at 32 workers AND makes bucket size grow
+    linearly with data on a bigger cluster — scaling with cluster width
+    keeps one bucket ~one worker's heap as nodes are added."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 16)) if (
+            ray.is_initialized()
+        ) else 16
+    except Exception:
+        cpus = 16
+    return max(32, 2 * cpus)
+
+
+def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
+                drop_key_bucket=True):
     """Coarse-bucket cogroup: hash ``key`` into ``num_buckets`` buckets,
     ONE groupby shuffle on the bucket, and ``fn`` (pandas DataFrame ->
     pandas DataFrame) applied once per BUCKET — the caller vectorizes its
@@ -45,9 +62,13 @@ def grouped_map(ds, key: str, fn, num_buckets: int = 32, drop_key_bucket=True):
     keys, graph nodes) that dominates wall time by 100x.  All rows of a
     key land in one bucket, so any per-key computation stays correct;
     ``num_buckets`` is the parallelism/skew knob (same sizing rule as a
-    partitioned join).
+    partitioned join) and defaults to ``default_num_buckets()`` (scales
+    with cluster CPUs).
     """
     import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def apply(g: pd.DataFrame):
         if "__gbucket" in g.columns:

@@ -1,0 +1,88 @@
+"""At-scale default selection for the dedup family: IVF-bucketed
+embedding dedup vs the exact brute oracle, and the minhash broadcast
+auto-gate."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+
+def _clustered_embeddings(n_clusters=40, per_cluster=5, d=16, seed=3):
+    """Planted near-dup clusters: members of a cluster have cos >= ~0.99,
+    cross-cluster cos well below 0.9."""
+    rs = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rs.normal(size=d)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rs.normal(scale=0.02, size=d)
+            rows.append({"vec_id": vid, "embedding": (v / np.linalg.norm(v)).tolist()})
+            vid += 1
+    return rd.from_items(rows)
+
+
+def test_ivf_matches_brute_on_near_dup_clusters(ray_session):
+    """At realistic near-dup tau the bucketed scale path must find every
+    pair the exact path finds (same bucket for genuinely-close vectors)."""
+    from kgray.ops.dedup import embedding_dup_pairs
+
+    emb = _clustered_embeddings()
+    key = ["u", "v"]
+    brute = (
+        embedding_dup_pairs(emb, tau=0.95, strategy="brute")
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    ivf = (
+        embedding_dup_pairs(emb, tau=0.95, strategy="ivf")
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    assert len(brute) > 100
+    assert brute[key].equals(ivf[key])
+    np.testing.assert_allclose(brute["cos"], ivf["cos"])
+
+
+def test_auto_strategy_gates_on_row_count(ray_session):
+    from kgray.ops.dedup import embedding_dup_pairs
+
+    emb = _clustered_embeddings(n_clusters=4, per_cluster=3)
+    # tiny input + auto -> brute (exact); force the gate the other way
+    auto = embedding_dup_pairs(emb, tau=0.95).to_pandas()
+    forced = embedding_dup_pairs(emb, tau=0.95, max_brute_rows=1).to_pandas()
+    assert set(map(tuple, auto[["u", "v"]].values)) == set(
+        map(tuple, forced[["u", "v"]].values)
+    )
+
+
+def test_minhash_auto_broadcast_paths_agree(ray_session):
+    """Auto-select and the forced bucket-join fallback give identical
+    pairs."""
+    from kgray.ops.dedup import minhash_dup_pairs
+
+    rs = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(0, 60, 2):
+        toks = [words[rs.randint(50)] for _ in range(30)]
+        near = list(toks)
+        near[0] = words[rs.randint(50)]
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+        docs.append({"doc_id": i + 1, "text": " ".join(near)})
+    ds = rd.from_items(docs)
+    key = ["u", "v"]
+    bc = (
+        minhash_dup_pairs(ds, tau=0.7, broadcast_texts=True)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    bj = (
+        minhash_dup_pairs(ds, tau=0.7, broadcast_texts=False)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    auto = (
+        minhash_dup_pairs(ds, tau=0.7)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    assert len(bc) > 10
+    assert bc.equals(bj)
+    assert bc.equals(auto)
