@@ -174,6 +174,90 @@ def assemble_spo(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch codec — numpy char-mark arrays with EXACTLY the same
+# write/decode semantics as the scalar functions above (fuzz-tested
+# against them).  Kills the per-char python work in the labeler hot path:
+# tag lists are never materialized as python strings; decode touches only
+# span *events*, not every character.
+# ---------------------------------------------------------------------------
+
+K_O, K_B, K_I, K_E, K_S = 0, 1, 2, 3, 4
+R_NONE, R_SUB, R_OBJ = 0, 1, 2
+_ROLE_NAME = {R_SUB: "SUB", R_OBJ: "OBJ"}
+_KIND_NAME = {K_B: "B", K_I: "I", K_E: "E", K_S: "S"}
+
+import numpy as np  # noqa: E402  (module-level, after the pure-python codec)
+
+
+def mark_span_np(kind: np.ndarray, role: np.ndarray, start: int, length: int,
+                 role_code: int, encoding_type: str = "bieso") -> None:
+    """_mark_span on int8 arrays: same shape rules, slice writes instead
+    of a per-char loop."""
+    if length == 1:
+        kind[start] = K_S if encoding_type == "bieso" else K_B
+        role[start] = role_code
+    elif length == 2:
+        kind[start] = K_B
+        kind[start + 1] = K_E
+        role[start : start + 2] = role_code
+    else:
+        kind[start] = K_B
+        kind[start + length - 1] = K_E
+        kind[start + 1 : start + length - 1] = K_I
+        role[start : start + length] = role_code
+
+
+def decode_marks(
+    kind: np.ndarray, role: np.ndarray, offsets: np.ndarray, texts: list[str]
+) -> list[tuple[list[str], list[str]]]:
+    """Vectorized ``decode_tags`` over a batch packed into one char-code
+    buffer (row r occupies [offsets[r], offsets[r+1])).
+
+    Semantics replicated exactly: S emits a singleton; each E pairs with
+    the LAST B before it, valid only if that B comes after the previous E
+    (a valid E consumes the start; reference predict.py:50-71) and after
+    the row start; dangling Es are skipped (documented divergence in
+    ``decode_tags``).  Cost scales with span EVENTS, not characters.
+    """
+    n_rows = len(texts)
+    out: list[tuple[list[str], list[str]]] = [([], []) for _ in range(n_rows)]
+    s_pos = np.nonzero(kind == K_S)[0]
+    b_pos = np.nonzero(kind == K_B)[0]
+    e_pos = np.nonzero(kind == K_E)[0]
+    if len(s_pos) == 0 and len(e_pos) == 0:
+        return out
+
+    row_of_e = np.searchsorted(offsets, e_pos, "right") - 1
+    if len(b_pos) and len(e_pos):
+        bidx = np.searchsorted(b_pos, e_pos) - 1
+        prev_e = np.concatenate([[-1], e_pos[:-1]])
+        thresh = np.maximum(prev_e, offsets[row_of_e] - 1)
+        has_b = bidx >= 0
+        b_at = np.where(has_b, b_pos[np.clip(bidx, 0, None)], -1)
+        valid = has_b & (b_at > thresh)
+    else:  # no B anywhere: every E dangles
+        b_at = np.full(len(e_pos), -1, np.int64)
+        valid = np.zeros(len(e_pos), bool)
+
+    # merge S singletons and valid (B..E) spans in position order per row
+    events: list[tuple[int, int, int, int]] = []  # (emit_pos, row, start, end)
+    row_of_s = np.searchsorted(offsets, s_pos, "right") - 1
+    for p, r in zip(s_pos.tolist(), row_of_s.tolist()):
+        events.append((p, r, p, p))
+    for e, r, b, ok in zip(
+        e_pos.tolist(), row_of_e.tolist(), b_at.tolist(), valid.tolist()
+    ):
+        if ok:
+            events.append((e, r, b, e))
+    events.sort()
+    for emit_pos, r, b, e in events:
+        base = offsets[r]
+        span = texts[r][b - base : e - base + 1]
+        (out[r][0] if role[emit_pos] == R_SUB else out[r][1]).append(span)
+    return out
+
+
 def normalize_entity(name: str) -> str:
     """Eval normal form: lower() then strip one enclosing 《》 pair
     (calc_pr.py:41-45 del_bookname composed with .lower())."""

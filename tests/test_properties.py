@@ -68,3 +68,51 @@ def test_normalizer_idempotent(e):
 def test_find_all_offsets_valid(text, sub):
     for i in find_all(sub, text):
         assert text[i:i + len(sub)].lower() == sub.lower()
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch codec == scalar codec (kgray/ops/label.py hot path)
+# ---------------------------------------------------------------------------
+
+pair_lists = st.lists(st.tuples(entities, entities), min_size=0, max_size=3)
+
+
+@given(st.lists(st.tuples(texts, pair_lists), min_size=1, max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_decode_marks_matches_scalar_codec(rows):
+    """The numpy char-mark write + event decode must reproduce the scalar
+    tags_for_pairs -> decode_tags chain bit-for-bit, including overlap
+    overwrites, sub==obj odd-occurrence splits and dangling-E skips."""
+    import numpy as np
+
+    from kgray.ops.tagging import (
+        R_OBJ,
+        R_SUB,
+        decode_marks,
+        mark_span_np,
+    )
+
+    texts_ = [t for t, _ in rows]
+    lens = np.fromiter((len(t) for t in texts_), np.int64, len(rows))
+    offsets = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    kind = np.zeros(offsets[-1], np.int8)
+    role = np.zeros(offsets[-1], np.int8)
+    for r, (text, pairs) in enumerate(rows):
+        base = int(offsets[r])
+        for sub, obj in pairs:
+            s_idx = find_all(sub, text)
+            o_idx = find_all(obj, text)
+            if sub == obj:
+                o_idx = [x for i, x in enumerate(s_idx) if i % 2 == 1]
+            for i in s_idx:
+                mark_span_np(kind, role, base + i, len(sub), R_SUB, "bieso")
+            for i in o_idx:
+                mark_span_np(kind, role, base + i, len(obj), R_OBJ, "bieso")
+    got = decode_marks(kind, role, offsets, texts_)
+
+    for (text, pairs), (subs, objs) in zip(rows, got):
+        tags = tags_for_pairs(text, pairs, "bieso")
+        want_subs, want_objs = decode_tags(tags, text)
+        assert subs == want_subs, (text, pairs, subs, want_subs)
+        assert objs == want_objs, (text, pairs, objs, want_objs)
