@@ -116,10 +116,15 @@ def _warmup(num_cpus: int):
 
     def warm(b):
         from kgray.ops.classify import CueClassifier
+        from kgray.ops.dedup import batch_signatures
         from kgray.ops.label import TemplateLabeler
+        from kgray.ops.linking import _hash_params
 
         CueClassifier()
         TemplateLabeler()
+        # touch the per-process signature buffer pages once (first-touch
+        # page faults on this VM run ~5 MB/s; steady-state workers are warm)
+        batch_signatures([{"a b c"}], _hash_params(64))
         return b
 
     n = num_cpus * 8

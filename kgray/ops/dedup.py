@@ -222,7 +222,6 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
     class DocBands:
         def __init__(self):
             self.params = _hash_params(num_hashes)
-            self.rows = num_hashes // bands
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), np.int64)
@@ -230,15 +229,10 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
             sigs = batch_signatures(
                 [word_shingles(t) for t in texts], self.params
             )  # (n_docs, num_hashes) — one vectorized pass, no per-doc loop
-            out_band = [
-                f"{b}:{zlib.crc32(sigs[d, b * self.rows:(b + 1) * self.rows].tobytes()):08x}"
-                for d in range(len(ids))
-                for b in range(bands)
-            ]
             out_doc = np.repeat(ids, bands)
             return pa.table(
                 {
-                    "band_key": pa.array(out_band, pa.string()),
+                    "band_key": pa.array(band_keys(sigs, bands)),
                     "doc": pa.array(out_doc),
                 }
             )
@@ -329,6 +323,25 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized LSH band keys: fold each band's signature rows into one
+    int64 (splitmix-style avalanche), band index in the top byte so bands
+    never collide.  Replaces the per-(doc, band) python f-string+crc loop
+    (was ~30us each -> the banding stage's top cost) and shuffles 8-byte
+    ints instead of 11-char strings."""
+    n, k = sigs.shape
+    rows = k // bands
+    s = sigs.reshape(n, bands, rows).astype(np.uint64)
+    h = np.full((n, bands), 0x9E3779B97F4A7C15, np.uint64)
+    for r in range(rows):
+        h = (h ^ s[:, :, r]) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(29)
+    h = (h & np.uint64(0x00FFFFFFFFFFFFFF)) | (
+        np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56)
+    )
+    return h.reshape(-1).view(np.int64)
+
+
 def _doc_signature(text: str, params: np.ndarray) -> np.ndarray:
     sh = word_shingles(text)
     if not sh:
@@ -343,7 +356,7 @@ _SIG_BUFFERS: dict = {}
 
 
 def batch_signatures(shingle_sets: list, params: np.ndarray,
-                     chunk_shingles: int = 16384) -> np.ndarray:
+                     chunk_shingles: int = 8192) -> np.ndarray:
     """MinHash signatures for a whole batch: flatten shingle hashes, apply
     the k universal hashes as matrix ops, per-doc min via
     ``np.minimum.reduceat`` — no per-doc python loop.

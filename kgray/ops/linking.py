@@ -129,20 +129,15 @@ class BandEmitter:
         self.rows = num_hashes // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from kgray.ops.dedup import batch_signatures
+        from kgray.ops.dedup import band_keys, batch_signatures
 
         keys = batch["mention_key"].to_pylist()
         names = [mk.split(_SEP, 1)[1] for mk in keys]
         sigs = batch_signatures([shingles(n) for n in names], self.params)
-        out_band = [
-            f"{b}:{zlib.crc32(sigs[i, b * self.rows:(b + 1) * self.rows].tobytes()):08x}"
-            for i in range(len(keys))
-            for b in range(self.bands)
-        ]
         out_key = np.repeat(np.asarray(keys, object), self.bands)
         return pa.table(
             {
-                "band_key": pa.array(out_band, pa.string()),
+                "band_key": pa.array(band_keys(sigs, self.bands)),
                 "mention_key": pa.array(out_key, pa.string()),
             }
         )
