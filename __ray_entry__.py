@@ -311,6 +311,35 @@ def _kg_eval_alias(sf_dir: str):
     )
 
 
+def _kg_eval_loc(sf_dir: str):
+    """Location-dict calc_pr eval (S3 loc dict + is_spo_correct loc
+    branch): golden objects expand one-directionally through a location
+    dict built from the corpus place pool."""
+    import pyarrow as pa
+
+    from kgray.corpus import _build_pools
+    from kgray.ops.evaluate import spo_prf1
+    from kgray.pipeline import PipelineConfig, extract_triples, golden_triples
+
+    pools = _build_pools()
+    # each place expands to a district-suffixed variant (the shape of the
+    # reference's location dictionary: city -> sub-locations)
+    loc = {p: [p + "东区", p + "西区"] for p in pools.get("地点", [])}
+    m = spo_prf1(
+        extract_triples(_kg_docs_ds(), PipelineConfig()),
+        golden_triples(_kg_sentences_ds()),
+        loc=loc,
+    )
+    return pa.table(
+        {
+            "precision": pa.array([round(m.precision, 4)]),
+            "recall": pa.array([round(m.recall, 4)]),
+            "f1": pa.array([round(m.f1, 4)]),
+            "tp": pa.array([m.tp]),
+        }
+    )
+
+
 def _media_features(sf_dir: str):
     from kgray.ops.media import extract_media_features, media_table_from_documents
 
@@ -364,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_features": _media_features,
             "media_frames": _media_frames,
             "kg_eval_alias": _kg_eval_alias,
+            "kg_eval_loc": _kg_eval_loc,
         }
     )
     return out

@@ -91,7 +91,8 @@ def _flag_batch(batch: pa.Table, flag: str) -> pa.Table:
     )
 
 
-def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF1:
+def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None,
+             loc: dict[str, list[str]] | None = None) -> PRF1:
     """Micro P/R/F1 of predicted vs golden triple Datasets.
 
     Both inputs need columns (doc_id, subject, predicate, object).  The
@@ -103,8 +104,8 @@ def spo_prf1(pred_ds, gold_ds, alias: dict[str, list[str]] | None = None) -> PRF
     """
     from kgray.util import grouped_map
 
-    if alias:
-        return _spo_prf1_alias(pred_ds, gold_ds, alias)
+    if alias or loc:
+        return _spo_prf1_alias(pred_ds, gold_ds, alias or {}, loc)
 
     pred_keys = pred_ds.map_batches(
         lambda b: _flag_batch(b, "is_pred"), batch_format="pyarrow"
@@ -200,27 +201,39 @@ def predicate_set_rates(pred_ds, gold_ds) -> pa.Table:
     )
 
 
-def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
-    """Alias-aware variant: each predicted triple expands across alias
-    surface forms of its subject/object (calc_pr.py:146-154) but counts at
-    most once.  Expanded rows carry the origin key ``okey``; after the keyed
-    match a second aggregate collapses per-origin."""
+def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]],
+                    loc: dict[str, list[str]] | None = None) -> PRF1:
+    """Alias/location-dict variant of calc_pr's is_spo_correct:
+
+    * each PREDICTED triple expands across alias surface forms of its
+      subject/object (calc_pr.py:146-154) but counts at most once —
+      expanded rows carry the origin key ``okey`` and a second aggregate
+      collapses per-origin;
+    * each GOLDEN object additionally expands one-directionally through
+      the location dict (calc_pr.py:155-161: a prediction with the same
+      s, p and any o in loc_dict[golden_o] is correct).  Loc-expanded
+      gold rows match predictions but do NOT count toward gold_n."""
     import ray
     from ray.data.aggregate import Max
 
+    loc = loc or {}
     alias_ref = ray.put({k.lower(): [a.lower() for a in v] for k, v in alias.items()})
+    loc_ref = ray.put({k.lower(): [a.lower() for a in v] for k, v in loc.items()})
 
     def expand(batch: pa.Table) -> pa.Table:
         amap = ray.get(alias_ref)
         df = _norm_frame(batch)
         okey = _key_of(df)
-        docs, keys, okeys = [], [], []
+        docs, keys, okeys, orig = [], [], [], []
         for (ok, t) in zip(okey, df.itertuples(index=False)):
             for s in [t.s, *amap.get(t.s, ())]:
                 for o in [t.o, *amap.get(t.o, ())]:
                     docs.append(t.doc_id)
                     keys.append(f"{t.doc_id}{_SEP}{s}{_SEP}{t.p}{_SEP}{o}")
                     okeys.append(ok)
+                    # the unexpanded form: the ONLY one the loc branch may
+                    # match (calc_pr.py:155-161 compares the raw s and o)
+                    orig.append(1 if (s == t.s and o == t.o) else 0)
         n = len(keys)
         return pa.table(
             {
@@ -228,19 +241,34 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
                 "key": pa.array(keys, pa.string()),
                 "okey": pa.array(okeys, pa.string()),
                 "is_gold": pa.array(np.zeros(n, np.int8)),
+                "is_orig": pa.array(np.asarray(orig, np.int8)),
             }
         )
 
     def gold_rows(batch: pa.Table) -> pa.Table:
+        lmap = ray.get(loc_ref)
         df = _norm_frame(batch)
         key = _key_of(df)
-        n = len(df)
+        docs = list(df["doc_id"])
+        keys = list(key)
+        orig = [1] * len(keys)
+        gold_kind = [1] * len(keys)  # 1 = real golden key
+        if lmap:
+            for t in df.itertuples(index=False):
+                for g_o in lmap.get(t.o, ()):
+                    docs.append(t.doc_id)
+                    keys.append(f"{t.doc_id}{_SEP}{t.s}{_SEP}{t.p}{_SEP}{g_o}")
+                    orig.append(0)  # excluded from gold_n
+                    gold_kind.append(2)  # 2 = loc-expanded: matches only
+                    #     the RAW predicted form (no alias composition)
+        n = len(keys)
         return pa.table(
             {
-                "doc_id": pa.array(df["doc_id"], pa.string()),
-                "key": pa.array(key, pa.string()),
+                "doc_id": pa.array(docs, pa.string()),
+                "key": pa.array(keys, pa.string()),
                 "okey": pa.array([""] * n, pa.string()),
-                "is_gold": pa.array(np.ones(n, np.int8)),
+                "is_gold": pa.array(np.asarray(gold_kind, np.int8)),
+                "is_orig": pa.array(np.asarray(orig, np.int8)),
             }
         )
 
@@ -254,9 +282,14 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
         dropped up front, matching calc_pr.py:199-207."""
         doc_has_gold = df.groupby("doc_id", sort=False)["is_gold"].transform("max") > 0
         df = df[doc_has_gold]
-        has_gold = df.groupby("key", sort=False)["is_gold"].max() > 0
-        preds = df.loc[df["okey"] != "", ["key", "okey"]].drop_duplicates()
-        hit = has_gold.reindex(preds["key"]).fillna(False).to_numpy()
+        full_keys = df.loc[df["is_gold"] == 1, "key"].unique()
+        loc_keys = df.loc[df["is_gold"] == 2, "key"].unique()
+        preds = df.loc[df["okey"] != "", ["key", "okey", "is_orig"]].drop_duplicates()
+        full_hit = preds["key"].isin(full_keys).to_numpy()
+        loc_hit = preds["key"].isin(loc_keys).to_numpy() & (
+            preds["is_orig"].to_numpy() == 1
+        )
+        hit = full_hit | loc_hit
         return pd.DataFrame(
             {
                 "okey": pd.array(preds["okey"].to_numpy(), dtype="string"),
@@ -273,5 +306,9 @@ def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]]) -> PRF1:
     )
     tp = int(matched.sum("hit") or 0)
     pred_n = matched.count()
-    gold_n = gold_keys.groupby("key").aggregate(Max("is_gold", alias_name="g")).count()
+    orig_gold = gold_keys.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["is_orig"], 1)),
+        batch_format="pyarrow",
+    )
+    gold_n = orig_gold.groupby("key").aggregate(Max("is_gold", alias_name="g")).count()
     return PRF1(tp=tp, pred_n=pred_n, gold_n=gold_n)

@@ -134,6 +134,49 @@ def test_eval_alias_expansion():
     assert m.tp == 1 and m.pred_n == 1 and m.gold_n == 1
 
 
+def test_eval_location_dict_expansion():
+    """calc_pr loc_dict branch: a prediction whose object is a location
+    alias of the GOLDEN object (same s, p) is correct; gold_n counts only
+    original golden triples."""
+    pred = rd.from_items(
+        [
+            {"doc_id": "d1", "subject": "甲", "predicate": "出生地",
+             "object": "北京市朝阳区"},
+            {"doc_id": "d1", "subject": "甲", "predicate": "出生地",
+             "object": "上海"},
+        ]
+    )
+    gold = rd.from_items(
+        [{"doc_id": "d1", "subject": "甲", "predicate": "出生地",
+          "object": "北京"}]
+    )
+    assert spo_prf1(pred, gold).tp == 0
+    m = spo_prf1(pred, gold, loc={"北京": ["北京市朝阳区", "北京市"]})
+    assert m.tp == 1 and m.pred_n == 2 and m.gold_n == 1
+    # loc expansion is one-directional (golden object only): a golden
+    # object that is an alias VALUE never expands
+    m2 = spo_prf1(pred, gold, loc={"上海": ["北京"]})
+    assert m2.tp == 0
+
+    # alias and loc do NOT compose: the reference's loc branch compares
+    # the RAW predicted s/o (calc_pr.py:155-161), so an alias-rewritten
+    # subject cannot combine with a loc-expanded object
+    pred2 = rd.from_items(
+        [{"doc_id": "d1", "subject": "甲某", "predicate": "出生地",
+          "object": "北京市朝阳区"}]
+    )
+    m3 = spo_prf1(
+        pred2, gold, alias={"甲某": ["甲"]}, loc={"北京": ["北京市朝阳区"]}
+    )
+    assert m3.tp == 0 and m3.pred_n == 1 and m3.gold_n == 1
+    # but the raw-subject form does take the loc branch alongside an
+    # (unused) alias dict
+    m4 = spo_prf1(
+        pred, gold, alias={"乙": ["丙"]}, loc={"北京": ["北京市朝阳区"]}
+    )
+    assert m4.tp == 1
+
+
 def test_span_invariant_through_pipeline():
     """The spans column (kind, text, media_ref, order) rides through
     flatten-keep and out again bit-exact (FIXTURES.md F1 invariant)."""
