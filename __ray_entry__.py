@@ -311,6 +311,13 @@ def _kg_eval_alias(sf_dir: str):
     )
 
 
+def _kg_span_f1(sf_dir: str):
+    """G7: span-level P/R/F1 of labeler tags vs golden training targets."""
+    from kgray.ops.evaluate import span_prf1
+
+    return span_prf1(_kg_sentences_ds())
+
+
 def _kg_eval_loc(sf_dir: str):
     """Location-dict calc_pr eval (S3 loc dict + is_spo_correct loc
     branch): golden objects expand one-directionally through a location
@@ -394,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_frames": _media_frames,
             "kg_eval_alias": _kg_eval_alias,
             "kg_eval_loc": _kg_eval_loc,
+            "kg_span_f1": _kg_span_f1,
         }
     )
     return out

@@ -201,6 +201,92 @@ def predicate_set_rates(pred_ds, gold_ds) -> pa.Table:
     )
 
 
+def tag_spans(tags: list[str]) -> set[tuple[str, int, int]]:
+    """(role, start, end) span set from a BIESO tag sequence — the span
+    extraction underlying fastNLP's SpanFPreRecMetric (the reference's
+    training metric, labeling/train.py:78).  Pairing rules mirror
+    decode_tags: S is a singleton, each E closes the last open B, a
+    dangling E is dropped."""
+    spans: set[tuple[str, int, int]] = set()
+    start: int | None = None
+    for i, lab in enumerate(tags):
+        if lab == "O":
+            continue
+        head = lab[0]
+        role = lab[2:]
+        if head == "S":
+            spans.add((role, i, i))
+        elif head == "B":
+            start = i
+        elif head == "E":
+            if start is not None:
+                spans.add((role, start, i))
+                start = None
+    return spans
+
+
+def span_prf1(sentences, labeler=None, encoding_type: str = "bieso") -> pa.Table:
+    """G7: span-level micro P/R/F1 of predicted vs golden tag sequences.
+
+    For every (sentence, golden schema) fan-out row: golden tags come
+    from the training-target builder (bieso_tags over spo_list), predicted
+    tags from the labeler; spans compare exactly on (role, start, end).
+    Per-batch partial sums -> three scalars -> one row (the fastNLP
+    SpanFPreRecMetric shape, computed as dataflow)."""
+    from kgray.ops.label import TemplateLabeler
+    from kgray.ops.tagging import bieso_tags
+    from kgray.schema import CONCAT_TO_ID
+
+    lab = labeler or TemplateLabeler(encoding_type)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        spo_lists = batch["spo_list"].to_pylist()
+        tp = pred_n = gold_n = 0
+        for text, spo_list in zip(texts, spo_lists):
+            spo_list = spo_list or []
+            concats = {
+                s["subject_type"] + s["predicate"] + s["object_type"]
+                for s in spo_list
+                if "subject" in s and "object" in s
+            }
+            for concat in concats:
+                sid = CONCAT_TO_ID.get(concat)
+                if sid is None:
+                    continue
+                gold = tag_spans(bieso_tags(concat, text, spo_list, encoding_type))
+                pred = tag_spans(lab.predict_tags(text, sid))
+                tp += len(gold & pred)
+                pred_n += len(pred)
+                gold_n += len(gold)
+        return pa.table(
+            {
+                "tp": pa.array([tp], pa.int64()),
+                "pred_n": pa.array([pred_n], pa.int64()),
+                "gold_n": pa.array([gold_n], pa.int64()),
+            }
+        )
+
+    sums = sentences.map_batches(partial, batch_format="pyarrow").sum(
+        ["tp", "pred_n", "gold_n"]
+    )
+    m = PRF1(
+        tp=sums["sum(tp)"] or 0,
+        pred_n=sums["sum(pred_n)"] or 0,
+        gold_n=sums["sum(gold_n)"] or 0,
+    )
+    return pa.table(
+        {
+            "span_precision": pa.array([round(m.precision, 4)]),
+            "span_recall": pa.array([round(m.recall, 4)]),
+            "span_f1": pa.array([round(m.f1, 4)]),
+            "tp": pa.array([m.tp], pa.int64()),
+            "pred_n": pa.array([m.pred_n], pa.int64()),
+            "gold_n": pa.array([m.gold_n], pa.int64()),
+        }
+    )
+
+
 def _spo_prf1_alias(pred_ds, gold_ds, alias: dict[str, list[str]],
                     loc: dict[str, list[str]] | None = None) -> PRF1:
     """Alias/location-dict variant of calc_pr's is_spo_correct:

@@ -243,3 +243,24 @@ def test_predicate_set_rates_perfect_on_corpus(ray_session):
     assert t["n_docs"] == 80
     assert t["exact_rate"] == 1.0
     assert t["subset_rate"] == 1.0 and t["superset_rate"] == 1.0
+
+
+def test_tag_spans_hand_worked():
+    from kgray.ops.evaluate import tag_spans
+
+    tags = ["B-SUB", "I-SUB", "E-SUB", "O", "S-OBJ", "B-OBJ", "E-OBJ"]
+    assert tag_spans(tags) == {("SUB", 0, 2), ("OBJ", 4, 4), ("OBJ", 5, 6)}
+    # dangling E dropped; B without E opens nothing
+    assert tag_spans(["E-SUB", "B-OBJ", "O"]) == set()
+    assert tag_spans([]) == set()
+
+
+def test_span_f1_on_corpus(ray_session):
+    """Template labeler tags vs golden training targets: high span
+    agreement on the planted corpus, counts consistent."""
+    from kgray.ops.evaluate import span_prf1
+
+    t = span_prf1(_sentences()).to_pylist()[0]
+    assert t["gold_n"] > 50
+    assert t["span_f1"] > 0.9
+    assert t["tp"] <= min(t["pred_n"], t["gold_n"])
