@@ -311,6 +311,20 @@ def _kg_eval_alias(sf_dir: str):
     )
 
 
+def _kg_random_spo_fill(sf_dir: str):
+    """M18: deterministic random-SPO filler over empty-prediction rows."""
+    from kgray.ops.featurize import fill_random_spo
+
+    return fill_random_spo(_kg_sentences_ds(), seed=7)
+
+
+def _kg_resegment(sf_dir: str):
+    """M6: dictionary re-segmentation (jieba-free FMM) stats per doc."""
+    from kgray.ops.segment import resegment_stats
+
+    return resegment_stats(_kg_sentences_ds())
+
+
 def _kg_span_f1(sf_dir: str):
     """G7: span-level P/R/F1 of labeler tags vs golden training targets."""
     from kgray.ops.evaluate import span_prf1
@@ -402,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_eval_alias": _kg_eval_alias,
             "kg_eval_loc": _kg_eval_loc,
             "kg_span_f1": _kg_span_f1,
+            "kg_resegment": _kg_resegment,
+            "kg_random_spo_fill": _kg_random_spo_fill,
         }
     )
     return out

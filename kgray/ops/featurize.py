@@ -346,3 +346,53 @@ def empty_field_counts(sentences) -> pa.Table:
             "total": pa.array([sums["sum(total)"]], pa.int64()),
         }
     )
+
+
+def fill_random_spo(sentences, seed: int = 0):
+    """M18 (legacy/explore/random_spo.py:18-41): rows whose spo_list is
+    EMPTY but whose postag is not get exactly one filler triple — a
+    random schema, subject and object each drawn from the row's postag
+    words.  The reference uses the global ``random`` module; here draws
+    are seeded per doc (crc32(doc_id) ^ seed) so the diagnostic is
+    deterministic and distributed-safe (no shared RNG state across
+    batches).  Emits (doc_id, subject, predicate, object, filled)."""
+    import zlib
+
+    from kgray.schema import SCHEMAS
+
+    def fill(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spo_lists = batch["spo_list"].to_pylist()
+        postags = batch["postag"].to_pylist()
+        out = {"doc_id": [], "subject": [], "predicate": [], "object": [],
+               "filled": []}
+        for doc_id, spo_list, postag in zip(doc_ids, spo_lists, postags):
+            if spo_list:
+                for s in spo_list:
+                    out["doc_id"].append(doc_id)
+                    out["subject"].append(s.get("subject", ""))
+                    out["predicate"].append(s.get("predicate", ""))
+                    out["object"].append(s.get("object", ""))
+                    out["filled"].append(False)
+            elif postag:
+                rng = np.random.RandomState(
+                    (zlib.crc32(str(doc_id).encode()) ^ seed) & 0x7FFFFFFF
+                )
+                schema = SCHEMAS[rng.randint(0, len(SCHEMAS))]
+                words = [p["word"] for p in postag]
+                out["doc_id"].append(doc_id)
+                out["subject"].append(words[rng.randint(0, len(words))])
+                out["predicate"].append(schema.predicate)
+                out["object"].append(words[rng.randint(0, len(words))])
+                out["filled"].append(True)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "subject": pa.array(out["subject"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "object": pa.array(out["object"], pa.string()),
+                "filled": pa.array(out["filled"], pa.bool_()),
+            }
+        )
+
+    return sentences.map_batches(fill, batch_format="pyarrow")
