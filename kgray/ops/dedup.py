@@ -423,24 +423,23 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     chunks (pigeonhole: hamming <= 3 implies one identical chunk), block
     on (chunk_idx, chunk_value), verify hamming distance in-block."""
-    from kgray.ops.text import simhash64
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        from kgray.ops.text import simhash64_batch
+
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
         texts = batch[text_col].to_pylist()
-        out_k, out_d, out_s = [], [], []
-        for i, t in zip(ids, texts):
-            h = simhash64(t.split(" "))
-            for c in range(4):
-                chunk = (h >> (16 * c)) & 0xFFFF
-                out_k.append(f"{c}:{chunk:04x}")
-                out_d.append(int(i))
-                out_s.append(h if h < (1 << 63) else h - (1 << 64))
+        hs = simhash64_batch([t.split(" ") for t in texts])  # (n,) uint64
+        # 4 pigeonhole chunks per doc, all vectorized: block id packs
+        # (chunk_idx, 16-bit chunk value) into one int64
+        cidx = np.arange(4, dtype=np.uint64)
+        chunks = (hs[:, None] >> (np.uint64(16) * cidx[None, :])) & np.uint64(0xFFFF)
+        block = (chunks | (cidx[None, :] << np.uint64(48))).reshape(-1)
         return pa.table(
             {
-                "block": pa.array(out_k, pa.string()),
-                "doc": pa.array(out_d, pa.int64()),
-                "sig": pa.array(out_s, pa.int64()),
+                "block": pa.array(block.view(np.int64)),
+                "doc": pa.array(np.repeat(ids, 4)),
+                "sig": pa.array(np.repeat(hs.view(np.int64), 4)),
             }
         )
 

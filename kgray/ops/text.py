@@ -50,15 +50,28 @@ def add_avg_token_len(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, ratio)
 
 
+_STOPWORD_SET = pa.array(sorted(_STOPWORDS), pa.string())
+
+
 def add_stopword_ratio(batch: pa.Table, text_col: str = "text",
                        out_col: str = "stop_ratio", digits: int = 4) -> pa.Table:
-    s = batch[text_col].to_pandas()
-    toks = s.str.split(" ")
-    raw = toks.map(
-        lambda ws: sum(w in _STOPWORDS for w in ws) / max(1, len(ws))
-    ).to_numpy(np.float64)
+    """Fully Arrow/numpy: split -> flat is_in kernel -> per-row sums via
+    cumsum differences on the list offsets (no per-row python lambda)."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_stop = pc.is_in(toks.flatten(), value_set=_STOPWORD_SET).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    cs = np.zeros(len(flat_stop) + 1, np.int64)
+    np.cumsum(flat_stop, out=cs[1:])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    hits = cs[ends] - cs[starts]
+    raw = hits / np.maximum(lens, 1)
     # half-away-from-zero (SQL ROUND), not python/numpy half-even
-    scale = 10.0 ** 4
+    scale = 10.0 ** digits
     ratio = np.floor(raw * scale + 0.5) / scale
     return batch.append_column(out_col, pa.array(ratio, pa.float64()))
 
@@ -86,11 +99,13 @@ _FP_OFFSET = np.uint64(14695981039346656037)
 
 
 def fingerprint64(s: str) -> int:
-    """FNV-1a rolling document fingerprint (declared, deterministic)."""
-    h = _FP_OFFSET
+    """FNV-1a rolling document fingerprint (declared, deterministic).
+    Inherently a sequential fold per doc; runs on plain python ints (a
+    numpy-scalar version was ~8x slower from per-byte uint64 boxing)."""
+    h = 14695981039346656037
     for b in s.encode():
-        h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
@@ -121,10 +136,44 @@ def simhash64(tokens: list[str]) -> int:
     return out
 
 
+def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """Vectorized SimHash for a whole batch: one flat crc pass over every
+    token, a single (tokens, 64) bit expansion, per-doc ±1 sums via
+    cumsum differences — replaces the per-token 64-wide numpy ops of the
+    scalar kernel (which dominated simhash wall time).  Bit-identical to
+    ``simhash64`` per row."""
+    import zlib
+
+    n = len(token_lists)
+    lens = np.fromiter((len(t) for t in token_lists), np.int64, n)
+    total = int(lens.sum())
+    out = np.zeros(n, np.uint64)
+    if total == 0:
+        return out
+    flat = [t for toks in token_lists for t in toks]
+    hv = np.fromiter(
+        (
+            (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+            for b in (t.encode() for t in flat)
+        ),
+        np.uint64,
+        total,
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    signed = 2 * bits - 1  # (total, 64) of ±1
+    cs = np.zeros((total + 1, 64), np.int64)
+    np.cumsum(signed, axis=0, out=cs[1:])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    acc = cs[ends] - cs[starts]  # (n, 64)
+    pos = (acc > 0).astype(np.uint64)
+    out = (pos << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text",
                 out_col: str = "simhash") -> pa.Table:
     s = batch[text_col].to_pylist()
-    hs = [simhash64(x.split(" ")) for x in s]
-    return batch.append_column(
-        out_col, pa.array(np.array(hs, np.uint64).astype(np.int64))
-    )
+    hs = simhash64_batch([x.split(" ") for x in s])
+    return batch.append_column(out_col, pa.array(hs.astype(np.int64)))
