@@ -99,6 +99,18 @@ def _kg_extract_crf(sf_dir: str):
     return extract_triples(_kg_docs_ds(), PipelineConfig(labeler_cls=CrfLabeler))
 
 
+def _kg_extract_cnn(sf_dir: str):
+    """A1: stage-1 scores from the numpy CNN forward pass (actor pool —
+    model tensors built once per actor), rest of the pipeline unchanged."""
+    from kgray.ops.models import NumpyCnnScorer
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        _kg_docs_ds(),
+        PipelineConfig(classifier_cls=NumpyCnnScorer, execution="actors"),
+    )
+
+
 def _kg_extract_ensemble(sf_dir: str):
     """A3: stage-1 scores from a weighted two-member ensemble
     (classification/ensemble.py:120-133 formula), rest of the pipeline
@@ -393,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_flatten": _kg_flatten,
             "kg_extract": _kg_extract,
             "kg_extract_crf": _kg_extract_crf,
+            "kg_extract_cnn": _kg_extract_cnn,
             "kg_extract_ensemble": _kg_extract_ensemble,
             "kg_extract_crf_ensemble": _kg_extract_crf_ensemble,
             "kg_golden": _kg_golden,

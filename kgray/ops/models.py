@@ -33,6 +33,139 @@ _MSG = (
 )
 
 
+class NumpyCnnScorer:
+    """A1 made real without torch: a numpy forward pass with the
+    reference CNN's architecture shape (char embedding -> parallel
+    1-D convs -> relu -> max-over-time pool -> fully-connected ->
+    sigmoid; /root/reference/classification/model.py:7-31).
+
+    Weights come from an ``.npz`` checkpoint when given, else from
+    ``cue_distilled_weights()`` — hand-constructed tensors that make the
+    SAME forward computation reproduce CueClassifier's cue detection
+    exactly (one-hot char embedding; one filter per schema whose kernel
+    equals its cue length with bias -(len-1), so relu(conv) max-pools to
+    1 iff the cue n-gram occurs; the fc layer is a scaled identity and
+    sigmoid saturates to {~0,~1}).  Dims differ from the trained
+    reference (embed 124 one-hot vs 128 learned; kernel sizes 2-7, one
+    filter each vs (3,4,5)x128) — the EXECUTION path (conv-as-matmul over
+    strided windows, pooling, fc, sigmoid) is the real one a trained
+    checkpoint would use.
+
+    Stateful-stage contract: tensors built once per actor in __init__;
+    __call__ appends the same ``scores`` column CueClassifier does, so
+    threshold_and_fallback/fanout compose unchanged.
+    """
+
+    def __init__(self, checkpoint_path: str | None = None,
+                 text_col: str = "text"):
+        import numpy as np
+
+        self.text_col = text_col
+        if checkpoint_path is not None:
+            ckpt = np.load(checkpoint_path, allow_pickle=True)
+            # chars[i] has char id i+1 (0 is the pad/unk slot)
+            self.char2id = {c: i + 1 for i, c in enumerate(ckpt["chars"].tolist())}
+            self.embed = ckpt["embed"]
+            self.kernels = {}
+            for key in ckpt.files:
+                if key.startswith("conv_w_"):
+                    k = int(key.split("_")[-1])
+                    self.kernels[k] = (ckpt[f"conv_w_{k}"], ckpt[f"conv_b_{k}"],
+                                      ckpt[f"conv_map_{k}"])
+            self.fc_w = ckpt["fc_w"]
+            self.fc_b = ckpt["fc_b"]
+        else:
+            (self.char2id, self.embed, self.kernels, self.fc_w,
+             self.fc_b) = cue_distilled_weights()
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        arrays = {
+            # index i holds the char with id i+1 (0 is pad/unk)
+            "chars": np.asarray(
+                [c for c, _ in sorted(self.char2id.items(), key=lambda x: x[1])],
+                object,
+            ),
+            "embed": self.embed, "fc_w": self.fc_w, "fc_b": self.fc_b,
+        }
+        for k, (w, b, m) in self.kernels.items():
+            arrays[f"conv_w_{k}"] = w
+            arrays[f"conv_b_{k}"] = b
+            arrays[f"conv_map_{k}"] = m
+        np.savez(path, **arrays)
+
+    def forward(self, texts: list[str]):
+        """embed -> convs (matmul over strided windows) -> relu ->
+        max-over-time pool -> fc -> sigmoid.  Returns (n, 50) float32."""
+        import numpy as np
+
+        n = len(texts)
+        L = max(max((len(t) for t in texts), default=1), max(self.kernels))
+        ids = np.zeros((n, L), np.int64)  # 0 = pad/unk
+        for i, t in enumerate(texts):
+            ids[i, : len(t)] = [self.char2id.get(c, 0) for c in t]
+        X = self.embed[ids]  # (n, L, D) embedding lookup
+        D = X.shape[2]
+        n_filters = self.fc_w.shape[1]
+        feats = np.zeros((n, n_filters), np.float64)
+        for k in sorted(self.kernels):
+            w, b, fmap = self.kernels[k]  # w: (F, k*D), b: (F,), fmap: (F,)
+            win = np.lib.stride_tricks.sliding_window_view(X, (k, D), axis=(1, 2))
+            win = win.reshape(n, L - k + 1, k * D)
+            conv = win @ w.T + b[None, None, :]  # (n, L-k+1, F)
+            act = np.maximum(conv, 0.0)  # relu
+            feats[:, fmap] = act.max(axis=1)  # max-over-time pool
+        logits = feats @ self.fc_w.T + self.fc_b
+        return (1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from kgray.ops.classify import SCORES_COL
+
+        texts = batch[self.text_col].to_pylist()
+        mat = self.forward(texts)
+        scores = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float32()), mat.shape[1]
+        )
+        return batch.append_column(SCORES_COL, scores)
+
+
+def cue_distilled_weights():
+    """Hand-constructed CNN tensors reproducing cue detection: one-hot
+    char embedding; per schema one conv filter of kernel = len(cue) whose
+    weights are the cue chars' one-hot rows and bias -(len-1) (window
+    response = #matching chars - (len-1): exactly 1 on a full match, <= 0
+    otherwise, so relu+maxpool yields the cue indicator); fc = 100*I - 50
+    saturates the sigmoid to ~{0, 1}."""
+    import numpy as np
+
+    from kgray.schema import NUM_SCHEMAS
+    from kgray.templates import CUES
+
+    chars = sorted({c for i in range(NUM_SCHEMAS) for c in CUES[i]})
+    char2id = {c: i + 1 for i, c in enumerate(chars)}  # 0 = pad/unk
+    D = len(chars) + 1
+    embed = np.zeros((D, D), np.float64)
+    embed[1:, 1:] = np.eye(D - 1)  # pad/unk embeds to the zero vector
+
+    by_len: dict[int, list[int]] = {}
+    for sid in range(NUM_SCHEMAS):
+        by_len.setdefault(len(CUES[sid]), []).append(sid)
+    kernels = {}
+    for k, sids in by_len.items():
+        w = np.zeros((len(sids), k * D), np.float64)
+        for f, sid in enumerate(sids):
+            for j, c in enumerate(CUES[sid]):
+                w[f, j * D + char2id[c]] = 1.0
+        b = np.full(len(sids), -(k - 1), np.float64)
+        kernels[k] = (w, b, np.asarray(sids, np.int64))
+    fc_w = 100.0 * np.eye(NUM_SCHEMAS)
+    fc_b = np.full(NUM_SCHEMAS, -50.0)
+    return char2id, embed, kernels, fc_w, fc_b
+
+
 class CnnPredicateScorer:
     """Stage-1 slot: text batch -> + scores list<float32>[50].
 

@@ -1,0 +1,59 @@
+"""Numpy CNN scorer (A1): real conv/pool/fc/sigmoid execution with
+cue-distilled weights equals CueClassifier; checkpoints round-trip."""
+
+import numpy as np
+import pyarrow as pa
+
+from kgray.corpus import doc_ids_for_range, sentences_table
+from kgray.ops.classify import SCORES_COL, CueClassifier
+from kgray.ops.models import NumpyCnnScorer
+from kgray.schema import NUM_SCHEMAS
+
+
+def _mat(tbl):
+    col = tbl[SCORES_COL]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(tbl), NUM_SCHEMAS)
+
+
+def _batch(n=60):
+    t = sentences_table(doc_ids_for_range(0, n), seed=42)
+    return pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+
+
+def test_cnn_forward_matches_cue_detection():
+    b = _batch()
+    cue = _mat(CueClassifier()(b))
+    cnn = _mat(NumpyCnnScorer()(b))
+    # sigmoid saturates to ~{0,1}; thresholded at 0.5 it IS cue detection
+    assert np.array_equal((cnn >= 0.5).astype(np.float32), cue)
+    assert float(np.minimum(cnn, 1 - cnn).max()) < 1e-9
+
+
+def test_cnn_checkpoint_round_trip(tmp_path):
+    b = _batch(20)
+    s = NumpyCnnScorer()
+    path = str(tmp_path / "cnn.npz")
+    s.save(path)
+    loaded = NumpyCnnScorer(checkpoint_path=path)
+    np.testing.assert_array_equal(_mat(s(b)), _mat(loaded(b)))
+
+
+def test_cnn_conv_is_positional():
+    """The conv really slides: a cue split across the text matches only
+    when contiguous."""
+    from kgray.templates import CUES
+
+    cue = CUES[0]
+    hit = pa.table({"doc_id": ["a"], "text": [f"xx{cue}yy"]})
+    split = pa.table({"doc_id": ["a"], "text": [cue[0] + "x" + cue[1:]]})
+    s = NumpyCnnScorer()
+    assert _mat(s(hit))[0, 0] > 0.5
+    assert _mat(s(split))[0, 0] < 0.5
+
+
+def test_cnn_empty_and_short_texts():
+    b = pa.table({"doc_id": ["a", "b"], "text": ["", "x"]})
+    m = _mat(NumpyCnnScorer()(b))
+    assert (m < 0.5).all()
