@@ -323,6 +323,39 @@ def _kg_eval_alias(sf_dir: str):
     )
 
 
+def _kg_wordpiece_bio(sf_dir: str):
+    """M9: WordPiece BIO training rows (one per sentence x predicate),
+    tokenizer vocab = corpus chars (CJK chars tokenize 1:1; the ##-piece
+    path is covered by the unit suite's latin vocab)."""
+    from kgray.ops.featurize import build_vocab
+    from kgray.ops.wordpiece import SPECIALS, wordpiece_bio_rows
+
+    import pyarrow as pa
+
+    ds = _kg_sentences_ds()
+    chars = build_vocab(ds, "char")
+    vocab = {t: i for i, t in enumerate(SPECIALS)}
+    for c in chars:
+        vocab.setdefault(c, len(vocab))
+    rows = wordpiece_bio_rows(ds, vocab)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        labels = batch["labels"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "predicate": batch["predicate"],
+                "n_tokens": pa.array([len(ls) for ls in labels], pa.int64()),
+                "n_spans": pa.array(
+                    [sum(1 for l in ls if l.startswith("B-")) for ls in labels],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return rows.map_batches(stats, batch_format="pyarrow")
+
+
 def _kg_random_spo_fill(sf_dir: str):
     """M18: deterministic random-SPO filler over empty-prediction rows."""
     from kgray.ops.featurize import fill_random_spo
@@ -431,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_span_f1": _kg_span_f1,
             "kg_resegment": _kg_resegment,
             "kg_random_spo_fill": _kg_random_spo_fill,
+            "kg_wordpiece_bio": _kg_wordpiece_bio,
         }
     )
     return out

@@ -182,6 +182,101 @@ class WordPieceTokenizer:
         )
 
 
+WORDPIECE_MARK = "[##WordPiece]"
+
+
+def bio_label_rows(
+    text: str, spo_list: list[dict], tokenizer: "WordPieceTokenizer"
+) -> list[tuple[str, list[str], list[str]]]:
+    """M9: WordPiece BIO training rows, one per (sentence, predicate)
+    group — exact semantics of the legacy generator
+    (/root/reference/legacy/labeling/bert/bin/subject_object_labeling/
+    sequence_labeling_data_manager.py:32-98):
+
+    * spo_list grouped by predicate; each group gets its own O-initialized
+      label list over the tokenized text;
+    * each subject/object is tokenized and located as a token SUBLIST at
+      its FIRST occurrence only; B-SUB/B-OBJ at the start, I-* for the
+      rest;
+    * entities whose token sequence does not occur (the reference's
+      "##"-prefix tokener error) poison the whole predicate group — the
+      row is skipped, matching the reference's error-log-and-drop;
+    * AFTER span marking, every "##"-continuation token's label is
+      overwritten with the special ``[##WordPiece]`` mark.
+    """
+    toks = tokenizer.tokenize(text)
+    by_pred: dict[str, list[tuple[str, str]]] = {}
+    for spo in spo_list or []:
+        if "subject" not in spo or "object" not in spo:
+            continue
+        by_pred.setdefault(spo["predicate"], []).append(
+            (spo["subject"], spo["object"])
+        )
+
+    def find_sub(needle: list[str]) -> int | None:
+        n, k = len(toks), len(needle)
+        for i in range(n - k + 1):
+            if toks[i : i + k] == needle:
+                return i
+        return None
+
+    out = []
+    for predicate, pairs in by_pred.items():
+        labels = ["O"] * len(toks)
+        error = False
+        for sub, obj in pairs:
+            for entity, role in ((sub, "SUB"), (obj, "OBJ")):
+                ent_toks = tokenizer.tokenize(entity)
+                idx = find_sub(ent_toks) if ent_toks else None
+                if idx is None:
+                    error = True
+                    continue
+                labels[idx] = f"B-{role}"
+                for j in range(idx + 1, idx + len(ent_toks)):
+                    labels[j] = f"I-{role}"
+        if error:
+            continue
+        row_labels = [
+            WORDPIECE_MARK if t.startswith("##") else lab
+            for t, lab in zip(toks, labels)
+        ]
+        out.append((predicate, toks, row_labels))
+    return out
+
+
+def wordpiece_bio_rows(sentences, vocab: dict[str, int] | None = None,
+                       max_seq_length: int = 128):
+    """Dataset surface for M9: (doc_id, text, spo_list) -> one row per
+    (doc, predicate) with token and BIO-label lists.  The tokenizer vocab
+    is built once per task/actor."""
+
+    class Gen:
+        def __init__(self):
+            self.tok = WordPieceTokenizer(vocab, max_seq_length)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            spos = batch["spo_list"].to_pylist()
+            out = {"doc_id": [], "predicate": [], "tokens": [], "labels": []}
+            for d, t, s in zip(doc_ids, texts, spos):
+                for pred, toks, labels in bio_label_rows(t, s or [], self.tok):
+                    out["doc_id"].append(d)
+                    out["predicate"].append(pred)
+                    out["tokens"].append(toks)
+                    out["labels"].append(labels)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], pa.string()),
+                    "predicate": pa.array(out["predicate"], pa.string()),
+                    "tokens": pa.array(out["tokens"], pa.list_(pa.string())),
+                    "labels": pa.array(out["labels"], pa.list_(pa.string())),
+                }
+            )
+
+    return sentences.map_batches(Gen(), batch_format="pyarrow")
+
+
 def corpus_vocab() -> dict[str, int]:
     """Deterministic vocab over the testdata documents corpus (31 fixed
     words): 16 whole words, 14 words that split into exactly two pieces,

@@ -85,3 +85,80 @@ def test_batch_call_appends_feature_columns():
     assert all(len(r) == 12 for r in ids)
     unk_id = corpus_vocab()[UNK]
     assert ids[1][1] == unk_id and ids[1][2] == unk_id
+
+
+# ---------------------------------------------------------------------------
+# M9: WordPiece BIO rows (legacy sequence_labeling_data_manager semantics)
+# ---------------------------------------------------------------------------
+
+def _bio_tok():
+    vocab = {t: i for i, t in enumerate(
+        SPECIALS + ["un", "##aff", "##able", "x", "y", "甲", "乙", "丙", "的"]
+    )}
+    return WordPieceTokenizer(vocab)
+
+
+def test_bio_rows_basic_grouping_and_marks():
+    from kgray.ops.wordpiece import WORDPIECE_MARK, bio_label_rows
+
+    tok = _bio_tok()
+    rows = bio_label_rows(
+        "甲的乙 unaffable",
+        [
+            {"subject": "甲", "predicate": "p1", "object": "乙"},
+            {"subject": "乙", "predicate": "p2", "object": "unaffable"},
+        ],
+        tok,
+    )
+    got = {pred: (toks, labels) for pred, toks, labels in rows}
+    assert set(got) == {"p1", "p2"}
+    toks, labels = got["p1"]
+    assert toks == ["甲", "的", "乙", "un", "##aff", "##able"]
+    # ## continuation tokens are overwritten AFTER span marking
+    assert labels == ["B-SUB", "O", "B-OBJ", "O", WORDPIECE_MARK, WORDPIECE_MARK]
+    _, labels2 = got["p2"]
+    assert labels2 == ["O", "O", "B-SUB", "B-OBJ", WORDPIECE_MARK, WORDPIECE_MARK]
+
+
+def test_bio_rows_first_occurrence_only():
+    from kgray.ops.wordpiece import bio_label_rows
+
+    tok = _bio_tok()
+    [(_, toks, labels)] = bio_label_rows(
+        "甲乙甲", [{"subject": "甲", "predicate": "p", "object": "乙"}], tok
+    )
+    assert labels == ["B-SUB", "B-OBJ", "O"]  # only the FIRST 甲 marked
+
+
+def test_bio_rows_tokener_error_drops_group():
+    from kgray.ops.wordpiece import bio_label_rows
+
+    tok = _bio_tok()
+    # entity 丙 does not occur in the text -> whole predicate group dropped
+    rows = bio_label_rows(
+        "甲的乙",
+        [
+            {"subject": "甲", "predicate": "p1", "object": "丙"},
+            {"subject": "甲", "predicate": "p2", "object": "乙"},
+        ],
+        tok,
+    )
+    assert [r[0] for r in rows] == ["p2"]
+
+
+def test_wordpiece_bio_rows_dataset(ray_session):
+    import ray.data as rd
+
+    from kgray.corpus import doc_ids_for_range, sentences_table
+    from kgray.ops.featurize import build_vocab
+    from kgray.ops.wordpiece import wordpiece_bio_rows
+
+    ds = rd.from_arrow(sentences_table(doc_ids_for_range(0, 30), seed=42))
+    chars = build_vocab(ds, "char")
+    vocab = {t: i for i, t in enumerate(SPECIALS)}
+    for c in chars:
+        vocab.setdefault(c, len(vocab))
+    out = wordpiece_bio_rows(ds, vocab).to_pandas()
+    assert len(out) > 20
+    assert (out["tokens"].map(len) == out["labels"].map(len)).all()
+    assert out["labels"].map(lambda ls: any(l.startswith("B-") for l in ls)).all()
