@@ -262,6 +262,71 @@ def broadcast_join(
     return left.map_batches(apply, batch_format="pyarrow")
 
 
+def semi_join(left, right, on: str, right_on: str | None = None,
+              anti: bool = False, max_broadcast_bytes: int = 1 << 31):
+    """Semi (EXISTS) / anti (NOT EXISTS) join of ``left`` against the key
+    set of ``right``.
+
+    The right side reduces to its DISTINCT key column first (per-batch
+    combiner -> one small groupby), so what broadcasts is a key set, not
+    rows.  Under ``max_broadcast_bytes`` (estimated) the set ships via the
+    object store and the filter runs inside map_batches with no shuffle —
+    the right plan for dimension-sized key sets at any scale.  Above it,
+    fall back to a bucket cogroup: both sides shuffle ONCE on the key
+    hash and the membership test runs per bucket.
+    """
+    right_on = right_on or on
+    keys_ds = right.map_batches(
+        lambda b: pa.table({"__k": pc_unique(b[right_on])}),
+        batch_format="pyarrow",
+    )
+    est = right.size_bytes()
+    if est is not None and est <= max_broadcast_bytes:
+        import ray
+
+        parts = [ray.get(r) for r in keys_ds.to_arrow_refs()]
+        parts = [p for p in parts if p.num_rows]
+        keys = set()
+        for p in parts:
+            keys.update(p["__k"].to_pylist())
+        return semi_join_filter(left, keys, on, keep=not anti)
+
+    # big-big: one bucket-cogroup left join against (distinct key, marker)
+    # rows, then keep/drop on marker presence — reuses bucket_join's
+    # typed-null widening so no schema drift
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    # per-batch unique is not globally unique: distinct first, or the
+    # left join would duplicate left rows per surviving key copy
+    distinct = keys_ds.groupby("__k").aggregate(Count(alias_name="__c"))
+    marker = distinct.map_batches(
+        lambda b: pa.table(
+            {
+                on: b["__k"],
+                "_exists": pa.array(np.ones(len(b), np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(left, marker, on=on, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        present = pc.is_valid(batch["_exists"])
+        mask = present if not anti else pc.invert(present)
+        return batch.filter(mask).drop_columns(["_exists"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def pc_unique(col):
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.unique(col)
+
+
 def semi_join_filter(ds, keys: set, key_col: str, keep: bool = True):
     """Semi/anti join against a broadcast key set (SURVEY.md guide
     pattern): filter inside map_batches, no shuffle."""

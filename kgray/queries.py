@@ -834,6 +834,156 @@ FROM w JOIN m USING (word) GROUP BY doc_id
 """
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no big order (> 300k), per
+    segment.  Right side filters at the read, then reduces to distinct
+    custkeys before broadcasting."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from kgray.ops.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 300000,
+    )
+    lonely = semi_join(cust, big, on="c_custkey", right_on="o_custkey",
+                       anti=True)
+    return lonely.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_parts_in_lineitem(sf_dir: str):
+    """Semi-join (EXISTS): parts that actually ship, counted per type."""
+    from ray.data.aggregate import Count
+
+    from kgray.ops.joins import semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    used = semi_join(part, li, on="p_partkey", right_on="l_partkey")
+    return used.groupby("p_type").aggregate(Count(alias_name="n"))
+
+
+SQL_PARTS_IN_LINEITEM = """
+SELECT p_type, COUNT(*) AS n FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_type
+"""
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape: filtered revenue — predicate pushdown into the
+    parquet read, then one global sum."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.sum(
+            pc.multiply(batch["l_extendedprice"], batch["l_discount"])
+        ).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("rev") or 0.0
+    from kgray.util import round_half_up
+
+    return pa.table(
+        {"revenue": pa.array([float(round_half_up(total, 2))], pa.float64())}
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_events_daily_users(sf_dir: str):
+    """Distinct users per day: per-batch (day,user) dedup combiner, then
+    one day-bucketed cogroup nunique."""
+    from kgray.util import grouped_map
+
+    def days(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {
+                "day": pc.strftime(batch["ts"], "%Y-%m-%d"),
+                "user_id": batch["user_id"],
+            }
+        ).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def nunique(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("day", sort=False)["user_id"].nunique()
+        return g.reset_index(name="n_users")
+
+    return grouped_map(
+        _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            days, batch_format="pyarrow"
+        ),
+        "day", nunique,
+    )
+
+
+SQL_EVENTS_DAILY_USERS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY day
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Composite quality score (length saturation x non-stopword mass) —
+    the 'quality scoring' op as one vectorized kernel chain."""
+    from kgray.ops.text import add_stopword_ratio
+    from kgray.util import round_half_up
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = add_stopword_ratio(batch)
+        n_chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        stop = t["stop_ratio"].to_numpy(zero_copy_only=False)
+        q = np.minimum(n_chars / 400.0, 1.0) * (1.0 - stop)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(round_half_up(q, 4), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_QUALITY = """
+SELECT doc_id,
+       ROUND(LEAST(length(text) / 400.0, 1.0) *
+             (1 - ROUND(CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE) /
+                 len(string_split(text, ' ')), 4)), 4) AS quality
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -874,4 +1024,9 @@ CATALOG: dict[str, tuple] = {
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "orders_1995": (q_orders_1995, SQL_ORDERS_1995),
     "wordpiece_stats": (q_wordpiece_stats, SQL_WORDPIECE_STATS),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "parts_in_lineitem": (q_parts_in_lineitem, SQL_PARTS_IN_LINEITEM),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "events_daily_users": (q_events_daily_users, SQL_EVENTS_DAILY_USERS),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
 }

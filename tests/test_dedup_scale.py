@@ -86,3 +86,29 @@ def test_minhash_auto_broadcast_paths_agree(ray_session):
     assert len(bc) > 10
     assert bc.equals(bj)
     assert bc.equals(auto)
+
+
+def test_semi_join_broadcast_and_bucket_paths_agree(ray_session):
+    from kgray.ops.joins import semi_join
+
+    left = rd.from_items(
+        [{"k": i, "val": f"v{i}"} for i in range(40)]
+    )
+    right = rd.from_items([{"rk": i} for i in list(range(0, 40, 3)) * 2])
+
+    for anti in (False, True):
+        bc = (
+            semi_join(left, right, on="k", right_on="rk", anti=anti)
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        bk = (
+            semi_join(left, right, on="k", right_on="rk", anti=anti,
+                      max_broadcast_bytes=0)
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        want = sorted(
+            i for i in range(40) if (i % 3 == 0) != anti
+        )
+        assert bc["k"].tolist() == want
+        assert bk["k"].tolist() == want
+        assert bc[["k", "val"]].equals(bk[["k", "val"]])
