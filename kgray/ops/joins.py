@@ -343,3 +343,88 @@ def semi_join_filter(ds, keys: set, key_col: str, keep: bool = True):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def asof_join(left, right, key: str, time_col: str,
+              right_time_col: str | None = None, suffix: str = "_r",
+              allow_exact: bool = True):
+    """As-of join (the brief's canonical missing-from-Ray-Data operator):
+    for every left row, attach the LATEST right row of the same ``key``
+    with right time <= left time (backward direction).
+
+    Dataflow: both sides cogroup ONCE on hash(key) (all rows of a key
+    colocate), and inside each bucket a single ``pandas.merge_asof(...,
+    by=key)`` performs the per-key backward search fully vectorized —
+    no per-key python.  Left rows with no prior right row carry nulls
+    (left-outer semantics; filter on the matched column for inner).
+    Partitioning assumption: one key's rows fit a bucket (same rule as
+    every keyed cogroup here); skewed keys need salting by time range.
+    """
+    import pandas as pd
+
+    from kgray.util import grouped_map
+
+    rt = right_time_col or time_col
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+    clash = (set(left_cols) & set(right_cols)) - {key}
+    ren = {c: c + suffix for c in clash}
+    r_time_out = ren.get(rt, rt)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return b.append_column("__side", pa.array(np.zeros(len(b), np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        b = b.rename_columns([ren.get(c, c) for c in b.column_names])
+        return b.append_column("__side", pa.array(np.ones(len(b), np.int8)))
+
+    l_names = [*left_cols, "__side"]
+    r_names = [*(ren.get(c, c) for c in right_cols), "__side"]
+    all_names = list(dict.fromkeys([*l_names, *r_names]))
+
+    l_schema, r_schema = left.schema(), right.schema()
+    col_types: dict = {}
+    for n, t in zip(l_schema.names, l_schema.types):
+        col_types[n] = t if isinstance(t, pa.DataType) else pa.string()
+    for n, t in zip(r_schema.names, r_schema.types):
+        col_types[ren.get(n, n)] = t if isinstance(t, pa.DataType) else pa.string()
+
+    def widen(present):
+        missing = [c for c in all_names if c not in present]
+
+        def apply(b: pa.Table) -> pa.Table:
+            for c in missing:
+                b = b.append_column(
+                    c, pa.nulls(len(b), col_types.get(c, pa.string()))
+                )
+            return b.select(all_names)
+
+        return apply
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        widen(l_names), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow").map_batches(
+            widen(r_names), batch_format="pyarrow"
+        )
+    )
+
+    l_data = [c for c in l_names if c != "__side"]
+    r_data = [c for c in r_names if c != "__side"]
+
+    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df.loc[df["__side"] == 0, l_data].sort_values(time_col)
+        rp = df.loc[df["__side"] == 1, r_data].sort_values(r_time_out)
+        if len(rp) == 0:
+            out = lp.copy()
+            for c in r_data:
+                if c != key:
+                    out[c] = pd.Series([None] * len(out), dtype=rp[c].dtype
+                                       if c in rp else object)
+            return out
+        return pd.merge_asof(
+            lp, rp, left_on=time_col, right_on=r_time_out, by=key,
+            direction="backward", allow_exact_matches=allow_exact,
+        )
+
+    return grouped_map(both, key, bucket_asof)

@@ -984,6 +984,91 @@ FROM documents
 """
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each click matched to the user's latest prior-or-equal
+    view; per-user match count + mean gap.  Tie-insensitive output (the
+    gap depends only on the matched timestamp)."""
+    from ray.data.aggregate import Count
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import asof_join
+
+    def side(event_type, time_name):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], event_type))
+            return pa.table({"user_id": t["user_id"], time_name: t["ts"]})
+
+        return f
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    clicks = ev.map_batches(side("click", "ts"), batch_format="pyarrow")
+    views = ev.map_batches(side("view", "vts"), batch_format="pyarrow")
+    joined = asof_join(clicks, views, key="user_id", time_col="ts",
+                       right_time_col="vts")
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["vts"].notna()]
+        gap = (df["ts"] - df["vts"]).dt.total_seconds()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"user_id": df["user_id"], "gap": gap}),
+            preserve_index=False,
+        )
+
+    agg = pre_aggregate(
+        joined.map_batches(gaps, batch_format="pyarrow"),
+        ["user_id"],
+        {"n_matched": (None, "count"), "avg_gap_s": ("gap", "mean")},
+    )
+    return _round_col(agg, "avg_gap_s", 2)
+
+
+SQL_EVENTS_ASOF = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+SELECT user_id, COUNT(*) AS n_matched,
+       ROUND(AVG(epoch(ts) - epoch(vts)), 2) AS avg_gap_s
+FROM (SELECT c.user_id, c.ts, v.vts
+      FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.vts)
+GROUP BY user_id
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: 3-hour moving event count per hour.
+    The hourly pre-aggregate is tiny (one row per hour), so the window
+    pass runs on the collected aggregate — the scale-correct shape for
+    low-cardinality windows."""
+    from kgray.ops.agg import pre_aggregate
+
+    def hour(batch: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.strftime(batch["ts"], "%Y-%m-%d %H:00")})
+
+    hourly = pre_aggregate(
+        _read(sf_dir, "events", ["ts"]).map_batches(hour, batch_format="pyarrow"),
+        ["hour"], {"n": (None, "count")},
+    ).to_pandas().sort_values("hour", ignore_index=True)
+    moving = hourly["n"].rolling(window=3, min_periods=1).sum().astype("int64")
+    return pa.table(
+        {
+            "hour": pa.array(hourly["hour"], pa.string()),
+            "n": pa.array(hourly["n"].astype("int64")),
+            "n_3h": pa.array(moving),
+        }
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, COUNT(*) AS n
+  FROM events GROUP BY hour)
+SELECT hour, n,
+       CAST(SUM(n) OVER (ORDER BY hour
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
+FROM hourly
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1029,4 +1114,6 @@ CATALOG: dict[str, tuple] = {
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "events_daily_users": (q_events_daily_users, SQL_EVENTS_DAILY_USERS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
 }

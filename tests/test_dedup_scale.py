@@ -112,3 +112,34 @@ def test_semi_join_broadcast_and_bucket_paths_agree(ray_session):
         assert bc["k"].tolist() == want
         assert bk["k"].tolist() == want
         assert bc[["k", "val"]].equals(bk[["k", "val"]])
+
+
+def test_asof_join_backward_semantics(ray_session):
+    import pandas as pd
+
+    from kgray.ops.joins import asof_join
+
+    left = rd.from_items(
+        [
+            {"k": 1, "t": 10, "lv": "a"},
+            {"k": 1, "t": 20, "lv": "b"},
+            {"k": 1, "t": 5, "lv": "c"},   # before any right row
+            {"k": 2, "t": 10, "lv": "d"},  # key with no right rows
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": 1, "t": 8, "rv": "r8"},
+            {"k": 1, "t": 10, "rv": "r10"},
+            {"k": 1, "t": 15, "rv": "r15"},
+        ]
+    )
+    out = (
+        asof_join(left, right, key="k", time_col="t")
+        .to_pandas().sort_values(["k", "t"], ignore_index=True)
+    )
+    got = {(r["k"], r["t"]): r["rv"] for _, r in out.iterrows()}
+    assert got[(1, 10)] == "r10"   # exact match allowed
+    assert got[(1, 20)] == "r15"   # latest prior
+    assert pd.isna(got[(1, 5)])    # nothing before
+    assert pd.isna(got[(2, 10)])   # key absent from right
