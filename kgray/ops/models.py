@@ -166,6 +166,139 @@ def cue_distilled_weights():
     return char2id, embed, kernels, fc_w, fc_b
 
 
+class NumpyBiLstmCrfLabeler:
+    """A4-A6 executable without torch: a numpy BiLSTM forward with the
+    reference labeler's architecture shape (char embedding + schema
+    one-hot -> 1-layer bidirectional LSTM -> FC over 9 BIESO tags ->
+    constrained Viterbi decode -> shared span codec;
+    /root/reference/labeling/model.py:14-162 + crf.py).
+
+    Weights load from an ``.npz`` checkpoint or initialize from a seeded
+    RNG (untrained: output tags are arbitrary but always BIESO-LEGAL
+    because the decode is the constrained Viterbi — the execution path a
+    trained checkpoint would use, exercised end-to-end).  Emits the
+    TRIPLES schema exactly like TemplateLabeler, so it drops into
+    ``PipelineConfig(labeler_cls=...)`` unchanged.
+    """
+
+    def __init__(self, checkpoint_path: str | None = None,
+                 embed_dim: int = 32, hidden: int = 32, seed: int = 0,
+                 encoding_type: str = "bieso"):
+        import numpy as np
+
+        from kgray.ops.crf import BIESO_TAGS, ViterbiTagDecoder
+        from kgray.schema import NUM_SCHEMAS
+
+        self.n_tags = len(BIESO_TAGS)
+        self.decoder = ViterbiTagDecoder(BIESO_TAGS, encoding_type)
+        if checkpoint_path is not None:
+            ckpt = np.load(checkpoint_path, allow_pickle=True)
+            self.w = {k: ckpt[k] for k in ckpt.files if k != "chars"}
+            self.char2id = {c: i + 1 for i, c in enumerate(ckpt["chars"].tolist())}
+        else:
+            rs = np.random.RandomState(seed)
+            V = 4099  # hashed char vocab (unseen chars bucket by hash)
+            D, H = embed_dim, hidden
+            In = D + NUM_SCHEMAS
+            def g(*shape):
+                return rs.normal(scale=0.1, size=shape)
+            self.w = {
+                "embed": g(V, D),
+                # fused gate weights (i,f,g,o) per direction
+                "fw_Wx": g(In, 4 * H), "fw_Wh": g(H, 4 * H), "fw_b": g(4 * H),
+                "bw_Wx": g(In, 4 * H), "bw_Wh": g(H, 4 * H), "bw_b": g(4 * H),
+                "fc_w": g(2 * H, self.n_tags), "fc_b": g(self.n_tags),
+            }
+            self.char2id = None  # hashed ids
+
+    def _char_ids(self, text: str) -> "np.ndarray":
+        import numpy as np
+
+        if self.char2id is not None:
+            return np.asarray(
+                [self.char2id.get(c, 0) for c in text], np.int64
+            )
+        V = self.w["embed"].shape[0]
+        return np.asarray([(ord(c) % (V - 1)) + 1 for c in text], np.int64)
+
+    @staticmethod
+    def _lstm(X, Wx, Wh, b, reverse=False):
+        """Batched single-layer LSTM scan: X (B, L, In) -> (B, L, H)."""
+        import numpy as np
+
+        B, L, _ = X.shape
+        H = Wh.shape[0]
+        h = np.zeros((B, H))
+        c = np.zeros((B, H))
+        out = np.zeros((B, L, H))
+        steps = range(L - 1, -1, -1) if reverse else range(L)
+        for t in steps:
+            z = X[:, t] @ Wx + h @ Wh + b  # (B, 4H)
+            i = 1 / (1 + np.exp(-z[:, :H]))
+            f = 1 / (1 + np.exp(-z[:, H:2 * H]))
+            gg = np.tanh(z[:, 2 * H:3 * H])
+            o = 1 / (1 + np.exp(-z[:, 3 * H:]))
+            c = f * c + i * gg
+            h = o * np.tanh(c)
+            out[:, t] = h
+        return out
+
+    def scores(self, texts: list[str], sids: list[int]):
+        """(B, Lmax, n_tags) emission scores + (B, Lmax) mask."""
+        import numpy as np
+
+        from kgray.schema import NUM_SCHEMAS
+
+        B = len(texts)
+        L = max((len(t) for t in texts), default=0)
+        L = max(L, 1)
+        D = self.w["embed"].shape[1]
+        X = np.zeros((B, L, D + NUM_SCHEMAS))
+        mask = np.zeros((B, L), bool)
+        for bi, (text, sid) in enumerate(zip(texts, sids)):
+            if text:
+                ids = self._char_ids(text)
+                X[bi, : len(ids), :D] = self.w["embed"][ids]
+                X[bi, : len(ids), D + int(sid)] = 1.0  # schema one-hot
+                mask[bi, : len(ids)] = True
+        fw = self._lstm(X, self.w["fw_Wx"], self.w["fw_Wh"], self.w["fw_b"])
+        bw = self._lstm(X, self.w["bw_Wx"], self.w["bw_Wh"], self.w["bw_b"],
+                        reverse=True)
+        feats = np.concatenate([fw, bw], axis=2)
+        return feats @ self.w["fc_w"] + self.w["fc_b"], mask
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from kgray.ops.tagging import assemble_spo, decode_tags
+        from kgray.schema import SCHEMAS, TRIPLES
+
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        sids = batch["schema_id"].to_pylist()
+
+        nonempty = [i for i, t in enumerate(texts) if t]
+        decoded: dict[int, list[str]] = {}
+        if nonempty:
+            logits, mask = self.scores(
+                [texts[i] for i in nonempty], [sids[i] for i in nonempty]
+            )
+            for i, tags in zip(nonempty, self.decoder.decode(logits, mask)):
+                decoded[i] = tags
+
+        out: dict[str, list] = {name: [] for name in TRIPLES.names}
+        for i, (doc_id, text, sid) in enumerate(zip(doc_ids, texts, sids)):
+            subs, objs = decode_tags(decoded.get(i, []), text)
+            schema = SCHEMAS[sid]
+            for spo in assemble_spo(
+                subs, objs, sid, schema.subject_type, schema.predicate,
+                schema.object_type,
+            ):
+                out["doc_id"].append(doc_id)
+                for k in ("subject", "subject_type", "predicate", "object",
+                          "object_type", "schema_id"):
+                    out[k].append(spo[k])
+        return pa.table(out, schema=TRIPLES)
+
+
 class CnnPredicateScorer:
     """Stage-1 slot: text batch -> + scores list<float32>[50].
 

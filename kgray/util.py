@@ -53,7 +53,7 @@ def default_num_buckets() -> int:
 
 
 def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
-                drop_key_bucket=True):
+                drop_key_bucket=True, coalesce: bool = True):
     """Coarse-bucket cogroup: hash ``key`` into ``num_buckets`` buckets,
     ONE groupby shuffle on the bucket, and ``fn`` (pandas DataFrame ->
     pandas DataFrame) applied once per BUCKET — the caller vectorizes its
@@ -90,13 +90,14 @@ def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
     # coalesce to <= num_buckets blocks first: the sort barrier's fixed
     # cost scales with map_blocks x reduce_partitions, and group
     # parallelism is bounded by num_buckets anyway (measured: 6.8s -> sub
-    # -second barriers on 64-tiny-block inputs)
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .repartition(num_buckets)
-        .groupby("__gbucket")
-        .map_groups(apply, batch_format="pandas")
-    )
+    # -second barriers on 64-tiny-block inputs).  Callers whose input is
+    # ALREADY coarse (e.g. an iterative loop re-consuming materialized
+    # num_buckets-block outputs) pass coalesce=False to skip the extra
+    # all-to-all.
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if coalesce:
+        tagged = tagged.repartition(num_buckets)
+    return tagged.groupby("__gbucket").map_groups(apply, batch_format="pandas")
 
 
 def pairs_within_groups(df, key: str, val: str, max_block: int,

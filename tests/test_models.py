@@ -57,3 +57,41 @@ def test_cnn_empty_and_short_texts():
     b = pa.table({"doc_id": ["a", "b"], "text": ["", "x"]})
     m = _mat(NumpyCnnScorer()(b))
     assert (m < 0.5).all()
+
+
+def test_bilstm_crf_labeler_executes_and_emits_legal_tags():
+    """Untrained weights: output triples are arbitrary but every decoded
+    tag path must be BIESO-legal (constrained Viterbi), deterministic
+    for a fixed seed, and schema-correct."""
+    import pyarrow as pa
+
+    from kgray.ops.crf import BIESO_TAGS, allowed_transitions
+    from kgray.ops.models import NumpyBiLstmCrfLabeler
+    from kgray.schema import TRIPLES
+
+    lab = NumpyBiLstmCrfLabeler(seed=3)
+    texts = ["甲的丈夫是乙", "某某出生于某地", ""]
+    batch = pa.table(
+        {
+            "doc_id": ["d1", "d2", "d3"],
+            "text": texts,
+            "schema_id": [0, 1, 0],
+        }
+    )
+    out = lab(batch)
+    assert out.schema.equals(TRIPLES)
+    # determinism
+    out2 = NumpyBiLstmCrfLabeler(seed=3)(batch)
+    assert out.equals(out2)
+
+    # tag-path legality, checked at the scores->decode level
+    logits, mask = lab.scores(texts[:2], [0, 1])
+    paths = lab.decoder.decode(logits, mask)
+    legal = set(allowed_transitions(BIESO_TAGS, "bieso"))
+    t2i = {t: i for i, t in BIESO_TAGS.items()}
+    n = len(BIESO_TAGS)
+    for p in paths:
+        ids = [n] + [t2i[t] for t in p] + [n + 1]
+        assert all((a, b) in legal for a, b in zip(ids, ids[1:]))
+    assert len(paths[0]) == len(texts[0])
+    assert len(paths[1]) == len(texts[1])
