@@ -111,6 +111,19 @@ def _kg_extract_cnn(sf_dir: str):
     )
 
 
+def _kg_extract_bilstm(sf_dir: str):
+    """A4-A6: stage-2 via the numpy BiLSTM-CRF forward (untrained seeded
+    weights — output is arbitrary but BIESO-legal; exercises the model
+    execution path end-to-end as an actor pool)."""
+    from kgray.ops.models import NumpyBiLstmCrfLabeler
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        _kg_docs_ds(200),
+        PipelineConfig(labeler_cls=NumpyBiLstmCrfLabeler, execution="actors"),
+    )
+
+
 def _kg_extract_ensemble(sf_dir: str):
     """A3: stage-1 scores from a weighted two-member ensemble
     (classification/ensemble.py:120-133 formula), rest of the pipeline
@@ -439,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_extract": _kg_extract,
             "kg_extract_crf": _kg_extract_crf,
             "kg_extract_cnn": _kg_extract_cnn,
+            "kg_extract_bilstm": _kg_extract_bilstm,
             "kg_extract_ensemble": _kg_extract_ensemble,
             "kg_extract_crf_ensemble": _kg_extract_crf_ensemble,
             "kg_golden": _kg_golden,

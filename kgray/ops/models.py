@@ -1,9 +1,17 @@
 """Learned-model slots for the two pipeline stages (A1-A7 of SURVEY.md §2.3).
 
-This container ships no torch, so the model classes raise
-NotImplementedError from __init__ until torch is importable — but their
-CONTRACT (constructor signature, __call__ batch shape, output columns) is
-identical to the deterministic stand-ins, so at deploy time the only
+Two EXECUTABLE numpy implementations carry the real forward paths
+without torch:
+
+* ``NumpyCnnScorer``       — stage-1 conv/pool/fc/sigmoid forward; its
+  cue-distilled default weights reproduce CueClassifier exactly
+  (test-proven), and ``.npz`` checkpoints round-trip;
+* ``NumpyBiLstmCrfLabeler`` — stage-2 BiLSTM scan + FC + constrained
+  Viterbi + shared codec; seeded init or ``.npz`` checkpoint.
+
+The torch classes below raise NotImplementedError from __init__ until
+torch is importable — their CONTRACT (constructor signature, __call__
+batch shape, output columns) is identical, so at deploy time the only
 change is ``PipelineConfig(classifier_cls=CnnPredicateScorer,
 labeler_cls=BiLstmCrfLabeler, execution="actors")`` plus ``num_gpus`` on
 the stage.  Architecture shapes mirror the reference:
