@@ -369,6 +369,35 @@ def _kg_wordpiece_bio(sf_dir: str):
     return rows.map_batches(stats, batch_format="pyarrow")
 
 
+def _kg_word_tags(sf_dir: str):
+    """M8: word-level tag refinement stats per (doc, predicate)."""
+    import pyarrow as pa
+
+    from kgray.ops.tagging import word_tags
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "predicate": [], "n_chars": [], "n_marked": []}
+        for row in batch.to_pylist():
+            spo_list = row["spo_list"] or []
+            postag = row["postag"] or []
+            for p in sorted({s["predicate"] for s in spo_list}):
+                tags = word_tags(p, row["text"], postag, spo_list)
+                out["doc_id"].append(row["doc_id"])
+                out["predicate"].append(p)
+                out["n_chars"].append(len(tags))
+                out["n_marked"].append(sum(1 for t in tags if t != "O"))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "n_marked": pa.array(out["n_marked"], pa.int64()),
+            }
+        )
+
+    return _kg_sentences_ds().map_batches(stats, batch_format="pyarrow")
+
+
 def _kg_random_spo_fill(sf_dir: str):
     """M18: deterministic random-SPO filler over empty-prediction rows."""
     from kgray.ops.featurize import fill_random_spo
@@ -479,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_resegment": _kg_resegment,
             "kg_random_spo_fill": _kg_random_spo_fill,
             "kg_wordpiece_bio": _kg_wordpiece_bio,
+            "kg_word_tags": _kg_word_tags,
         }
     )
     return out

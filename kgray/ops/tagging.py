@@ -174,6 +174,87 @@ def assemble_spo(
     return out
 
 
+def word_tags(
+    predicate: str,
+    sentence: str,
+    postag: list[dict],
+    spo_list: list[dict],
+) -> list[str]:
+    """M8: word-level BIEO tagging refined to char tags — reimplements,
+    from behavior, /root/reference/pytorch/analysis/statistic.py:6-102:
+
+    * word start offsets come from cumulative postag word lengths (words
+      overrunning the sentence are dropped, statistic.py:33-38);
+    * an entity occurrence (regex offsets, case-insensitive) marks every
+      word whose START offset falls inside it (cal_item_pos);
+    * word-level marks use B/I/E with B for singletons;
+    * word marks expand to char tags with the reference's boundary
+      lookahead: a B word ends with E unless the next word continues the
+      span; an E word starts with I; singleton chars copy the word mark.
+
+    Divergence (documented): the reference IndexErrors when postag words
+    overrun the sentence mid-expansion; we stop at the marked prefix.
+    """
+    word_list = [item["word"] for item in postag]
+    token_idx = []
+    start_idx = 0
+    for w in word_list:
+        if start_idx >= len(sentence):
+            break
+        token_idx.append(start_idx)
+        start_idx += len(w)
+
+    marks = [TAG_O] * len(token_idx)
+    for spo in spo_list:
+        if spo.get("predicate") != predicate:
+            continue
+        # the reference skips the WHOLE spo when either side has no
+        # occurrence (len==0 check on both lists before marking)
+        s_occ = [
+            idxs for s in find_all(spo.get("subject", ""), sentence)
+            if (idxs := [i for i, t in enumerate(token_idx)
+                         if s <= t < s + len(spo.get("subject", ""))])
+        ]
+        o_occ = [
+            idxs for s in find_all(spo.get("object", ""), sentence)
+            if (idxs := [i for i, t in enumerate(token_idx)
+                         if s <= t < s + len(spo.get("object", ""))])
+        ]
+        if not s_occ or not o_occ:
+            continue
+        for occ, role in ((s_occ, "SUB"), (o_occ, "OBJ")):
+            for idxs in occ:
+                marks[idxs[0]] = f"B-{role}"
+                if len(idxs) >= 2:
+                    marks[idxs[-1]] = f"E-{role}"
+                for i in idxs[1:-1]:
+                    marks[i] = f"I-{role}"
+
+    # word marks -> char tags with boundary lookahead
+    tags: list[str] = []
+    for i in range(len(marks)):
+        word = word_list[i]
+        m = marks[i]
+        if len(word) == 1:
+            tags.append(m)
+            continue
+        if m in ("B-SUB", "B-OBJ"):
+            role = m[2:]
+            start, middle, end = m, f"I-{role}", f"I-{role}"
+            nxt = marks[i + 1] if i + 1 < len(marks) else None
+            if nxt not in (f"I-{role}", f"E-{role}"):
+                end = f"E-{role}"
+        elif m in ("E-SUB", "E-OBJ"):
+            role = m[2:]
+            start, middle, end = f"I-{role}", f"I-{role}", m
+        else:
+            start = middle = end = m
+        tags.append(start)
+        tags.extend([middle] * (len(word) - 2))
+        tags.append(end)
+    return tags
+
+
 # ---------------------------------------------------------------------------
 # Vectorized batch codec — numpy char-mark arrays with EXACTLY the same
 # write/decode semantics as the scalar functions above (fuzz-tested

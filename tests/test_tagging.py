@@ -151,3 +151,45 @@ def test_tags_for_pairs_matches_bieso_tags():
     assert tags_for_pairs(D1_TEXT, [("端脑", "端脑")]) == bieso_tags(
         "影视作品改编自作品", D1_TEXT, D1_SPO
     )
+
+
+def test_word_tags_reference_parity():
+    """M8: word-level→char tag refinement must match the imported
+    reference implementation on every corpus sentence x predicate."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/pytorch/analysis")
+    import importlib
+
+    ref = importlib.import_module("statistic")
+    sys.path.pop(0)
+
+    from kgray.corpus import doc_ids_for_range, sentences_table
+    from kgray.ops.tagging import word_tags
+
+    t = sentences_table(doc_ids_for_range(0, 80), seed=42)
+    n_checked = 0
+    for row in t.to_pylist():
+        postag = row["postag"] or []
+        spo_list = row["spo_list"] or []
+        if not postag:
+            continue
+        for p in {s["predicate"] for s in spo_list}:
+            want = ref.tagging(p, row["text"], postag, spo_list)
+            got = word_tags(p, row["text"], postag, spo_list)
+            assert got == want, (row["doc_id"], p)
+            n_checked += 1
+    assert n_checked > 50
+
+
+def test_word_tags_boundary_expansion():
+    from kgray.ops.tagging import word_tags
+
+    # words: 甲乙 | 的 | 丙丁  — subject spans words 0, object word 2
+    postag = [{"word": "甲乙", "pos": "n"}, {"word": "的", "pos": "u"},
+              {"word": "丙丁", "pos": "n"}]
+    spo = [{"subject": "甲乙", "predicate": "p", "object": "丙丁",
+            "subject_type": "x", "object_type": "y"}]
+    tags = word_tags("p", "甲乙的丙丁", postag, spo)
+    # singleton-word B expands to B..E chars; lookahead sees no continuation
+    assert tags == ["B-SUB", "E-SUB", "O", "B-OBJ", "E-OBJ"]
