@@ -139,3 +139,33 @@ def test_crf_labeler_matches_template_labeler(ray_session):
     c = crf.sort_values(key, ignore_index=True)
     assert b.equals(c)
     assert len(b) > 20
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    """Exhaustive oracle: for random small (B,L,T) problems the viterbi
+    path must equal argmax over ALL T^L paths (including start/end
+    transition rows)."""
+    import itertools
+
+    rs = np.random.RandomState(5)
+    for trial in range(25):
+        T = rs.randint(2, 4)
+        L = rs.randint(1, 5)
+        B = 2
+        logits = rs.normal(size=(B, L, T))
+        trans = rs.normal(size=(T + 2, T + 2))
+        mask = np.ones((B, L), bool)
+        mask[1, rs.randint(1, L + 1):] = False  # row 1: random true length
+        paths, scores = viterbi_decode(logits, mask, trans)
+        for b in range(B):
+            n = int(mask[b].sum())
+            best, best_s = None, -np.inf
+            for cand in itertools.product(range(T), repeat=n):
+                s = trans[T, cand[0]] + logits[b, 0, cand[0]]
+                for t in range(1, n):
+                    s += trans[cand[t - 1], cand[t]] + logits[b, t, cand[t]]
+                s += trans[cand[-1], T + 1]
+                if s > best_s:
+                    best, best_s = list(cand), s
+            assert paths[b] == best, (trial, b)
+            assert scores[b] == pytest.approx(best_s)
