@@ -59,6 +59,9 @@ SUITE = [
     "knn_ivf",
     "embed_dup_bucketed",
     "kg_link_edges",
+    "events_asof",
+    "customers_no_orders",
+    "doc_quality",
 ]
 
 

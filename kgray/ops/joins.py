@@ -366,7 +366,12 @@ def asof_join(left, right, key: str, time_col: str,
 
     rt = right_time_col or time_col
     left_cols = left.schema().names
-    right_cols = right.schema().names
+    r_schema = right.schema()
+    if r_schema is None:
+        # schema-less empty right (e.g. a filter that dropped everything):
+        # no right columns are even nameable — left passes through
+        return left
+    right_cols = r_schema.names
     clash = (set(left_cols) & set(right_cols)) - {key}
     ren = {c: c + suffix for c in clash}
     r_time_out = ren.get(rt, rt)

@@ -1,0 +1,104 @@
+"""pre_aggregate == pandas/SQL semantics on randomized frames, including
+null handling in mean (ADVICE round-1: AVG divides by the non-null
+count), plus edge cases for the round-2 join operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _random_frame(seed: int, with_nulls: bool) -> pd.DataFrame:
+    rs = np.random.RandomState(seed)
+    n = rs.randint(20, 200)
+    df = pd.DataFrame(
+        {
+            "k": rs.randint(0, 8, size=n),
+            "x": rs.normal(size=n),
+            "y": rs.randint(0, 100, size=n).astype("float64"),
+        }
+    )
+    if with_nulls:
+        df.loc[rs.rand(n) < 0.3, "x"] = np.nan
+        df.loc[rs.rand(n) < 0.2, "y"] = np.nan
+    return df
+
+
+@pytest.mark.parametrize("seed,with_nulls", [(1, False), (2, True), (3, True)])
+def test_pre_aggregate_matches_pandas(ray_session, seed, with_nulls):
+    from kgray.ops.agg import pre_aggregate
+
+    df = _random_frame(seed, with_nulls)
+    got = (
+        pre_aggregate(
+            rd.from_pandas(df),
+            ["k"],
+            {
+                "n": (None, "count"),
+                "sum_x": ("x", "sum"),
+                "min_y": ("y", "min"),
+                "max_y": ("y", "max"),
+                "avg_x": ("x", "mean"),
+                "avg_y": ("y", "mean"),
+            },
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    g = df.groupby("k")
+    want = pd.DataFrame(
+        {
+            "k": sorted(df["k"].unique()),
+            "n": g.size().values,
+            "sum_x": g["x"].sum().values,
+            "min_y": g["y"].min().values,
+            "max_y": g["y"].max().values,
+            # pandas mean == SQL AVG: divides by the NON-NULL count
+            "avg_x": g["x"].mean().values,
+            "avg_y": g["y"].mean().values,
+        }
+    )
+    for c in ["n", "sum_x", "min_y", "max_y", "avg_x", "avg_y"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(np.float64), want[c].to_numpy(np.float64),
+            rtol=1e-9, err_msg=c,
+        )
+
+
+def test_semi_join_empty_right(ray_session):
+    from kgray.ops.joins import semi_join
+
+    left = rd.from_items([{"k": i} for i in range(5)])
+    empty = rd.from_items([{"rk": 1}]).filter(lambda r: False)
+    assert semi_join(left, empty, on="k", right_on="rk").count() == 0
+    anti = semi_join(left, empty, on="k", right_on="rk", anti=True)
+    assert anti.count() == 5
+
+
+def test_asof_join_empty_right(ray_session):
+    from kgray.ops.joins import asof_join
+
+    left = rd.from_items([{"k": 1, "t": 10}, {"k": 2, "t": 5}])
+    empty = rd.from_items([{"k": 1, "t": 1, "rv": "x"}]).filter(lambda r: False)
+    # a schema-less empty right passes left through (no nameable columns)
+    out = asof_join(left, empty, key="k", time_col="t").to_pandas()
+    assert len(out) == 2 and set(out.columns) == {"k", "t"}
+
+    # an empty-but-typed right yields null matches
+    typed_empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "t": pa.array([], pa.int64()),
+                  "rv": pa.array([], pa.string())})
+    )
+    out2 = asof_join(left, typed_empty, key="k", time_col="t").to_pandas()
+    assert len(out2) == 2
+    assert out2["rv"].isna().all()
+
+
+def test_wordpiece_empty_text():
+    from kgray.ops.wordpiece import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(max_seq_length=8)
+    ids, mask, segs = tok.features("")
+    assert sum(mask) == 2  # just CLS + SEP
+    assert tok.tokenize("") == []
