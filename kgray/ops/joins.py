@@ -433,3 +433,28 @@ def asof_join(left, right, key: str, time_col: str,
         )
 
     return grouped_map(both, key, bucket_asof)
+
+
+def range_join_broadcast(ds, bounds, value_col: str, band_col: str = "band"):
+    """Broadcast range (non-equi) join: assign every row to the band whose
+    [lo, hi) interval contains ``value_col``.
+
+    ``bounds`` is a SMALL sorted list of band edges [e0, e1, ..., ek]
+    defining k bands; it ships once via the object store and every batch
+    does ONE vectorized ``np.searchsorted`` — the scale shape for banded
+    non-equi joins (broadcast the interval table, binary-search per row;
+    never an all-to-all).  Rows outside [e0, ek) get band -1.
+    """
+    import ray
+
+    edges = np.asarray(sorted(bounds), np.float64)
+    ref = ray.put(edges)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        e = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        band = np.searchsorted(e, v, side="right") - 1
+        band[(band < 0) | (band >= len(e) - 1)] = -1
+        return batch.append_column(band_col, pa.array(band.astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1069,6 +1069,37 @@ FROM hourly
 """
 
 
+_PRICE_BANDS = [0.0, 50_000.0, 150_000.0, 300_000.0, 600_000.0]
+
+
+def q_orders_price_bands(sf_dir: str):
+    """Broadcast range (non-equi) join: orders banded by totalprice
+    interval, then count + revenue per band — edges broadcast once,
+    one vectorized searchsorted per batch (never an all-to-all)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import range_join_broadcast
+
+    banded = range_join_broadcast(
+        _read(sf_dir, "orders", ["o_totalprice"]), _PRICE_BANDS,
+        "o_totalprice",
+    )
+    agg = pre_aggregate(
+        banded, ["band"],
+        {"n": (None, "count"), "total": ("o_totalprice", "sum")},
+    )
+    return _round_col(agg, "total", 2)
+
+
+SQL_ORDERS_PRICE_BANDS = """
+WITH b(band, lo, hi) AS (VALUES
+  (0, 0.0, 50000.0), (1, 50000.0, 150000.0),
+  (2, 150000.0, 300000.0), (3, 300000.0, 600000.0))
+SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN b ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1116,4 +1147,5 @@ CATALOG: dict[str, tuple] = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "orders_price_bands": (q_orders_price_bands, SQL_ORDERS_PRICE_BANDS),
 }

@@ -102,3 +102,17 @@ def test_wordpiece_empty_text():
     ids, mask, segs = tok.features("")
     assert sum(mask) == 2  # just CLS + SEP
     assert tok.tokenize("") == []
+
+
+def test_range_join_broadcast_band_edges(ray_session):
+    from kgray.ops.joins import range_join_broadcast
+
+    ds = rd.from_items(
+        [{"v": x} for x in [-1.0, 0.0, 9.9, 10.0, 19.99, 20.0, 35.0]]
+    )
+    out = (
+        range_join_broadcast(ds, [0.0, 10.0, 20.0, 30.0], "v")
+        .to_pandas().sort_values("v", ignore_index=True)
+    )
+    # [0,10) -> 0, [10,20) -> 1, [20,30) -> 2, outside -> -1
+    assert out["band"].tolist() == [-1, 0, 0, 1, 1, 2, -1]
