@@ -448,6 +448,38 @@ def _kg_eval_loc(sf_dir: str):
     )
 
 
+def _media_resize(sf_dir: str):
+    """Resize-stage plumbing: media rows get fitted dims + stub payloads."""
+    import pyarrow as pa
+
+    from kgray.ops.media import media_table_from_documents, resize_media
+
+    media = media_table_from_documents(_kg_docs_ds(200))
+
+    def with_dims(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        w = [640 + 80 * (i % 7) for i in range(n)]
+        h = [360 + 60 * (i % 5) for i in range(n)]
+        out = batch
+        for name, vals in (("width", w), ("height", h)):
+            i = out.column_names.index(name)
+            out = out.set_column(i, name, pa.array(vals, pa.int32()))
+        return out
+
+    resized = resize_media(media.map_batches(with_dims, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "width": batch["width"],
+                "height": batch["height"],
+            }
+        )
+
+    return resized.map_batches(project, batch_format="pyarrow")
+
+
 def _media_features(sf_dir: str):
     from kgray.ops.media import extract_media_features, media_table_from_documents
 
@@ -502,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embed_dup_bucketed": _embed_dup_bucketed,
             "media_features": _media_features,
             "media_frames": _media_frames,
+            "media_resize": _media_resize,
             "kg_eval_alias": _kg_eval_alias,
             "kg_eval_loc": _kg_eval_loc,
             "kg_span_f1": _kg_span_f1,

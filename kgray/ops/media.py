@@ -165,3 +165,63 @@ def sample_frames(media_ds, every_ms: int = 1000, max_frames: int = 8):
         )
 
     return media_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def fit_box(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit into (max_w, max_h); never upscales.
+    Pure arithmetic — the real part of a resize stage regardless of
+    codec availability."""
+    scale = min(max_w / w, max_h / h, 1.0)
+    return max(1, int(w * scale)), max(1, int(h * scale))
+
+
+class FakeResizer:
+    """Resize-stage plumbing: recomputes (width, height) with the real
+    fit arithmetic and swaps the payload for a deterministic stub derived
+    from (ref, target dims) — at deploy time only the payload kernel body
+    changes (PIL.Image.resize), the actor signature / columns / batch
+    sizing stay identical."""
+
+    def __init__(self, max_w: int = 256, max_h: int = 256):
+        self.max_w = max_w
+        self.max_h = max_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        new_w, new_h, payloads = [], [], []
+        for r, w, h in zip(refs, ws, hs):
+            if not w or not h:  # unknown dims pass through untouched
+                new_w.append(w)
+                new_h.append(h)
+                payloads.append(b"")
+                continue
+            tw, th = fit_box(int(w), int(h), self.max_w, self.max_h)
+            new_w.append(tw)
+            new_h.append(th)
+            payloads.append(
+                hashlib.sha256(f"{r}:{tw}x{th}".encode()).digest()
+            )
+        out = batch
+        for name, vals, typ in (
+            ("width", new_w, pa.int32()),
+            ("height", new_h, pa.int32()),
+            ("payload", payloads, pa.binary()),
+        ):
+            i = out.column_names.index(name)
+            out = out.set_column(i, name, pa.array(vals, typ))
+        return out
+
+
+def resize_media(media_ds, max_w: int = 256, max_h: int = 256,
+                 batch_size: int = 64, concurrency=(1, 4)):
+    """media table -> same schema with fitted dims + resized payloads.
+    Actor pool, small batches (wide binary rows)."""
+    return media_ds.map_batches(
+        FakeResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+    )

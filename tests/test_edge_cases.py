@@ -55,3 +55,44 @@ def test_linking_on_empty_triples(ray_session):
     # canonicalize with an empty map: identity mapping, still empty
     out = canonicalize_triples(empty, entity_map)
     assert out.count() == 0
+
+
+def test_fit_box_aspect_and_no_upscale():
+    from kgray.ops.media import fit_box
+
+    assert fit_box(1024, 512, 256, 256) == (256, 128)   # landscape
+    assert fit_box(512, 1024, 256, 256) == (128, 256)   # portrait
+    assert fit_box(100, 50, 256, 256) == (100, 50)      # never upscale
+    assert fit_box(10000, 10, 256, 256) == (256, 1)     # extreme aspect
+
+
+def test_resize_media_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.ops.media import MEDIA_SCHEMA, resize_media
+
+    rows = pa.table(
+        {
+            "media_ref": ["m1", "m2", "m3"],
+            "kind": ["image", "image", "image"],
+            "payload": pa.array([b"", b"", b""], pa.binary()),
+            "width": pa.array([1024, 100, None], pa.int32()),
+            "height": pa.array([512, 50, None], pa.int32()),
+            "duration_ms": pa.array([None, None, None], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = resize_media(rd.from_arrow(rows)).to_pandas().sort_values(
+        "media_ref", ignore_index=True
+    )
+    assert list(out["width"]) == [256, 100, None] or [
+        x if x == x else None for x in out["width"]
+    ] == [256, 100, None]
+    assert out.loc[0, "height"] == 128
+    assert len(out.loc[0, "payload"]) == 32  # stub payload present
+    # deterministic
+    again = resize_media(rd.from_arrow(rows)).to_pandas().sort_values(
+        "media_ref", ignore_index=True
+    )
+    assert (out["payload"] == again["payload"]).all()
