@@ -226,6 +226,22 @@ def write_partitioned(
     return manifest
 
 
+def manifest_fingerprint(manifest: dict) -> str:
+    """Stable content fingerprint of a manifest's attested data: the
+    per-partition (rows, content_hash) pairs plus the stage's own input
+    fingerprint.  Used as the DOWNSTREAM stage's input_fingerprint, so
+    lineage checks compose (unchanged upstream bytes -> equal fingerprint
+    -> stage skip on resume)."""
+    h = 0
+    for pstr in sorted(manifest.get("partitions", {})):
+        meta = manifest["partitions"][pstr]
+        h = (h * 1099511628211
+             + zlib.crc32(
+                 f"{pstr}:{meta['rows']}:{meta['content_hash']}".encode()
+             )) & 0xFFFFFFFFFFFFFFFF
+    return f"{manifest.get('input_fingerprint', '')}:{h:016x}"
+
+
 def read_manifest(path: str) -> dict | None:
     p = os.path.join(path, MANIFEST)
     if not os.path.exists(p):

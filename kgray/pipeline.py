@@ -181,22 +181,39 @@ def kg_construct(
         keep_partitions=done,
     )
 
+    # Downstream stages carry LINEAGE fingerprints: each stage's
+    # input_fingerprint is the content fingerprint of its upstream
+    # manifest(s), so a resume in which the triples did not change skips
+    # link+CC and canonicalize entirely (incremental recompute — the
+    # manifest attests both the bytes and the derivation).
+    tr_fp = io.manifest_fingerprint(manifests["triples"])
+    ent_dir = os.path.join(out_dir, "entities")
+    ent_m = io.read_manifest(ent_dir) if resume else None
     all_triples = io.read_table(triples_dir)
-    edges = link_mentions(all_triples, tau=tau)
-    entity_map = connected_components(edges)
-    manifests["entities"] = io.write_partitioned(
-        entity_map, os.path.join(out_dir, "entities"), "node", num_partitions,
-        stage="link+canonicalize", input_fingerprint=input_fingerprint,
-    )
+    if ent_m is not None and ent_m.get("input_fingerprint") == tr_fp:
+        manifests["entities"] = ent_m  # unchanged upstream: stage skipped
+    else:
+        edges = link_mentions(all_triples, tau=tau)
+        entity_map = connected_components(edges)
+        manifests["entities"] = io.write_partitioned(
+            entity_map, ent_dir, "node", num_partitions,
+            stage="link+canonicalize", input_fingerprint=tr_fp,
+        )
 
-    canon = canonicalize_triples(
-        all_triples, io.read_table(os.path.join(out_dir, "entities")),
-        num_partitions=num_partitions,
-    )
-    manifests["triples_canonical"] = io.write_partitioned(
-        canon, os.path.join(out_dir, "triples_canonical"), "doc_id",
-        num_partitions, stage="materialize", input_fingerprint=input_fingerprint,
-    )
+    canon_fp = f"{tr_fp}+{io.manifest_fingerprint(manifests['entities'])}"
+    canon_dir = os.path.join(out_dir, "triples_canonical")
+    canon_m = io.read_manifest(canon_dir) if resume else None
+    if canon_m is not None and canon_m.get("input_fingerprint") == canon_fp:
+        manifests["triples_canonical"] = canon_m
+    else:
+        canon = canonicalize_triples(
+            all_triples, io.read_table(ent_dir),
+            num_partitions=num_partitions,
+        )
+        manifests["triples_canonical"] = io.write_partitioned(
+            canon, canon_dir, "doc_id",
+            num_partitions, stage="materialize", input_fingerprint=canon_fp,
+        )
     return manifests
 
 

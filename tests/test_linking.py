@@ -237,3 +237,38 @@ def test_link_mentions_embedding_finds_alias_edge(ray_session):
     }
     assert any(set(r) >= pair or {r[0], r[1]} == pair
                for r in edges[["u", "v"]].itertuples(index=False)), edges
+
+
+def test_kg_construct_skips_downstream_on_unchanged_triples(tmp_path):
+    """Lineage fingerprints: a resume whose triples are unchanged must
+    SKIP link+CC and canonicalize — proven by the entities/canonical
+    manifests listing the IDENTICAL files (a rerun would write new
+    uuid-named files)."""
+    from kgray.corpus import doc_ids_for_range, interleaved_table
+    from kgray.pipeline import PipelineConfig, kg_construct
+
+    docs = rd.from_arrow(interleaved_table(doc_ids_for_range(0, 150), seed=42))
+    cfg = PipelineConfig(classifier_concurrency=(1, 2), labeler_concurrency=(1, 2))
+    out = str(tmp_path / "kg")
+    m1 = kg_construct(docs, out, cfg, num_partitions=4, tau=0.5,
+                      input_fingerprint="fp-lineage")
+    assert sum(
+        p["rows"] for p in m1["entities"]["partitions"].values()
+    ) > 0  # corpus must yield link edges or the file compare is vacuous
+
+    docs2 = rd.from_arrow(interleaved_table(doc_ids_for_range(0, 150), seed=42))
+    m2 = kg_construct(docs2, out, cfg, num_partitions=4, tau=0.5,
+                      input_fingerprint="fp-lineage")
+
+    def files(m):
+        return {p: tuple(meta["files"]) for p, meta in m["partitions"].items()}
+
+    assert files(m2["entities"]) == files(m1["entities"])
+    assert files(m2["triples_canonical"]) == files(m1["triples_canonical"])
+    assert files(m2["triples"]) == files(m1["triples"])
+
+    # a CHANGED input fingerprint invalidates the whole chain
+    docs3 = rd.from_arrow(interleaved_table(doc_ids_for_range(0, 150), seed=42))
+    m3 = kg_construct(docs3, out, cfg, num_partitions=4, tau=0.5,
+                      input_fingerprint="fp-other")
+    assert files(m3["entities"]) != files(m1["entities"])
