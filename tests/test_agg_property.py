@@ -116,3 +116,38 @@ def test_range_join_broadcast_band_edges(ray_session):
     )
     # [0,10) -> 0, [10,20) -> 1, [20,30) -> 2, outside -> -1
     assert out["band"].tolist() == [-1, 0, 0, 1, 1, 2, -1]
+
+
+def test_pre_aggregate_defuses_hot_key_skew(ray_session):
+    """Salting-equivalence demonstration: with a 95%-hot key, the
+    combiner's partial stage emits one row per (block, key) — the
+    all-to-all moves O(blocks x keys) rows, not O(rows) — which is
+    exactly what salted two-phase aggregation achieves, without picking
+    a salt fan-out."""
+    import pyarrow as pa
+
+    from kgray.ops.agg import pre_aggregate
+
+    n = 50_000
+    rs = np.random.RandomState(0)
+    keys = np.where(rs.rand(n) < 0.95, 0, rs.randint(1, 5, size=n))
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "x": pa.array(rs.rand(n))})
+    ).repartition(16)
+
+    agg = pre_aggregate(ds, ["k"], {"n": (None, "count"), "s": ("x", "sum")})
+    out = agg.to_pandas().sort_values("k", ignore_index=True)
+    # correctness under skew
+    want = (
+        pd.DataFrame({"k": keys, "x": None})
+        .groupby("k").size().reset_index(name="n")
+    )
+    assert out["n"].tolist() == want["n"].tolist()
+    assert out["n"].iloc[0] > 0.9 * n  # the hot key really was hot
+
+    # the combiner bound: partials are at most blocks x distinct keys
+    tagged = ds.map_batches(
+        lambda b: pa.table({"k": pa.compute.unique(b["k"])}),
+        batch_format="pyarrow",
+    )
+    assert tagged.count() <= 16 * 5
