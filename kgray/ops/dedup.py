@@ -97,7 +97,8 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 
 def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        num_buckets: int = 16, digits: int = 4):
+                        num_buckets: int = 16, digits: int = 4,
+                        max_broadcast_count_rows: int = 50_000_000):
     """All doc pairs (u < v) with word-n-gram Jaccard >= tau.
 
     Exact (no sketching): inverted index on distinct shingles ->
@@ -164,18 +165,29 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
     counts = docs.map_batches(count_shingles, batch_format="pyarrow")
 
-    # per-doc shingle counts are one small int row per doc -> collect ONCE,
-    # broadcast to both joins
-    import ray
+    # per-doc shingle counts are one small int row per doc.  Under
+    # ``max_broadcast_count_rows`` (16 bytes x 50M = 800 MB) they collect
+    # ONCE and broadcast to both joins; above it (10^9-doc territory) the
+    # attach switches to partitioned bucket joins — never an unbounded
+    # driver collect.
+    if docs.count() <= max_broadcast_count_rows:
+        import ray
 
-    from kgray.ops.joins import broadcast_join
+        from kgray.ops.joins import broadcast_join
 
-    parts = [ray.get(r) for r in counts.to_arrow_refs()]
-    counts_tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
-    j1 = broadcast_join(shared, counts_tbl, on="u", right_on="doc", how="left",
-                        right_suffix="_u")
-    j2 = broadcast_join(j1, counts_tbl, on="v", right_on="doc", how="left",
-                        right_suffix="_v")
+        parts = [ray.get(r) for r in counts.to_arrow_refs()]
+        counts_tbl = pa.concat_tables(
+            [p for p in parts if p.num_rows] or parts[:1]
+        )
+        j1 = broadcast_join(shared, counts_tbl, on="u", right_on="doc",
+                            how="left", right_suffix="_u")
+        j2 = broadcast_join(j1, counts_tbl, on="v", right_on="doc",
+                            how="left", right_suffix="_v")
+    else:
+        j1 = bucket_join(shared, counts, on="u", right_on="doc", how="left",
+                         right_suffix="_u")
+        j2 = bucket_join(j1, counts, on="v", right_on="doc", how="left",
+                         right_suffix="_v")
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols = batch.column_names

@@ -143,3 +143,29 @@ def test_asof_join_backward_semantics(ray_session):
     assert got[(1, 20)] == "r15"   # latest prior
     assert pd.isna(got[(1, 5)])    # nothing before
     assert pd.isna(got[(2, 10)])   # key absent from right
+
+
+def test_ngram_bucket_count_path_matches_broadcast(ray_session):
+    from kgray.ops.dedup import ngram_jaccard_pairs
+
+    rs = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(0, 30, 2):
+        toks = [words[rs.randint(40)] for _ in range(20)]
+        near = list(toks)
+        near[-1] = words[rs.randint(40)]
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+        docs.append({"doc_id": i + 1, "text": " ".join(near)})
+    ds = rd.from_items(docs)
+    key = ["u", "v"]
+    bc = (
+        ngram_jaccard_pairs(ds, tau=0.7)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    bk = (
+        ngram_jaccard_pairs(ds, tau=0.7, max_broadcast_count_rows=0)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    assert len(bc) > 5
+    assert bc.equals(bk)
