@@ -1069,6 +1069,41 @@ FROM hourly
 """
 
 
+def q_token_stats_bpe(sf_dir: str):
+    """BPE-ish regex token counting (word runs | single non-space
+    symbols), rolled up per lang — the regex-tokenizer complement of the
+    whitespace token_stats."""
+    import re
+
+    from ray.data.aggregate import Count, Sum
+
+    pat = re.compile(r"\w+|[^\w\s]")
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = [len(pat.findall(t)) for t in texts]
+        return pa.table(
+            {"lang": batch["lang"], "n_bpe": pa.array(n, pa.int64())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_bpe", alias_name="total_bpe"),
+                   Count(alias_name="n_docs"))
+    )
+
+
+SQL_TOKEN_STATS_BPE = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+         AS total_bpe,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 _PRICE_BANDS = [0.0, 50_000.0, 150_000.0, 300_000.0, 600_000.0]
 
 
@@ -1148,4 +1183,5 @@ CATALOG: dict[str, tuple] = {
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "orders_price_bands": (q_orders_price_bands, SQL_ORDERS_PRICE_BANDS),
+    "token_stats_bpe": (q_token_stats_bpe, SQL_TOKEN_STATS_BPE),
 }
