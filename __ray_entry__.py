@@ -279,6 +279,13 @@ def _kg_multihot(sf_dir: str):
     return _kg_sentences_ds().map_batches(project, batch_format="pyarrow")
 
 
+def _kg_postag_check(sf_dir: str):
+    """check_concat_postag analogue: postag words reconstruct the text."""
+    from kgray.ops.featurize import postag_reconstruction_check
+
+    return postag_reconstruction_check(_kg_sentences_ds())
+
+
 def _kg_composition_check(sf_dir: str):
     from kgray.ops.featurize import composition_check
     from kgray.pipeline import PipelineConfig, extract_triples, flatten_documents
@@ -528,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_filter_adapted": _kg_filter_adapted,
             "kg_multihot": _kg_multihot,
             "kg_composition_check": _kg_composition_check,
+            "kg_postag_check": _kg_postag_check,
             "minhash_dup_docs": _minhash_dup_docs,
             "simhash_dup_docs": _simhash_dup_docs,
             "knn_ivf": _knn_ivf,

@@ -396,3 +396,30 @@ def fill_random_spo(sentences, seed: int = 0):
         )
 
     return sentences.map_batches(fill, batch_format="pyarrow")
+
+
+def postag_reconstruction_check(sentences):
+    """J4 companion (legacy/explore/check_composition.py:7-18): does the
+    concatenation of postag words reconstruct the sentence text exactly?
+    Emits per-doc (ok, n_words); rows with empty postag are counted as
+    not-ok only when the text is non-empty (the reference prints every
+    mismatch; we emit the flag so the caller aggregates)."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        postags = batch["postag"].to_pylist()
+        ok, n_words = [], []
+        for t, ps in zip(texts, postags):
+            ps = ps or []
+            concat = "".join(p["word"] for p in ps)
+            ok.append(concat == t)
+            n_words.append(len(ps))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ok": pa.array(ok, pa.bool_()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        )
+
+    return sentences.map_batches(check, batch_format="pyarrow")

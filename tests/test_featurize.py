@@ -141,3 +141,35 @@ def test_spo_histogram_and_empty_counts(ray_session):
     ec = fz.empty_field_counts(ds).to_pylist()[0]
     assert ec["total"] == len(t)
     assert ec["empty_postag"] == sum(1 for r in t.to_pylist() if not r["postag"])
+
+
+def test_postag_reconstruction_check(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.featurize import postag_reconstruction_check
+
+    rows = [
+        {"doc_id": "ok", "text": "甲乙丙",
+         "postag": [{"word": "甲乙", "pos": "n"}, {"word": "丙", "pos": "n"}]},
+        {"doc_id": "bad", "text": "甲乙丙",
+         "postag": [{"word": "甲", "pos": "n"}, {"word": "丙", "pos": "n"}]},
+        {"doc_id": "empty", "text": "", "postag": []},
+    ]
+    out = postag_reconstruction_check(rd.from_items(rows)).to_pandas()
+    got = dict(zip(out["doc_id"], out["ok"]))
+    assert got == {"ok": True, "bad": False, "empty": True}
+
+
+def test_corpus_postag_reconstructs_text(ray_session):
+    """The synthetic corpus must satisfy the reference's invariant except
+    for the planted empty-postag edge rows."""
+    import ray.data as rd
+
+    from kgray.corpus import doc_ids_for_range, sentences_table
+    from kgray.ops.featurize import postag_reconstruction_check
+
+    ds = rd.from_arrow(sentences_table(doc_ids_for_range(0, 120), seed=42))
+    out = postag_reconstruction_check(ds).to_pandas()
+    bad = out[~out["ok"]]
+    # only rows with EMPTY postag (the planted edge rate) may fail
+    assert (bad["n_words"] == 0).all()
