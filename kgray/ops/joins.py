@@ -263,17 +263,19 @@ def broadcast_join(
 
 
 def semi_join(left, right, on: str, right_on: str | None = None,
-              anti: bool = False, max_broadcast_bytes: int = 1 << 31):
+              anti: bool = False, max_broadcast_bytes: int = 1 << 28):
     """Semi (EXISTS) / anti (NOT EXISTS) join of ``left`` against the key
     set of ``right``.
 
     The right side reduces to its DISTINCT key column first (per-batch
     combiner -> one small groupby), so what broadcasts is a key set, not
-    rows.  Under ``max_broadcast_bytes`` (estimated) the set ships via the
-    object store and the filter runs inside map_batches with no shuffle —
-    the right plan for dimension-sized key sets at any scale.  Above it,
-    fall back to a bucket cogroup: both sides shuffle ONCE on the key
-    hash and the membership test runs per bucket.
+    rows.  Under ``max_broadcast_bytes`` (estimated raw right size,
+    default 256 MB — a python set carries ~5-10x overhead per key, so
+    this bounds the driver-resident set to low GBs worst case) the set
+    ships via the object store and the filter runs inside map_batches
+    with no shuffle — the right plan for dimension-sized key sets at any
+    scale.  Above it, fall back to a bucket cogroup: both sides shuffle
+    ONCE on the key hash and the membership test runs per bucket.
     """
     right_on = right_on or on
     keys_ds = right.map_batches(
