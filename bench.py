@@ -78,6 +78,20 @@ def _consume(res) -> int:
     return res.count()  # ray Dataset: streams through, no driver collect
 
 
+def _host_calibration() -> float:
+    """Single-thread 2000^2 matmul seconds — the host-speed yardstick.
+    This VM sporadically degrades 3-5x under external host load (measured
+    2026-08-17: 1.5-2 s healthy vs 5-8 s degraded, inflating every wall
+    time by the same factor with zero code change); recording it per run
+    makes cross-run comparisons interpretable."""
+    import numpy as np
+
+    a = np.random.rand(2000, 2000)
+    t0 = time.time()
+    a @ a
+    return round(time.time() - t0, 3)
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -222,6 +236,7 @@ def main() -> int:
         "num_cpus": NUM_CPUS,
         "triples": triples,
         "triples_per_sec": round(triples / kg_sec, 1),
+        "host_calib_matmul_s": _host_calibration(),
     }))
     import ray
 
@@ -251,6 +266,7 @@ def scaling() -> int:
         "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh ray sessions)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "host_calib_matmul_s": _host_calibration(),
         f"throughput_{lo}cpu": round(thr_lo, 1),
         f"throughput_{hi}cpu": round(thr_hi, 1),
         f"sec_{lo}cpu": round(results[lo]["sec"], 3),
