@@ -91,7 +91,13 @@ class _WriteSlices:
     matter) and the file name.  The manifest lists exactly the files the
     surviving task attempts reported; a retried task's orphaned first
     attempt is never read (read_table reads manifest-attested files only)
-    and is deleted by the next write's hygiene pass."""
+    and is deleted by the next write's hygiene pass.
+
+    Deployment note: ``data_dir`` is opened with plain ``open()`` from
+    inside map_batches tasks, so every worker must see the same
+    filesystem at that path (single node, or NFS/parallel FS on a real
+    cluster).  For object-store deployments route the writes through
+    ``pyarrow.fs`` URIs instead — the stat-row contract is unchanged."""
 
     def __init__(self, data_dir: str):
         self.data_dir = data_dir
@@ -142,10 +148,15 @@ def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int]) -> None:
     silent-duplication hazard)."""
     if not os.path.isdir(data_dir):
         return
-    kept_files: dict[int, set[str]] = {}
+    kept_files: dict[int, set[str] | None] = {}
     if keep_manifest is not None:
         for pstr, meta in keep_manifest.get("partitions", {}).items():
-            kept_files[int(pstr)] = set(meta.get("files", []))
+            # None (not empty-set) when the entry predates the 'files'
+            # manifest format: nothing can be attested file-by-file, so
+            # file-level deletion must be skipped for that partition —
+            # deleting would lose the very data the kept entry describes.
+            files = meta.get("files")
+            kept_files[int(pstr)] = set(files) if files is not None else None
     for entry in os.listdir(data_dir):
         if not entry.startswith(PART_COL + "="):
             continue
@@ -157,7 +168,10 @@ def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int]) -> None:
         if p not in keep:
             shutil.rmtree(pdir, ignore_errors=True)
             continue
-        attested = {os.path.basename(f) for f in kept_files.get(p, ())}
+        attested_set = kept_files.get(p, set())
+        if attested_set is None:  # pre-'files' manifest: leave bytes alone
+            continue
+        attested = {os.path.basename(f) for f in attested_set}
         for f in os.listdir(pdir):
             if f not in attested:
                 try:

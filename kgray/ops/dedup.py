@@ -607,11 +607,15 @@ def _embedding_dup_pairs_ivf(embeddings, tau, id_col, vec_col, digits,
     from kgray.util import grouped_map, round_half_up
 
     n = embeddings.count()
-    C = fit_centroids(
-        embeddings,
-        num_centroids or max(16, int(np.sqrt(max(n, 1)))),
-        vec_col=vec_col,
-    )
+    if num_centroids is None:
+        # Expected bucket occupancy is ~ n*probes/num_centroids; sqrt(n)
+        # alone crosses max_block near n~1M (exactly where auto forces
+        # IVF), so also scale centroids to keep expected occupancy at
+        # ~max_block/4 — over-full buckets then stay rare outliers that
+        # the tiled in-bucket path below still handles exactly.
+        occupancy_k = -(-n * max(1, probes) * 4 // max(1, max_block))
+        num_centroids = max(16, int(np.sqrt(max(n, 1))), int(occupancy_k))
+    C = fit_centroids(embeddings, num_centroids, vec_col=vec_col)
     import ray
 
     c_ref = ray.put(np.asarray(C, np.float64))
@@ -633,23 +637,44 @@ def _embedding_dup_pairs_ivf(embeddings, tau, id_col, vec_col, digits,
 
     blocked = embeddings.map_batches(assign, batch_format="pyarrow")
 
+    # Over-full buckets (beyond the one-matmul size) are processed with a
+    # tiled exact matmul instead of being silently dropped; only buckets
+    # past the hard cap are skipped, and loudly.
+    hard_cap = 16 * max_block
+    tile = min(max_block, 2048)
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         us, vs, cs = [], [], []
-        for _, g in df.groupby("bucket", sort=False):
+        for bkt, g in df.groupby("bucket", sort=False):
             g = g.drop_duplicates("vid")
-            if len(g) < 2 or len(g) > max_block:
+            if len(g) < 2:
+                continue
+            if len(g) > hard_cap:
+                logging.getLogger("kgray.dedup").warning(
+                    "ivf bucket %s has %d rows (> hard cap %d); skipping "
+                    "— raise num_centroids for this corpus", bkt, len(g),
+                    hard_cap,
+                )
                 continue
             ids = g["vid"].to_numpy(np.int64)
             m = np.vstack(g["vec"].to_numpy())
-            sims = m @ m.T
-            ui, vi = np.nonzero(np.triu(sims >= tau, k=1))
-            u, v = ids[ui], ids[vi]
-            swap = u > v
-            u2 = np.where(swap, v, u)
-            v2 = np.where(swap, u, v)
-            us.append(u2)
-            vs.append(v2)
-            cs.append(round_half_up(sims[ui, vi], digits))
+            for i0 in range(0, len(m), tile):
+                mi = m[i0:i0 + tile]
+                for j0 in range(i0, len(m), tile):
+                    sims = mi @ m[j0:j0 + tile].T
+                    hits = sims >= tau
+                    if j0 == i0:
+                        hits = np.triu(hits, k=1)
+                    ui, vi = np.nonzero(hits)
+                    if not len(ui):
+                        continue
+                    u, v = ids[i0 + ui], ids[j0 + vi]
+                    swap = u > v
+                    us.append(np.where(swap, v, u))
+                    vs.append(np.where(swap, u, v))
+                    cs.append(round_half_up(sims[ui, vi], digits))
         if us:
             return pd.DataFrame(
                 {

@@ -1077,7 +1077,10 @@ def q_token_stats_bpe(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    pat = re.compile(r"\w+|[^\w\s]")
+    # ASCII-pinned classes: Python \w/\s are Unicode-aware while DuckDB's
+    # RE2 \w is ASCII-only — the explicit classes make both engines
+    # tokenize non-ASCII text identically (per-char symbol matches).
+    pat = re.compile(r"[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\r\f\v]")
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -1097,7 +1100,8 @@ def q_token_stats_bpe(sf_dir: str):
 
 SQL_TOKEN_STATS_BPE = r"""
 SELECT lang,
-       CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+       CAST(SUM(len(regexp_extract_all(text,
+             '[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\r\f\v]'))) AS BIGINT)
          AS total_bpe,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
@@ -1117,6 +1121,12 @@ def q_orders_price_bands(sf_dir: str):
     banded = range_join_broadcast(
         _read(sf_dir, "orders", ["o_totalprice"]), _PRICE_BANDS,
         "o_totalprice",
+    )
+    # inner-join semantics: out-of-range rows (band == -1) are dropped,
+    # matching the oracle's BETWEEN join regardless of the data range.
+    banded = banded.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["band"], 0)),
+        batch_format="pyarrow",
     )
     agg = pre_aggregate(
         banded, ["band"],

@@ -187,6 +187,45 @@ def test_write_partitioned_crash_hygiene(tmp_path):
     assert io.read_table(path).count() == 100
 
 
+def test_hygiene_spares_pre_files_manifest(tmp_path):
+    """Resume over a manifest written by the pre-'files' format (no per-
+    partition file list) must NOT delete the kept partitions' parquet
+    files — nothing can be attested, so file-level hygiene is skipped
+    (ADVICE round 2: silent data loss on cross-version resume)."""
+    import glob
+    import json
+
+    from kgray import io
+
+    rows = [{"doc_id": f"doc-{i:04d}", "val": i} for i in range(100)]
+    path = str(tmp_path / "t")
+    io.write_partitioned(
+        rd.from_items(rows), path, "doc_id", num_partitions=4,
+        stage="test", input_fingerprint="fp1",
+    )
+    # rewrite the manifest as the old format: strip every 'files' list
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    for meta in m["partitions"].values():
+        meta.pop("files")
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    before = sorted(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    done = io.completed_partitions(path, "fp1")
+    assert done == set(range(4))
+    pending = io.filter_pending(rd.from_items(rows), "doc_id", 4, done)
+    m2 = io.write_partitioned(
+        pending, path, "doc_id", num_partitions=4,
+        stage="test", input_fingerprint="fp1", keep_partitions=done,
+    )
+    after = sorted(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    assert before == after  # no kept-partition file was deleted
+    assert sum(p["rows"] for p in m2["partitions"].values()) == 100
+    assert io.read_table(path).count() == 100
+
+
 def test_kg_construct_end_to_end(tmp_path):
     from kgray.corpus import doc_ids_for_range, interleaved_table
     from kgray.pipeline import PipelineConfig, kg_construct
