@@ -165,18 +165,28 @@ def _labels_fingerprint(labels) -> int:
     """Order-independent fingerprint of the (node,label) pair set.
 
     Runs as one plain Ray task per MATERIALIZED block (cheaper than a
-    full Ray Data job per convergence check; blocks stay remote)."""
+    full Ray Data job per convergence check; blocks stay remote).
+    Per-block work is one Arrow string join + one vectorized row hash
+    XOR-folded — no per-row python (it runs every CC round over every
+    (node,label) row)."""
     import ray
-    import zlib
 
     @ray.remote(num_cpus=0.5)
     def h(tbl: pa.Table) -> int:
-        if "node" not in tbl.column_names:  # empty zero-schema block
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        if "node" not in tbl.column_names or tbl.num_rows == 0:
             return 0
-        acc = 0
-        for n, l in zip(tbl["node"].to_pylist(), tbl["label"].to_pylist()):
-            acc ^= zlib.crc32(f"{n}->{l}".encode())
-        return acc
+        joined = pc.binary_join_element_wise(
+            pc.cast(tbl["node"], pa.string()),
+            pc.cast(tbl["label"], pa.string()),
+            "->",
+        )
+        hv = pd.util.hash_pandas_object(
+            pd.Series(joined.to_pandas()), index=False
+        ).to_numpy(np.uint64)
+        return int(np.bitwise_xor.reduce(hv))
 
     parts = ray.get([h.remote(ref) for ref in labels.to_arrow_refs()])
     acc = 0

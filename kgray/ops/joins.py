@@ -329,20 +329,30 @@ def pc_unique(col):
     return pc.unique(col)
 
 
-def semi_join_filter(ds, keys: set, key_col: str, keep: bool = True):
+def semi_join_filter(ds, keys, key_col: str, keep: bool = True):
     """Semi/anti join against a broadcast key set (SURVEY.md guide
-    pattern): filter inside map_batches, no shuffle."""
+    pattern): filter inside map_batches, no shuffle.
+
+    The key set ships as an Arrow array (denser than a python set in the
+    object store) and the membership test is one ``pc.is_in`` kernel per
+    batch — no per-row python."""
+    import pyarrow.compute as pc
     import ray
 
-    ref = ray.put(keys)
+    value_set = keys if isinstance(keys, pa.Array) else pa.array(list(keys))
+    ref = ray.put(value_set)
 
     def apply(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        col = batch[key_col].to_pylist()
-        mask = np.fromiter((c in ks for c in col), bool, len(col))
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(ks) and ks.type != col.type:
+            ks = ks.cast(col.type)
+        mask = pc.is_in(col, value_set=ks)
         if not keep:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(apply, batch_format="pyarrow")
 

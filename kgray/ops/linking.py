@@ -173,15 +173,31 @@ def verify_edges(pairs, tau: float = 0.6):
     are rejected here (schema-constrained linking)."""
 
     def verify(batch: pa.Table) -> pa.Table:
-        us = batch["u"].to_pylist()
-        vs = batch["v"].to_pylist()
+        import pyarrow.compute as pc
+
+        # vectorized same-type gate: mention_key = "<type>\x1f<name>", so
+        # equal prefixes up to the first separator == equal types
+        tu = pc.list_element(pc.split_pattern(batch["u"], _SEP, max_splits=1), 0)
+        tv = pc.list_element(pc.split_pattern(batch["v"], _SEP, max_splits=1), 0)
+        same = batch.filter(pc.equal(tu, tv))
+        us = same["u"].to_pylist()
+        vs = same["v"].to_pylist()
+        # mentions repeat across candidate pairs: shingle each DISTINCT
+        # name once, then the pair loop is set-intersection C-ops only
+        cache: dict[str, set] = {}
+
+        def sh(key: str) -> set:
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = shingles(key.split(_SEP, 1)[1])
+            return s
+
         keep_u, keep_v, sims = [], [], []
         for u, v in zip(us, vs):
-            tu, nu = u.split(_SEP, 1)
-            tv, nv = v.split(_SEP, 1)
-            if tu != tv:
+            sa, sb = sh(u), sh(v)
+            if not sa or not sb:
                 continue
-            sim = jaccard(nu, nv)
+            sim = len(sa & sb) / len(sa | sb)
             if sim >= tau:
                 keep_u.append(u)
                 keep_v.append(v)
