@@ -124,6 +124,33 @@ def _kg_extract_bilstm(sf_dir: str):
     )
 
 
+def _kg_extract_transformer(sf_dir: str):
+    """A5: stage-2 via the numpy transformer-CRF forward (masked MHA +
+    FFN encoder, labeling/model.py:165-299 shape; untrained seeded
+    weights — output is arbitrary but BIESO-legal; actor pool so the
+    encoder tensors build once per actor)."""
+    from kgray.ops.models import NumpyTransformerCrfLabeler
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        _kg_docs_ds(200),
+        PipelineConfig(labeler_cls=NumpyTransformerCrfLabeler, execution="actors"),
+    )
+
+
+def _kg_extract_bert(sf_dir: str):
+    """A2: stage-1 scores from the numpy BERT forward (WordPiece ids ->
+    embeddings -> masked-MHA/gelu encoder -> pooler -> sigmoid(50),
+    classification/model_bert.py:14-118 shape), rest unchanged."""
+    from kgray.ops.models import NumpyBertScorer
+    from kgray.pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        _kg_docs_ds(200),
+        PipelineConfig(classifier_cls=NumpyBertScorer, execution="actors"),
+    )
+
+
 def _kg_extract_ensemble(sf_dir: str):
     """A3: stage-1 scores from a weighted two-member ensemble
     (classification/ensemble.py:120-133 formula), rest of the pipeline
@@ -521,6 +548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_extract_crf": _kg_extract_crf,
             "kg_extract_cnn": _kg_extract_cnn,
             "kg_extract_bilstm": _kg_extract_bilstm,
+            "kg_extract_transformer": _kg_extract_transformer,
+            "kg_extract_bert": _kg_extract_bert,
             "kg_extract_ensemble": _kg_extract_ensemble,
             "kg_extract_crf_ensemble": _kg_extract_crf_ensemble,
             "kg_golden": _kg_golden,
