@@ -143,76 +143,6 @@ class BandEmitter:
         )
 
 
-def candidate_pairs(banded, max_block: int = 256):
-    """Coarse-bucket cogroup on band hash -> within-block pairs (u < v),
-    deduped globally.  ``max_block`` caps pathological blocks (a block
-    that large means the band hash degenerated — skip rather than emit
-    O(n^2) pairs).  Per-band grouping is vectorized inside one call per
-    bucket (kgray.util.grouped_map rationale).
-    """
-    from ray.data.aggregate import Count
-
-    from kgray.util import grouped_map, pairs_within_groups
-
-    return (
-        grouped_map(
-            banded, "band_key",
-            lambda df: pairs_within_groups(
-                df, "band_key", "mention_key", max_block, dtype="string"
-            ),
-        )
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="nbands"))
-    )
-
-
-def verify_edges(pairs, tau: float = 0.6):
-    """Exact Jaccard verification of candidate pairs; same-type gate.
-
-    Types are encoded in the mention_key prefix, so cross-type candidates
-    are rejected here (schema-constrained linking)."""
-
-    def verify(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # vectorized same-type gate: mention_key = "<type>\x1f<name>", so
-        # equal prefixes up to the first separator == equal types
-        tu = pc.list_element(pc.split_pattern(batch["u"], _SEP, max_splits=1), 0)
-        tv = pc.list_element(pc.split_pattern(batch["v"], _SEP, max_splits=1), 0)
-        same = batch.filter(pc.equal(tu, tv))
-        us = same["u"].to_pylist()
-        vs = same["v"].to_pylist()
-        # mentions repeat across candidate pairs: shingle each DISTINCT
-        # name once, then the pair loop is set-intersection C-ops only
-        cache: dict[str, set] = {}
-
-        def sh(key: str) -> set:
-            s = cache.get(key)
-            if s is None:
-                s = cache[key] = shingles(key.split(_SEP, 1)[1])
-            return s
-
-        keep_u, keep_v, sims = [], [], []
-        for u, v in zip(us, vs):
-            sa, sb = sh(u), sh(v)
-            if not sa or not sb:
-                continue
-            sim = len(sa & sb) / len(sa | sb)
-            if sim >= tau:
-                keep_u.append(u)
-                keep_v.append(v)
-                sims.append(sim)
-        return pa.table(
-            {
-                "u": pa.array(keep_u, pa.string()),
-                "v": pa.array(keep_v, pa.string()),
-                "sim": pa.array(sims, pa.float64()),
-            }
-        )
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
-
-
 def mention_embeddings(ments, dim: int = 64):
     """Deterministic char-bigram hashed-TF embedding per mention (the
     dependency-free stand-in for a learned encoder; the Ray-side plumbing
@@ -300,6 +230,58 @@ def link_mentions_embedding(
     )
 
 
+def _verified_pairs_fused(banded, tau: float, max_block: int = 256):
+    """Pair-gen + in-bucket dedup + same-type gate + exact-Jaccard verify
+    fused into the ONE band-bucket cogroup (mention surfaces ARE the pair
+    values, so no text join is needed); cross-bucket duplicate candidates
+    verify redundantly (deterministic, tiny) and collapse in a final
+    Max-aggregate.  2 shuffles total where the candidate_pairs ->
+    verify_edges chain paid cogroup + candidate groupby."""
+    from ray.data.aggregate import Max
+
+    from kgray.util import grouped_map, pairs_within_groups
+
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = pairs_within_groups(
+            df, "band_key", "mention_key", max_block, dtype="string"
+        )
+        if len(pairs):
+            pairs = pairs.drop_duplicates(ignore_index=True)
+        cache: dict[str, set] = {}
+
+        def sh(key: str) -> set:
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = shingles(key.split(_SEP, 1)[1])
+            return s
+
+        us, vs, sims = [], [], []
+        for u, v in zip(pairs["u"].tolist(), pairs["v"].tolist()):
+            if u.split(_SEP, 1)[0] != v.split(_SEP, 1)[0]:
+                continue  # schema-constrained: same entity type only
+            sa, sb = sh(u), sh(v)
+            if not sa or not sb:
+                continue
+            sim = len(sa & sb) / len(sa | sb)
+            if sim >= tau:
+                us.append(u)
+                vs.append(v)
+                sims.append(sim)
+        return pd.DataFrame(
+            {
+                "u": pd.array(us, dtype="string"),
+                "v": pd.array(vs, dtype="string"),
+                "sim": pd.array(sims, dtype="float64"),
+            }
+        )
+
+    return (
+        grouped_map(banded, "band_key", bucket_verify)
+        .groupby(["u", "v"])
+        .aggregate(Max("sim", alias_name="sim"))
+    )
+
+
 def link_mentions(
     triples,
     num_hashes: int = 64,
@@ -323,4 +305,4 @@ def link_mentions(
             BandEmitter, batch_format="pyarrow", concurrency=concurrency,
             fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
         )
-    return verify_edges(candidate_pairs(banded), tau=tau)
+    return _verified_pairs_fused(banded, tau=tau)

@@ -93,6 +93,29 @@ def test_connected_components_two_clusters():
     assert m["a"] != m["x"]
 
 
+def test_connected_components_driver_and_distributed_agree():
+    """The small-graph driver union-find gate must emit exactly the
+    distributed min-label-propagation result (incl. a 6-node chain that
+    needs multiple propagation rounds)."""
+    from kgray.ops.canonical import connected_components
+
+    items = [
+        {"u": f"n{i}", "v": f"n{i + 1}", "sim": 1.0} for i in range(5)
+    ] + [{"u": "q2", "v": "q1", "sim": 1.0}, {"u": "z", "v": "q2", "sim": 1.0}]
+    drv = (
+        connected_components(rd.from_items(items))
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    dist = (
+        connected_components(rd.from_items(items), max_driver_edges=0)
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    assert drv.equals(dist)
+    m = dict(zip(drv["node"], drv["component"]))
+    assert all(m[f"n{i}"] == "n0" for i in range(6))
+    assert m["z"] == m["q1"] == m["q2"] == "q1"
+
+
 def test_canonicalize_triples_rewrites_aliases():
     from kgray.ops.canonical import canonicalize_triples
 
