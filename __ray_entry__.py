@@ -15,6 +15,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 from typing import Any
 
@@ -30,9 +31,24 @@ def _kg_docs_ds(n: int = _KG_DOCS):
     return interleaved_dataset(n, seed=_SEED)
 
 
+# Checked-in snapshot of sentences_table(doc_ids_for_range(0, 600), seed=42)
+# (scripts/gen_kg_sentences.py writes it; tests/test_corpus.py guards drift).
+# Both the Ray kg_* queries AND their DuckDB oracles read THIS file, so the
+# spo_hist/empty_counts/vocab_chars/multihot checks are full value-hash
+# oracles rather than rows-only.
+_KG_SENT_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "kgray", "data", "kg_sentences_600.parquet",
+)
+
+
 def _kg_sentences_ds(n: int = _KG_DOCS):
+    import os
+
     import ray.data as rd
 
+    if n == _KG_DOCS and os.path.exists(_KG_SENT_PARQUET):
+        return rd.read_parquet(_KG_SENT_PARQUET)
     from kgray.corpus import doc_ids_for_range, sentences_table
 
     return rd.from_arrow(sentences_table(doc_ids_for_range(0, n), seed=_SEED))
@@ -587,7 +603,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents for every SQL-expressible query (same column
     names as the Ray results).  KG-pipeline / sketch-based entries are
-    intentionally absent (non-SQL-expressible; rows-only check)."""
+    intentionally absent (non-SQL-expressible; rows-only check) — except
+    the four sentence-table statistics below, whose inputs are the
+    checked-in kg_sentences parquet both engines read."""
     from kgray.queries import CATALOG
 
-    return {name: sql for name, (fn, sql) in CATALOG.items() if sql}
+    out = {name: sql for name, (fn, sql) in CATALOG.items() if sql}
+    p = f"read_parquet('{_KG_SENT_PARQUET}')"
+    out.update(
+        {
+            "kg_spo_hist": (
+                "SELECT CAST(len(spo_list) AS BIGINT) AS n_spo, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows FROM {p} GROUP BY 1"
+            ),
+            "kg_empty_counts": (
+                "SELECT "
+                "CAST(SUM(CASE WHEN len(postag)=0 THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS empty_postag, "
+                "CAST(SUM(CASE WHEN len(spo_list)=0 THEN 1 ELSE 0 END) AS "
+                "BIGINT) AS empty_spo, "
+                "CAST(SUM(CASE WHEN length(text)=0 THEN 1 ELSE 0 END) AS "
+                "BIGINT) AS empty_text, "
+                f"CAST(COUNT(*) AS BIGINT) AS total FROM {p}"
+            ),
+            "kg_vocab_chars": (
+                "SELECT u AS token, CAST(COUNT(*) AS BIGINT) AS n FROM "
+                f"(SELECT UNNEST(string_split(text, '')) AS u FROM {p}) "
+                "GROUP BY 1"
+            ),
+            "kg_multihot": (
+                "SELECT t.doc_id, CAST(COALESCE(u.n, 0) AS BIGINT) AS "
+                f"n_schemas FROM {p} t LEFT JOIN ("
+                "SELECT doc_id, COUNT(DISTINCT s.subject_type || s.predicate "
+                "|| s.object_type) AS n FROM (SELECT doc_id, UNNEST(spo_list)"
+                f" AS s FROM {p}) GROUP BY doc_id) u ON t.doc_id = u.doc_id"
+            ),
+        }
+    )
+    return out

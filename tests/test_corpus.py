@@ -121,3 +121,20 @@ def test_tables_have_declared_schemas():
     assert st.schema.names == ["doc_id", "text", "postag", "spo_list"]
     assert it.schema.names == ["doc_id", "spans"]
     assert pa.types.is_list(it.schema.field("spans").type)
+
+
+def test_checked_in_sentences_parquet_matches_generation():
+    """The kg_sentences snapshot (shared input of four SQL-oracled
+    queries) must equal live generation; regenerate with
+    scripts/gen_kg_sentences.py if corpus code legitimately changed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kgray", "data", "kg_sentences_600.parquet",
+    )
+    snap = pq.read_table(path)
+    live = sentences_table([f"doc-{i:08d}" for i in range(600)], seed=42)
+    assert snap.equals(live)
