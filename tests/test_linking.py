@@ -334,3 +334,135 @@ def test_kg_construct_skips_downstream_on_unchanged_triples(tmp_path):
     m3 = kg_construct(docs3, out, cfg, num_partitions=4, tau=0.5,
                       input_fingerprint="fp-other")
     assert files(m3["entities"]) != files(m1["entities"])
+
+
+def test_write_partitioned_sigkill_midwrite_resume_exactly_once(
+    tmp_path, ray_session
+):
+    """Chaos test for the exactly-once write contract: a real writer
+    process is SIGKILLed while its parquet slices are landing (after
+    files exist, before its manifest commit), then the parent resumes —
+    the resumed table must hold each row exactly once and byte-match a
+    clean one-shot write (io.py hygiene design, proven not just argued)."""
+    import subprocess
+    import sys
+    import time
+
+    from kgray import io
+
+    N, P = 3000, 8
+    out = str(tmp_path / "tbl")
+    data_dir = os.path.join(out, "data")
+
+    def full_ds():
+        def gen(batch):
+            ids = [int(i) for i in batch["id"]]
+            return pa.table(
+                {
+                    "doc_id": pa.array([f"d{i:05d}" for i in ids]),
+                    "val": pa.array(ids, pa.int64()),
+                }
+            )
+
+        return rd.range(N, override_num_blocks=30).map_batches(
+            gen, batch_format="numpy", batch_size=100
+        )
+
+    # phase 1: a completed partial run attests partitions {0, 1, 2}
+    from kgray.io import partition_of
+
+    def only_first_parts(batch: pa.Table) -> pa.Table:
+        part = partition_of(batch["doc_id"].to_pylist(), P)
+        return batch.filter(pa.array(part < 3))
+
+    io.write_partitioned(
+        full_ds().map_batches(only_first_parts, batch_format="pyarrow"),
+        out, "doc_id", P, stage="chaos", input_fingerprint="fp1",
+    )
+    assert io.completed_partitions(out, "fp1") == {0, 1, 2}
+
+    # phase 2: a separate writer process resumes the remaining partitions
+    # (slowly) and is SIGKILLed once its slices start landing
+    child_src = f"""
+import time
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+import ray.data as rd
+import pyarrow as pa
+from kgray import io
+
+def gen(batch):
+    time.sleep(0.4)  # stretch the write window for the parent's kill
+    ids = [int(i) for i in batch["id"]]
+    return pa.table(
+        {{"doc_id": pa.array([f"d{{i:05d}}" for i in ids]),
+          "val": pa.array(ids, pa.int64())}}
+    )
+
+ds = rd.range({N}, override_num_blocks=30).map_batches(
+    gen, batch_format="numpy", batch_size=100
+)
+done = io.completed_partitions({out!r}, "fp1")
+io.write_partitioned(
+    io.filter_pending(ds, "doc_id", {P}, done), {out!r}, "doc_id", {P},
+    stage="chaos", input_fingerprint="fp1", keep_partitions=done,
+)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    before = {
+        f
+        for m in io.read_manifest(out)["partitions"].values()
+        for f in m["files"]
+    }
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline:
+        on_disk = {
+            os.path.join(e, f)
+            for e in os.listdir(data_dir)
+            for f in os.listdir(os.path.join(data_dir, e))
+        }
+        if len(on_disk - before) >= 2:  # new slices landing: kill NOW
+            proc.kill()
+            killed = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    proc.wait(timeout=60)
+    assert killed, "writer finished before the kill window (slow down gen)"
+    # crash state: orphaned slices on disk, manifest still the phase-1 one
+    assert io.completed_partitions(out, "fp1") == {0, 1, 2}
+
+    # phase 3: resume properly in this session
+    done = io.completed_partitions(out, "fp1")
+    io.write_partitioned(
+        io.filter_pending(full_ds(), "doc_id", P, done), out, "doc_id", P,
+        stage="chaos", input_fingerprint="fp1", keep_partitions=done,
+    )
+    got = (
+        io.read_table(out)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == N
+    assert got["doc_id"].is_unique
+    clean_dir = str(tmp_path / "clean")
+    io.write_partitioned(
+        full_ds(), clean_dir, "doc_id", P, stage="chaos",
+        input_fingerprint="fp1",
+    )
+    clean = (
+        io.read_table(clean_dir)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.equals(clean)
+    fp_resumed = io.manifest_fingerprint(io.read_manifest(out))
+    fp_clean = io.manifest_fingerprint(io.read_manifest(clean_dir))
+    assert fp_resumed == fp_clean
