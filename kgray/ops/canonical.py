@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _edges_symmetric(edges):
@@ -296,16 +297,37 @@ def canonicalize_triples(triples, entity_map, num_partitions: int = 16,
         return keyed.map_batches(identity, batch_format="pyarrow")
 
     if map_rows <= broadcast_limit:
-        j1 = broadcast_join(
-            keyed,
-            rename_cols(entity_map, {"component": "subject_canonical"}),
-            on="s_key", right_on="node", how="left",
-        )
-        j2 = broadcast_join(
-            j1,
-            rename_cols(entity_map, {"component": "object_canonical"}),
-            on="o_key", right_on="node", how="left",
-        )
+        # Broadcast path in ONE map-only stage: the map is collected once,
+        # ray.put once, and each batch resolves BOTH sides with vectorized
+        # Arrow index_in + take + coalesce — no per-stage block rebuilds,
+        # no repeated small-side collection (was: 2 broadcast_joins + a
+        # finalize stage, each re-collecting/rebuilding).
+        import ray
+
+        if hasattr(entity_map, "to_arrow_refs"):
+            parts = [ray.get(r) for r in entity_map.to_arrow_refs()]
+            parts = [p for p in parts if p.num_rows] or parts[:1]
+            emap = pa.concat_tables(parts, promote_options="default")
+        else:
+            emap = entity_map
+        nodes = emap["node"].combine_chunks()
+        comps = pc.cast(emap["component"].combine_chunks(), pa.string())
+        map_ref = ray.put((nodes, comps))
+
+        def canonize(batch: pa.Table) -> pa.Table:
+            nodes_, comps_ = ray.get(map_ref)
+            out = add_keys(batch)
+            sk, ok = out["s_key"], out["o_key"]
+            si = pc.index_in(sk, value_set=nodes_)
+            oi = pc.index_in(ok, value_set=nodes_)
+            sc = pc.coalesce(comps_.take(si), sk)
+            oc = pc.coalesce(comps_.take(oi), ok)
+            out = out.drop_columns(["s_key", "o_key"])
+            return out.append_column(
+                "subject_canonical", sc
+            ).append_column("object_canonical", oc)
+
+        return triples.map_batches(canonize, batch_format="pyarrow")
     else:
         j1 = bucket_join(
             keyed,

@@ -76,13 +76,10 @@ def mention_key(entity_type: str, name: str) -> str:
     return f"{entity_type}{_SEP}{name}"
 
 
-def mentions_from_triples(triples):
-    """Distinct (entity_type, mention) rows with counts.
-
-    Per-batch partial aggregation first (combiner), then a small groupby —
-    the skew-defusing pattern for head entities (SURVEY.md §4).
-    """
-    from ray.data.aggregate import Sum
+def _mention_partials(triples):
+    """Combiner stage of ``mentions_from_triples``: per-block distinct
+    (mention_key, n) rows — the skew-defusing partial aggregate that runs
+    before (or, under the small-side gate, instead of) the groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -111,8 +108,19 @@ def mentions_from_triples(triples):
             }
         )
 
+    return triples.map_batches(partial, batch_format="pyarrow")
+
+
+def mentions_from_triples(triples):
+    """Distinct (entity_type, mention) rows with counts.
+
+    Per-batch partial aggregation first (combiner), then a small groupby —
+    the skew-defusing pattern for head entities (SURVEY.md §4).
+    """
+    from ray.data.aggregate import Sum
+
     return (
-        triples.map_batches(partial, batch_format="pyarrow")
+        _mention_partials(triples)
         .groupby("mention_key")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -230,55 +238,95 @@ def link_mentions_embedding(
     )
 
 
-def _verified_pairs_fused(banded, tau: float, max_block: int = 256):
+def _bucket_verify_df(df: pd.DataFrame, tau: float,
+                      max_block: int = 256) -> pd.DataFrame:
     """Pair-gen + in-bucket dedup + same-type gate + exact-Jaccard verify
-    fused into the ONE band-bucket cogroup (mention surfaces ARE the pair
-    values, so no text join is needed); cross-bucket duplicate candidates
-    verify redundantly (deterministic, tiny) and collapse in a final
-    Max-aggregate.  2 shuffles total where the candidate_pairs ->
-    verify_edges chain paid cogroup + candidate groupby."""
+    over (band_key, mention_key) rows.  The shared kernel of BOTH linking
+    execution paths (distributed cogroup buckets and the driver-gate
+    single call), so the two can never drift semantically."""
+    from kgray.util import pairs_within_groups
+
+    pairs = pairs_within_groups(
+        df, "band_key", "mention_key", max_block, dtype="string"
+    )
+    if len(pairs):
+        pairs = pairs.drop_duplicates(ignore_index=True)
+    cache: dict[str, set] = {}
+
+    def sh(key: str) -> set:
+        s = cache.get(key)
+        if s is None:
+            s = cache[key] = shingles(key.split(_SEP, 1)[1])
+        return s
+
+    us, vs, sims = [], [], []
+    for u, v in zip(pairs["u"].tolist(), pairs["v"].tolist()):
+        if u.split(_SEP, 1)[0] != v.split(_SEP, 1)[0]:
+            continue  # schema-constrained: same entity type only
+        sa, sb = sh(u), sh(v)
+        if not sa or not sb:
+            continue
+        sim = len(sa & sb) / len(sa | sb)
+        if sim >= tau:
+            us.append(u)
+            vs.append(v)
+            sims.append(sim)
+    return pd.DataFrame(
+        {
+            "u": pd.array(us, dtype="string"),
+            "v": pd.array(vs, dtype="string"),
+            "sim": pd.array(sims, dtype="float64"),
+        }
+    )
+
+
+def _verified_pairs_fused(banded, tau: float, max_block: int = 256):
+    """Fused distributed path: ONE band-bucket cogroup runs
+    ``_bucket_verify_df`` where the block lives; cross-bucket duplicate
+    candidates verify redundantly (deterministic, tiny) and collapse in a
+    final Max-aggregate.  2 shuffles total."""
     from ray.data.aggregate import Max
 
-    from kgray.util import grouped_map, pairs_within_groups
+    from kgray.util import grouped_map
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = pairs_within_groups(
-            df, "band_key", "mention_key", max_block, dtype="string"
-        )
-        if len(pairs):
-            pairs = pairs.drop_duplicates(ignore_index=True)
-        cache: dict[str, set] = {}
-
-        def sh(key: str) -> set:
-            s = cache.get(key)
-            if s is None:
-                s = cache[key] = shingles(key.split(_SEP, 1)[1])
-            return s
-
-        us, vs, sims = [], [], []
-        for u, v in zip(pairs["u"].tolist(), pairs["v"].tolist()):
-            if u.split(_SEP, 1)[0] != v.split(_SEP, 1)[0]:
-                continue  # schema-constrained: same entity type only
-            sa, sb = sh(u), sh(v)
-            if not sa or not sb:
-                continue
-            sim = len(sa & sb) / len(sa | sb)
-            if sim >= tau:
-                us.append(u)
-                vs.append(v)
-                sims.append(sim)
-        return pd.DataFrame(
-            {
-                "u": pd.array(us, dtype="string"),
-                "v": pd.array(vs, dtype="string"),
-                "sim": pd.array(sims, dtype="float64"),
-            }
-        )
+        return _bucket_verify_df(df, tau, max_block)
 
     return (
         grouped_map(banded, "band_key", bucket_verify)
         .groupby(["u", "v"])
         .aggregate(Max("sim", alias_name="sim"))
+    )
+
+
+def _driver_link(mention_keys: list[str], num_hashes: int, bands: int,
+                 tau: float, max_block: int = 256) -> pa.Table:
+    """Small-side linking: signatures + banding + verify in one in-process
+    call (same kernels — ``batch_signatures``/``band_keys``/
+    ``_bucket_verify_df`` — as the distributed path)."""
+    from kgray.ops.dedup import band_keys, batch_signatures
+
+    params = _hash_params(num_hashes)
+    names = [mk.split(_SEP, 1)[1] for mk in mention_keys]
+    sigs = batch_signatures([shingles(n) for n in names], params)
+    bk = band_keys(sigs, bands)
+    df = pd.DataFrame(
+        {
+            "band_key": bk,
+            "mention_key": np.repeat(np.asarray(mention_keys, object), bands),
+        }
+    )
+    edges = _bucket_verify_df(df, tau, max_block)
+    if len(edges):
+        edges = (
+            edges.groupby(["u", "v"], sort=False)["sim"].max().reset_index()
+        )
+    return pa.table(
+        {
+            "u": pa.array(edges["u"].tolist(), pa.string()),
+            "v": pa.array(edges["v"].tolist(), pa.string()),
+            "sim": pa.array(edges["sim"].tolist(), pa.float64()),
+        }
     )
 
 
@@ -288,13 +336,36 @@ def link_mentions(
     bands: int = 32,
     tau: float = 0.6,
     concurrency=None,
+    max_driver_mentions: int = 200_000,
 ):
     """Full linking pipeline: triples -> verified same-entity edges.
+
+    Auto-gated like connected_components: the combiner partials are
+    materialized once; at or under ``max_driver_mentions`` partial rows
+    the whole LSH+verify runs as one in-process call (4 shuffle barriers
+    cost seconds even for tens of edges), above it the distributed
+    banded-cogroup path is the 100-TB route.  Both paths share the same
+    signature/banding/verify kernels.
 
     Band emission runs as tasks by default (the minhash params are trivial
     closure state); pass concurrency=(min,max) for an actor pool when the
     blocking state is heavy (e.g. an embedding encoder)."""
-    ments = mentions_from_triples(triples)
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    partials = _mention_partials(triples).materialize()
+    if partials.count() <= max_driver_mentions:
+        parts = [ray.get(r) for r in partials.to_arrow_refs()]
+        parts = [p for p in parts if p.num_rows]
+        keys = []
+        if parts:
+            tbl = pa.concat_tables(parts, promote_options="default")
+            keys = pc.unique(tbl["mention_key"]).to_pylist()
+        return rd.from_arrow(_driver_link(keys, num_hashes, bands, tau))
+
+    ments = partials.groupby("mention_key").aggregate(Sum("n", alias_name="n"))
     if concurrency is None:
         banded = ments.map_batches(
             BandEmitter(num_hashes=num_hashes, bands=bands),
