@@ -94,9 +94,19 @@ class TemplateLabeler:
             if not pairs:
                 continue
             base = int(offsets[r])
+            # multi-object pairs repeat the subject surface per object;
+            # memoize needle scans within the row
+            row_hits: dict[str, list[int]] = {}
+
+            def fa(needle: str) -> list[int]:
+                hits = row_hits.get(needle)
+                if hits is None:
+                    hits = row_hits[needle] = find_all(needle, text)
+                return hits
+
             for sub, obj in pairs:
-                s_idx = find_all(sub, text)
-                o_idx = find_all(obj, text)
+                s_idx = fa(sub)
+                o_idx = fa(obj)
                 if sub == obj:
                     o_idx = [x for i, x in enumerate(s_idx) if i % 2 == 1]
                 for i in s_idx:

@@ -44,6 +44,24 @@ def test_find_all_overlap_and_case():
     assert find_all("", "xyz") == []
 
 
+def test_find_all_fast_path_matches_regex():
+    """The caseless str.find fast path must agree with the re.I finditer
+    reference on every (needle, haystack) — property-fuzzed over the
+    corpus alphabet plus cased/caseless edge chars."""
+    import random
+    import re
+
+    alphabet = "张王李《》、，。abAB13ßKς好的是"
+    rng = random.Random(7)
+    for _ in range(2000):
+        sent = "".join(rng.choices(alphabet, k=rng.randrange(0, 30)))
+        sub = "".join(rng.choices(alphabet, k=rng.randrange(1, 4)))
+        expect = [
+            m.start() for m in re.finditer(re.escape(sub), sent, re.I)
+        ]
+        assert find_all(sub, sent) == expect, (sub, sent)
+
+
 def test_sub_eq_obj_odd_occurrence_rule():
     """subject==object: odd occurrences become OBJ (tagging.py:25-26).
     端脑 occurs at 1 and 15; occurrence idx 1 (offset 15) -> OBJ."""
