@@ -638,6 +638,31 @@ def oracle_sql() -> dict[str, str]:
                 "|| s.object_type) AS n FROM (SELECT doc_id, UNNEST(spo_list)"
                 f" AS s FROM {p}) GROUP BY doc_id) u ON t.doc_id = u.doc_id"
             ),
+            # golden_triples is a pure spo_list explode — one UNNEST
+            "kg_golden": (
+                "SELECT doc_id, s.subject AS subject, "
+                "s.subject_type AS subject_type, s.predicate AS predicate, "
+                "s.object AS object, s.object_type AS object_type "
+                f"FROM (SELECT doc_id, UNNEST(spo_list) AS s FROM {p})"
+            ),
+            # MinHash-LSH output is exact-Jaccard-verified, so its oracle is
+            # the exact word-3-gram Jaccard self-join (same shape as
+            # ngram_dup_pairs).  With 32 bands x 2 rows, P(LSH misses a
+            # j>=0.7 pair) = 0.51^32 ~ 4e-10 — the sketch is exact here.
+            "minhash_dup_docs": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+""",
         }
     )
     return out
