@@ -217,19 +217,119 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 # MinHash-LSH near-dup over documents
 # ---------------------------------------------------------------------------
 
+def _verify_pairs_exact(us, vs, ta, tb, tau: float):
+    """Exact word-shingle jaccard over candidate pairs; shingle sets
+    memoized per distinct text (pairs repeat texts heavily).  Shared by
+    the distributed verify stages AND the small-side driver path."""
+    from kgray.util import round_half_up
+
+    cache: dict = {}
+
+    def sh(t):
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = set(word_shingles(t or ""))
+        return s
+
+    ku, kv, js = [], [], []
+    for u, v, a, b in zip(us, vs, ta, tb):
+        sa, sb = sh(a), sh(b)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= tau:
+            ku.append(u)
+            kv.append(v)
+            js.append(float(round_half_up(j, 4)))
+    return ku, kv, js
+
+
+def _collect_id_text(docs, id_col: str, text_col: str):
+    """Materialize a small docs Dataset's (id, text) columns to the driver
+    (callers gate on estimated size first)."""
+    import ray
+
+    proj = docs.map_batches(
+        lambda b: pa.table({"doc": b[id_col].cast(pa.int64()),
+                            "text": b[text_col]}),
+        batch_format="pyarrow",
+    )
+    parts = [ray.get(r) for r in proj.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return np.array([], np.int64), []
+    tbl = pa.concat_tables(parts, promote_options="default")
+    return (tbl["doc"].to_numpy(zero_copy_only=False),
+            tbl["text"].to_pylist())
+
+
+def _driver_minhash(ids: np.ndarray, texts: list, tau: float,
+                    num_hashes: int, bands: int, max_block: int) -> pa.Table:
+    """Whole MinHash-LSH dedup as one in-process call — the small-side
+    fast path (4 shuffle barriers cost seconds even for tens of pairs).
+    Same kernels as the distributed path: batch_signatures / band_keys /
+    pairs_within_groups / _verify_pairs_exact."""
+    from kgray.ops.linking import _hash_params
+
+    sigs = batch_signatures([word_shingles(t or "") for t in texts],
+                            _hash_params(num_hashes))
+    df = pd.DataFrame(
+        {
+            "band_key": band_keys(sigs, bands),
+            "doc": np.repeat(np.asarray(ids, np.int64), bands),
+        }
+    )
+    from kgray.util import pairs_within_groups
+
+    pairs = pairs_within_groups(df, "band_key", "doc", max_block)
+    if len(pairs):
+        pairs = pairs.drop_duplicates(ignore_index=True)
+    text_of = dict(zip(ids.tolist(), texts))
+    ku, kv, js = _verify_pairs_exact(
+        pairs["u"].tolist(), pairs["v"].tolist(),
+        [text_of.get(u) for u in pairs["u"].tolist()],
+        [text_of.get(v) for v in pairs["v"].tolist()],
+        tau,
+    )
+    out = pd.DataFrame({"u": ku, "v": kv, "jac": js})
+    if len(out):
+        out = out.groupby(["u", "v"], sort=False)["jac"].max().reset_index()
+    return pa.table(
+        {
+            "u": pa.array(out["u"].tolist(), pa.int64()),
+            "v": pa.array(out["v"].tolist(), pa.int64()),
+            "jac": pa.array(out["jac"].tolist(), pa.float64()),
+        }
+    )
+
+
 def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 32, concurrency=None,
                       broadcast_texts: bool | None = None,
-                      max_broadcast_bytes: int = 1 << 31):
+                      max_broadcast_bytes: int = 1 << 31,
+                      max_driver_bytes: int = 32 << 20):
     """Near-dup pairs by MinHash-LSH over word-3-gram shingles.
 
-    ``broadcast_texts=None`` (default) auto-selects the verify join by the
-    Dataset's estimated size: under ``max_broadcast_bytes`` (2 GiB) the
-    doc->text map is collected once and broadcast via the object store;
-    above it (or when no size estimate exists) the partitioned
+    ``broadcast_texts=None`` (default) auto-selects the execution plan by
+    the Dataset's estimated size: under ``max_driver_bytes`` (32 MiB) the
+    whole job runs as one in-process call (the small-side gate — shuffle
+    barriers dominate tiny inputs); under ``max_broadcast_bytes`` (2 GiB)
+    the doc->text map is collected once and broadcast via the object
+    store; above it (or when no size estimate exists) the partitioned
     ``bucket_join`` path runs — never an unbounded driver-side collect."""
+    import ray.data as rd
+
     from kgray.ops.linking import _hash_params, minhash_signature
+
+    if broadcast_texts is None:
+        est0 = docs.size_bytes()
+        if est0 is not None and est0 <= max_driver_bytes:
+            ids, texts = _collect_id_text(docs, id_col, text_col)
+            return rd.from_arrow(
+                _driver_minhash(ids, texts, tau, num_hashes, bands,
+                                max_block=128)
+            )
 
     class DocBands:
         def __init__(self):
@@ -266,29 +366,7 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
     from kgray.util import grouped_map, pairs_within_groups
 
     def _verify_rows(us, vs, ta, tb):
-        """Exact word-shingle jaccard over candidate pairs; shingle sets
-        memoized per distinct text (pairs repeat texts heavily)."""
-        from kgray.util import round_half_up
-
-        cache: dict = {}
-
-        def sh(t):
-            s = cache.get(t)
-            if s is None:
-                s = cache[t] = set(word_shingles(t or ""))
-            return s
-
-        ku, kv, js = [], [], []
-        for u, v, a, b in zip(us, vs, ta, tb):
-            sa, sb = sh(a), sh(b)
-            if not sa or not sb:
-                continue
-            j = len(sa & sb) / len(sa | sb)
-            if j >= tau:
-                ku.append(u)
-                kv.append(v)
-                js.append(float(round_half_up(j, 4)))
-        return ku, kv, js
+        return _verify_pairs_exact(us, vs, ta, tb, tau)
 
     texts_ds = docs.map_batches(
         lambda b: pa.table({"doc": b[id_col].cast(pa.int64()),
@@ -485,80 +563,125 @@ def batch_signatures(shingle_sets: list, params: np.ndarray,
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+def _simhash_blocks(ids: np.ndarray, texts: list):
+    """(block, doc, sig) arrays: 4 pigeonhole chunks per doc (hamming <= 3
+    implies one identical 16-bit chunk); block id packs (chunk_idx, chunk
+    value) into one int64.  Shared by the distributed sig stage and the
+    driver path."""
+    from kgray.ops.text import simhash64_batch
+
+    hs = simhash64_batch([t.split(" ") for t in texts])  # (n,) uint64
+    cidx = np.arange(4, dtype=np.uint64)
+    chunks = (hs[:, None] >> (np.uint64(16) * cidx[None, :])) & np.uint64(0xFFFF)
+    block = (chunks | (cidx[None, :] << np.uint64(48))).reshape(-1)
+    return (block.view(np.int64), np.repeat(ids, 4),
+            np.repeat(hs.view(np.int64), 4))
+
+
+def _simhash_bucket_pairs(df: pd.DataFrame, max_hamming: int,
+                          max_block: int) -> pd.DataFrame:
+    """In-block pair-gen + vectorized-popcount hamming verify — the shared
+    kernel of both simhash execution paths."""
+    sub = df[["block", "doc", "sig"]].drop_duplicates()
+    sizes = sub.groupby("block", sort=False)["doc"].transform("size")
+    sub = sub[(sizes >= 2) & (sizes <= max_block)]
+    us, vs, hs = [], [], []
+    for _, g in sub.groupby("block", sort=False):
+        order = np.argsort(g["doc"].to_numpy())
+        d = g["doc"].to_numpy()[order]
+        s = g["sig"].to_numpy()[order].astype(np.uint64)
+        n = len(d)
+        iu = np.repeat(np.arange(n), n - np.arange(n) - 1)
+        jv = np.concatenate([np.arange(i + 1, n) for i in range(n)])
+        x = s[iu] ^ s[jv]
+        # vectorized popcount via byte view
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = ham <= max_hamming
+        us.append(d[iu][keep])
+        vs.append(d[jv][keep])
+        hs.append(ham[keep])
+    if us:
+        return pd.DataFrame(
+            {
+                "u": pd.array(np.concatenate(us), dtype="int64"),
+                "v": pd.array(np.concatenate(vs), dtype="int64"),
+                "hamming": pd.array(np.concatenate(hs), dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "u": pd.array([], dtype="int64"),
+            "v": pd.array([], dtype="int64"),
+            "hamming": pd.array([], dtype="int64"),
+        }
+    )
+
+
 def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id"):
+                      id_col: str = "doc_id",
+                      max_driver_bytes: int = 32 << 20):
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     chunks (pigeonhole: hamming <= 3 implies one identical chunk), block
-    on (chunk_idx, chunk_value), verify hamming distance in-block."""
+    on (chunk_idx, chunk_value), verify hamming distance in-block.
+
+    Inputs estimated under ``max_driver_bytes`` (32 MiB) run as one
+    in-process call through the same kernels (small-side gate: the two
+    shuffle barriers dominate tiny inputs); pass 0 to force the
+    distributed path."""
+    max_block = 256
+
+    est = docs.size_bytes()
+    if est is not None and est <= max_driver_bytes:
+        import ray.data as rd
+
+        ids, texts = _collect_id_text(docs, id_col, text_col)
+        block, doc, sig = _simhash_blocks(np.asarray(ids, np.int64), texts)
+        pairs = _simhash_bucket_pairs(
+            pd.DataFrame({"block": block, "doc": doc, "sig": sig}),
+            max_hamming, max_block,
+        )
+        if len(pairs):
+            pairs = (
+                pairs.groupby(["u", "v"], sort=False)["hamming"]
+                .min().reset_index()
+            )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array(pairs["u"].tolist(), pa.int64()),
+                    "v": pa.array(pairs["v"].tolist(), pa.int64()),
+                    "hamming": pa.array(pairs["hamming"].tolist(), pa.int64()),
+                }
+            )
+        )
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        from kgray.ops.text import simhash64_batch
-
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
         texts = batch[text_col].to_pylist()
-        hs = simhash64_batch([t.split(" ") for t in texts])  # (n,) uint64
-        # 4 pigeonhole chunks per doc, all vectorized: block id packs
-        # (chunk_idx, 16-bit chunk value) into one int64
-        cidx = np.arange(4, dtype=np.uint64)
-        chunks = (hs[:, None] >> (np.uint64(16) * cidx[None, :])) & np.uint64(0xFFFF)
-        block = (chunks | (cidx[None, :] << np.uint64(48))).reshape(-1)
+        block, doc, sig = _simhash_blocks(ids, texts)
         return pa.table(
             {
-                "block": pa.array(block.view(np.int64)),
-                "doc": pa.array(np.repeat(ids, 4)),
-                "sig": pa.array(np.repeat(hs.view(np.int64), 4)),
+                "block": pa.array(block),
+                "doc": pa.array(doc),
+                "sig": pa.array(sig),
             }
         )
 
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
-
-    max_block = 256
-
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[["block", "doc", "sig"]].drop_duplicates()
-        sizes = sub.groupby("block", sort=False)["doc"].transform("size")
-        sub = sub[(sizes >= 2) & (sizes <= max_block)]
-        us, vs, hs = [], [], []
-        for _, g in sub.groupby("block", sort=False):
-            order = np.argsort(g["doc"].to_numpy())
-            d = g["doc"].to_numpy()[order]
-            s = g["sig"].to_numpy()[order].astype(np.uint64)
-            n = len(d)
-            iu = np.repeat(np.arange(n), n - np.arange(n) - 1)
-            jv = np.concatenate([np.arange(i + 1, n) for i in range(n)])
-            x = s[iu] ^ s[jv]
-            # vectorized popcount via byte view
-            ham = (
-                np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
-                .sum(axis=1)
-                .astype(np.int64)
-            )
-            keep = ham <= max_hamming
-            us.append(d[iu][keep])
-            vs.append(d[jv][keep])
-            hs.append(ham[keep])
-        if us:
-            return pd.DataFrame(
-                {
-                    "u": pd.array(np.concatenate(us), dtype="int64"),
-                    "v": pd.array(np.concatenate(vs), dtype="int64"),
-                    "hamming": pd.array(np.concatenate(hs), dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "u": pd.array([], dtype="int64"),
-                "v": pd.array([], dtype="int64"),
-                "hamming": pd.array([], dtype="int64"),
-            }
-        )
 
     from ray.data.aggregate import Min
 
     from kgray.util import grouped_map
 
     return (
-        grouped_map(blocked, "block", bucket_pairs)
+        grouped_map(
+            blocked, "block",
+            lambda df: _simhash_bucket_pairs(df, max_hamming, max_block),
+        )
         .groupby(["u", "v"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )

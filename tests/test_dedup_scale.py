@@ -169,3 +169,31 @@ def test_ngram_bucket_count_path_matches_broadcast(ray_session):
     )
     assert len(bc) > 5
     assert bc.equals(bk)
+
+
+def test_simhash_driver_and_distributed_paths_agree(ray_session):
+    """The small-side in-process gate and the distributed blocked path
+    return identical (u, v, hamming) rows."""
+    from kgray.ops.dedup import simhash_dup_pairs
+
+    rs = np.random.RandomState(5)
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(0, 50, 2):
+        toks = [words[rs.randint(60)] for _ in range(40)]
+        near = list(toks)
+        near[3] = words[rs.randint(60)]
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+        docs.append({"doc_id": i + 1, "text": " ".join(near)})
+    ds = rd.from_items(docs)
+    key = ["u", "v"]
+    drv = (
+        simhash_dup_pairs(ds, max_hamming=3)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    dist = (
+        simhash_dup_pairs(ds, max_hamming=3, max_driver_bytes=0)
+        .to_pandas().sort_values(key, ignore_index=True)
+    )
+    assert len(drv) > 5
+    assert drv.equals(dist)
