@@ -208,6 +208,31 @@ def _kg_pred_set_rates(sf_dir: str):
     )
 
 
+def _kg_link_edges_golden(sf_dir: str):
+    """Linking over the checked-in golden triples snapshot: because the
+    verify step is exact char-2-gram Jaccard and LSH recall at tau=0.6 is
+    1 - 0.64^32 (~1 - 6e-7), the exact Jaccard self-join over distinct
+    normalized mentions is a full DuckDB oracle for this query."""
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import golden_triples
+
+    return link_mentions(golden_triples(_kg_sentences_ds()), tau=0.6)
+
+
+def _kg_canonical_golden(sf_dir: str):
+    """Full link -> connected-components -> canonicalize chain over the
+    golden snapshot, oracle-checked end-to-end: the DuckDB side rebuilds
+    the exact-Jaccard edges and runs min-label connected components as a
+    recursive CTE."""
+    from kgray.ops.canonical import canonicalize_triples, connected_components
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import golden_triples
+
+    g = golden_triples(_kg_sentences_ds()).materialize()
+    edges = link_mentions(g, tau=0.6)
+    return canonicalize_triples(g, connected_components(edges))
+
+
 def _kg_link_edges_embed(sf_dir: str):
     from kgray.ops.linking import link_mentions_embedding
     from kgray.pipeline import PipelineConfig, extract_triples
@@ -572,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_eval": _kg_eval,
             "kg_pred_set_rates": _kg_pred_set_rates,
             "kg_link_edges": _kg_link_edges,
+            "kg_link_edges_golden": _kg_link_edges_golden,
+            "kg_canonical_golden": _kg_canonical_golden,
             "kg_link_edges_embed": _kg_link_edges_embed,
             "kg_canonical": _kg_canonical,
             "kg_spo_hist": _kg_spo_hist,
@@ -662,6 +689,98 @@ SELECT a.doc_id AS u, b.doc_id AS v,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+""",
+            # Linking over golden triples: exact char-2-gram Jaccard over
+            # distinct normalized (type, mention) pairs, same-type gate,
+            # tau=0.6.  normalize = lower() then strip one enclosing 《》.
+            "kg_link_edges_golden": f"""
+WITH g AS (SELECT UNNEST(spo_list) AS s FROM read_parquet('{_KG_SENT_PARQUET}')),
+raw AS (
+  SELECT s.subject_type AS t, lower(s.subject) AS m0 FROM g
+  UNION ALL
+  SELECT s.object_type AS t, lower(s.object) AS m0 FROM g),
+m AS (
+  SELECT DISTINCT t,
+    CASE WHEN starts_with(m0, '《') AND ends_with(m0, '》') AND length(m0) >= 2
+         THEN substr(m0, 2, length(m0) - 2) ELSE m0 END AS m
+  FROM raw),
+sh AS (
+  SELECT t, m,
+    CASE WHEN length(m) < 2 THEN [m]
+         ELSE list_distinct(list_transform(range(1, length(m)),
+                                           i -> substr(m, i, 2))) END AS sg
+  FROM m WHERE length(m) > 0)
+SELECT u, v, sim FROM (
+  SELECT a.t || chr(31) || a.m AS u, b.t || chr(31) || b.m AS v,
+         CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+         (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS sim
+  FROM sh a JOIN sh b ON a.t = b.t AND a.m < b.m)
+WHERE sim >= 0.6
+""",
+            # link -> CC -> canonicalize, end-to-end: exact-Jaccard edges
+            # (as above), min-label connected components via recursive CTE,
+            # canonical id = component min, identity for unlinked mentions.
+            "kg_canonical_golden": f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, s.subject AS subject, s.subject_type AS subject_type,
+         s.predicate AS predicate, s.object AS object,
+         s.object_type AS object_type
+  FROM (SELECT doc_id, UNNEST(spo_list) AS s
+        FROM read_parquet('{_KG_SENT_PARQUET}'))),
+keyed AS (
+  SELECT *,
+    subject_type || chr(31) ||
+      CASE WHEN starts_with(lower(subject), '《')
+             AND ends_with(lower(subject), '》') AND length(subject) >= 2
+           THEN substr(lower(subject), 2, length(subject) - 2)
+           ELSE lower(subject) END AS s_key,
+    object_type || chr(31) ||
+      CASE WHEN starts_with(lower(object), '《')
+             AND ends_with(lower(object), '》') AND length(object) >= 2
+           THEN substr(lower(object), 2, length(object) - 2)
+           ELSE lower(object) END AS o_key
+  FROM t),
+m AS (
+  SELECT DISTINCT t, m FROM (
+    SELECT subject_type AS t,
+           CASE WHEN starts_with(lower(subject), '《')
+                  AND ends_with(lower(subject), '》') AND length(subject) >= 2
+                THEN substr(lower(subject), 2, length(subject) - 2)
+                ELSE lower(subject) END AS m FROM t
+    UNION ALL
+    SELECT object_type,
+           CASE WHEN starts_with(lower(object), '《')
+                  AND ends_with(lower(object), '》') AND length(object) >= 2
+                THEN substr(lower(object), 2, length(object) - 2)
+                ELSE lower(object) END FROM t)),
+sh AS (
+  SELECT t, m,
+    CASE WHEN length(m) < 2 THEN [m]
+         ELSE list_distinct(list_transform(range(1, length(m)),
+                                           i -> substr(m, i, 2))) END AS sg
+  FROM m WHERE length(m) > 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT a.t || chr(31) || a.m AS u, b.t || chr(31) || b.m AS v,
+           CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+           (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS sim
+    FROM sh a JOIN sh b ON a.t = b.t AND a.m < b.m)
+  WHERE sim >= 0.6),
+sym AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges),
+cc AS (
+  SELECT src AS node, src AS label FROM sym
+  UNION
+  SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+SELECT k.doc_id, k.subject, k.subject_type, k.predicate, k.object,
+       k.object_type,
+       COALESCE(c1.component, k.s_key) AS subject_canonical,
+       COALESCE(c2.component, k.o_key) AS object_canonical
+FROM keyed k
+LEFT JOIN comp c1 ON k.s_key = c1.node
+LEFT JOIN comp c2 ON k.o_key = c2.node
 """,
         }
     )
