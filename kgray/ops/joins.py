@@ -101,7 +101,6 @@ def bucket_join(
     fan-out: size so one bucket (both sides) fits a worker's heap; salt
     skewed keys before calling.
     """
-    import zlib
 
     import pyarrow.compute as pc
 
@@ -129,19 +128,9 @@ def bucket_join(
         col_types[ren.get(n, n)] = _pa_type(t)
 
     def _buckets(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_integer(col.type):
-            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-            return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
-                np.int64
-            ) % num_buckets
-        vals = col.to_pylist()
-        return np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_buckets for k in vals),
-            np.int64,
-            len(vals),
-        )
+        from kgray.util import bucket_of
+
+        return bucket_of(col, num_buckets)
 
     def tag(side: int, key_col: str, rename: dict[str, str]):
         def apply(batch: pa.Table) -> pa.Table:

@@ -16,8 +16,11 @@ def round_half_up(x, digits: int = 4):
 
 def bucket_of(col, num_buckets: int) -> np.ndarray:
     """Deterministic hash buckets for an Arrow column (int: Fibonacci
-    multiplicative hash; other types: crc32 of str)."""
-    import zlib
+    multiplicative hash; other types: pandas' vectorized siphash —
+    cross-process deterministic, so every map task sends a key to the
+    same bucket).  Runs on every row entering a cogroup/bucket-join
+    shuffle: must never be a per-row python loop."""
+    import pandas as pd
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -26,12 +29,8 @@ def bucket_of(col, num_buckets: int) -> np.ndarray:
         return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
             np.int64
         ) % num_buckets
-    vals = col.to_pylist()
-    return np.fromiter(
-        (zlib.crc32(str(k).encode()) % num_buckets for k in vals),
-        np.int64,
-        len(vals),
-    )
+    h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def default_num_buckets() -> int:
