@@ -41,6 +41,14 @@ _KG_SENT_PARQUET = _os.path.join(
     "kgray", "data", "kg_sentences_600.parquet",
 )
 
+# Media spans of the first 200 interleaved docs (scripts/gen_kg_media.py;
+# drift-guarded in tests/test_corpus.py) — shared input of media_resize
+# and its fit-arithmetic oracle.
+_KG_MEDIA_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "kgray", "data", "kg_media_200.parquet",
+)
+
 
 def _kg_sentences_ds(n: int = _KG_DOCS):
     import os
@@ -524,22 +532,28 @@ def _kg_eval_loc(sf_dir: str):
 
 
 def _media_resize(sf_dir: str):
-    """Resize-stage plumbing: media rows get fitted dims + stub payloads."""
+    """Resize stage over the checked-in media snapshot: source dims are a
+    deterministic per-row function of the ref (ord of its last char), so
+    the aspect-fit arithmetic is a full DuckDB oracle."""
     import pyarrow as pa
+    import ray.data as rd
 
-    from kgray.ops.media import media_table_from_documents, resize_media
+    from kgray.ops.media import resize_media
 
-    media = media_table_from_documents(_kg_docs_ds(200))
+    media = rd.read_parquet(_KG_MEDIA_PARQUET)
 
     def with_dims(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        w = [640 + 80 * (i % 7) for i in range(n)]
-        h = [360 + 60 * (i % 5) for i in range(n)]
-        out = batch
-        for name, vals in (("width", w), ("height", h)):
-            i = out.column_names.index(name)
-            out = out.set_column(i, name, pa.array(vals, pa.int32()))
-        return out
+        refs = batch["media_ref"].to_pylist()
+        n = len(refs)
+        w = [640 + 80 * (ord(r[-1]) % 7) for r in refs]
+        h = [360 + 60 * (ord(r[-1]) % 5) for r in refs]
+        return batch.append_column(
+            "payload", pa.array([b""] * n, pa.binary())
+        ).append_column(
+            "width", pa.array(w, pa.int32())
+        ).append_column(
+            "height", pa.array(h, pa.int32())
+        ).append_column("duration_ms", pa.nulls(n, pa.int32()))
 
     resized = resize_media(media.map_batches(with_dims, batch_format="pyarrow"))
 
@@ -781,6 +795,23 @@ SELECT k.doc_id, k.subject, k.subject_type, k.predicate, k.object,
 FROM keyed k
 LEFT JOIN comp c1 ON k.s_key = c1.node
 LEFT JOIN comp c2 ON k.o_key = c2.node
+""",
+            # Aspect-fit resize arithmetic over the media snapshot:
+            # scale = min(256/w, 256/h, 1.0); dim = max(1, trunc(dim*scale))
+            # (fit_box, kgray/ops/media.py).  Source dims derive from
+            # ord(last char of the ref) exactly as the Ray query does.
+            "media_resize": f"""
+WITH m AS (
+  SELECT media_ref,
+         640 + 80 * (ord(substr(media_ref, length(media_ref))) % 7) AS w,
+         360 + 60 * (ord(substr(media_ref, length(media_ref))) % 5) AS h
+  FROM read_parquet('{_KG_MEDIA_PARQUET}')),
+s AS (SELECT media_ref, w, h,
+             LEAST(256.0 / w, 256.0 / h, 1.0) AS sc FROM m)
+SELECT media_ref,
+       CAST(GREATEST(1, CAST(trunc(w * sc) AS BIGINT)) AS INTEGER) AS width,
+       CAST(GREATEST(1, CAST(trunc(h * sc) AS BIGINT)) AS INTEGER) AS height
+FROM s
 """,
         }
     )

@@ -138,3 +138,24 @@ def test_checked_in_sentences_parquet_matches_generation():
     snap = pq.read_table(path)
     live = sentences_table([f"doc-{i:08d}" for i in range(600)], seed=42)
     assert snap.equals(live)
+
+
+def test_checked_in_media_parquet_matches_generation():
+    """The kg_media snapshot (shared input of the media_resize oracle)
+    must equal live generation; regenerate with scripts/gen_kg_media.py
+    if corpus code legitimately changed."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "kgray", "data", "kg_media_200.parquet")
+    snap = pq.read_table(path)
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    from gen_kg_media import media_rows
+
+    live = media_rows(
+        interleaved_table([f"doc-{i:08d}" for i in range(200)], seed=42)
+    )
+    assert snap.equals(live)
