@@ -372,18 +372,23 @@ def _kg_composition_check(sf_dir: str):
 
 
 def _media_frames(sf_dir: str):
-    """Frame-sampling plumbing: media rows -> (media_ref, frame_idx, t_ms)."""
-    from kgray.ops.media import media_table_from_documents, sample_frames
+    """Frame sampling over the media snapshot: per-row deterministic
+    durations (ord of the ref's last char), so the sampling arithmetic
+    (min(max_frames, max(1, dur // every_ms)) rows per media, t = i *
+    every_ms) is a full DuckDB oracle."""
+    import pyarrow as pa
+    import ray.data as rd
 
-    media = media_table_from_documents(_kg_docs_ds(200))
+    from kgray.ops.media import sample_frames
 
-    def with_duration(batch):
-        import pyarrow as pa
+    media = rd.read_parquet(_KG_MEDIA_PARQUET)
 
-        n = len(batch)
-        dur = [(1000 + 700 * (i % 5)) for i in range(n)]
-        i = batch.column_names.index("duration_ms")
-        return batch.set_column(i, "duration_ms", pa.array(dur, pa.int32()))
+    def with_duration(batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        dur = [1000 + 700 * (ord(r[-1]) % 5) for r in refs]
+        return batch.append_column(
+            "duration_ms", pa.array(dur, pa.int32())
+        )
 
     return sample_frames(media.map_batches(with_duration, batch_format="pyarrow"))
 
@@ -570,9 +575,14 @@ def _media_resize(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    from kgray.ops.media import extract_media_features, media_table_from_documents
+    """Actor-pool decode over the media snapshot; the SQL-checkable
+    projection is (ref, kind, feature dim) — every row must come back
+    from the actor stage with a FEATURE_DIM-wide vector."""
+    import ray.data as rd
 
-    media = media_table_from_documents(_kg_docs_ds(200))
+    from kgray.ops.media import extract_media_features
+
+    media = rd.read_parquet(_KG_MEDIA_PARQUET)
     feats = extract_media_features(media)
     import pyarrow as pa
 
@@ -813,6 +823,25 @@ SELECT media_ref,
        CAST(GREATEST(1, CAST(trunc(h * sc) AS BIGINT)) AS INTEGER) AS height
 FROM s
 """,
+            # Frame-sampling arithmetic over the media snapshot:
+            # n = min(8, max(1, dur // 1000)) frames, t = idx * 1000,
+            # dur = 1000 + 700 * (ord(last char of ref) % 5).
+            "media_frames": f"""
+WITH m AS (
+  SELECT media_ref,
+         1000 + 700 * (ord(substr(media_ref, length(media_ref))) % 5) AS dur
+  FROM read_parquet('{_KG_MEDIA_PARQUET}'))
+SELECT media_ref,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 1000 AS INTEGER) AS t_ms
+FROM m, UNNEST(range(LEAST(8, GREATEST(1, dur // 1000)))) AS t(i)
+""",
+            # Every snapshot row must return from the decode actor pool
+            # with a FEATURE_DIM(=32)-wide vector.
+            "media_features": (
+                "SELECT media_ref, kind, CAST(32 AS BIGINT) AS dim "
+                f"FROM read_parquet('{_KG_MEDIA_PARQUET}')"
+            ),
         }
     )
     return out
