@@ -49,6 +49,13 @@ _KG_MEDIA_PARQUET = _os.path.join(
     "kgray", "data", "kg_media_200.parquet",
 )
 
+# Interleaved docs snapshot (scripts/gen_kg_docs.py; drift-guarded) —
+# shared input of kg_flatten and its span-reassembly oracle.
+_KG_DOCS_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "kgray", "data", "kg_docs_600.parquet",
+)
+
 
 def _kg_sentences_ds(n: int = _KG_DOCS):
     import os
@@ -81,9 +88,13 @@ def _kg_extract(sf_dir: str):
 
 
 def _kg_flatten(sf_dir: str):
+    """Span reassembly over the checked-in docs snapshot — oracle is a
+    string_agg over the text spans in offset order."""
+    import ray.data as rd
+
     from kgray.pipeline import flatten_documents
 
-    return flatten_documents(_kg_docs_ds())
+    return flatten_documents(rd.read_parquet(_KG_DOCS_PARQUET))
 
 
 def _kg_golden(sf_dir: str):
@@ -356,10 +367,22 @@ def _kg_multihot(sf_dir: str):
 
 
 def _kg_postag_check(sf_dir: str):
-    """check_concat_postag analogue: postag words reconstruct the text."""
+    """check_concat_postag analogue: postag words reconstruct the text.
+    The ok flag is projected to int64 (DuckDB's nullable boolean comes
+    back as pandas object dtype and the driver hash is dtype-kind
+    sensitive)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from kgray.ops.featurize import postag_reconstruction_check
 
-    return postag_reconstruction_check(_kg_sentences_ds())
+    checked = postag_reconstruction_check(_kg_sentences_ds())
+
+    def as_int(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("ok")
+        return batch.set_column(i, "ok", pc.cast(batch["ok"], pa.int64()))
+
+    return checked.map_batches(as_int, batch_format="pyarrow")
 
 
 def _kg_composition_check(sf_dir: str):
@@ -841,6 +864,22 @@ FROM m, UNNEST(range(LEAST(8, GREATEST(1, dur // 1000)))) AS t(i)
             "media_features": (
                 "SELECT media_ref, kind, CAST(32 AS BIGINT) AS dim "
                 f"FROM read_parquet('{_KG_MEDIA_PARQUET}')"
+            ),
+            # Span reassembly: concat of kind='text' span texts in offset
+            # order must equal flatten_documents' binary_join output.
+            "kg_flatten": f"""
+WITH e AS (SELECT doc_id, UNNEST(spans) AS s
+           FROM read_parquet('{_KG_DOCS_PARQUET}'))
+SELECT doc_id, string_agg(s.text, '' ORDER BY s.offset) AS text
+FROM e WHERE s.kind = 'text' GROUP BY doc_id
+""",
+            # check_concat_postag analogue over the sentences snapshot.
+            "kg_postag_check": (
+                "SELECT doc_id, "
+                "CAST(COALESCE(array_to_string(list_transform(postag, "
+                "x -> x.word), ''), '') = text AS BIGINT) AS ok, "
+                "CAST(len(postag) AS BIGINT) AS n_words "
+                f"FROM read_parquet('{_KG_SENT_PARQUET}')"
             ),
         }
     )

@@ -159,3 +159,20 @@ def test_checked_in_media_parquet_matches_generation():
         interleaved_table([f"doc-{i:08d}" for i in range(200)], seed=42)
     )
     assert snap.equals(live)
+
+
+def test_checked_in_docs_parquet_matches_generation():
+    """The kg_docs snapshot (shared input of the kg_flatten oracle) must
+    equal live generation; regenerate with scripts/gen_kg_docs.py if
+    corpus code legitimately changed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kgray", "data", "kg_docs_600.parquet",
+    )
+    snap = pq.read_table(path)
+    live = interleaved_table([f"doc-{i:08d}" for i in range(600)], seed=42)
+    assert snap.equals(live)
