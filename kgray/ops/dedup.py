@@ -263,28 +263,29 @@ def _collect_id_text(docs, id_col: str, text_col: str):
             tbl["text"].to_pylist())
 
 
-def _driver_minhash(ids: np.ndarray, texts: list, tau: float,
-                    num_hashes: int, bands: int, max_block: int) -> pa.Table:
-    """Whole MinHash-LSH dedup as one in-process call — the small-side
-    fast path (4 shuffle barriers cost seconds even for tens of pairs).
-    Same kernels as the distributed path: batch_signatures / band_keys /
-    pairs_within_groups / _verify_pairs_exact."""
-    from kgray.ops.linking import _hash_params
+def _collect_arrow(ds) -> pa.Table | None:
+    """Collect a (small by construction) Dataset's blocks to one Arrow
+    table; None when every block is empty."""
+    import ray
 
-    sigs = batch_signatures([word_shingles(t or "") for t in texts],
-                            _hash_params(num_hashes))
-    df = pd.DataFrame(
-        {
-            "band_key": band_keys(sigs, bands),
-            "doc": np.repeat(np.asarray(ids, np.int64), bands),
-        }
-    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def _driver_minhash_pairs(banded_df: pd.DataFrame, text_of: dict,
+                          tau: float, max_block: int) -> pa.Table:
+    """Pair-gen + exact-Jaccard verify of collected band rows in-process —
+    the small-side fast path for the SHUFFLE half only (signatures stay
+    distributed in the caller; barriers, not compute, dominate tiny
+    inputs).  Same kernels as the distributed path."""
     from kgray.util import pairs_within_groups
 
-    pairs = pairs_within_groups(df, "band_key", "doc", max_block)
+    pairs = pairs_within_groups(banded_df, "band_key", "doc", max_block)
     if len(pairs):
         pairs = pairs.drop_duplicates(ignore_index=True)
-    text_of = dict(zip(ids.tolist(), texts))
     ku, kv, js = _verify_pairs_exact(
         pairs["u"].tolist(), pairs["v"].tolist(),
         [text_of.get(u) for u in pairs["u"].tolist()],
@@ -322,15 +323,6 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
 
     from kgray.ops.linking import _hash_params, minhash_signature
 
-    if broadcast_texts is None:
-        est0 = docs.size_bytes()
-        if est0 is not None and est0 <= max_driver_bytes:
-            ids, texts = _collect_id_text(docs, id_col, text_col)
-            return rd.from_arrow(
-                _driver_minhash(ids, texts, tau, num_hashes, bands,
-                                max_block=128)
-            )
-
     class DocBands:
         def __init__(self):
             self.params = _hash_params(num_hashes)
@@ -361,6 +353,34 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
 
     max_block = 128
 
+    if broadcast_texts is None:
+        est0 = docs.size_bytes()
+        if est0 is not None and est0 <= max_driver_bytes:
+            # Small-side gate: signatures/banding stay DISTRIBUTED (they
+            # fuse with the read); only the tiny band rows (n_docs x bands
+            # x 16B) and the gated texts are collected, and the pair-gen +
+            # verify shuffles are replaced by one in-process call.
+            ids, texts = _collect_id_text(docs, id_col, text_col)
+            bt = _collect_arrow(banded)
+            df = (
+                pd.DataFrame(
+                    {
+                        "band_key": bt["band_key"].to_numpy(
+                            zero_copy_only=False
+                        ),
+                        "doc": bt["doc"].to_numpy(zero_copy_only=False),
+                    }
+                )
+                if bt is not None
+                else pd.DataFrame({"band_key": [], "doc": []})
+            )
+            return rd.from_arrow(
+                _driver_minhash_pairs(
+                    df, dict(zip(np.asarray(ids).tolist(), texts)),
+                    tau, max_block,
+                )
+            )
+
     from ray.data.aggregate import Count
 
     from kgray.util import grouped_map, pairs_within_groups
@@ -383,7 +403,6 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
         # verified redundantly (deterministic, tiny) and collapse in a
         # final Max-aggregate over the verified pairs — 2 shuffles total
         # instead of cogroup + candidate groupby + 2 join stages.
-        import pandas as pd
         import pyarrow.compute as pc
         import ray
         from ray.data.aggregate import Max
@@ -634,16 +653,34 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     distributed path."""
     max_block = 256
 
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        texts = batch[text_col].to_pylist()
+        block, doc, sig = _simhash_blocks(ids, texts)
+        return pa.table(
+            {
+                "block": pa.array(block),
+                "doc": pa.array(doc),
+                "sig": pa.array(sig),
+            }
+        )
+
+    blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
+
     est = docs.size_bytes()
     if est is not None and est <= max_driver_bytes:
+        # Small-side gate: signatures stay DISTRIBUTED (fused with the
+        # read); only the tiny block rows (n_docs x 4 x 24B) are collected
+        # and the two shuffle barriers become one in-process call.
         import ray.data as rd
 
-        ids, texts = _collect_id_text(docs, id_col, text_col)
-        block, doc, sig = _simhash_blocks(np.asarray(ids, np.int64), texts)
-        pairs = _simhash_bucket_pairs(
-            pd.DataFrame({"block": block, "doc": doc, "sig": sig}),
-            max_hamming, max_block,
+        bt = _collect_arrow(blocked)
+        df = (
+            bt.to_pandas()
+            if bt is not None
+            else pd.DataFrame({"block": [], "doc": [], "sig": []})
         )
+        pairs = _simhash_bucket_pairs(df, max_hamming, max_block)
         if len(pairs):
             pairs = (
                 pairs.groupby(["u", "v"], sort=False)["hamming"]
@@ -658,20 +695,6 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
                 }
             )
         )
-
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        texts = batch[text_col].to_pylist()
-        block, doc, sig = _simhash_blocks(ids, texts)
-        return pa.table(
-            {
-                "block": pa.array(block),
-                "doc": pa.array(doc),
-                "sig": pa.array(sig),
-            }
-        )
-
-    blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
 
     from ray.data.aggregate import Min
 
