@@ -244,20 +244,43 @@ def main() -> int:
     return 0
 
 
-def scaling() -> int:
-    """Fresh-process headline runs at 8 then 32 CPUs over the SAME stored
-    corpus -> throughput at both + scaling efficiency."""
+def scaling(reps: int = 2) -> int:
+    """Fresh-process headline runs at the two parallelism levels over the
+    SAME stored corpus -> throughput at both + scaling efficiency.
+
+    Levels run INTERLEAVED (lo, hi, lo, hi) and each level takes its
+    best-of-``reps`` throughput: this VM's external load swings ~4-7x
+    within minutes (BASELINE.md), and a load window hitting one leg of a
+    single lo/hi pair poisons the ratio in either direction; best-of over
+    an interleaved schedule samples both levels across the same window."""
     lo, hi = SCALING_CPUS
-    results = {}
-    for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
-                   GRAFT_HEADLINE_DOCS=str(SCALING_DOCS))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
-            env=env, capture_output=True, text=True, timeout=3000,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+    results: dict[int, dict] = {}
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=SF_DIR,
+                       GRAFT_HEADLINE_DOCS=str(SCALING_DOCS))
+            # Pin the whole process tree to exactly `cpus` cores: without
+            # affinity the lo level overlaps parquet-decode IO threads
+            # beyond its nominal task slots (measured 166k triples/s on
+            # "4 cpus" vs the 142k true-4-core ceiling), which makes the
+            # lo leg a >4-core cluster and poisons the ratio.  taskset
+            # emulates a fixed-size K-core cluster faithfully.
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--headline-only"]
+            import shutil as _shutil
+
+            if _shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            out = subprocess.run(
+                cmd,
+                env=env, capture_output=True, text=True, timeout=3000,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            best = results.get(cpus)
+            if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
+                results[cpus] = r
     thr_lo = results[lo]["triples_per_sec"]
     thr_hi = results[hi]["triples_per_sec"]
     ratio = hi / lo
@@ -267,6 +290,7 @@ def scaling() -> int:
         "value": round(eff, 3),
         "unit": "efficiency",
         "host_calib_matmul_s": _host_calibration(),
+        "reps_per_level": reps,
         f"throughput_{lo}cpu": round(thr_lo, 1),
         f"throughput_{hi}cpu": round(thr_hi, 1),
         f"sec_{lo}cpu": round(results[lo]["sec"], 3),
