@@ -705,6 +705,13 @@ def oracle_sql() -> dict[str, str]:
                 f"(SELECT UNNEST(string_split(text, '')) AS u FROM {p}) "
                 "GROUP BY 1"
             ),
+            # M17 predicate-subset filter: any-spo-has-predicate semantics
+            # (filter_by_predicate, featurize.py) is one list_filter in SQL
+            "kg_filter_adapted": (
+                "SELECT doc_id, text FROM "
+                f"{p} WHERE len(list_filter(spo_list, "
+                "s -> s.predicate = '改编自')) > 0"
+            ),
             "kg_multihot": (
                 "SELECT t.doc_id, CAST(COALESCE(u.n, 0) AS BIGINT) AS "
                 f"n_schemas FROM {p} t LEFT JOIN ("
