@@ -179,8 +179,9 @@ def connected_components(edges, max_rounds: int = 10,
         ["node"], {"label": ("label", "min")},
     ).materialize()
 
-    from kgray.util import grouped_map
+    from kgray.util import default_num_buckets, grouped_map
 
+    num_buckets = default_num_buckets()
     prev_fp = None
     converged = False
     budget, extended = max_rounds, False
@@ -188,9 +189,16 @@ def connected_components(edges, max_rounds: int = 10,
     while rounds < budget:
         rounds += 1
         label_part = labels.map_batches(_label_rows, batch_format="pyarrow")
+        # both union sides map over MATERIALIZED datasets, so the block
+        # count entering the cogroup is known here (the lazy union hides
+        # it from grouped_map's own auto-skip): when it is already at or
+        # under the bucket count, the coalesce repartition is one pure
+        # all-to-all barrier per round — skip it.
+        n_in = sym.num_blocks() + labels.num_blocks()
         new_labels = pre_aggregate(
             grouped_map(
                 edge_part.union(label_part), "node", _propagate_bucket,
+                num_buckets=num_buckets, coalesce=n_in > num_buckets,
             ),
             ["node"], {"label": ("label", "min")},
         ).materialize()

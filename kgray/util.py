@@ -92,7 +92,14 @@ def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
     # -second barriers on 64-tiny-block inputs).  Callers whose input is
     # ALREADY coarse (e.g. an iterative loop re-consuming materialized
     # num_buckets-block outputs) pass coalesce=False to skip the extra
-    # all-to-all.
+    # all-to-all.  When the input is materialized its block count is
+    # known, so the skip is automatic (num_blocks() raises on lazy
+    # datasets — those keep the caller's choice).
+    if coalesce:
+        try:
+            coalesce = ds.num_blocks() > num_buckets
+        except Exception:
+            pass
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     if coalesce:
         tagged = tagged.repartition(num_buckets)

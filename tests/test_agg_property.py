@@ -151,3 +151,30 @@ def test_pre_aggregate_defuses_hot_key_skew(ray_session):
         batch_format="pyarrow",
     )
     assert tagged.count() <= 16 * 5
+
+
+def test_grouped_map_autoskip_matches_coalesced(ray_session):
+    """grouped_map skips its coalesce repartition when the input is
+    materialized with <= num_buckets blocks; the result must equal the
+    forced-coalesce path (same buckets, same per-key rows)."""
+    from kgray.util import grouped_map
+
+    df = _random_frame(11, False)
+
+    def per_key_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False)["y"].sum().reset_index()
+
+    small = rd.from_pandas(df).repartition(4).materialize()
+    assert small.num_blocks() <= 8
+    auto = (
+        grouped_map(small, "k", per_key_sum, num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    forced = (
+        grouped_map(rd.from_pandas(df), "k", per_key_sum, num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, forced)
+    expect = df.groupby("k", sort=False)["y"].sum().reset_index().sort_values(
+        "k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(auto, expect)
