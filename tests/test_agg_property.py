@@ -178,3 +178,48 @@ def test_grouped_map_autoskip_matches_coalesced(ray_session):
     expect = df.groupby("k", sort=False)["y"].sum().reset_index().sort_values(
         "k").reset_index(drop=True)
     pd.testing.assert_frame_equal(auto, expect)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_asof_join_matches_global_merge_asof(ray_session, seed):
+    """Distributed asof_join == one global pandas merge_asof on random
+    frames (catches bucket-boundary and per-key colocation bugs).  Right
+    (k, t) pairs are unique so tie order cannot differ between engines."""
+    from kgray.ops.joins import asof_join
+
+    rs = np.random.RandomState(seed)
+    nl, nr = rs.randint(50, 150), rs.randint(30, 100)
+    left = pd.DataFrame(
+        {
+            "k": rs.randint(0, 12, nl),
+            "t": rs.randint(0, 1000, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rs.randint(0, 12, nr),
+            "t": rs.randint(0, 1000, nr).astype("int64"),
+            "rv": rs.randint(0, 10**6, nr).astype("int64"),
+        }
+    ).drop_duplicates(["k", "t"], ignore_index=True)
+
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            key="k", time_col="t",
+        )
+        .to_pandas().sort_values("lid", ignore_index=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable"),
+        on="t", by="k", direction="backward", allow_exact_matches=True,
+        suffixes=("", "_r"),
+    ).sort_values("lid", ignore_index=True)
+    assert list(got["lid"]) == list(expect["lid"])
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), expect["rv"].astype("float64"),
+        check_names=False,
+    )
