@@ -223,3 +223,42 @@ def test_asof_join_matches_global_merge_asof(ray_session, seed):
         got["rv"].astype("float64"), expect["rv"].astype("float64"),
         check_names=False,
     )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_bucket_and_broadcast_join_match_pandas(ray_session, how):
+    """bucket_join (big-big cogroup) and broadcast_join (small right)
+    == one global pandas merge on random frames with duplicate keys."""
+    from kgray.ops.joins import broadcast_join, bucket_join
+
+    rs = np.random.RandomState(17)
+    left = pd.DataFrame(
+        {
+            "k": rs.randint(0, 15, 120),
+            "lv": rs.randint(0, 10**6, 120).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rs.randint(0, 20, 60),
+            "rv": rs.randint(0, 10**6, 60).astype("int64"),
+        }
+    )
+    expect = (
+        left.merge(right, on="k", how=how)
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    for join in (bucket_join, broadcast_join):
+        kwargs = {"num_buckets": 7} if join is bucket_join else {}
+        got = (
+            join(rd.from_pandas(left).repartition(5),
+                 rd.from_pandas(right).repartition(3),
+                 on="k", how=how, **kwargs)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        assert list(got["k"]) == list(expect["k"]), join.__name__
+        pd.testing.assert_series_equal(
+            got["rv"].astype("float64"), expect["rv"].astype("float64"),
+            check_names=False,
+        )
