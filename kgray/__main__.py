@@ -1,0 +1,125 @@
+"""``ray job submit`` entry point for the flagship KG-construction run.
+
+The north rule's deployment shape is ``ray job submit -- python -m kgray
+construct ...`` against a running cluster: this module is that submittable
+driver.  It owns the Ray session (guarded — the job runtime may have
+initialised one already), runs ``kgray.pipeline.kg_construct`` (extract ->
+link -> canonicalize -> materialize, partitioned + manifested + resumable),
+and prints one JSON line of per-table metrics from the manifests.
+
+Examples (single node / sandbox):
+
+    python -m kgray construct --synthetic 5000 --output /tmp/kg_out
+    python -m kgray construct --input docs.parquet --output /tmp/kg_out \
+        --partitions 64 --tau 0.6
+
+On a cluster the same command line goes through the job API:
+
+    ray job submit --working-dir . -- python -m kgray construct \
+        --input s3://bucket/docs --output /mnt/shared/kg_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+
+def _path_fingerprint(path: str) -> str:
+    """Content-identity stand-in for an input table: path + per-file
+    (name, size, mtime_ns).  Cheap (metadata only) and stable across
+    resumes as long as the input bytes are unchanged."""
+    h = hashlib.sha256(path.encode())
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _cmd_construct(args: argparse.Namespace) -> int:
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(ignore_reinit_error=True)
+
+    from kgray import io
+    from kgray.pipeline import PipelineConfig, kg_construct
+
+    if args.synthetic:
+        from kgray.corpus import interleaved_dataset
+
+        docs = interleaved_dataset(args.synthetic, seed=args.seed)
+        fp = f"synthetic-{args.synthetic}-{args.seed}"
+    else:
+        docs = io.read_table(args.input)
+        fp = _path_fingerprint(args.input)
+
+    t0 = time.time()
+    manifests = kg_construct(
+        docs,
+        args.output,
+        PipelineConfig(execution=args.execution),
+        num_partitions=args.partitions,
+        tau=args.tau,
+        input_fingerprint=fp,
+        resume=not args.no_resume,
+    )
+    wall = round(time.time() - t0, 3)
+    metrics = {
+        name: {
+            "rows": sum(p.get("rows", 0) for p in m.get("partitions", {}).values()),
+            "bytes": sum(p.get("bytes", 0) for p in m.get("partitions", {}).values()),
+            "partitions": len(m.get("partitions", {})),
+            "stage": m.get("stage"),
+        }
+        for name, m in manifests.items()
+    }
+    print(json.dumps({
+        "metric": "kg_construct wall time",
+        "value": wall,
+        "unit": "sec",
+        "output": args.output,
+        "input_fingerprint": fp,
+        "tables": metrics,
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m kgray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("construct", help="run the full KG-construction pipeline")
+    src = c.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path/dir of interleaved docs "
+                                     "(doc_id, spans)")
+    src.add_argument("--synthetic", type=int, metavar="N",
+                     help="generate an N-doc deterministic corpus instead")
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--output", required=True, help="output directory "
+                   "(triples/ entities/ triples_canonical/ + manifests)")
+    c.add_argument("--partitions", type=int, default=16)
+    c.add_argument("--tau", type=float, default=0.6)
+    c.add_argument("--execution", choices=("tasks", "actors"), default="tasks")
+    c.add_argument("--no-resume", action="store_true",
+                   help="ignore existing manifests and rewrite everything")
+    c.set_defaults(fn=_cmd_construct)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -264,3 +264,29 @@ def test_span_f1_on_corpus(ray_session):
     assert t["gold_n"] > 50
     assert t["span_f1"] > 0.9
     assert t["tp"] <= min(t["pred_n"], t["gold_n"])
+
+
+def test_cli_construct_and_resume(ray_session, tmp_path):
+    """python -m kgray construct: fresh run writes the three manifested
+    tables; a resume run with the same input fingerprint skips the
+    downstream stages and reproduces identical metrics."""
+    from kgray.__main__ import main
+
+    import contextlib, io as _io, json
+
+    def run():
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main([
+                "construct", "--synthetic", "120", "--seed", "7",
+                "--output", str(tmp_path / "out"), "--partitions", "4",
+            ])
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    first = run()
+    assert set(first["tables"]) == {"triples", "entities",
+                                    "triples_canonical"}
+    assert first["tables"]["triples"]["rows"] > 0
+    second = run()
+    assert second["tables"] == first["tables"]
