@@ -290,3 +290,69 @@ def test_cli_construct_and_resume(ray_session, tmp_path):
     assert first["tables"]["triples"]["rows"] > 0
     second = run()
     assert second["tables"] == first["tables"]
+
+
+def test_cli_crash_between_stages_resumes_to_identical_tables(tmp_path):
+    """End-to-end resume contract: the construct driver is SIGKILLed
+    after the triples manifest commits (mid link/CC), the SAME command
+    is rerun, and every output table must match an uninterrupted control
+    run — compared by per-partition rows + commutative content hash from
+    the lineage manifests (file names are uuid-fresh by design)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from kgray.io import MANIFEST, read_manifest
+
+    def norm(manifest):
+        return {
+            p: (m["rows"], m["content_hash"])
+            for p, m in manifest["partitions"].items()
+        }
+
+    def construct(out_dir):
+        return [sys.executable, "-m", "kgray", "construct",
+                "--synthetic", "800", "--seed", "3",
+                "--output", out_dir, "--partitions", "8"]
+
+    crash_dir = str(tmp_path / "crash")
+    proc = subprocess.Popen(
+        construct(crash_dir), cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    triples_manifest = os.path.join(crash_dir, "triples", MANIFEST)
+    deadline = time.time() + 300
+    killed = False
+    while time.time() < deadline and proc.poll() is None:
+        if os.path.exists(triples_manifest):
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    proc.wait(timeout=60)
+    assert killed, "triples manifest never appeared (or run finished early)"
+    # downstream tables must not be complete at kill time in ANY attested
+    # form that the resume would wrongly trust -- the resume run below is
+    # only meaningful if it has work left; tolerate either state but
+    # require the final comparison regardless.
+
+    out = subprocess.run(
+        construct(crash_dir), cwd="/root/repo", capture_output=True,
+        text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    control_dir = str(tmp_path / "control")
+    out = subprocess.run(
+        construct(control_dir), cwd="/root/repo", capture_output=True,
+        text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    for table in ("triples", "entities", "triples_canonical"):
+        got = read_manifest(os.path.join(crash_dir, table))
+        want = read_manifest(os.path.join(control_dir, table))
+        assert got is not None and want is not None, table
+        assert norm(got) == norm(want), table
