@@ -51,6 +51,12 @@ def default_num_buckets() -> int:
     return max(32, cpus)
 
 
+# bundle target for grouped_map's tiny-block coalescing: small enough
+# that a bundle of KB-scale text rows stays well under a worker's heap
+# (16384 x 4 KB = 64 MB), large enough to collapse tiny-block storms
+_COALESCE_BATCH_ROWS = 16384
+
+
 def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
                 drop_key_bucket=True, coalesce: bool = True):
     """Coarse-bucket cogroup: hash ``key`` into ``num_buckets`` buckets,
@@ -86,23 +92,26 @@ def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
             "__gbucket", pa.array(bucket_of(batch[key], num_buckets))
         )
 
-    # coalesce to <= num_buckets blocks first: the sort barrier's fixed
-    # cost scales with map_blocks x reduce_partitions, and group
-    # parallelism is bounded by num_buckets anyway (measured: 6.8s -> sub
-    # -second barriers on 64-tiny-block inputs).  Callers whose input is
-    # ALREADY coarse (e.g. an iterative loop re-consuming materialized
-    # num_buckets-block outputs) pass coalesce=False to skip the extra
-    # all-to-all.  When the input is materialized its block count is
-    # known, so the skip is automatic (num_blocks() raises on lazy
+    # coalesce tiny blocks first: the sort barrier's fixed cost scales
+    # with map_blocks x reduce_partitions (measured: 6.8s -> sub-second
+    # on 64-tiny-block inputs).  Done by BUNDLING the tag map
+    # (batch_size merges adjacent small blocks inside the streaming
+    # executor: 256 tiny blocks -> 4, zero extra stage) — NOT by
+    # repartition(), which is a second full all-to-all that also
+    # force-materializes the whole input in the object store before the
+    # sort's own shuffle (2x data movement at scale).  Callers whose
+    # input is ALREADY coarse (e.g. an iterative loop re-consuming
+    # materialized num_buckets-block outputs) pass coalesce=False to
+    # keep one-batch-per-block; when the input is materialized with few
+    # blocks the skip is automatic (num_blocks() raises on lazy
     # datasets — those keep the caller's choice).
     if coalesce:
         try:
             coalesce = ds.num_blocks() > num_buckets
         except Exception:
             pass
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
-    if coalesce:
-        tagged = tagged.repartition(num_buckets)
+    tag_kwargs = {"batch_size": _COALESCE_BATCH_ROWS} if coalesce else {}
+    tagged = ds.map_batches(tag, batch_format="pyarrow", **tag_kwargs)
     return tagged.groupby("__gbucket").map_groups(apply, batch_format="pandas")
 
 
