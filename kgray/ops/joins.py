@@ -171,8 +171,16 @@ def bucket_join(
 
         return apply
 
-    l_wide = l_tagged.map_batches(widen(l_names), batch_format="pyarrow")
-    r_wide = r_tagged.map_batches(widen(r_names), batch_format="pyarrow")
+    # bundle tiny upstream blocks into the widen map (same rationale as
+    # util.grouped_map: the cogroup sort's fixed cost scales with input
+    # block count; batch_size merges adjacent small blocks inside the
+    # streaming executor with no extra stage and no barrier)
+    from kgray.util import _COALESCE_BATCH_ROWS
+
+    l_wide = l_tagged.map_batches(widen(l_names), batch_format="pyarrow",
+                                  batch_size=_COALESCE_BATCH_ROWS)
+    r_wide = r_tagged.map_batches(widen(r_names), batch_format="pyarrow",
+                                  batch_size=_COALESCE_BATCH_ROWS)
 
     r_key = ren.get(right_on, right_on)
     out_cols = [c for c in all_names if c not in ("__bucket", "__side")]
