@@ -897,3 +897,70 @@ def _embedding_dup_pairs_ivf(embeddings, tau, id_col, vec_col, digits,
         .groupby(["u", "v"])
         .aggregate(Max("cos", alias_name="cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(docs, is_test, n: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Per-training-doc count of distinct word-n-grams shared with a
+    held-out (benchmark) set — the GPT-3/PaLM-style decontamination
+    check.  Returns (doc_id, n_shared) for every row where
+    ``is_test(id) == False``; filter ``n_shared > 0`` to drop
+    contaminated documents.
+
+    ``is_test`` is a vectorized predicate over an id numpy array (e.g.
+    ``lambda ids: ids % 97 == 0``) so membership is a pure function of
+    the key — the same determinism rule as ``sample.add_hash_split``.
+
+    Scale shape: the benchmark set is small BY DEFINITION (held-out
+    eval suites, not the corpus), so its distinct shingles are collected
+    once (per-batch-distinct combiner first — the driver sees shingles,
+    not documents) and broadcast via ``ray.put``; each training batch
+    then counts membership hits with an exploded isin + groupby-sum,
+    no shuffle at all on the big side.  For a benchmark too large to
+    broadcast, swap the isin for joins.semi_join on the shingle column
+    (same output, one cogroup shuffle).
+    """
+    import ray
+
+    def test_shingles_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.asarray(is_test(ids), bool)
+        out: set[str] = set()
+        for t in np.asarray(batch[text_col].to_pylist(), object)[mask]:
+            out.update(word_shingles(t, n))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    # metadata-scale collect: distinct shingles of the held-out set only
+    parts = docs.map_batches(
+        test_shingles_partial, batch_format="pyarrow"
+    ).to_pandas()
+    test_set = pa.array(sorted(set(parts["g"])), pa.string())
+    test_ref = ray.put(test_set)
+
+    def count_shared(batch: pa.Table) -> pa.Table:
+        tset = ray.get(test_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = ~np.asarray(is_test(ids), bool)
+        ids = ids[keep]
+        texts = np.asarray(batch[text_col].to_pylist(), object)[keep]
+        counts = np.zeros(len(ids), np.int64)
+        if len(ids):
+            doc_idx, grams = [], []
+            for i, t in enumerate(texts):
+                gs = word_shingles(t, n)
+                grams.extend(gs)
+                doc_idx.extend([i] * len(gs))
+            if grams:
+                hit = pc.is_in(pa.array(grams, pa.string()), value_set=tset)
+                np.add.at(counts, np.asarray(doc_idx, np.int64),
+                          hit.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_shared": pa.array(counts)}
+        )
+
+    return docs.map_batches(count_shared, batch_format="pyarrow")

@@ -1,0 +1,188 @@
+"""Deterministic sampling / split / quantile operators for training-data
+curation (engine additions; reference has only head-N sampling,
+labeling/predict.py-style, covered by T3).
+
+Design notes for 100 TB:
+
+- Splits and samples are pure functions of the row KEY (md5 of the id),
+  never of position or RNG state — re-running any shard reproduces the
+  same assignment, resumable writes stay consistent, and no coordination
+  or shuffle is needed (the split is a stateless map).
+- ``rank_quantiles`` shuffles only a value HISTOGRAM (one row per
+  distinct value per batch, folded by groupby-sum), then ranks on the
+  driver over the distinct-value table — metadata-scale for bounded
+  domains (lengths, scores, counts).  For unbounded/continuous columns
+  use ``grouped_rank_quantiles`` (exact per-group sort inside a cogroup
+  bucket) or bin first.
+- Quantile semantics are pinned to an explicit rank so a SQL oracle can
+  reproduce them bit-for-bit: rank(p) = ceil(p * N) (1-indexed), value =
+  the rank(p)-th smallest element — i.e. percentile_disc / the smallest
+  value whose row_number() >= rank.  No interpolation, so doubles pass
+  through untouched (no float-parity risk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_hex(ids) -> list[str]:
+    """md5 hex digest of the decimal string of each id — the exact value
+    DuckDB's md5(CAST(id AS VARCHAR)) computes, so oracles can reproduce
+    split/sample membership.  Python-loop over rows is acceptable here
+    for the same reason as q_fingerprint: hashlib releases the work to C
+    per call and the kernel is oracle-pinned."""
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def split_thresholds(ratios: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative md5-hex thresholds for a ratio dict, in insertion
+    order.  A row belongs to the first split whose threshold exceeds its
+    md5 hex (lexicographic compare == uniform fraction of hash space).
+    The last threshold is 'g' * 32 (> any hex digest) so rounding never
+    drops rows."""
+    names = list(ratios)
+    total = float(sum(ratios.values()))
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for i, name in enumerate(names):
+        acc += ratios[name] / total
+        if i == len(names) - 1:
+            out.append((name, "g" * 32))
+        else:
+            frac = int(acc * 16**8)
+            out.append((name, format(frac, "08x")))
+    return out
+
+
+def add_hash_split(ds, id_col: str, ratios: dict[str, float],
+                   out_col: str = "split"):
+    """Deterministic train/val/test split: assign each row to a split by
+    where md5(str(id)) falls in hex space.  Stateless map — no shuffle,
+    no RNG, stable under retries and resume."""
+    thresholds = split_thresholds(ratios)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hs = _md5_hex(batch[id_col].to_pylist())
+        splits = []
+        for h in hs:
+            for name, t in thresholds:
+                if h < t:
+                    splits.append(name)
+                    break
+        return batch.append_column(out_col, pa.array(splits, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(ds, strata_col: str, id_col: str, k: int):
+    """Per-stratum deterministic sample: the k rows with the smallest
+    md5(str(id)) in each stratum (uniform within the stratum because the
+    hash is uniform).  Per-batch combiner keeps only k candidates per
+    stratum per batch, so the final cogroup moves O(batches * strata * k)
+    rows, never the input."""
+    from kgray.util import grouped_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                strata_col: batch[strata_col],
+                id_col: batch[id_col],
+                "__h": pa.array(_md5_hex(batch[id_col].to_pylist()),
+                                 pa.string()),
+            }
+        ).to_pandas()
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(strata_col, sort=False).head(k),
+            preserve_index=False,
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        out = df.groupby(strata_col, sort=False).head(k)
+        return out[[strata_col, id_col]]
+
+    return grouped_map(
+        ds.map_batches(partial, batch_format="pyarrow"), strata_col, final
+    )
+
+
+def rank_quantiles(ds, col: str, ps: list[float],
+                   labels: list[str] | None = None) -> pa.Table:
+    """Exact global quantiles of ``col``: value-histogram combiner (one
+    row per distinct value per batch) -> groupby-sum fold -> driver-side
+    rank over the distinct-value table (metadata-scale: bounded by the
+    number of DISTINCT values, not rows).  rank(p) = ceil(p*N); returns
+    (q, value) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pa.table({col: batch[col]}).group_by(col).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({col: vc[col], "n": vc["count_all"].cast(pa.int64())})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(col, ignore_index=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist[col].to_numpy()
+    if labels is None:
+        labels = [f"p{int(round(p * 100))}" for p in ps]
+    out_v = []
+    for p in ps:
+        rank = int(np.ceil(p * total)) if p > 0 else 1
+        out_v.append(vals[int(np.searchsorted(cum, rank))])
+    return pa.table(
+        {
+            "q": pa.array(labels, pa.string()),
+            "value": pa.array(np.asarray(out_v)),
+        }
+    )
+
+
+def grouped_rank_quantiles(ds, key: str, col: str, ps: list[float],
+                           labels: list[str] | None = None):
+    """Exact per-group quantiles (rank(p) = ceil(p*n) element) via one
+    coarse-bucket cogroup; the per-group sort+pick is vectorized inside
+    the bucket.  Correct for continuous columns where the global
+    histogram trick would shuffle ~N distinct values; the partitioning
+    assumption is one GROUP fits a worker (same as any per-key window)."""
+    from kgray.util import grouped_map
+
+    if labels is None:
+        labels = [f"p{int(round(p * 100))}" for p in ps]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, col], kind="mergesort")
+        sizes = df.groupby(key, sort=False)[col].size()
+        starts = np.concatenate([[0], sizes.cumsum().to_numpy()[:-1]])
+        vals = df[col].to_numpy()
+        keys_out, q_out, v_out = [], [], []
+        n = sizes.to_numpy()
+        for p, lab in zip(ps, labels):
+            ranks = np.maximum(np.ceil(p * n).astype(np.int64), 1)
+            idx = starts + ranks - 1
+            keys_out.append(sizes.index.to_numpy())
+            q_out.append(np.full(len(n), lab, dtype=object))
+            v_out.append(vals[idx])
+        return pd.DataFrame(
+            {
+                key: np.concatenate(keys_out),
+                "q": np.concatenate(q_out),
+                "value": np.concatenate(v_out),
+            }
+        )
+
+    return grouped_map(ds, key, per_bucket)

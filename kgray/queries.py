@@ -1146,6 +1146,137 @@ GROUP BY band
 
 
 # ---------------------------------------------------------------------------
+# curation: deterministic splits / samples / quantiles / decontamination
+# (ops/sample.py, ops/dedup.py::ngram_contamination — engine additions for
+# training-data curation; quantile semantics pinned to rank(p) = ceil(p*N))
+# ---------------------------------------------------------------------------
+
+def q_hash_split_counts(sf_dir: str):
+    """Deterministic md5 train/val/test split (stateless map, no shuffle,
+    no RNG) rolled up to per-split counts."""
+    from ray.data.aggregate import Count
+
+    from kgray.ops.sample import add_hash_split
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    split = add_hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1,
+                                            "test": 0.1})
+    return split.groupby("split").aggregate(Count(alias_name="n"))
+
+
+def _hash_split_sql() -> str:
+    # thresholds come from the SAME split_thresholds() call the Ray path
+    # uses, so float accumulation in the ratio prefix sums can never
+    # diverge between the two engines.
+    from kgray.ops.sample import split_thresholds
+
+    (_, t_train), (_, t_val), _ = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        "SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < "
+        f"'{t_train}' THEN 'train' "
+        f"WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_val}' THEN 'val' "
+        "ELSE 'test' END AS split, COUNT(*) AS n "
+        "FROM documents GROUP BY split"
+    )
+
+
+SQL_HASH_SPLIT_COUNTS = _hash_split_sql()
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-lang deterministic sample: the 5 smallest-md5 doc_ids per
+    stratum (per-batch combiner keeps k candidates per stratum, so the
+    cogroup moves O(batches * strata * k) rows)."""
+    from kgray.ops.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(docs, "lang", "doc_id", k=5)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents) WHERE r <= 5
+"""
+
+
+def q_doclen_quantiles(sf_dir: str):
+    """Exact global quantiles of n_chars via the distinct-value-histogram
+    combiner (shuffles one row per distinct value per batch, never rows).
+    rank(p) = ceil(p*N), value = rank-th smallest — percentile_disc
+    semantics, so the picked value is an existing int (no float parity
+    risk)."""
+    from kgray.ops.sample import rank_quantiles
+
+    docs = _read(sf_dir, "documents", ["n_chars"])
+    return rank_quantiles(docs, "n_chars", [0.5, 0.9, 0.99])
+
+
+SQL_DOCLEN_QUANTILES = """
+WITH s AS (SELECT n_chars AS value,
+        ROW_NUMBER() OVER (ORDER BY n_chars) AS r,
+        COUNT(*) OVER () AS n FROM documents)
+SELECT 'p50' AS q, value FROM s WHERE r = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+UNION ALL
+SELECT 'p90' AS q, value FROM s WHERE r = GREATEST(CAST(ceil(0.9 * n) AS BIGINT), 1)
+UNION ALL
+SELECT 'p99' AS q, value FROM s WHERE r = GREATEST(CAST(ceil(0.99 * n) AS BIGINT), 1)
+"""
+
+
+def q_doclen_quantiles_by_lang(sf_dir: str):
+    """Exact per-group quantiles (one coarse-bucket cogroup, per-group
+    sort+rank-pick vectorized inside the bucket)."""
+    from kgray.ops.sample import grouped_rank_quantiles
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_rank_quantiles(docs, "lang", "n_chars", [0.5, 0.9])
+
+
+SQL_DOCLEN_QUANTILES_BY_LANG = """
+WITH s AS (SELECT lang, n_chars AS value,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+        COUNT(*) OVER (PARTITION BY lang) AS n FROM documents)
+SELECT lang, 'p50' AS q, value FROM s
+  WHERE r = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+UNION ALL
+SELECT lang, 'p90' AS q, value FROM s
+  WHERE r = GREATEST(CAST(ceil(0.9 * n) AS BIGINT), 1)
+"""
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: per-training-doc count of distinct
+    word-5-grams shared with the held-out set (doc_id % 97 == 0).  The
+    held-out shingle set is collected once (distinct combiner) and
+    broadcast; the big side never shuffles."""
+    from kgray.ops.dedup import ngram_contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_contamination(docs, lambda ids: ids % 97 == 0, n=5)
+
+
+SQL_CONTAMINATION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4])) AS sh
+      FROM toks WHERE len(w) >= 5),
+tg AS (SELECT DISTINCT UNNEST(sh) AS s FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, COUNT(*) AS n
+         FROM (SELECT doc_id, UNNEST(sh) AS s FROM g WHERE doc_id % 97 <> 0) t
+         WHERE s IN (SELECT s FROM tg) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -1194,4 +1325,11 @@ CATALOG: dict[str, tuple] = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "orders_price_bands": (q_orders_price_bands, SQL_ORDERS_PRICE_BANDS),
     "token_stats_bpe": (q_token_stats_bpe, SQL_TOKEN_STATS_BPE),
+    "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT_COUNTS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
+    "doclen_quantiles_by_lang": (
+        q_doclen_quantiles_by_lang, SQL_DOCLEN_QUANTILES_BY_LANG
+    ),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
 }

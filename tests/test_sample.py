@@ -1,0 +1,155 @@
+"""Deterministic sampling / split / quantile operators (ops/sample.py)
+and n-gram decontamination (ops/dedup.ngram_contamination), each checked
+against an independent brute-force computation over the same rows."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(n=400, seed=7):
+    rs = np.random.RandomState(seed)
+    langs = rs.choice(["en", "de", "fr"], size=n)
+    lens = rs.randint(1, 500, size=n)
+    return pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64) * 3 + 1,
+         "lang": langs, "n_chars": lens.astype(np.int64)}
+    )
+
+
+def _md5(i) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def test_split_thresholds_cover_and_order():
+    from kgray.ops.sample import split_thresholds
+
+    th = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [n for n, _ in th] == ["train", "val", "test"]
+    # last threshold exceeds any hex digest so no row can fall through
+    assert all(_md5(i) < th[-1][1] for i in range(100))
+    assert th[0][1] < th[1][1] < th[2][1]
+
+
+def test_add_hash_split_deterministic_and_ratioed(ray_session):
+    from kgray.ops.sample import add_hash_split, split_thresholds
+
+    df = _docs()
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = (
+        add_hash_split(rd.from_arrow(pa.Table.from_pandas(df)),
+                       "doc_id", ratios)
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    # brute-force the same assignment per row
+    th = split_thresholds(ratios)
+    for i in df["doc_id"]:
+        h = _md5(i)
+        expect = next(name for name, t in th if h < t)
+        assert out[i] == expect
+    # uniform hash -> rough ratio sanity (loose: n=400)
+    frac = (out == "train").mean()
+    assert 0.7 < frac < 0.9
+
+
+def test_stratified_sample_k_smallest_hash_per_stratum(ray_session):
+    from kgray.ops.sample import stratified_sample
+
+    df = _docs()
+    got = (
+        stratified_sample(
+            rd.from_arrow(pa.Table.from_pandas(df)), "lang", "doc_id", k=5
+        )
+        .to_pandas().sort_values(["lang", "doc_id"], ignore_index=True)
+    )
+    ref = df.assign(h=[_md5(i) for i in df["doc_id"]])
+    want = (
+        ref.sort_values(["h", "doc_id"]).groupby("lang").head(5)
+        [["lang", "doc_id"]].sort_values(["lang", "doc_id"],
+                                         ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["lang", "doc_id"]], want)
+    assert (got.groupby("lang").size() == 5).all()
+
+
+def test_rank_quantiles_exact(ray_session):
+    from kgray.ops.sample import rank_quantiles
+
+    df = _docs()
+    out = rank_quantiles(
+        rd.from_arrow(pa.Table.from_pandas(df)), "n_chars", [0.5, 0.9, 0.99]
+    ).to_pandas().set_index("q")["value"]
+    svals = np.sort(df["n_chars"].to_numpy())
+    for p, lab in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        rank = max(int(np.ceil(p * len(svals))), 1)
+        assert out[lab] == svals[rank - 1], lab
+
+
+def test_rank_quantiles_duplicate_heavy(ray_session):
+    """Histogram fold must weight duplicates: 90% zeros -> p50 is 0."""
+    from kgray.ops.sample import rank_quantiles
+
+    vals = np.array([0] * 90 + list(range(1, 11)), dtype=np.int64)
+    out = rank_quantiles(
+        rd.from_arrow(pa.table({"v": vals})), "v", [0.5, 0.95]
+    ).to_pandas().set_index("q")["value"]
+    assert out["p50"] == 0
+    svals = np.sort(vals)
+    assert out["p95"] == svals[int(np.ceil(0.95 * 100)) - 1]
+
+
+def test_grouped_rank_quantiles_match_per_group_brute(ray_session):
+    from kgray.ops.sample import grouped_rank_quantiles
+
+    df = _docs()
+    got = (
+        grouped_rank_quantiles(
+            rd.from_arrow(pa.Table.from_pandas(df)), "lang", "n_chars",
+            [0.5, 0.9],
+        )
+        .to_pandas().sort_values(["lang", "q"], ignore_index=True)
+    )
+    rows = []
+    for lang, g in df.groupby("lang"):
+        sv = np.sort(g["n_chars"].to_numpy())
+        for p, lab in [(0.5, "p50"), (0.9, "p90")]:
+            rank = max(int(np.ceil(p * len(sv))), 1)
+            rows.append({"lang": lang, "q": lab, "value": sv[rank - 1]})
+    want = pd.DataFrame(rows).sort_values(["lang", "q"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["lang", "q", "value"]].astype({"value": np.int64}), want
+    )
+
+
+def test_ngram_contamination_counts_distinct_shared(ray_session):
+    from kgray.ops.dedup import ngram_contamination, word_shingles
+
+    texts = {
+        0: "a b c d e f g h",          # test doc (id % 5 == 0)
+        1: "a b c d e x y z",          # shares 'a b c d e'
+        2: "c d e f g h q r",          # shares 2 of doc-0's 5-grams
+        3: "u v w x y z q r",          # shares nothing
+        4: "a b",                      # too short: zero shingles
+        5: "z z z z z",                # test doc, all-dup shingle
+        6: "z z z z z z z",            # shares the single distinct 'z z z z z'
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    }))
+    out = (
+        ngram_contamination(docs, lambda ids: ids % 5 == 0, n=5)
+        .to_pandas().set_index("doc_id")["n_shared"]
+    )
+    # brute force: distinct shingles of the test set vs each train doc
+    test_set = set()
+    for i in (0, 5):
+        test_set |= set(word_shingles(texts[i], 5))
+    for i in (1, 2, 3, 4, 6):
+        want = len(set(word_shingles(texts[i], 5)) & test_set)
+        assert out[i] == want, i
+    assert set(out.index) == {1, 2, 3, 4, 6}
+    assert out[1] == 1 and out[3] == 0 and out[4] == 0 and out[6] == 1
