@@ -177,3 +177,103 @@ def add_simhash(batch: pa.Table, text_col: str = "text",
     s = batch[text_col].to_pylist()
     hs = simhash64_batch([x.split(" ") for x in s])
     return batch.append_column(out_col, pa.array(hs.astype(np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (two-pass: vocab-scale df fold, broadcast idf, local score)
+# ---------------------------------------------------------------------------
+
+_DOC_COUNT_SENTINEL = "\x00__docs__"
+
+
+def tfidf_top_terms(docs, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", digits: int = 4):
+    """Top-``k`` space-split tokens per document by tf-idf
+    (score = tf * ln(N / df), ties broken by token ascending).
+
+    Scale shape: pass 1 folds document frequency with a per-batch
+    DISTINCT-token combiner (the shuffle moves one row per distinct
+    token per batch — vocab-scale, never corpus-scale) and counts N
+    through a sentinel token in the same fold, so the corpus is read
+    once.  The idf table is built on the driver (vocab-scale; cut with
+    a min-df filter before broadcasting if the vocabulary itself is
+    huge) with ``math.log`` — C libm, bit-identical to DuckDB's ``ln``,
+    where numpy's vectorized log can drift one ulp — and broadcast via
+    ``ray.put``.  Pass 2 is embarrassingly parallel: explode, pandas
+    groupby-size tf, mapped idf, per-doc head(k) — no shuffle at all.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = set()
+        texts = batch[text_col].to_pylist()
+        rows = []
+        for t in texts:
+            seen = set(t.split(" "))
+            for w in seen:
+                rows.append(w)
+        ser = pd.Series(rows, dtype=object).value_counts() if rows else \
+            pd.Series([], dtype=np.int64)
+        words = list(ser.index.astype(str)) + [_DOC_COUNT_SENTINEL]
+        counts = list(ser.to_numpy(np.int64)) + [len(texts)]
+        return pa.table({"token": pa.array(words, pa.string()),
+                         "df": pa.array(counts, pa.int64())})
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocab-scale (distinct tokens), not corpus-scale
+    )
+    n_docs = float(
+        df_tbl.loc[df_tbl["token"] == _DOC_COUNT_SENTINEL, "df"].iloc[0]
+    )
+    df_tbl = df_tbl[df_tbl["token"] != _DOC_COUNT_SENTINEL]
+    idf = pd.Series(
+        [math.log(n_docs / d) for d in df_tbl["df"].to_numpy()],
+        index=df_tbl["token"].to_numpy(),
+    )
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_s = ray.get(idf_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                           len(tok_lists))
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, lens),
+                "token": np.concatenate(
+                    [np.asarray(t, object) for t in tok_lists]
+                ) if len(tok_lists) else np.array([], object),
+            }
+        )
+        tf = flat.groupby(["doc_id", "token"], sort=False).size().reset_index(
+            name="tf"
+        )
+        s = tf["tf"].to_numpy(np.float64) * \
+            tf["token"].map(idf_s).to_numpy(np.float64)
+        tf = tf.assign(s=s).sort_values(
+            ["doc_id", "s", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("doc_id", sort=False).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "token": pa.array(top["token"].astype(str), pa.string()),
+                "tfidf": pa.array(
+                    round_half_up(top["s"].to_numpy(np.float64), digits),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1276,6 +1276,36 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 tf-idf terms per doc: vocab-scale df fold + broadcast idf,
+    then an embarrassingly-parallel scoring pass (no shuffle on docs)."""
+    from kgray.ops.text import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF_TOPK = """
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+tf AS (SELECT doc_id, w AS token, COUNT(*) AS tf
+       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+             FROM documents)
+       GROUP BY doc_id, w),
+df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+       FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' ')))
+                AS token FROM documents)
+       GROUP BY token),
+scored AS (
+  SELECT t.doc_id, t.token,
+         CAST(t.tf AS DOUBLE) * ln((SELECT n FROM n) / df.df) AS s
+  FROM tf t JOIN df USING (token))
+SELECT doc_id, token, ROUND(s, 4) AS tfidf FROM (
+  SELECT doc_id, token, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS r
+  FROM scored) WHERE r <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1332,4 +1362,5 @@ CATALOG: dict[str, tuple] = {
         q_doclen_quantiles_by_lang, SQL_DOCLEN_QUANTILES_BY_LANG
     ),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }

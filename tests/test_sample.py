@@ -153,3 +153,48 @@ def test_ngram_contamination_counts_distinct_shared(ray_session):
         assert out[i] == want, i
     assert set(out.index) == {1, 2, 3, 4, 6}
     assert out[1] == 1 and out[3] == 0 and out[4] == 0 and out[6] == 1
+
+
+def test_tfidf_top_terms_matches_brute(ray_session):
+    import math
+
+    from kgray.ops.text import tfidf_top_terms
+    from kgray.util import round_half_up
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana banana durian",
+        3: "apple cherry cherry cherry fig",
+        4: "fig",
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    }))
+    got = (
+        tfidf_top_terms(docs, k=2)
+        .to_pandas().sort_values(["doc_id", "token"], ignore_index=True)
+    )
+    # brute force
+    n = float(len(texts))
+    df: dict[str, int] = {}
+    for t in texts.values():
+        for w in set(t.split(" ")):
+            df[w] = df.get(w, 0) + 1
+    rows = []
+    for i, t in sorted(texts.items()):
+        tf: dict[str, int] = {}
+        for w in t.split(" "):
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((w, c * math.log(n / df[w])) for w, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        for w, s in scored:
+            rows.append({"doc_id": i, "token": w,
+                         "tfidf": float(round_half_up(np.float64(s), 4))})
+    want = pd.DataFrame(rows).sort_values(["doc_id", "token"],
+                                          ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    # docs with fewer than k distinct tokens emit what they have
+    assert (got["doc_id"] == 4).sum() == 1
