@@ -186,3 +186,37 @@ def grouped_rank_quantiles(ds, key: str, col: str, ps: list[float],
         )
 
     return grouped_map(ds, key, per_bucket)
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex-space keep-threshold for a sampling rate in [0, 1]; rates >= 1
+    use a sentinel above every hex digest (keep all)."""
+    if rate >= 1.0:
+        return "g" * 32
+    return format(int(rate * 16**8), "08x")
+
+
+def downsample_sources(ds, rates: dict[str, float], source_col: str = "source",
+                       id_col: str = "doc_id", default: float = 1.0,
+                       salt: str = ":"):
+    """Deterministic source-mixture resampling: keep a row iff
+    md5(source || salt || str(id)) falls under its source's rate
+    threshold.  The salt makes per-source sampling independent of any
+    other hash-derived assignment over the same ids (e.g. the train/val
+    split).  Stateless map — no shuffle, no RNG, stable under retries;
+    the mixture is exact in expectation and concentrates at corpus
+    scale."""
+    th = {s: rate_threshold(r) for s, r in rates.items()}
+    default_th = rate_threshold(default)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        srcs = batch[source_col].to_pylist()
+        mask = [
+            hashlib.md5(f"{s}{salt}{i}".encode()).hexdigest()
+            < th.get(s, default_th)
+            for s, i in zip(srcs, ids)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

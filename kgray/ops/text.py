@@ -277,3 +277,67 @@ def tfidf_top_terms(docs, k: int = 3, text_col: str = "text",
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", digits: int = 4) -> pa.Table:
+    """Gopher-style repetition quality signals per doc: fraction of
+    tokens taken by the single most frequent token, and the fraction of
+    duplicated adjacent word-2-grams (1 - distinct/total; 0.0 when the
+    doc has fewer than two tokens).  Pure per-batch kernel (pandas
+    groupby over the exploded token table) — composes as a stateless
+    map stage, no shuffle."""
+    from kgray.util import round_half_up
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat = pd.DataFrame(
+        {
+            "i": np.repeat(np.arange(len(ids), dtype=np.int64), lens),
+            "token": np.concatenate(
+                [np.asarray(t, object) for t in tok_lists]
+            ) if len(tok_lists) else np.array([], object),
+        }
+    )
+    tf = flat.groupby(["i", "token"], sort=False).size()
+    max_tf = tf.groupby(level="i").max().reindex(
+        np.arange(len(ids)), fill_value=0
+    ).to_numpy(np.float64)
+    top_frac = np.where(lens > 0, max_tf / np.maximum(lens, 1), 0.0)
+
+    # adjacent 2-grams without crossing doc boundaries: pair the exploded
+    # token column with its shift, keep same-doc positions, then one
+    # groupby size/nunique (tokens never contain the ' ' separator, so
+    # the string join is injective)
+    dup_frac = np.zeros(len(ids), np.float64)
+    if len(flat) >= 2:
+        di = flat["i"].to_numpy()
+        tok = flat["token"].to_numpy()
+        same = di[:-1] == di[1:]
+        if same.any():
+            pairs = pd.DataFrame(
+                {
+                    "i": di[:-1][same],
+                    "g": pd.Series(tok[:-1][same]).str.cat(
+                        pd.Series(tok[1:][same]), sep=" "
+                    ),
+                }
+            )
+            per = pairs.groupby("i", sort=False)["g"].agg(["size", "nunique"])
+            dup_frac[per.index.to_numpy()] = (
+                1.0 - per["nunique"].to_numpy(np.float64)
+                / per["size"].to_numpy(np.float64)
+            )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "top_word_frac": pa.array(
+                round_half_up(top_frac, digits), pa.float64()
+            ),
+            "dup_2gram_frac": pa.array(
+                round_half_up(dup_frac, digits), pa.float64()
+            ),
+        }
+    )

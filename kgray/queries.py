@@ -1306,6 +1306,67 @@ SELECT doc_id, token, ROUND(s, 4) AS tfidf FROM (
 """
 
 
+_MIXTURE_RATES = {f"src{i}": ((i % 4) + 1) / 4 for i in range(20)}
+
+
+def q_source_mixture(sf_dir: str):
+    """Deterministic source-mixture resampling (salted md5 per key, so
+    it is independent of the train/val split over the same ids), rolled
+    up to kept-docs-per-source."""
+    from ray.data.aggregate import Count
+
+    from kgray.ops.sample import downsample_sources
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    kept = downsample_sources(docs, _MIXTURE_RATES)
+    return kept.groupby("source").aggregate(Count(alias_name="n"))
+
+
+def _source_mixture_sql() -> str:
+    from kgray.ops.sample import rate_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in _MIXTURE_RATES.items()
+    )
+    return (
+        "SELECT source, COUNT(*) AS n FROM documents "
+        "WHERE md5(source || ':' || CAST(doc_id AS VARCHAR)) < "
+        f"CASE source {cases} ELSE '{'g' * 32}' END "
+        "GROUP BY source"
+    )
+
+
+SQL_SOURCE_MIXTURE = _source_mixture_sql()
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals: top-word fraction and
+    duplicated-adjacent-2-gram fraction per doc (stateless map)."""
+    from kgray.ops.text import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (SELECT doc_id, t AS token, COUNT(*) AS c
+       FROM (SELECT doc_id, UNNEST(w) AS t FROM w) GROUP BY doc_id, token),
+a AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS n FROM tf GROUP BY doc_id),
+g AS (SELECT doc_id,
+        len(grams) AS total, len(list_distinct(grams)) AS dist
+      FROM (SELECT doc_id, list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i + 1]) AS grams
+            FROM w WHERE len(w) >= 2))
+SELECT a.doc_id,
+  ROUND(CAST(maxc AS DOUBLE) / n, 4) AS top_word_frac,
+  ROUND(COALESCE(1 - CAST(dist AS DOUBLE) / total, 0.0), 4)
+    AS dup_2gram_frac
+FROM a LEFT JOIN g ON a.doc_id = g.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1363,4 +1424,6 @@ CATALOG: dict[str, tuple] = {
     ),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
 }

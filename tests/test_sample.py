@@ -198,3 +198,59 @@ def test_tfidf_top_terms_matches_brute(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # docs with fewer than k distinct tokens emit what they have
     assert (got["doc_id"] == 4).sum() == 1
+
+
+def test_downsample_sources_deterministic_and_rated(ray_session):
+    from kgray.ops.sample import downsample_sources, rate_threshold
+
+    n = 600
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(["a", "b", "c"])[np.arange(n) % 3],
+    })
+    rates = {"a": 0.0, "b": 0.5, "c": 1.0}
+    got = (
+        downsample_sources(rd.from_arrow(pa.Table.from_pandas(df)), rates)
+        .to_pandas()
+    )
+    # brute-force the same membership rule per row
+    keep = [
+        hashlib.md5(f"{s}:{i}".encode()).hexdigest()
+            < rate_threshold(rates[s])
+        for s, i in zip(df["source"], df["doc_id"])
+    ]
+    want = df[np.asarray(keep)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id", ignore_index=True), want
+    )
+    by = got.groupby("source").size()
+    assert "a" not in by.index            # rate 0 drops everything
+    assert by.get("c", 0) == n // 3        # rate 1 keeps everything
+    assert 0.3 * n / 3 < by.get("b", 0) < 0.7 * n / 3
+
+
+def test_repetition_stats_hand_worked(ray_session):
+    from kgray.ops.text import repetition_stats
+
+    texts = {
+        1: "a a a b",        # top 3/4; 2-grams: aa,aa,ab -> dist 2/3
+        2: "x y z",          # top 1/3; all 2-grams distinct -> 0
+        3: "w",              # single token: top 1/1, dup 0.0
+        4: "q q q q",        # top 1.0; 2-grams all 'q q' -> 1 - 1/3
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    }))
+    out = (
+        docs.map_batches(repetition_stats, batch_format="pyarrow")
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "top_word_frac"] == 0.75
+    assert out.loc[1, "dup_2gram_frac"] == round(1 - 2 / 3, 4)
+    assert out.loc[2, "top_word_frac"] == round(1 / 3, 4)
+    assert out.loc[2, "dup_2gram_frac"] == 0.0
+    assert out.loc[3, "top_word_frac"] == 1.0
+    assert out.loc[3, "dup_2gram_frac"] == 0.0
+    assert out.loc[4, "top_word_frac"] == 1.0
+    assert out.loc[4, "dup_2gram_frac"] == round(1 - 1 / 3, 4)
