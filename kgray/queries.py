@@ -1367,6 +1367,33 @@ FROM a LEFT JOIN g ON a.doc_id = g.doc_id
 """
 
 
+def q_pack_offsets(sf_dir: str):
+    """Concat-and-chunk sequence packing: distributed exclusive prefix
+    sum of token counts in doc_id order (per-range sums -> driver scan of
+    R bases -> one cogroup with vectorized in-range cumsum), then
+    bin = start // 512."""
+    from kgray.ops.pack import stream_offsets
+    from kgray.ops.text import add_token_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: add_token_count(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    return stream_offsets(docs, key="doc_id", len_col="n_tokens", chunk=512)
+
+
+SQL_PACK_OFFSETS = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start
+      FROM t)
+SELECT doc_id, n_tokens, start, start // 512 AS bin FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1426,4 +1453,5 @@ CATALOG: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
 }
