@@ -62,6 +62,9 @@ SUITE = [
     "events_asof",
     "customers_no_orders",
     "doc_quality",
+    # round-3 curation additions (suite totals before r03 exclude these two)
+    "tfidf_topk",
+    "pack_offsets",
 ]
 
 

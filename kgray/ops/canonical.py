@@ -106,12 +106,17 @@ def _cc_driver_unionfind(edges_mat):
     import ray
     import ray.data as rd
 
+    # node dtype follows the edge key dtype (string mentions, int doc ids)
+    try:
+        node_type = edges_mat.schema().base_schema.field("u").type
+    except Exception:
+        node_type = pa.string()
     tbls = [t for t in ray.get(edges_mat.to_arrow_refs()) if t.num_rows]
     if not tbls:
         return rd.from_arrow(
             pa.table(
-                {"node": pa.array([], pa.string()),
-                 "component": pa.array([], pa.string())}
+                {"node": pa.array([], node_type),
+                 "component": pa.array([], node_type)}
             )
         )
     cat = pa.concat_tables([t.select(["u", "v"]) for t in tbls])
@@ -140,8 +145,8 @@ def _cc_driver_unionfind(edges_mat):
     return rd.from_arrow(
         pa.table(
             {
-                "node": pa.array(ids, pa.string()),
-                "component": pa.array(ids[comp], pa.string()),
+                "node": pa.array(list(ids), node_type),
+                "component": pa.array(list(ids[comp]), node_type),
             }
         )
     )

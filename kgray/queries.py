@@ -1394,6 +1394,61 @@ SELECT doc_id, n_tokens, start, start // 512 AS bin FROM s
 """
 
 
+def q_dedup_purge(sf_dir: str):
+    """End-to-end near-dup purge (the Dolma/RedPajama-style corpus
+    cleaning step): MinHash-LSH pairs -> connected components -> keep the
+    min-doc_id representative per cluster -> anti-join the corpus against
+    the dropped set.  Every stage is the auto-gated scale path (LSH
+    bands, capped blocks, CC with combiner, size-gated anti join)."""
+    from kgray.ops.canonical import connected_components
+    from kgray.ops.dedup import minhash_dup_pairs
+    from kgray.ops.joins import semi_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_dup_pairs(docs, tau=0.7)
+    comp = connected_components(pairs)
+    dropped = comp.map_batches(
+        lambda t: pa.table(
+            {"node": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    )
+    keep_cols = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return semi_join(keep_cols, dropped, on="doc_id", right_on="node",
+                     anti=True)
+
+
+# the pair graph below is the exact word-3-gram Jaccard self-join (the
+# same oracle relationship as minhash_dup_docs: with 32 bands x 2 rows,
+# P(LSH misses a j>=0.7 pair) ~ 4e-10, so the sketch is exact here);
+# components via the recursive-CTE min-label closure.
+SQL_DEDUP_PURGE = """
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3),
+p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= 0.7),
+sym AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+cc AS (
+  SELECT src AS node, src AS label FROM sym
+  UNION
+  SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+dropped AS (SELECT node FROM comp WHERE node <> component)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1454,4 +1509,5 @@ CATALOG: dict[str, tuple] = {
     "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
+    "dedup_purge": (q_dedup_purge, SQL_DEDUP_PURGE),
 }

@@ -197,3 +197,53 @@ def test_simhash_driver_and_distributed_paths_agree(ray_session):
     )
     assert len(drv) > 5
     assert drv.equals(dist)
+
+
+def test_connected_components_int_keys(ray_session):
+    """CC must preserve the edge key dtype (doc ids are int64, mention
+    keys are strings)."""
+    import pyarrow as pa
+
+    from kgray.ops.canonical import connected_components
+
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array([1, 2, 10], pa.int64()),
+        "v": pa.array([2, 3, 11], pa.int64()),
+    }))
+    got = connected_components(edges).to_pandas()
+    assert got["node"].dtype.kind == "i"
+    comp = dict(zip(got["node"], got["component"]))
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_purge_keeps_min_per_cluster(ray_session):
+    """minhash pairs -> CC -> anti-join purge keeps exactly the min-id
+    representative of each planted near-dup cluster plus all singletons."""
+    import pyarrow as pa
+
+    from kgray.ops.canonical import connected_components
+    from kgray.ops.dedup import minhash_dup_pairs
+    from kgray.ops.joins import semi_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        5: base, 9: base + " x", 3: base + " y",       # one cluster, min 3
+        20: "completely different words " * 3,          # singleton
+        30: "another unrelated document body " * 3,     # singleton
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    }))
+    pairs = minhash_dup_pairs(docs, tau=0.7)
+    comp = connected_components(pairs)
+    import pyarrow.compute as pc
+
+    dropped = comp.map_batches(
+        lambda t: pa.table(
+            {"node": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    )
+    kept = semi_join(docs, dropped, on="doc_id", right_on="node", anti=True)
+    assert sorted(kept.to_pandas()["doc_id"]) == [3, 20, 30]
