@@ -1,0 +1,106 @@
+"""Distributed cardinality sketch (HyperLogLog).
+
+Exact distinct counting shuffles every distinct key
+(``queries.q_events_distinct_users``); at 100 TB an approximate answer
+within ~1% is usually wanted instead, and HLL gets it by shuffling only
+REGISTER rows: each batch folds its values into m = 2^p max-rho
+registers locally (numpy), the shuffle moves at most m rows per batch,
+and a Max-groupby merges them — the classic combiner shape, with the
+driver touching only the m-row register table.
+
+Hashing is deterministic (splitmix64 for integer columns — vectorized in
+numpy; md5 low-64 for strings), so the estimate is a pure function of
+the value set: stable under retries, resumes and block order.
+Flajolet et al.'s bias-corrected estimator with the small-range
+linear-counting correction; standard error ~= 1.04/sqrt(m) (~0.8% at
+p=14).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
+    integer keys (public-domain constants)."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        return splitmix64(col.to_numpy(zero_copy_only=False))
+    vals = col.to_pylist()
+    out = np.empty(len(vals), np.uint64)
+    for i, v in enumerate(vals):  # string path: md5 releases to C per call
+        out[i] = int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[:8], "little"
+        )
+    return out
+
+
+def _registers(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per hash: idx = top p bits, rho = leading
+    zeros of the remaining 64-p bits + 1."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    x = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # leading zeros via floor(log2) per 32-bit half: both halves stay
+    # under 2^32 << 2^53, so the float64 log2 is exact for the floor
+    hi = (x >> np.uint64(32)).astype(np.int64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    lz_hi = 31 - np.floor(
+        np.log2(np.maximum(hi, 1).astype(np.float64))
+    ).astype(np.int64)
+    lz_lo = 31 - np.floor(
+        np.log2(np.maximum(lo, 1).astype(np.float64))
+    ).astype(np.int64)
+    rho = np.where(hi != 0, lz_hi, 32 + lz_lo) + 1
+    return idx, rho
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected HLL estimate from the dense register array."""
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear counting for the small range
+    return float(e)
+
+
+def hll_distinct(ds, col: str, p: int = 14):
+    """Approximate COUNT(DISTINCT col) -> one-row pyarrow Table
+    (est: int64).  Shuffle volume is <= 2^p register rows per batch,
+    independent of the data size."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash_column(batch[col])
+        idx, rho = _registers(h, p)
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, idx, rho)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"idx": pa.array(nz), "rho": pa.array(regs[nz])})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # <= m rows — register-scale, never data-scale
+    )
+    regs = np.zeros(m, np.int64)
+    regs[merged["idx"].to_numpy()] = merged["rho"].to_numpy()
+    return pa.table({"est": pa.array([int(round(hll_estimate(regs)))],
+                                     pa.int64())})

@@ -1449,6 +1449,17 @@ WHERE doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
+def q_events_distinct_users_approx(sf_dir: str):
+    """HyperLogLog distinct-user estimate: register-space shuffle
+    (<= 2^14 rows per batch) instead of the exact path's distinct-key
+    shuffle.  Rows-only: sketches are not SQL-expressible; accuracy
+    (~0.8% s.e. at p=14) and determinism are test-pinned
+    (tests/test_sketch.py)."""
+    from kgray.ops.sketch import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1510,4 +1521,5 @@ CATALOG: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
     "dedup_purge": (q_dedup_purge, SQL_DEDUP_PURGE),
+    "events_distinct_users_approx": (q_events_distinct_users_approx, None),
 }

@@ -1,0 +1,62 @@
+"""HyperLogLog distinct sketch (ops/sketch.py): accuracy vs exact counts
+and determinism of the register pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_registers_match_bit_twiddling():
+    """rho from the log2 formulation == a per-value python bit scan."""
+    from kgray.ops.sketch import _registers
+
+    rs = np.random.RandomState(0)
+    h = rs.randint(0, 2**63, 2000, dtype=np.int64).astype(np.uint64)
+    h[:8] = [0, 1, 2**63, 2**64 - 1, 12345, 2**32, 2**32 - 1, 2**53]
+    p = 14
+    idx, rho = _registers(h, p)
+    for i in range(len(h)):
+        hv = int(h[i])
+        assert idx[i] == hv >> (64 - p)
+        tail = ((hv << p) | ((1 << p) - 1)) & (2**64 - 1)
+        want = 64 - tail.bit_length() + 1
+        assert rho[i] == want, (i, hex(hv))
+
+
+def test_hll_within_2pct_int_keys(ray_session):
+    from kgray.ops.sketch import hll_distinct
+
+    n = 100_000
+    vals = np.repeat(np.arange(n, dtype=np.int64), 2)  # each value twice
+    est = hll_distinct(
+        rd.from_arrow(pa.table({"v": vals})), "v", p=14
+    )["est"][0].as_py()
+    assert abs(est - n) / n < 0.02
+
+
+def test_hll_small_range_exactish_and_strings(ray_session):
+    from kgray.ops.sketch import hll_distinct
+
+    # linear-counting regime: tiny cardinality is near-exact
+    est = hll_distinct(
+        rd.from_arrow(pa.table({"v": pa.array(list(range(50)) * 3,
+                                              pa.int64())})), "v"
+    )["est"][0].as_py()
+    assert est == 50
+    strs = [f"user-{i % 400}" for i in range(4000)]
+    est_s = hll_distinct(
+        rd.from_arrow(pa.table({"v": pa.array(strs, pa.string())})), "v"
+    )["est"][0].as_py()
+    assert abs(est_s - 400) <= 8
+
+
+def test_hll_deterministic_across_block_layouts(ray_session):
+    from kgray.ops.sketch import hll_distinct
+
+    vals = np.arange(10_000, dtype=np.int64)
+    a = hll_distinct(rd.from_arrow(pa.table({"v": vals})), "v")["est"][0]
+    b = hll_distinct(
+        rd.from_arrow(pa.table({"v": vals[::-1].copy()}))
+        .repartition(17), "v"
+    )["est"][0]
+    assert a == b
