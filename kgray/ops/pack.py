@@ -51,8 +51,11 @@ def stream_offsets(ds, key: str = "doc_id", len_col: str = "n_tokens",
 
     if n_ranges is None:
         n_ranges = default_num_buckets()
-    lo = int(ds.min(key))
-    hi = int(ds.max(key))
+    from ray.data.aggregate import Max, Min
+
+    bounds = ds.aggregate(Min(key), Max(key))  # one pass, not two
+    lo = int(bounds[f"min({key})"])
+    hi = int(bounds[f"max({key})"])
     width = max((hi - lo) // n_ranges + 1, 1)
 
     def range_partial(batch: pa.Table) -> pa.Table:
