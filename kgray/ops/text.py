@@ -341,3 +341,144 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model quality scoring (KenLM-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+def _explode_bigrams(texts: list[str]):
+    """Explode a batch of texts into (row_idx, w1, bigram-'w1 w2') numpy
+    arrays without crossing document boundaries (shift-pair trick, same
+    as repetition_stats).  Tokens never contain ' ', so the joined gram
+    key is injective."""
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat_i = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    flat_t = (
+        np.concatenate([np.asarray(t, object) for t in tok_lists])
+        if tok_lists else np.array([], object)
+    )
+    if len(flat_t) < 2:
+        e = np.array([], object)
+        return np.array([], np.int64), e, e, flat_i, flat_t
+    same = flat_i[:-1] == flat_i[1:]
+    w1 = flat_t[:-1][same]
+    grams = (
+        pd.Series(w1).str.cat(pd.Series(flat_t[1:][same]), sep=" ")
+        .to_numpy()
+    )
+    return flat_i[:-1][same], w1, grams, flat_i, flat_t
+
+
+def fit_bigram_lm(train, text_col: str = "text", min_count: int = 1):
+    """Fit an add-one-smoothed bigram LM over a corpus in ONE read.
+
+    Scale shape: a per-batch combiner emits (gram, n) partial counts —
+    bigrams as 'w1 w2', unigrams as 'w' (disjoint key spaces: tokens
+    cannot contain the separator) — so the shuffle moves one row per
+    distinct gram per batch (gram-vocab scale, never corpus scale), and
+    one groupby folds them.  The log-prob table is built on the DRIVER
+    with ``math.log`` (C libm — bit-identical to DuckDB ``ln``; numpy's
+    vectorized log drifts one ulp, see tfidf_top_terms) and is meant to
+    be broadcast once via ``ray.put``.  At web scale the bigram table is
+    the memory bound: raise ``min_count`` to prune the tail (standard
+    KenLM practice); pruned bigrams fall back to the per-context miss
+    mass, identical to genuinely-unseen pairs.
+
+    Returns {"lp": Series 'w1 w2'->logP, "miss": Series 'w1'->logP of an
+    unseen pair in that context, "lp_unk": float for unseen contexts}.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        _, _, grams, _, flat_t = _explode_bigrams(texts)
+        ser = pd.concat(
+            [pd.Series(grams, dtype=object), pd.Series(flat_t, dtype=object)]
+        ).value_counts() if len(flat_t) else pd.Series([], dtype=np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(ser.index.astype(str), pa.string()),
+                "n": pa.array(ser.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        train.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # gram-vocab scale (see docstring), not corpus scale
+    )
+    is_bigram = counts["gram"].str.contains(" ", regex=False)
+    uni = counts[~is_bigram]
+    vocab = float(len(uni))
+    bg = counts[is_bigram]
+    if min_count > 1:
+        bg = bg[bg["n"] >= min_count]
+    w1 = bg["gram"].str.split(" ", n=1).str[0]
+    ctx = bg.groupby(w1.to_numpy())["n"].sum()  # context totals over kept
+    denom = ctx + vocab
+    lp = pd.Series(
+        [math.log((c + 1.0) / d) for c, d in
+         zip(bg["n"].to_numpy(np.float64), w1.map(denom).to_numpy())],
+        index=bg["gram"].to_numpy(),
+    )
+    miss = pd.Series(
+        [math.log(1.0 / d) for d in denom.to_numpy(np.float64)],
+        index=denom.index.to_numpy(),
+    )
+    return {"lp": lp, "miss": miss,
+            "lp_unk": math.log(1.0 / max(vocab, 1.0))}
+
+
+def bigram_lm_scores(docs, model=None, text_col: str = "text",
+                     id_col: str = "doc_id", digits: int = 4):
+    """Per-document mean bigram log-probability (the KenLM-style quality
+    signal: low score = unnatural/garbled text).  ``model`` defaults to
+    fitting on ``docs`` itself (self-scored corpus); pass a model fit on
+    a held-out/train split for filtering semantics.
+
+    The scoring pass is embarrassingly parallel: the model is broadcast
+    once (``ray.put``), each batch explodes its bigrams, maps log-probs
+    by lookup (seen pair -> per-context miss -> unknown context) and
+    folds a per-doc mean — no shuffle on the corpus.  Documents with
+    fewer than two tokens emit no row (no bigrams; matches the SQL
+    oracle's inner-join semantics)."""
+    import ray
+
+    from kgray.util import round_half_up
+
+    if model is None:
+        model = fit_bigram_lm(docs, text_col=text_col)
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        row, w1, grams, _, _ = _explode_bigrams(texts)
+        if not len(grams):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lm_score": pa.array([], pa.float64())})
+        lp = pd.Series(grams).map(m["lp"]).to_numpy(np.float64)
+        hole = np.isnan(lp)
+        if hole.any():
+            fallback = pd.Series(w1[hole]).map(m["miss"]).fillna(
+                m["lp_unk"]
+            ).to_numpy(np.float64)
+            lp[hole] = fallback
+        per = pd.Series(lp).groupby(row).mean()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[per.index.to_numpy()], pa.int64()),
+                "lm_score": pa.array(
+                    round_half_up(per.to_numpy(np.float64), digits),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1449,6 +1449,33 @@ WHERE doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
+def q_lm_score(sf_dir: str):
+    """KenLM-style quality signal: per-doc mean add-one-smoothed bigram
+    log-probability under a model fit on the corpus itself (one
+    combiner-fold read to build gram counts, log table built on the
+    driver with libm log for DuckDB ln bit-parity, broadcast once;
+    scoring pass shuffle-free)."""
+    from kgray.ops.text import bigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_scores(docs)
+
+
+SQL_LM_SCORE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i FROM w)),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM g GROUP BY 1, 2),
+cu AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cu FROM g GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+      FROM (SELECT UNNEST(toks) AS t FROM w)),
+lp AS (SELECT g.doc_id,
+              ln((bg.c + 1.0) / (cu.cu + (SELECT v FROM v))) AS lp
+       FROM g JOIN bg USING (w1, w2) JOIN cu USING (w1))
+SELECT doc_id, ROUND(AVG(lp), 4) AS lm_score FROM lp GROUP BY doc_id
+"""
+
+
 def q_events_distinct_users_approx(sf_dir: str):
     """HyperLogLog distinct-user estimate: register-space shuffle
     (<= 2^14 rows per batch) instead of the exact path's distinct-key
@@ -1522,4 +1549,5 @@ CATALOG: dict[str, tuple] = {
     "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
     "dedup_purge": (q_dedup_purge, SQL_DEDUP_PURGE),
     "events_distinct_users_approx": (q_events_distinct_users_approx, None),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
 }
