@@ -1449,6 +1449,112 @@ WHERE doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
+def q_events_user_cumsum(sf_dir: str):
+    """Running-total window aggregate (SUM OVER PARTITION BY user ORDER
+    BY ts): one cogroup on user_id, then a vectorized sort + groupby
+    cumsum per bucket.  All rows of a user land in one bucket, so the
+    accumulation order matches the SQL frame order exactly; sums of
+    2-decimal values can never sit on a .005 round boundary, so the
+    2-digit round is bit-stable against tree-vs-sequential summation."""
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cum = df.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cum_value": round_half_up(cum.to_numpy(np.float64), 2),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_USER_CUMSUM = (
+    "SELECT event_id, user_id, "
+    "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)"
+    " AS cum_value FROM events"
+)
+
+
+def q_events_props_stats(sf_dir: str):
+    """Metadata-column parsing: extract the integer 'k' field from the
+    JSON props string with ONE vectorized regex per batch (ASCII class
+    pinned on both sides — Python re and DuckDB RE2 agree), then a
+    per-batch combiner feeds the tiny event_type aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        k = (
+            pd.Series(batch["props"].to_pylist())
+            .str.extract(r'"k":\s*(-?[0-9]+)', expand=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k": pa.array(k.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+SQL_EVENTS_PROPS_STATS = (
+    "SELECT event_type, CAST(SUM(CAST(regexp_extract(props, "
+    "'\"k\":\\s*(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k, "
+    "COUNT(*) AS n FROM events GROUP BY event_type"
+)
+
+
+def q_docs_rollup(sf_dir: str):
+    """Multi-level rollup (GROUPING SETS) in one corpus read: the wide
+    groupby runs at the finest grain only; coarser levels are derived
+    from that aggregate-scale result (driver-side fold over ~|langs x
+    sources| rows, never corpus rows), with 'ALL' as the rollup marker."""
+    from ray.data.aggregate import Count, Sum
+
+    fine = (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="chars"))
+        .to_pandas()  # aggregate-scale (|langs| x |sources|), not corpus
+    )
+    by_lang = (
+        fine.groupby("lang", as_index=False)[["n", "chars"]].sum()
+        .assign(source="ALL")
+    )
+    total = pd.DataFrame(
+        {"lang": ["ALL"], "source": ["ALL"],
+         "n": [fine["n"].sum()], "chars": [fine["chars"].sum()]}
+    )
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].astype(str), pa.string()),
+            "source": pa.array(out["source"].astype(str), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "chars": pa.array(out["chars"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_DOCS_ROLLUP = (
+    "SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS "
+    "source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())"
+)
+
+
 def q_lm_score(sf_dir: str):
     """KenLM-style quality signal: per-doc mean add-one-smoothed bigram
     log-probability under a model fit on the corpus itself (one
@@ -1550,4 +1656,7 @@ CATALOG: dict[str, tuple] = {
     "dedup_purge": (q_dedup_purge, SQL_DEDUP_PURGE),
     "events_distinct_users_approx": (q_events_distinct_users_approx, None),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "events_user_cumsum": (q_events_user_cumsum, SQL_EVENTS_USER_CUMSUM),
+    "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
+    "docs_rollup": (q_docs_rollup, SQL_DOCS_ROLLUP),
 }
