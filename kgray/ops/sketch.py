@@ -104,3 +104,74 @@ def hll_distinct(ds, col: str, p: int = 14):
     regs[merged["idx"].to_numpy()] = merged["rho"].to_numpy()
     return pa.table({"est": pa.array([int(round(hll_estimate(regs)))],
                                      pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries / space-saving)
+# ---------------------------------------------------------------------------
+
+# NOTE: not NUL — numpy fixed-width-unicode -> Arrow conversion drops
+# strings containing \x00; \x1e survives and cannot appear in tokens.
+_HH_ERR_SENTINEL = "\x1e__hh_err__"
+
+
+def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 4096):
+    """Approximate top-``k`` most frequent values of ``col`` with a
+    mergeable Misra-Gries summary.
+
+    Exact top-k shuffles one row per (batch, distinct value) — fine for
+    small vocabularies, unbounded for open-ended keys (URLs, n-grams,
+    user ids) at 100 TB.  This bounds the shuffle to ``capacity`` rows
+    per batch: each batch keeps its top ``capacity`` counts decremented
+    by the (capacity+1)-th count (the MG step — each kept count then
+    UNDERestimates its key by at most that threshold, and every dropped
+    key's count was <= the threshold).  Summaries merge by plain count
+    addition (Sum groupby), so total undercount <= sum of per-batch
+    thresholds <= n/(capacity+1); that bound travels in-band as a
+    sentinel row and is returned alongside the top-k.
+
+    When per-batch distinct values never exceed ``capacity`` the
+    threshold is 0 everywhere and the result is EXACT (bound = 0) —
+    which is why the catalog query can be oracle-checked against the
+    exact SQL top-k at test scale while staying a true sketch at web
+    scale.  Ties break on value ascending (deterministic).
+
+    Returns (top-k Dataset with columns (token, est), error-bound int).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ser = pd.Series(batch[col].to_pylist(), dtype=object).value_counts()
+        vals = ser.index.to_numpy(object)
+        cnt = ser.to_numpy(np.int64)
+        thresh = 0
+        if len(cnt) > capacity:
+            thresh = int(cnt[capacity])
+            vals, cnt = vals[:capacity], cnt[:capacity] - thresh
+            keep = cnt > 0
+            vals, cnt = vals[keep], cnt[keep]
+        vals = np.append(vals, _HH_ERR_SENTINEL)
+        cnt = np.append(cnt, thresh)
+        return pa.table(
+            {
+                "token": pa.array(vals.astype(str), pa.string()),
+                "est": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("est", alias_name="est"))
+    )
+    err_row = merged.filter(
+        expr=f"token == {_HH_ERR_SENTINEL!r}"
+    ).take_all()  # one row — the in-band error bound
+    err = int(err_row[0]["est"]) if err_row else 0
+    top = (
+        merged.filter(expr=f"token != {_HH_ERR_SENTINEL!r}")
+        .sort(["est", "token"], descending=[True, False])
+        .limit(k)
+    )
+    return top, err

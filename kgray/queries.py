@@ -1555,6 +1555,33 @@ SQL_DOCS_ROLLUP = (
 )
 
 
+def q_word_topk_approx(sf_dir: str):
+    """Misra-Gries heavy-hitter top-10 words: shuffle bounded to
+    `capacity` rows per batch regardless of vocabulary size (the exact
+    path's per-(batch, distinct-word) rows are unbounded for open-ended
+    keys).  At this corpus' vocabulary the per-batch threshold is 0, so
+    the sketch is provably exact and the SQL top-k is a full oracle;
+    the capacity-truncation path is test-pinned (tests/test_sketch.py)."""
+    from kgray.ops.sketch import heavy_hitters
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = [w for t in batch["text"].to_pylist() for w in t.split(" ")]
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    tokens = _read(sf_dir, "documents", ["text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    top, _err = heavy_hitters(tokens, "token", k=10)
+    return top
+
+
+SQL_WORD_TOPK_APPROX = """
+SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS est
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY est DESC, token LIMIT 10
+"""
+
+
 def q_lm_score(sf_dir: str):
     """KenLM-style quality signal: per-doc mean add-one-smoothed bigram
     log-probability under a model fit on the corpus itself (one
@@ -1659,4 +1686,5 @@ CATALOG: dict[str, tuple] = {
     "events_user_cumsum": (q_events_user_cumsum, SQL_EVENTS_USER_CUMSUM),
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
     "docs_rollup": (q_docs_rollup, SQL_DOCS_ROLLUP),
+    "word_topk_approx": (q_word_topk_approx, SQL_WORD_TOPK_APPROX),
 }

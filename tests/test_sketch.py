@@ -60,3 +60,62 @@ def test_hll_deterministic_across_block_layouts(ray_session):
         .repartition(17), "v"
     )["est"][0]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries)
+# ---------------------------------------------------------------------------
+
+def _zipf_tokens(n=30_000, vocab=800, seed=13):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(1.3, size=n)
+    ranks = ranks[ranks <= vocab]
+    return pd.DataFrame({"token": [f"w{r:04d}" for r in ranks]})
+
+
+def test_heavy_hitters_exact_when_under_capacity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.sketch import heavy_hitters
+
+    df = _zipf_tokens()
+    ds = rd.from_pandas(df, override_num_blocks=8)
+    top, err = heavy_hitters(ds, "token", k=10, capacity=4096)
+    assert err == 0
+    got = top.to_pandas()
+    vc = df["token"].value_counts()
+    want = (
+        pd.DataFrame({"token": vc.index, "est": vc.to_numpy()})
+        .sort_values(["est", "token"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["est"].tolist() == want["est"].tolist()
+
+
+def test_heavy_hitters_truncated_bound_holds(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.sketch import heavy_hitters
+
+    df = _zipf_tokens(n=40_000, vocab=3000, seed=29)
+    ds = rd.from_pandas(df, override_num_blocks=10)
+    cap = 64  # far below vocab: every batch truncates
+    top, err = heavy_hitters(ds, "token", k=10, capacity=cap)
+    n = len(df)
+    assert 0 < err <= n // (cap + 1)
+    got = top.to_pandas().set_index("token")["est"]
+    true = df["token"].value_counts()
+    # estimates are lower bounds within err of the truth
+    for tok, est in got.items():
+        assert est <= true[tok] <= est + err, tok
+    # any key whose true count clears the error bound by a margin over
+    # the k-th estimate must surface in the top-k
+    kth = got.min()
+    for tok, cnt in true.items():
+        if cnt > kth + err:
+            assert tok in got.index, (tok, cnt, kth, err)
