@@ -82,3 +82,53 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
         return pa.Table.from_pandas(df[out_order], preserve_index=False)
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key: str, x: str, y: str, out_col: str = "r",
+                 digits: int = 4):
+    """Per-group Pearson correlation in ONE pass via sufficient
+    statistics: each batch folds (n, Σx, Σy, Σx², Σy², Σxy) per key —
+    the shuffle moves six numbers per (batch, key) — and the final
+    r = (nΣxy - ΣxΣy) / sqrt((nΣx² - Σx²)(nΣy² - Σy²)) is computed on
+    the folded aggregate (algebraically identical to SQL CORR; the
+    summation-order ulp drift is absorbed by the ``digits`` round)."""
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        xf = df[x].to_numpy(np.float64)
+        yf = df[y].to_numpy(np.float64)
+        df = df.assign(
+            __x=xf, __y=yf, __xx=xf * xf, __yy=yf * yf, __xy=xf * yf,
+        )
+        g = df.groupby(key, sort=False, dropna=False)
+        res = g[["__x", "__y", "__xx", "__yy", "__xy"]].sum()
+        res["__n"] = g.size()
+        return pa.Table.from_pandas(res.reset_index(), preserve_index=False)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("__x", "__y", "__xx", "__yy", "__xy", "__n")])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["__n"].to_numpy(np.float64)
+        sx, sy = df["__x"].to_numpy(), df["__y"].to_numpy()
+        cov = n * df["__xy"].to_numpy() - sx * sy
+        vx = n * df["__xx"].to_numpy() - sx * sx
+        vy = n * df["__yy"].to_numpy() - sy * sy
+        denom = np.sqrt(vx * vy)
+        r = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0), np.nan)
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(df[key]),
+                out_col: pa.array(round_half_up(r, digits), pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

@@ -175,3 +175,80 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 4096):
         .limit(k)
     )
     return top, err
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch (DDSketch-style relative-error log histogram)
+# ---------------------------------------------------------------------------
+
+def dd_quantiles(ds, col: str, ps: list[float], alpha: float = 0.01):
+    """Approximate quantiles with relative error <= ``alpha`` via a
+    DDSketch-style log-bucket histogram (Masson et al., VLDB'19 shape).
+
+    The exact path (``sample.rank_quantiles``) shuffles one row per
+    distinct value per batch — unbounded for continuous columns at
+    100 TB.  This buckets each value into i = ceil(ln(x)/ln(gamma)),
+    gamma = (1+alpha)/(1-alpha), so a batch contributes at most
+    O(log(max/min)/alpha) bucket rows regardless of row count; a Sum
+    groupby merges histograms losslessly (the sketch is fully
+    mergeable and deterministic: same value set -> same sketch, any
+    block layout).  Quantile q is read off the cumulative histogram at
+    rank ceil(q*N) (percentile_disc semantics) and estimated by the
+    bucket midpoint 2*gamma^i/(gamma+1), giving |est - true|/true <=
+    alpha.  Zeros (and anything < the subnormal guard) sit in a
+    dedicated bucket reported as 0.0; negative values are rejected —
+    mirror two sketches if you need them.
+
+    Returns a pyarrow Table (p, est) — sketch-scale driver state.
+    """
+    from ray.data.aggregate import Sum
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
+    ZERO_BUCKET = np.iinfo(np.int64).min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (x < 0).any():
+            raise ValueError(f"dd_quantiles: negative values in {col!r}")
+        pos = x > 0.0
+        idx = np.ceil(np.log(x[pos]) / lg).astype(np.int64)
+        buckets, counts = np.unique(idx, return_counts=True)
+        nz = int((~pos).sum())
+        if nz:
+            buckets = np.append(buckets, ZERO_BUCKET)
+            counts = np.append(counts, nz)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # sketch-scale: O(log(range)/alpha) rows
+        .sort_values("bucket")
+    )
+    buckets = hist["bucket"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    ests = []
+    for p in ps:
+        if not total:
+            ests.append(float("nan"))
+            continue
+        rank = max(1, int(np.ceil(p * total)))
+        i = int(np.searchsorted(cum, rank))
+        b = buckets[i]
+        ests.append(
+            0.0 if b == ZERO_BUCKET else 2.0 * gamma ** b / (gamma + 1.0)
+        )
+    return pa.table(
+        {
+            "p": pa.array([float(p) for p in ps], pa.float64()),
+            "est": pa.array(ests, pa.float64()),
+        }
+    )

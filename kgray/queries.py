@@ -1582,6 +1582,53 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_events_value_corr(sf_dir: str):
+    """Per-group Pearson correlation in one pass: six sufficient
+    statistics per (batch, event_type) move through the shuffle, the
+    final r is computed on the folded aggregate (ops/agg.grouped_corr).
+    x = value, y = the integer props field (vectorized regex extract)."""
+    from kgray.ops.agg import grouped_corr
+
+    def extract(batch: pa.Table) -> pa.Table:
+        k = (
+            pd.Series(batch["props"].to_pylist())
+            .str.extract(r'"k":\s*(-?[0-9]+)', expand=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "k": pa.array(k.to_numpy(np.float64), pa.float64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["event_type", "value", "props"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+    return grouped_corr(ev, "event_type", "value", "k")
+
+
+SQL_EVENTS_VALUE_CORR = (
+    "SELECT event_type, ROUND(corr(value, CAST(regexp_extract(props, "
+    "'\"k\":\\s*(-?[0-9]+)', 1) AS DOUBLE)), 4) AS r "
+    "FROM events GROUP BY event_type"
+)
+
+
+def q_value_quantiles_approx(sf_dir: str):
+    """DDSketch-style relative-error quantiles of events.value: the
+    shuffle moves log-bucket histogram rows (O(log(range)/alpha) per
+    batch) instead of the exact path's distinct values.  Rows-only:
+    the <=1% relative-error guarantee and mergeability/determinism are
+    test-pinned (tests/test_sketch.py)."""
+    from kgray.ops.sketch import dd_quantiles
+
+    return dd_quantiles(
+        _read(sf_dir, "events", ["value"]), "value", [0.5, 0.9, 0.99]
+    )
+
+
 def q_lm_score(sf_dir: str):
     """KenLM-style quality signal: per-doc mean add-one-smoothed bigram
     log-probability under a model fit on the corpus itself (one
@@ -1687,4 +1734,6 @@ CATALOG: dict[str, tuple] = {
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
     "docs_rollup": (q_docs_rollup, SQL_DOCS_ROLLUP),
     "word_topk_approx": (q_word_topk_approx, SQL_WORD_TOPK_APPROX),
+    "events_value_corr": (q_events_value_corr, SQL_EVENTS_VALUE_CORR),
+    "value_quantiles_approx": (q_value_quantiles_approx, None),
 }

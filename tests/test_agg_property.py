@@ -262,3 +262,37 @@ def test_bucket_and_broadcast_join_match_pandas(ray_session, how):
             got["rv"].astype("float64"), expect["rv"].astype("float64"),
             check_names=False,
         )
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.agg import grouped_corr
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], n)
+    x = rng.normal(0, 3, n)
+    y = 0.6 * x + rng.normal(0, 1, n)  # correlated
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    got = (
+        grouped_corr(rd.from_pandas(df, override_num_blocks=7), "g", "x", "y")
+        .to_pandas()
+        .set_index("g")["r"]
+    )
+    for key, sub in df.groupby("g"):
+        want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(got[key] - round(want, 4)) <= 1e-4, key
+
+
+def test_grouped_corr_constant_column_is_nan(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.agg import grouped_corr
+
+    df = pd.DataFrame({"g": ["a"] * 10, "x": [2.0] * 10,
+                       "y": np.arange(10.0)})
+    out = grouped_corr(rd.from_pandas(df), "g", "x", "y").to_pandas()
+    assert np.isnan(out["r"][0])

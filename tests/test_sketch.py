@@ -119,3 +119,42 @@ def test_heavy_hitters_truncated_bound_holds(ray_session):
     for tok, cnt in true.items():
         if cnt > kth + err:
             assert tok in got.index, (tok, cnt, kth, err)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles
+# ---------------------------------------------------------------------------
+
+def test_dd_quantiles_relative_error_bound(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.sketch import dd_quantiles
+
+    rng = np.random.default_rng(41)
+    vals = rng.lognormal(3.0, 1.5, size=50_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}), override_num_blocks=9)
+    ps = [0.1, 0.5, 0.9, 0.99]
+    got = dd_quantiles(ds, "v", ps, alpha=0.01).to_pandas()
+    srt = np.sort(vals)
+    for p, est in zip(got["p"], got["est"]):
+        true = srt[max(1, int(np.ceil(p * len(srt)))) - 1]
+        assert abs(est - true) / true <= 0.0101, (p, est, true)
+
+
+def test_dd_quantiles_zero_bucket_and_layout_determinism(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.sketch import dd_quantiles
+
+    vals = np.concatenate([np.zeros(80), np.full(20, 7.5)])
+    df = pd.DataFrame({"v": vals})
+    a = dd_quantiles(rd.from_pandas(df, override_num_blocks=1),
+                     "v", [0.5, 0.95]).to_pandas()
+    b = dd_quantiles(rd.from_pandas(df.sample(frac=1, random_state=0),
+                                    override_num_blocks=13),
+                     "v", [0.5, 0.95]).to_pandas()
+    assert a["est"][0] == 0.0  # median sits in the zero bucket
+    assert abs(a["est"][1] - 7.5) / 7.5 <= 0.01
+    assert a["est"].tolist() == b["est"].tolist()  # layout-independent
