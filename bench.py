@@ -65,6 +65,8 @@ SUITE = [
     # round-3 curation additions (suite totals before r03 exclude these two)
     "tfidf_topk",
     "pack_offsets",
+    # late round-3: two-pass bigram-LM quality scoring (fit + score reads)
+    "lm_score",
 ]
 
 

@@ -1582,6 +1582,43 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_doclen_trimmed(sf_dir: str):
+    """Quantile-trim filter (the Gopher-style outlier cut): exact p05/p95
+    of n_chars via the distinct-value-histogram fold, thresholds applied
+    as a stateless Arrow filter (closure capture — two scalars, no
+    re-shuffle), rolled up per lang."""
+    from ray.data.aggregate import Count
+
+    from kgray.ops.sample import rank_quantiles
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    qs = rank_quantiles(docs, "n_chars", [0.05, 0.95])
+    lo, hi = (int(v) for v in qs["value"].to_pylist())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["n_chars"], lo),
+            pc.less_equal(batch["n_chars"], hi),
+        )
+        return batch.filter(m).select(["lang"])
+
+    return (
+        docs.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_DOCLEN_TRIMMED = """
+WITH b AS (
+  SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+  FROM documents)
+SELECT lang, COUNT(*) AS n FROM documents, b
+WHERE n_chars BETWEEN lo AND hi GROUP BY lang
+"""
+
+
 def q_events_value_corr(sf_dir: str):
     """Per-group Pearson correlation in one pass: six sufficient
     statistics per (batch, event_type) move through the shuffle, the
@@ -1735,5 +1772,6 @@ CATALOG: dict[str, tuple] = {
     "docs_rollup": (q_docs_rollup, SQL_DOCS_ROLLUP),
     "word_topk_approx": (q_word_topk_approx, SQL_WORD_TOPK_APPROX),
     "events_value_corr": (q_events_value_corr, SQL_EVENTS_VALUE_CORR),
+    "doclen_trimmed": (q_doclen_trimmed, SQL_DOCLEN_TRIMMED),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
