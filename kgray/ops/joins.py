@@ -260,7 +260,8 @@ def broadcast_join(
 
 
 def semi_join(left, right, on: str, right_on: str | None = None,
-              anti: bool = False, max_broadcast_bytes: int = 1 << 28):
+              anti: bool = False, max_broadcast_bytes: int = 1 << 28,
+              bloom_bits: int | None = 1 << 24):
     """Semi (EXISTS) / anti (NOT EXISTS) join of ``left`` against the key
     set of ``right``.
 
@@ -272,7 +273,15 @@ def semi_join(left, right, on: str, right_on: str | None = None,
     ships via the object store and the filter runs inside map_batches
     with no shuffle — the right plan for dimension-sized key sets at any
     scale.  Above it, fall back to a bucket cogroup: both sides shuffle
-    ONCE on the key hash and the membership test runs per bucket.
+    ONCE on the key hash and the membership test runs per bucket — but
+    first, when ``bloom_bits`` is set (default 2^24 = 2 MB broadcast), a
+    distributed Bloom filter of the right keys pre-filters the left
+    INSIDE map_batches: rows the filter rejects are definitively absent
+    from the right (no false negatives), so only bloom-candidates pay
+    the cogroup shuffle; false positives are corrected by that exact
+    residual join, keeping results exact at any FP rate.  The anti path
+    reads ``left`` twice (definite-keeps + candidates) — materialize an
+    expensive upstream before calling, or pass ``bloom_bits=None``.
     """
     right_on = right_on or on
     keys_ds = right.map_batches(
@@ -290,9 +299,34 @@ def semi_join(left, right, on: str, right_on: str | None = None,
             keys.update(p["__k"].to_pylist())
         return semi_join_filter(left, keys, on, keep=not anti)
 
-    # big-big: one bucket-cogroup left join against (distinct key, marker)
-    # rows, then keep/drop on marker presence — reuses bucket_join's
-    # typed-null widening so no schema drift
+    if bloom_bits:
+        import ray
+
+        from kgray.ops.bloom import bloom_mask, build_bloom
+
+        words_ref = ray.put(build_bloom(keys_ds, "__k", n_bits=bloom_bits))
+
+        def part(candidates: bool):
+            def apply(batch: pa.Table) -> pa.Table:
+                m = bloom_mask(batch[on], ray.get(words_ref))
+                return batch.filter(pa.array(m if candidates else ~m))
+
+            return apply
+
+        cand = left.map_batches(part(True), batch_format="pyarrow")
+        residual = _semi_cogroup(cand, keys_ds, on, anti)
+        if not anti:
+            return residual
+        definite = left.map_batches(part(False), batch_format="pyarrow")
+        return definite.union(residual)
+
+    return _semi_cogroup(left, keys_ds, on, anti)
+
+
+def _semi_cogroup(left, keys_ds, on: str, anti: bool):
+    """Exact big-big semi/anti core: one bucket-cogroup left join against
+    (distinct key, marker) rows, then keep/drop on marker presence —
+    reuses bucket_join's typed-null widening so no schema drift."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
