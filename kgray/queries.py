@@ -1582,6 +1582,88 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): the classic 6-table plan
+    with exactly ONE big-big shuffle.  lineitem and orders bucket-join on
+    orderkey; supplier/customer nation keys and the nation->name /
+    region gate attach via broadcast maps (dimension-sized: ship once,
+    read per task); revenue folds through the combiner groupby."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, bucket_join
+
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    nat_reg = broadcast_join(nat, reg, on="n_regionkey",
+                             right_on="r_regionkey", how="inner")
+    asia = nat_reg.map_batches(
+        lambda b: b.filter(pc.equal(b["r_name"], "ASIA")),
+        batch_format="pyarrow",
+    )
+
+    orders = rd.read_parquet(  # prune at the read: 1995 row groups only
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= datetime.datetime(1995, 1, 1))
+        & (pds.field("o_orderdate") < datetime.datetime(1996, 1, 1)),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = broadcast_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey", how="inner")
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                      "l_extendedprice", "l_discount"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    line = broadcast_join(line, sup, on="l_suppkey", right_on="s_suppkey",
+                          how="inner")
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "s_nationkey": batch["s_nationkey"],
+                "rev": rev,
+            }
+        )
+
+    line = line.map_batches(add_rev, batch_format="pyarrow")
+    joined = bucket_join(
+        line,
+        orders.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["s_nationkey"], b["c_nationkey"])),
+        batch_format="pyarrow",
+    )
+    named = broadcast_join(joined, asia.select_columns(
+        ["n_nationkey", "n_name"]
+    ), on="s_nationkey", right_on="n_nationkey", how="inner")
+    ds = pre_aggregate(named, ["n_name"], {"revenue": ("rev", "sum")})
+    return _round_col(ds, "revenue", 2)
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
+"""
+
+
 def q_doclen_trimmed(sf_dir: str):
     """Quantile-trim filter (the Gopher-style outlier cut): exact p05/p95
     of n_chars via the distinct-value-histogram fold, thresholds applied
@@ -1773,5 +1855,6 @@ CATALOG: dict[str, tuple] = {
     "word_topk_approx": (q_word_topk_approx, SQL_WORD_TOPK_APPROX),
     "events_value_corr": (q_events_value_corr, SQL_EVENTS_VALUE_CORR),
     "doclen_trimmed": (q_doclen_trimmed, SQL_DOCLEN_TRIMMED),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
