@@ -482,3 +482,72 @@ def bigram_lm_scores(docs, model=None, text_col: str = "text",
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def collocation_pmi(docs, k: int = 20, min_count: int = 5,
+                    text_col: str = "text", digits: int = 4):
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information: PMI(a,b) = ln(c(a,b)*T / (c1(a)*c2(b))) over bigram
+    occurrences, with position-specific marginals (c1 = count as first
+    word, c2 = as second) so everything derives from ONE bigram fold.
+
+    Scale shape: the same combiner fold as ``fit_bigram_lm`` (one row
+    per distinct bigram per batch); marginals, T and the PMI table are
+    computed on the driver over the folded bigram table, which
+    ``min_count`` prunes first (the classic collocation cut — raise it
+    at web scale, the heavy-hitter tail is what matters).  ``math.log``
+    on the driver keeps DuckDB ``ln`` bit-parity; ties break on
+    (w1, w2) ascending."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        _, _, grams, _, _ = _explode_bigrams(texts)
+        ser = pd.Series(grams, dtype=object).value_counts() if len(grams) \
+            else pd.Series([], dtype=np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(ser.index.astype(str), pa.string()),
+                "n": pa.array(ser.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    bg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bigram-vocab scale (min_count-prunable), not corpus
+    )
+    total = float(bg["n"].sum())
+    halves = bg["gram"].str.split(" ", n=1)
+    bg = bg.assign(w1=halves.str[0], w2=halves.str[1])
+    c1 = bg.groupby("w1")["n"].sum()
+    c2 = bg.groupby("w2")["n"].sum()
+    kept = bg[bg["n"] >= min_count]
+    pmi = np.array(
+        [
+            math.log((c * total) / (float(a) * float(b)))
+            for c, a, b in zip(
+                kept["n"].to_numpy(np.float64),
+                kept["w1"].map(c1).to_numpy(np.float64),
+                kept["w2"].map(c2).to_numpy(np.float64),
+            )
+        ]
+    )
+    kept = kept.assign(pmi=pmi).sort_values(
+        ["pmi", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "w1": pa.array(kept["w1"].astype(str), pa.string()),
+            "w2": pa.array(kept["w2"].astype(str), pa.string()),
+            "pmi": pa.array(
+                round_half_up(kept["pmi"].to_numpy(np.float64), digits),
+                pa.float64(),
+            ),
+        }
+    )

@@ -1582,6 +1582,36 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_collocations(sf_dir: str):
+    """Collocation mining: top-20 adjacent-word pairs by PMI over one
+    bigram-combiner fold (driver touches only the pruned bigram-vocab
+    table; libm log for DuckDB ln bit-parity)."""
+    from kgray.ops.text import collocation_pmi
+
+    return collocation_pmi(_read(sf_dir, "documents", ["text"]),
+                           k=20, min_count=5)
+
+
+SQL_COLLOCATIONS = """
+WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT toks, UNNEST(range(1, len(toks))) AS i FROM w)),
+bg AS (SELECT w1, w2, COUNT(*) AS c FROM g GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+c2 AS (SELECT w2, CAST(SUM(c) AS DOUBLE) AS c2 FROM bg GROUP BY 1),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM bg),
+s AS (SELECT bg.w1, bg.w2,
+        ln((CAST(bg.c AS DOUBLE) * (SELECT t FROM t)) / (c1.c1 * c2.c2))
+          AS pmi
+      FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2)
+      WHERE bg.c >= 5)
+SELECT w1, w2, ROUND(pmi, 4) AS pmi FROM (
+  SELECT w1, w2, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS r FROM s)
+WHERE r <= 20
+"""
+
+
 def q_tpch_q5(sf_dir: str):
     """TPC-H Q5 shape (local supplier volume): the classic 6-table plan
     with exactly ONE big-big shuffle.  lineitem and orders bucket-join on
@@ -1856,5 +1886,6 @@ CATALOG: dict[str, tuple] = {
     "events_value_corr": (q_events_value_corr, SQL_EVENTS_VALUE_CORR),
     "doclen_trimmed": (q_doclen_trimmed, SQL_DOCLEN_TRIMMED),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
