@@ -1582,6 +1582,63 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered-funnel analysis (view -> click -> purchase): all events
+    of a user land in one bucket via the user-keyed cogroup, so each
+    stage's first-qualifying-timestamp chain is computed vectorized per
+    bucket (three mask+groupby-min passes, no per-user python); bucket
+    partials fold through a tiny stage groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+            .rename("t_prev")
+        )
+        d = df.merge(v, left_on="user_id", right_index=True)
+        c = (
+            d[(d["event_type"] == "click") & (d["ts"] > d["t_prev"])]
+            .groupby("user_id")["ts"].min().rename("t_prev")
+        )
+        d = df.merge(c, left_on="user_id", right_index=True)
+        p = (
+            d[(d["event_type"] == "purchase") & (d["ts"] > d["t_prev"])]
+            .groupby("user_id")["ts"].min()
+        )
+        return pd.DataFrame(
+            {
+                "stage": ["view", "click", "purchase"],
+                "n_users": np.array([len(v), len(c), len(p)], np.int64),
+            }
+        )
+
+    return (
+        grouped_map(ev, "user_id", per_bucket)
+        .groupby("stage")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+SELECT stage, n_users FROM (
+  SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+  UNION ALL SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+"""
+
+
 def q_collocations(sf_dir: str):
     """Collocation mining: top-20 adjacent-word pairs by PMI over one
     bigram-combiner fold (driver touches only the pruned bigram-vocab
@@ -1887,5 +1944,6 @@ CATALOG: dict[str, tuple] = {
     "doclen_trimmed": (q_doclen_trimmed, SQL_DOCLEN_TRIMMED),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
