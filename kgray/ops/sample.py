@@ -220,3 +220,47 @@ def downsample_sources(ds, rates: dict[str, float], source_col: str = "source",
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def priority_sample(ds, id_col: str, weight_col: str, k: int,
+                    salt: str = "w", keep_cols: list[str] | None = None):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row gets key = u^(1/w) with u a deterministic hash-uniform of
+    (salt, id) — u = (first 52 md5 bits + 0.5) / 2^52, the same value a
+    SQL oracle reproduces from md5 hex — and the global top-k by key is
+    the sample.  P(row in sample) follows its weight; determinism makes
+    the draw retry/resume-stable and oracle-checkable.
+
+    Scale shape: the key is a stateless per-batch map; each batch keeps
+    only its local top-k (combiner), so the global sort+limit moves
+    O(k x batches) rows, never the corpus.  The key column is dropped
+    from the output (numpy vs SQL ``pow`` may differ in the last ulp;
+    ordering is robust — order statistics gaps dwarf one ulp — but
+    emitted floats must be bit-stable).  Weights must be positive.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (w <= 0).any():
+            raise ValueError("priority_sample: weights must be positive")
+        hexes = [
+            hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13] for i in ids
+        ]
+        u = (np.array([int(h, 16) for h in hexes], np.float64) + 0.5) / float(
+            1 << 52
+        )
+        key = u ** (1.0 / w)
+        cols = keep_cols or [c for c in batch.column_names]
+        take = np.argsort(-key, kind="mergesort")[:k]
+        out = batch.select(cols).take(pa.array(take, pa.int64()))
+        return out.append_column("__key", pa.array(key[take], pa.float64()))
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["__key", id_col], descending=[True, False])
+        .limit(k)
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(["__key"]), batch_format="pyarrow"
+    )

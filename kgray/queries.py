@@ -1582,6 +1582,28 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES
+    priority keys from hash-uniforms, weight = n_chars): stateless key
+    map + per-batch top-k combiner + one tiny global sort — the
+    mixture-building draw that stays stable under retries/resume."""
+    from kgray.ops.sample import priority_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return priority_sample(docs, "doc_id", "n_chars", k=50)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 13)
+               AS BIGINT) + 0.5) / 4503599627370496.0,
+             1.0 / n_chars) AS key
+  FROM documents)
+ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-funnel analysis (view -> click -> purchase): all events
     of a user land in one bucket via the user-keyed cogroup, so each
@@ -1945,5 +1967,6 @@ CATALOG: dict[str, tuple] = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }

@@ -254,3 +254,62 @@ def test_repetition_stats_hand_worked(ray_session):
     assert out.loc[3, "dup_2gram_frac"] == 0.0
     assert out.loc[4, "top_word_frac"] == 1.0
     assert out.loc[4, "dup_2gram_frac"] == round(1 - 1 / 3, 4)
+
+
+def test_priority_sample_matches_brute(ray_session):
+    from kgray.ops.sample import priority_sample
+
+    rng = np.random.default_rng(31)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": rng.integers(1, 200, n).astype(np.int64),
+        }
+    )
+    got = (
+        priority_sample(
+            rd.from_pandas(df, override_num_blocks=7), "doc_id", "w", k=25
+        )
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    u = np.array(
+        [
+            (int(hashlib.md5(f"w:{i}".encode()).hexdigest()[:13], 16) + 0.5)
+            / float(1 << 52)
+            for i in df["doc_id"]
+        ]
+    )
+    key = u ** (1.0 / df["w"].to_numpy(np.float64))
+    want = df["doc_id"].to_numpy()[np.argsort(-key, kind="mergesort")][:25]
+    assert sorted(got) == sorted(want.tolist())
+
+
+def test_priority_sample_prefers_heavy_weights(ray_session):
+    from kgray.ops.sample import priority_sample
+
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # first half weight 1, second half weight 50
+            "w": np.r_[np.ones(n // 2), np.full(n // 2, 50.0)],
+        }
+    )
+    got = priority_sample(
+        rd.from_pandas(df, override_num_blocks=4), "doc_id", "w", k=100
+    ).to_pandas()
+    heavy = (got["doc_id"] >= n // 2).mean()
+    assert heavy > 0.85  # weight-50 rows dominate the draw
+
+
+def test_priority_sample_rejects_nonpositive_weights(ray_session):
+    import pytest
+
+    from kgray.ops.sample import priority_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "w": np.array([1, 0, 2], np.int64)})
+    with pytest.raises(Exception):
+        priority_sample(rd.from_pandas(df), "doc_id", "w", k=2).to_pandas()
