@@ -147,3 +147,59 @@ def knn_ivf(embeddings, query_vec, k: int = 10, num_centroids: int = 16,
         batch_format="pyarrow",
     )
     return knn_brute(probed, query_vec, k, id_col, vec_col, digits)
+
+
+def label_centroids(embeddings, label_col: str = "label",
+                    vec_col: str = "embedding", digits: int = 4):
+    """Per-label centroid vectors (the SemDeDup / class-prototype
+    aggregate): each batch folds its vectors into ONE partial-sum row
+    per label (a d-dim sum plus a count — the combiner shape for vector
+    aggregates), the shuffle moves label-scale rows, and the final mean
+    divides the folded sums.  Emits long-form (label, dim, avg) rows so
+    the result is scalar-columned (driver-hashable) and SQL-checkable
+    per dimension."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, vec_col)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(m)
+        df["__l"] = labels
+        g = df.groupby("__l", sort=False)
+        sums = g.sum()
+        counts = g.size()
+        out = {"label": pa.array(sums.index.to_numpy(np.int64), pa.int64()),
+               "n": pa.array(counts.to_numpy(np.int64), pa.int64())}
+        for j in range(m.shape[1]):
+            out[f"s{j}"] = pa.array(sums[j].to_numpy(np.float64),
+                                    pa.float64())
+        return pa.table(out)
+
+    folded = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+    )
+    # dimensionality from a one-row probe (metadata-scale read)
+    probe = embeddings.limit(1).take_batch(1, batch_format="pyarrow")
+    d = _matrix(probe, vec_col).shape[1]
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"s{j}", alias_name=f"s{j}") for j in range(d)
+    ]
+    tbl = folded.aggregate(*aggs).to_pandas()  # label-scale, never rows
+
+    labels = np.repeat(tbl["label"].to_numpy(np.int64), d)
+    dims = np.tile(np.arange(1, d + 1, dtype=np.int64), len(tbl))
+    sums = np.column_stack([tbl[f"s{j}"].to_numpy(np.float64)
+                            for j in range(d)]).ravel()
+    counts = np.repeat(tbl["n"].to_numpy(np.float64), d)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "avg": pa.array(round_half_up(sums / counts, digits),
+                            pa.float64()),
+        }
+    )

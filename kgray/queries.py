@@ -1582,6 +1582,24 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_embed_centroids(sf_dir: str):
+    """Vector aggregate: per-label embedding centroids (the SemDeDup /
+    class-prototype fold) — one partial-sum row per (batch, label)
+    moves through the shuffle, means computed on the label-scale
+    aggregate, emitted long-form (label, dim, avg)."""
+    from kgray.ops.similarity import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings",
+                                 ["label", "embedding"]))
+
+
+SQL_EMBED_CENTROIDS = """
+SELECT label, i AS dim, ROUND(AVG(embedding[i]), 4) AS avg
+FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+GROUP BY label, i
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-ES
     priority keys from hash-uniforms, weight = n_chars): stateless key
@@ -1968,5 +1986,6 @@ CATALOG: dict[str, tuple] = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "embed_centroids": (q_embed_centroids, SQL_EMBED_CENTROIDS),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }

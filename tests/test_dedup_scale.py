@@ -247,3 +247,23 @@ def test_near_dup_purge_keeps_min_per_cluster(ray_session):
     )
     kept = semi_join(docs, dropped, on="doc_id", right_on="node", anti=True)
     assert sorted(kept.to_pandas()["doc_id"]) == [3, 20, 30]
+
+
+def test_label_centroids_match_numpy_means(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.similarity import label_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 5
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+    df = pd.DataFrame({"label": lab, "embedding": [v.tolist() for v in emb]})
+    out = label_centroids(rd.from_pandas(df, override_num_blocks=6)).to_pandas()
+    assert len(out) == 4 * d
+    for lbl in range(4):
+        want = emb[lab == lbl].astype(np.float64).mean(axis=0)
+        got = out[out.label == lbl].sort_values("dim")["avg"].to_numpy()
+        assert np.allclose(got, np.round(want, 4), atol=2e-4)
