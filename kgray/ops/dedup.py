@@ -964,3 +964,102 @@ def ngram_contamination(docs, is_test, n: int = 5,
         )
 
     return docs.map_batches(count_shared, batch_format="pyarrow")
+
+
+def dup_ngram_stats(docs, n: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id", digits: int = 4,
+                    max_broadcast: int = 50_000_000):
+    """Intra-corpus duplicated-n-gram signal (the RefinedWeb-style
+    boilerplate/dup-span cue): for every doc, how many of its n-gram
+    OCCURRENCES also appear in at least one OTHER document, and the
+    fraction they make up.  High dup_frac = templated/boilerplate text.
+
+    Scale shape: pass 1 folds document frequency with a per-batch
+    per-doc-DISTINCT combiner (shuffle moves shingle-vocab rows, not
+    occurrences); shingles with df >= 2 broadcast once as an Arrow set
+    — above ``max_broadcast`` distinct shingles swap the isin for a
+    semi-join on the shingle column (same shape as
+    ``ngram_contamination``'s documented fallback).  Pass 2 is
+    shuffle-free: explode occurrences, one ``pc.is_in``, groupby-fold
+    per doc.  Docs with fewer than n tokens emit no row (no shingles —
+    matches the SQL oracle's len >= n gate).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        rows: list[str] = []
+        for t in texts:
+            rows.extend(word_shingles(t, n))  # distinct within doc
+        ser = pd.Series(rows, dtype=object).value_counts() if rows else \
+            pd.Series([], dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(ser.index.astype(str), pa.string()),
+                "df": pa.array(ser.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    dup = df_tbl.filter(expr="df >= 2").to_pandas()  # shingle-vocab scale
+    if len(dup) > max_broadcast:
+        raise NotImplementedError(
+            "dup shingle set exceeds the broadcast gate; use the "
+            "semi-join fallback (joins.semi_join on the exploded "
+            "shingle column)"
+        )
+    dup_set = pa.array(dup["g"].astype(str), pa.string())
+    dup_ref = ray.put(dup_set)
+
+    def count_dups(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        doc_idx, grams = [], []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            if len(toks) < n:
+                continue
+            gs = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            grams.extend(gs)
+            doc_idx.extend([i] * len(gs))
+        if not grams:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "n_total": pa.array([], pa.int64()),
+                    "dup_frac": pa.array([], pa.float64()),
+                }
+            )
+        idx = np.asarray(doc_idx, np.int64)
+        hit = pc.is_in(pa.array(grams, pa.string()), value_set=dset)
+        hit = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        present = np.unique(idx)
+        n_dup = np.zeros(len(texts), np.int64)
+        n_tot = np.zeros(len(texts), np.int64)
+        np.add.at(n_dup, idx, hit)
+        np.add.at(n_tot, idx, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_dup": pa.array(n_dup[present], pa.int64()),
+                "n_total": pa.array(n_tot[present], pa.int64()),
+                "dup_frac": pa.array(
+                    round_half_up(
+                        n_dup[present] / n_tot[present].astype(np.float64),
+                        digits,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(count_dups, batch_format="pyarrow")

@@ -1582,6 +1582,35 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Intra-corpus duplicated-5-gram signal per doc (boilerplate cue):
+    df fold over per-doc-distinct shingles, df>=2 set broadcast once,
+    shuffle-free occurrence counting pass."""
+    from kgray.ops.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           n=5)
+
+
+SQL_DUP_NGRAMS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4])) AS g
+      FROM w WHERE len(toks) >= 5),
+df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+hits AS (SELECT t.doc_id,
+           SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_dup,
+           COUNT(*) AS n_total
+         FROM g t JOIN df USING (g) GROUP BY 1)
+SELECT doc_id, CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(n_total AS BIGINT) AS n_total,
+       ROUND(CAST(n_dup AS DOUBLE) / n_total, 4) AS dup_frac
+FROM hits
+"""
+
+
 def q_embed_centroids(sf_dir: str):
     """Vector aggregate: per-label embedding centroids (the SemDeDup /
     class-prototype fold) — one partial-sum row per (batch, label)
@@ -1987,5 +2016,6 @@ CATALOG: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "embed_centroids": (q_embed_centroids, SQL_EMBED_CENTROIDS),
+    "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }

@@ -267,3 +267,35 @@ def test_label_centroids_match_numpy_means(ray_session):
         want = emb[lab == lbl].astype(np.float64).mean(axis=0)
         got = out[out.label == lbl].sort_values("dim")["avg"].to_numpy()
         assert np.allclose(got, np.round(want, 4), atol=2e-4)
+
+
+def test_dup_ngram_stats_planted_boilerplate(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray.ops.dedup import dup_ngram_stats
+
+    boiler = "one two three four five"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                boiler + " a b c d e",      # shares its first 5-gram
+                boiler + " f g h i j",      # with doc 0
+                "k l m n o p q r",          # unique
+                "x y",                      # < 5 tokens: no row
+            ],
+        }
+    )
+    out = dup_ngram_stats(
+        rd.from_pandas(docs, override_num_blocks=2), n=5
+    ).to_pandas().set_index("doc_id")
+    assert 3 not in out.index
+    assert out.loc[2, "n_dup"] == 0 and out.loc[2, "n_total"] == 4
+    # docs 0/1: 10 tokens -> 6 shingles; only the pure-boilerplate
+    # 5-gram ("one two three four five") is shared between them
+    for d in (0, 1):
+        assert out.loc[d, "n_total"] == 6
+        assert out.loc[d, "n_dup"] == 1
+        assert abs(out.loc[d, "dup_frac"] - round(1 / 6, 4)) < 1e-9
