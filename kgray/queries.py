@@ -1582,6 +1582,88 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_doclen_percent_rank(sf_dir: str):
+    """PERCENT_RANK window per lang partition: one lang-keyed cogroup,
+    vectorized sort + rank arithmetic per bucket ((rank-1)/(n-1) is an
+    exact rational — float parity is structural, rounding is belt)."""
+    from kgray.util import grouped_map, round_half_up
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"], kind="mergesort")
+        g = df.groupby("lang", sort=False)
+        n = g["doc_id"].transform("size").to_numpy(np.float64)
+        rank = g.cumcount().to_numpy(np.float64)  # 0-based
+        pr = np.where(n > 1, rank / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "pr": round_half_up(pr, 4),
+            }
+        )
+
+    return grouped_map(docs, "lang", per_bucket)
+
+
+SQL_DOCLEN_PERCENT_RANK = """
+SELECT doc_id,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id), 4) AS pr
+FROM documents
+"""
+
+
+def q_events_interarrival(sf_dir: str):
+    """LAG-window aggregate: mean inter-event gap per user.  One
+    user-keyed cogroup; per bucket the gaps are a vectorized shift-diff
+    over the (user, ts, event_id)-sorted frame (exact integer
+    microseconds), folded to a per-user mean."""
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = us[1:] == us[:-1]
+        gaps = pd.DataFrame(
+            {
+                "user_id": us[1:][same],
+                "gap_s": (ts[1:] - ts[:-1])[same] / 1e6,
+            }
+        )
+        agg = gaps.groupby("user_id", as_index=False)["gap_s"].agg(
+            ["sum", "size"]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy(np.int64),
+                "avg_gap_s": round_half_up(
+                    agg["sum"].to_numpy(np.float64)
+                    / agg["size"].to_numpy(np.float64),
+                    2,
+                ),
+                "n_gaps": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events)
+SELECT user_id, ROUND(AVG(gap_s), 2) AS avg_gap_s,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps
+FROM d WHERE gap_s IS NOT NULL GROUP BY user_id
+"""
+
+
 def q_dup_ngrams(sf_dir: str):
     """Intra-corpus duplicated-5-gram signal per doc (boilerplate cue):
     df fold over per-doc-distinct shingles, df>=2 set broadcast once,
@@ -2017,5 +2099,7 @@ CATALOG: dict[str, tuple] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "embed_centroids": (q_embed_centroids, SQL_EMBED_CENTROIDS),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
+    "doclen_percent_rank": (q_doclen_percent_rank, SQL_DOCLEN_PERCENT_RANK),
+    "events_interarrival": (q_events_interarrival, SQL_EVENTS_INTERARRIVAL),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
