@@ -252,3 +252,48 @@ def dd_quantiles(ds, col: str, ps: list[float], alpha: float = 0.01):
             "est": pa.array(ests, pa.float64()),
         }
     )
+
+
+def hll_distinct_by(ds, key_col: str, col: str, p: int = 12):
+    """Approximate per-group COUNT(DISTINCT col) -> (key, est) table.
+
+    The exact per-group distinct shuffles every (group, distinct value)
+    row; this shuffles at most groups x 2^p register rows per batch —
+    at p=12 (~1.6% s.e.) that is 4096 rows per group per batch worst
+    case, collapsing to one register table per group after the
+    Max-groupby fold.  Estimates are computed on the driver over the
+    folded (group, idx, rho) table (group x register scale).  Same
+    deterministic hashing as ``hll_distinct``: the result is a pure
+    function of each group's value set."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash_column(batch[col])
+        idx, rho = _registers(h, p)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"key": keys, "idx": idx, "rho": rho})
+        folded = df.groupby(["key", "idx"], sort=False)["rho"].max()
+        out = folded.reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["key", "idx"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # groups x registers — sketch-scale, never data-scale
+    )
+    keys, ests = [], []
+    for key, g in merged.groupby("key", sort=True):
+        regs = np.zeros(m, np.int64)
+        regs[g["idx"].to_numpy(np.int64)] = g["rho"].to_numpy(np.int64)
+        keys.append(key)
+        ests.append(int(round(hll_estimate(regs))))
+    return pa.table(
+        {
+            "key": pa.array(keys),
+            "est": pa.array(ests, pa.int64()),
+        }
+    )

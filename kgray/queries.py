@@ -1582,6 +1582,25 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+def q_events_daily_users_approx(sf_dir: str):
+    """Per-day approximate distinct users via per-group HLL: the
+    shuffle carries (day, register) rows — bounded by groups x 2^p per
+    batch — instead of the exact path's (day, distinct user) rows.
+    Rows-only: accuracy (<=5%) and determinism are test-pinned
+    (tests/test_sketch.py::test_hll_distinct_by_within_3pct)."""
+    from kgray.ops.sketch import hll_distinct_by
+
+    def day(batch: pa.Table) -> pa.Table:
+        d = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table({"day": d, "user_id": batch["user_id"]})
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        day, batch_format="pyarrow"
+    )
+    out = hll_distinct_by(ev, "day", "user_id", p=12)
+    return out.rename_columns(["day", "est"])
+
+
 def q_doclen_percent_rank(sf_dir: str):
     """PERCENT_RANK window per lang partition: one lang-keyed cogroup,
     vectorized sort + rank arithmetic per bucket ((rank-1)/(n-1) is an
@@ -2100,6 +2119,7 @@ CATALOG: dict[str, tuple] = {
     "embed_centroids": (q_embed_centroids, SQL_EMBED_CENTROIDS),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "doclen_percent_rank": (q_doclen_percent_rank, SQL_DOCLEN_PERCENT_RANK),
+    "events_daily_users_approx": (q_events_daily_users_approx, None),
     "events_interarrival": (q_events_interarrival, SQL_EVENTS_INTERARRIVAL),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
