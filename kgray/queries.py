@@ -1582,6 +1582,56 @@ GROUP BY w ORDER BY est DESC, token LIMIT 10
 """
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (long -> wide) aggregate: per-user event counts as one
+    column per event type.  Per-batch pandas crosstab is the combiner —
+    the shuffle moves one wide row per (batch, user) — and a Sum
+    groupby folds the partials; the type set is a fixed schema contract
+    (unknown types raise rather than silently drop)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "t": batch["event_type"].to_pylist(),
+            }
+        )
+        unknown = set(df["t"]) - set(_PIVOT_TYPES)
+        if unknown:
+            raise ValueError(f"unexpected event types: {unknown}")
+        ct = pd.crosstab(df["user_id"], df["t"]).reindex(
+            columns=_PIVOT_TYPES, fill_value=0
+        )
+        out = {"user_id": pa.array(ct.index.to_numpy(np.int64), pa.int64())}
+        for t in _PIVOT_TYPES:
+            out[f"n_{t}"] = pa.array(ct[t].to_numpy(np.int64), pa.int64())
+        return pa.table(out)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                     for t in _PIVOT_TYPES])
+    )
+
+
+SQL_EVENTS_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
 def q_events_daily_users_approx(sf_dir: str):
     """Per-day approximate distinct users via per-group HLL: the
     shuffle carries (day, register) rows — bounded by groups x 2^p per
@@ -2120,6 +2170,7 @@ CATALOG: dict[str, tuple] = {
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "doclen_percent_rank": (q_doclen_percent_rank, SQL_DOCLEN_PERCENT_RANK),
     "events_daily_users_approx": (q_events_daily_users_approx, None),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "events_interarrival": (q_events_interarrival, SQL_EVENTS_INTERARRIVAL),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
