@@ -238,6 +238,33 @@ def _kg_link_edges_golden(sf_dir: str):
     return link_mentions(golden_triples(_kg_sentences_ds()), tau=0.6)
 
 
+def _kg_link_degree(sf_dir: str):
+    """Node degrees of the golden mention-link graph (undirected):
+    symmetric explode + count combiner over the same exact-Jaccard edge
+    set as kg_link_edges_golden, so the SQL oracle rebuilds the edges
+    and counts both directions."""
+    from kgray.ops.graph import node_degrees
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import golden_triples
+
+    edges = link_mentions(golden_triples(_kg_sentences_ds()), tau=0.6)
+    return node_degrees(edges)
+
+
+def _kg_pagerank(sf_dir: str):
+    """PageRank over the golden mention-link graph: 8 rounds of power
+    iteration, each ONE bucket join + ONE groupby (the CC round shape).
+    Rows-only: iterative float fixpoints are not SQL-expressible; the
+    formulation is pinned exactly against a numpy brute power iteration
+    (tests/test_graph.py)."""
+    from kgray.ops.graph import pagerank
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import golden_triples
+
+    edges = link_mentions(golden_triples(_kg_sentences_ds()), tau=0.6)
+    return pagerank(edges, iters=8)
+
+
 def _kg_canonical_golden(sf_dir: str):
     """Full link -> connected-components -> canonicalize chain over the
     golden snapshot, oracle-checked end-to-end: the DuckDB side rebuilds
@@ -645,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_pred_set_rates": _kg_pred_set_rates,
             "kg_link_edges": _kg_link_edges,
             "kg_link_edges_golden": _kg_link_edges_golden,
+            "kg_link_degree": _kg_link_degree,
+            "kg_pagerank": _kg_pagerank,
             "kg_canonical_golden": _kg_canonical_golden,
             "kg_link_edges_embed": _kg_link_edges_embed,
             "kg_canonical": _kg_canonical,
@@ -770,6 +799,35 @@ SELECT u, v, sim FROM (
          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS sim
   FROM sh a JOIN sh b ON a.t = b.t AND a.m < b.m)
 WHERE sim >= 0.6
+""",
+            # degrees over the same exact-Jaccard edge graph, counting
+            # both directions (undirected semantics of node_degrees)
+            "kg_link_degree": f"""
+WITH g AS (SELECT UNNEST(spo_list) AS s FROM read_parquet('{_KG_SENT_PARQUET}')),
+raw AS (
+  SELECT s.subject_type AS t, lower(s.subject) AS m0 FROM g
+  UNION ALL
+  SELECT s.object_type AS t, lower(s.object) AS m0 FROM g),
+m AS (
+  SELECT DISTINCT t,
+    CASE WHEN starts_with(m0, '《') AND ends_with(m0, '》') AND length(m0) >= 2
+         THEN substr(m0, 2, length(m0) - 2) ELSE m0 END AS m
+  FROM raw),
+sh AS (
+  SELECT t, m,
+    CASE WHEN length(m) < 2 THEN [m]
+         ELSE list_distinct(list_transform(range(1, length(m)),
+                                           i -> substr(m, i, 2))) END AS sg
+  FROM m WHERE length(m) > 0),
+e AS (
+  SELECT u, v FROM (
+    SELECT a.t || chr(31) || a.m AS u, b.t || chr(31) || b.m AS v,
+           CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+           (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS sim
+    FROM sh a JOIN sh b ON a.t = b.t AND a.m < b.m)
+  WHERE sim >= 0.6),
+sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node
 """,
             # link -> CC -> canonicalize, end-to-end: exact-Jaccard edges
             # (as above), min-label connected components via recursive CTE,

@@ -1,0 +1,155 @@
+"""Graph analytics over edge datasets (beyond connected components).
+
+Edges are plain (u, v) rows — the output shape of ``linking.
+link_mentions`` / ``dedup.*_dup_pairs`` — so these compose directly
+with the KG linking chain.  Both ops treat the graph as UNDIRECTED
+(each edge contributes in both directions), matching the mention-link
+semantics.
+
+* ``node_degrees`` — one symmetric explode + count-combiner groupby.
+* ``pagerank`` — K rounds of power iteration; each round is ONE
+  bucket join (ranks onto edge sources) + ONE groupby (contributions
+  per destination), the same two-barrier round shape as
+  ``canonical.connected_components``.  Driver state is two scalars
+  (N, dangling mass) per round — never node-scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _symmetric(edges, u_col: str = "u", v_col: str = "v"):
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [batch[u_col].combine_chunks(),
+                     batch[v_col].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [batch[v_col].combine_chunks(),
+                     batch[u_col].combine_chunks()]
+                ),
+            }
+        )
+
+    return edges.map_batches(sym, batch_format="pyarrow")
+
+
+def node_degrees(edges, u_col: str = "u", v_col: str = "v"):
+    """(node, degree) over the undirected edge set: symmetric explode,
+    per-batch count combiner, one groupby fold."""
+    from ray.data.aggregate import Sum
+
+    sym = _symmetric(edges, u_col, v_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pa.table({"node": batch["src"]}).group_by("node").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"node": vc["node"],
+             "degree": vc["count_all"].cast(pa.int64())}
+        )
+
+    return (
+        sym.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("degree", alias_name="degree"))
+    )
+
+
+def pagerank(edges, iters: int = 10, damping: float = 0.85,
+             u_col: str = "u", v_col: str = "v", digits: int = 6):
+    """PageRank over the undirected edge set by ``iters`` rounds of
+    power iteration: rank' = (1-d)/N + d * (Σ_{src->dst} rank/deg +
+    dangling_mass/N).  Symmetric mention graphs have no dangling nodes,
+    but the mass term keeps the op correct for general edge lists.
+
+    Scale shape: state is a (node, deg, rank) dataset; each round
+    bucket-joins it onto edge sources (contribution = rank/deg per edge
+    row), folds contributions per destination with a Sum groupby, and
+    rebuilds state with a second bucket join — materialized per round
+    (the CC-loop pattern).  The driver holds only N and the dangling
+    mass scalar.  Returns (node, rank) with rank rounded to ``digits``.
+    """
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import bucket_join
+
+    deg = node_degrees(edges, u_col, v_col).materialize()
+    n = deg.count()
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.float64())})
+    base = (1.0 - damping) / n
+    init = 1.0 / n
+
+    def with_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(len(batch), init), pa.float64())
+        )
+
+    state = deg.map_batches(with_rank, batch_format="pyarrow").materialize()
+    sym = _symmetric(edges, u_col, v_col).materialize()
+
+    for _ in range(iters):
+        # dangling mass: rank parked on zero-degree nodes (general edge
+        # lists only; a tiny filtered aggregate, not node-scale driver IO)
+        dangling = state.map_batches(
+            lambda b: pa.table(
+                {"m": pc.if_else(pc.equal(b["degree"], 0), b["rank"], 0.0)}
+            ),
+            batch_format="pyarrow",
+        ).sum("m") or 0.0
+        contrib = bucket_join(
+            sym, state, on="src", right_on="node", how="inner"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b["dst"],
+                    "c": pc.divide(
+                        b["rank"], pc.cast(b["degree"], pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
+        uplift = base + damping * dangling / n
+
+        def rebuild(batch: pa.Table, uplift=uplift) -> pa.Table:
+            c = pc.fill_null(batch["c"], 0.0)
+            rank = pc.add(pc.multiply(c, damping), uplift)
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "degree": batch["degree"],
+                    "rank": rank,
+                }
+            )
+
+        state = bucket_join(
+            deg, sums, on="node", right_on="dst", how="left"
+        ).map_batches(rebuild, batch_format="pyarrow").materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from kgray.util import round_half_up
+
+        return pa.table(
+            {
+                "node": batch["node"],
+                "rank": pa.array(
+                    round_half_up(
+                        batch["rank"].to_numpy(zero_copy_only=False), digits
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
