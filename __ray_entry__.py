@@ -265,6 +265,18 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(edges, iters=8)
 
 
+def _kg_link_triangles(sf_dir: str):
+    """Triangle count of the golden mention-link graph (wedge-check MR:
+    neighbor-pair emission capped at max_degree, closure cogroup,
+    /3) — the clustering-density signal over link candidates."""
+    from kgray.ops.graph import triangle_count
+    from kgray.ops.linking import link_mentions
+    from kgray.pipeline import golden_triples
+
+    edges = link_mentions(golden_triples(_kg_sentences_ds()), tau=0.6)
+    return triangle_count(edges)
+
+
 def _kg_canonical_golden(sf_dir: str):
     """Full link -> connected-components -> canonicalize chain over the
     golden snapshot, oracle-checked end-to-end: the DuckDB side rebuilds
@@ -674,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_link_edges_golden": _kg_link_edges_golden,
             "kg_link_degree": _kg_link_degree,
             "kg_pagerank": _kg_pagerank,
+            "kg_link_triangles": _kg_link_triangles,
             "kg_canonical_golden": _kg_canonical_golden,
             "kg_link_edges_embed": _kg_link_edges_embed,
             "kg_canonical": _kg_canonical,
@@ -828,6 +841,35 @@ e AS (
   WHERE sim >= 0.6),
 sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
 SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node
+""",
+            # triangle count over the same canonical (u < v) edge set:
+            # a triangle x<y<z is exactly one (x,y)(y,z)(x,z) join row
+            "kg_link_triangles": f"""
+WITH g AS (SELECT UNNEST(spo_list) AS s FROM read_parquet('{_KG_SENT_PARQUET}')),
+raw AS (
+  SELECT s.subject_type AS t, lower(s.subject) AS m0 FROM g
+  UNION ALL
+  SELECT s.object_type AS t, lower(s.object) AS m0 FROM g),
+m AS (
+  SELECT DISTINCT t,
+    CASE WHEN starts_with(m0, '《') AND ends_with(m0, '》') AND length(m0) >= 2
+         THEN substr(m0, 2, length(m0) - 2) ELSE m0 END AS m
+  FROM raw),
+sh AS (
+  SELECT t, m,
+    CASE WHEN length(m) < 2 THEN [m]
+         ELSE list_distinct(list_transform(range(1, length(m)),
+                                           i -> substr(m, i, 2))) END AS sg
+  FROM m WHERE length(m) > 0),
+e AS (
+  SELECT u, v FROM (
+    SELECT a.t || chr(31) || a.m AS u, b.t || chr(31) || b.m AS v,
+           CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+           (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS sim
+    FROM sh a JOIN sh b ON a.t = b.t AND a.m < b.m)
+  WHERE sim >= 0.6)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e a JOIN e b ON a.v = b.u JOIN e c ON a.u = c.u AND b.v = c.v
 """,
             # link -> CC -> canonicalize, end-to-end: exact-Jaccard edges
             # (as above), min-label connected components via recursive CTE,

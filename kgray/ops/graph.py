@@ -153,3 +153,60 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
         )
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_count(edges, u_col: str = "u", v_col: str = "v",
+                   max_degree: int = 4096):
+    """Global triangle count via the node-iterator (wedge-check) MR
+    algorithm.
+
+    Stage 1 (one cogroup on the center node): build per-node neighbor
+    lists and emit each node's WEDGES — ordered neighbor pairs
+    (w1 < w2).  Wedge volume is O(deg^2) per node; nodes above
+    ``max_degree`` are skipped (the LSH degenerate-block cap), bounding
+    the worst case.  Stage 2 (one cogroup on the pair's first element):
+    a wedge closes iff its (w1, w2) pair is a canonical (u < v) edge; a
+    triangle {a,b,c} contributes exactly three wedges (one per center,
+    each closed by the opposite edge), so triangles = closures / 3.
+    Returns a one-row (n_triangles) table."""
+    import pandas as pd
+
+    from kgray.util import grouped_map, pairs_within_groups
+
+    sym = _symmetric(edges, u_col, v_col)
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pairs_within_groups(
+            df.rename(columns={"src": "center", "dst": "nbr"}),
+            "center", "nbr", max_block=max_degree,
+            dtype=df["dst"].dtype.name if df["dst"].dtype.kind in "iu"
+            else "object",
+        )
+        out["is_edge"] = pd.array(np.zeros(len(out), np.int8), dtype="int8")
+        return out  # (u, v, is_edge=0): one row per wedge
+
+    wedge_rows = grouped_map(sym, "src", wedges)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch[u_col], batch[v_col]
+        return pa.table(
+            {
+                "u": pc.min_element_wise(u, v),
+                "v": pc.max_element_wise(u, v),
+                "is_edge": pa.array(np.ones(len(batch), np.int8)),
+            }
+        )
+
+    edge_rows = edges.map_batches(canon, batch_format="pyarrow")
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["is_edge"] == 0]
+        e = df[df["is_edge"] == 1]
+        if not len(w) or not len(e):
+            return pd.DataFrame({"n": pd.array([0], dtype="int64")})
+        merged = w.merge(e[["u", "v"]].drop_duplicates(), on=["u", "v"])
+        return pd.DataFrame({"n": pd.array([len(merged)], dtype="int64")})
+
+    closed = grouped_map(wedge_rows.union(edge_rows), "u", close)
+    total = closed.sum("n") or 0
+    return pa.table({"n_triangles": pa.array([total // 3], pa.int64())})

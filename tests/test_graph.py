@@ -72,3 +72,36 @@ def test_pagerank_star_center_dominates(ray_session):
     got = pagerank(rd.from_pandas(df), iters=12).to_pandas()
     top = got.sort_values("rank", ascending=False).iloc[0]
     assert top["node"] == 0
+
+
+def test_triangle_count_matches_brute(ray_session):
+    from itertools import combinations
+
+    from kgray.ops.graph import triangle_count
+
+    df = _edges(n_nodes=25, n_edges=140, seed=47)
+    got = triangle_count(
+        rd.from_pandas(df, override_num_blocks=3)
+    )["n_triangles"][0].as_py()
+    adj = {}
+    for u, v in zip(df["u"], df["v"]):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert got == want and want > 0
+
+
+def test_triangle_count_known_graphs(ray_session):
+    from kgray.ops.graph import triangle_count
+
+    # K4 has 4 triangles; adding a pendant edge changes nothing
+    k4 = pd.DataFrame(
+        {"u": np.array([0, 0, 0, 1, 1, 2, 3], np.int64),
+         "v": np.array([1, 2, 3, 2, 3, 3, 9], np.int64)}
+    )
+    got = triangle_count(rd.from_pandas(k4))["n_triangles"][0].as_py()
+    assert got == 4
