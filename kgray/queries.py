@@ -1733,6 +1733,61 @@ FROM d WHERE gap_s IS NOT NULL GROUP BY user_id
 """
 
 
+def q_embed_dim_stats(sf_dir: str):
+    """Second-moment vector aggregate: per-dimension mean and
+    population stddev of the embedding table in ONE pass (each batch
+    folds d sums + d squared-sums + a count into a single partial row;
+    the groupby fold is a fixed single-key reduce)."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.similarity import _matrix
+    from kgray.util import round_half_up
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        out = {"k": pa.array([0], pa.int64()),
+               "n": pa.array([m.shape[0]], pa.int64())}
+        s = m.sum(axis=0)
+        ss = (m * m).sum(axis=0)
+        for j in range(m.shape[1]):
+            out[f"s{j}"] = pa.array([s[j]], pa.float64())
+            out[f"q{j}"] = pa.array([ss[j]], pa.float64())
+        return pa.table(out)
+
+    probe = emb.limit(1).take_batch(1, batch_format="pyarrow")
+    d = _matrix(probe, "embedding").shape[1]
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(c, alias_name=c) for j in range(d) for c in (f"s{j}", f"q{j}")
+    ]
+    tbl = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(*aggs)
+        .to_pandas()  # one row
+    )
+    n = float(tbl["n"][0])
+    means = np.array([tbl[f"s{j}"][0] for j in range(d)]) / n
+    var = np.array([tbl[f"q{j}"][0] for j in range(d)]) / n - means * means
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "mean": pa.array(round_half_up(means, 4), pa.float64()),
+            "std": pa.array(round_half_up(np.sqrt(np.maximum(var, 0)), 4),
+                            pa.float64()),
+        }
+    )
+
+
+SQL_EMBED_DIM_STATS = """
+SELECT i AS dim, ROUND(AVG(embedding[i]), 4) AS mean,
+       ROUND(STDDEV_POP(embedding[i]), 4) AS std
+FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+GROUP BY i
+"""
+
+
 def q_dup_ngrams(sf_dir: str):
     """Intra-corpus duplicated-5-gram signal per doc (boilerplate cue):
     df fold over per-doc-distinct shingles, df>=2 set broadcast once,
@@ -2171,6 +2226,7 @@ CATALOG: dict[str, tuple] = {
     "doclen_percent_rank": (q_doclen_percent_rank, SQL_DOCLEN_PERCENT_RANK),
     "events_daily_users_approx": (q_events_daily_users_approx, None),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "embed_dim_stats": (q_embed_dim_stats, SQL_EMBED_DIM_STATS),
     "events_interarrival": (q_events_interarrival, SQL_EVENTS_INTERARRIVAL),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
 }
