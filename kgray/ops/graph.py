@@ -63,8 +63,28 @@ def node_degrees(edges, u_col: str = "u", v_col: str = "v"):
     )
 
 
+def _pagerank_kernel(src: np.ndarray, dst: np.ndarray, nodes: np.ndarray,
+                     iters: int, damping: float) -> np.ndarray:
+    """The power-iteration math over index arrays — shared verbatim by
+    the in-process gate and (semantically) the distributed path, and by
+    the brute test oracle."""
+    n = len(nodes)
+    deg = np.zeros(n, np.float64)
+    np.add.at(deg, src, 1.0)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = rank[deg == 0].sum()
+        contrib = np.zeros(n)
+        nz = deg[src] > 0
+        np.add.at(contrib, dst[nz], rank[src[nz]] / deg[src[nz]])
+        rank = (1 - damping) / n + damping * contrib + \
+            damping * dangling / n
+    return rank
+
+
 def pagerank(edges, iters: int = 10, damping: float = 0.85,
-             u_col: str = "u", v_col: str = "v", digits: int = 6):
+             u_col: str = "u", v_col: str = "v", digits: int = 6,
+             max_inprocess_edges: int = 1_000_000):
     """PageRank over the undirected edge set by ``iters`` rounds of
     power iteration: rank' = (1-d)/N + d * (Σ_{src->dst} rank/deg +
     dangling_mass/N).  Symmetric mention graphs have no dangling nodes,
@@ -80,6 +100,31 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
     from ray.data.aggregate import Sum
 
     from kgray.ops.joins import bucket_join
+    from kgray.util import round_half_up
+
+    edges = edges.materialize()
+    if edges.count() <= max_inprocess_edges:
+        # in-process small-side gate (the CC/minhash pattern: shuffle
+        # barriers cost seconds even for dozens of edges; under the gate
+        # the SAME power-iteration math runs once on the driver —
+        # paths-agree pinned in tests/test_graph.py)
+        df = edges.to_pandas()
+        sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
+        sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)
+        nodes, inv = np.unique(
+            pd.concat([sym_u, sym_v], ignore_index=True).to_numpy(),
+            return_inverse=True,
+        )
+        m = len(sym_u)
+        src, dst = inv[:m], inv[m:]
+        if not len(nodes):
+            return pa.table({"node": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.float64())})
+        rank = _pagerank_kernel(src, dst, nodes, iters, damping)
+        return pa.table(
+            {"node": pa.array(nodes),
+             "rank": pa.array(round_half_up(rank, digits), pa.float64())}
+        )
 
     deg = node_degrees(edges, u_col, v_col).materialize()
     n = deg.count()
@@ -155,8 +200,30 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
     return state.map_batches(finish, batch_format="pyarrow")
 
 
+def _triangle_kernel(df: pd.DataFrame, u_col: str, v_col: str,
+                     max_degree: int) -> int:
+    """Wedge-check math over a pandas edge frame — the in-process twin
+    of the distributed path (same cap, same canonicalization)."""
+    from kgray.util import pairs_within_groups
+
+    u = df[u_col].to_numpy(object)
+    v = df[v_col].to_numpy(object)
+    sym = pd.DataFrame(
+        {"center": np.concatenate([u, v]), "nbr": np.concatenate([v, u])}
+    )
+    dtype = df[u_col].dtype.name if df[u_col].dtype.kind in "iu" else "object"
+    w = pairs_within_groups(sym, "center", "nbr", max_block=max_degree,
+                            dtype=dtype)
+    canon = pd.DataFrame(
+        {"u": pd.array(np.minimum(u, v), dtype=dtype),
+         "v": pd.array(np.maximum(u, v), dtype=dtype)}
+    ).drop_duplicates()
+    return len(w.merge(canon, on=["u", "v"])) // 3
+
+
 def triangle_count(edges, u_col: str = "u", v_col: str = "v",
-                   max_degree: int = 4096):
+                   max_degree: int = 4096,
+                   max_inprocess_edges: int = 1_000_000):
     """Global triangle count via the node-iterator (wedge-check) MR
     algorithm.
 
@@ -172,6 +239,13 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
     import pandas as pd
 
     from kgray.util import grouped_map, pairs_within_groups
+
+    edges = edges.materialize()
+    if edges.count() <= max_inprocess_edges:
+        # in-process small-side gate (see pagerank): same kernel, zero
+        # shuffle barriers; paths-agree pinned in tests/test_graph.py
+        n = _triangle_kernel(edges.to_pandas(), u_col, v_col, max_degree)
+        return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
     sym = _symmetric(edges, u_col, v_col)
 
