@@ -116,3 +116,61 @@ def test_decode_marks_matches_scalar_codec(rows):
         want_subs, want_objs = decode_tags(tags, text)
         assert subs == want_subs, (text, pairs, subs, want_subs)
         assert objs == want_objs, (text, pairs, objs, want_objs)
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel properties for the sketch/bloom/graph additions
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                min_size=1, max_size=200, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_bloom_probe_math_no_false_negatives(keys):
+    import pyarrow as pa
+
+    from kgray.ops.bloom import _norm, _probes
+    from kgray.ops.sketch import _hash_column
+
+    n_bits, k = 1 << 12, 4
+    words = np.zeros(n_bits // 64, np.uint64)
+    h = _hash_column(_norm(pa.array(keys, pa.int64())))
+    for pos in _probes(h, n_bits, k):
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    from kgray.ops.bloom import bloom_mask
+
+    assert bloom_mask(pa.array(keys, pa.int64()), words, k).all()
+
+
+@given(st.floats(min_value=1e-6, max_value=1e12,
+                 allow_nan=False, allow_infinity=False))
+@settings(max_examples=300, deadline=None)
+def test_ddsketch_bucket_midpoint_within_alpha(x):
+    alpha = 0.01
+    gamma = (1 + alpha) / (1 - alpha)
+    i = int(np.ceil(np.log(x) / np.log(gamma)))
+    est = 2.0 * gamma ** i / (gamma + 1.0)
+    assert abs(est - x) / x <= alpha * (1 + 1e-9)
+
+
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_pagerank_kernel_is_a_distribution(edge_list):
+    from kgray.ops.graph import _pagerank_kernel
+
+    pairs = [(u, v) for u, v in edge_list if u != v]
+    if not pairs:
+        return
+    u = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    v = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    src, dst = inv[: len(u)], inv[len(u):]
+    rank = _pagerank_kernel(src, dst, nodes, iters=5, damping=0.85)
+    assert (rank > 0).all()
+    assert abs(rank.sum() - 1.0) < 1e-9
