@@ -2149,6 +2149,474 @@ def q_events_distinct_users_approx(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# curation / analytics batch 3 (RAG chunking, retention, profiling,
+# inverted index, cross-split contamination audit, outlier detection)
+# ---------------------------------------------------------------------------
+
+def q_doc_chunks(sf_dir: str, width: int = 120, stride: int = 90):
+    """RAG-style fixed-window chunking with overlap: each doc yields
+    char windows [k*stride, k*stride+width) clipped to n_chars.  Pure
+    stateless vectorized map (np.repeat/arange fan-out) — zero shuffle,
+    embarrassingly parallel at any scale."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = 1 + np.maximum(
+            0, np.ceil((n - width) / float(stride)).astype(np.int64)
+        )
+        doc_rep = np.repeat(ids, k)
+        n_rep = np.repeat(n, k)
+        # within-doc chunk index: global arange minus each doc's base
+        base = np.cumsum(k) - k
+        idx = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(base, k)
+        cstart = idx * stride
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_id": pa.array(idx, pa.int64()),
+                "cstart": pa.array(cstart, pa.int64()),
+                "cstop": pa.array(
+                    np.minimum(cstart + width, n_rep), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = """
+SELECT doc_id, i AS chunk_id, i * 90 AS cstart,
+       LEAST(i * 90 + 120, CAST(n_chars AS BIGINT)) AS cstop
+FROM documents,
+     UNNEST(range(0, 1 + GREATEST(0,
+            CAST(CEIL((n_chars - 120) / 90.0) AS BIGINT)))) AS t(i)
+"""
+
+
+def q_lang_top_terms(sf_dir: str, k: int = 3):
+    """Top-k terms per language by document frequency: per-batch
+    (doc, term) dedup + (lang, term) partial counts (the shuffle moves
+    one row per batch x lang x term, vocab-bounded), Sum fold, then a
+    lang-keyed cogroup picks top-k with a deterministic (df DESC, term)
+    tie-break."""
+    from ray.data.aggregate import Sum
+
+    from kgray.util import grouped_map
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        e = df[["doc_id", "lang"]].join(
+            df["text"].str.split(" ").rename("term")
+        ).explode("term")
+        e = e[e["term"] != ""].drop_duplicates(["doc_id", "term"])
+        g = e.groupby(["lang", "term"], sort=False).size().reset_index(
+            name="df"
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(
+            ["lang", "df", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        d["rank"] = d.groupby("lang", sort=False).cumcount() + 1
+        d = d[d["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "lang": d["lang"],
+                "term": d["term"],
+                "df": d["df"].to_numpy(np.int64),
+                "rank": d["rank"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(folded, "lang", topk)
+
+
+SQL_LANG_TOP_TERMS = """
+WITH p AS (SELECT DISTINCT lang, doc_id, t FROM (
+             SELECT lang, doc_id, UNNEST(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+df AS (SELECT lang, t AS term, CAST(COUNT(*) AS BIGINT) AS df
+       FROM p GROUP BY 1, 2)
+SELECT lang, term, df, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY df DESC, term) AS BIGINT) AS rank FROM df)
+WHERE rank <= 3
+"""
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active day, then
+    distinct active users per (cohort_day, day offset).  ONE user-keyed
+    cogroup computes each user's cohort and dedups (cohort, offset,
+    user) in-bucket — globally distinct because a user lives in exactly
+    one bucket — so the final fold is a tiny Sum groupby over
+    (cohort, offset) partial counts, never a distinct-user shuffle."""
+    from ray.data.aggregate import Sum
+
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.normalize()}
+        ).drop_duplicates()
+        cohort = d.groupby("user_id", sort=False)["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+                "offset_d": (d["day"] - cohort).dt.days.astype(np.int64),
+                "user_id": d["user_id"],
+            }
+        ).drop_duplicates()
+        return (
+            out.groupby(["cohort_day", "offset_d"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    part = grouped_map(ev, "user_id", per_bucket)
+    return part.groupby(["cohort_day", "offset_d"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort, e.day) AS BIGINT) AS offset_d,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+
+_PROFILE_COLS = ["o_custkey", "o_totalprice", "o_orderpriority"]
+
+
+def q_column_profile(sf_dir: str):
+    """Dataset profiler: per-column null count, exact distinct count,
+    min and max (as strings) in long format.  Null/min/max fold from
+    one-row-per-batch partials (a single global aggregate); distinct
+    counts dedupe per-batch unique (col, value) pairs — the shuffle
+    moves distinct pairs, never rows — then a per-col count."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    orders = _read(sf_dir, "orders", _PROFILE_COLS)
+
+    def prof_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        row: dict[str, list] = {}
+        for c in _PROFILE_COLS:
+            s = df[c]
+            nn = s.dropna()
+            row[f"{c}__null"] = [int(s.isna().sum())]
+            row[f"{c}__min"] = [nn.min() if len(nn) else None]
+            row[f"{c}__max"] = [nn.max() if len(nn) else None]
+        return pa.table(row)
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(Sum(f"{c}__null", alias_name=f"{c}__null"))
+        aggs.append(Min(f"{c}__min", alias_name=f"{c}__min"))
+        aggs.append(Max(f"{c}__max", alias_name=f"{c}__max"))
+    stats = orders.map_batches(
+        prof_partial, batch_format="pyarrow"
+    ).aggregate(*aggs)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in _PROFILE_COLS:
+            u = pc.unique(pc.drop_null(batch[c]))
+            names.extend([c] * len(u))
+            vals.extend(pc.cast(u, pa.string()).to_pylist())
+        return pa.table(
+            {"col": pa.array(names, pa.string()),
+             "v": pa.array(vals, pa.string())}
+        )
+
+    ndist = (
+        orders.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["col", "v"])
+        .aggregate(Count(alias_name="__c"))
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("col")["n_distinct"]
+    )
+
+    def fmt(v) -> str:
+        if isinstance(v, float):
+            return str(v)
+        return str(v)
+
+    return pa.table(
+        {
+            "col": pa.array(_PROFILE_COLS, pa.string()),
+            "n_null": pa.array(
+                [int(stats[f"{c}__null"]) for c in _PROFILE_COLS], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [int(ndist[c]) for c in _PROFILE_COLS], pa.int64()
+            ),
+            "min_s": pa.array(
+                [fmt(stats[f"{c}__min"]) for c in _PROFILE_COLS], pa.string()
+            ),
+            "max_s": pa.array(
+                [fmt(stats[f"{c}__max"]) for c in _PROFILE_COLS], pa.string()
+            ),
+        }
+    )
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS VARCHAR),
+       CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+"""
+
+
+def q_split_contamination(sf_dir: str, n: int = 5):
+    """Cross-split contamination audit: how many distinct word-5-gram
+    shingles occur in BOTH the train and test hash-splits (leakage a
+    random split would hide).  Per-batch fold to (shingle, has_train,
+    has_test) flags, Max-groupby merge — the shuffle moves one flag row
+    per distinct shingle per batch — and a driver-side count of the
+    aggregate-scale flag table."""
+    from ray.data.aggregate import Max
+
+    from kgray.ops.dedup import word_shingles
+    from kgray.ops.sample import _md5_hex, split_thresholds
+
+    (_, t_train), (_, t_val), _ = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = _md5_hex(batch["doc_id"].to_pylist())
+        texts = batch["text"].to_pylist()
+        sh, tr, te = [], [], []
+        for h, t in zip(hs, texts):
+            if t_train <= h < t_val:
+                continue  # val split: not audited
+            is_train = h < t_train
+            for s in word_shingles(t, n):
+                sh.append(s)
+                tr.append(int(is_train))
+                te.append(int(not is_train))
+        df = pd.DataFrame({"s": sh, "has_train": tr, "has_test": te})
+        g = df.groupby("s", sort=False, as_index=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    flags = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(
+            Max("has_train", alias_name="has_train"),
+            Max("has_test", alias_name="has_test"),
+        )
+    )
+    n_overlap = flags.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.and_(
+                                    pc.equal(b["has_train"], 1),
+                                    pc.equal(b["has_test"], 1),
+                                )
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    return pa.table({"n_overlap": pa.array([int(n_overlap)], pa.int64())})
+
+
+def _split_contamination_sql() -> str:
+    from kgray.ops.sample import split_thresholds
+
+    (_, t_train), (_, t_val), _ = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(w) - 3),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4]))) AS s
+      FROM toks WHERE len(w) >= 5),
+sp AS (SELECT s,
+         MAX(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_train}'
+             THEN 1 ELSE 0 END) AS has_train,
+         MAX(CASE WHEN md5(CAST(doc_id AS VARCHAR)) >= '{t_val}'
+             THEN 1 ELSE 0 END) AS has_test
+       FROM g GROUP BY s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM sp WHERE has_train = 1 AND has_test = 1
+"""
+
+
+SQL_SPLIT_CONTAMINATION = _split_contamination_sql()
+
+
+def q_term_postings(sf_dir: str, k: int = 5):
+    """Inverted index (posting lists): per term, document frequency and
+    the first-k sorted doc ids as a comma string.  Per-batch (term,
+    doc_id) dedup, then ONE term-keyed cogroup builds each posting list
+    vectorized (sort + head-k per term); capping at k bounds the output
+    row width regardless of term popularity."""
+    from kgray.util import grouped_map
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        e = df[["doc_id"]].join(
+            df["text"].str.split(" ").rename("term")
+        ).explode("term")
+        e = e[e["term"] != ""].drop_duplicates(["term", "doc_id"])
+        return pa.Table.from_pandas(
+            e[["term", "doc_id"]], preserve_index=False
+        )
+
+    def postings(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates(["term", "doc_id"]).sort_values(
+            ["term", "doc_id"], kind="mergesort"
+        )
+        df_counts = d.groupby("term", sort=False).size()
+        ids = (
+            d.groupby("term", sort=False)
+            .head(k)
+            .groupby("term", sort=False)["doc_id"]
+            .agg(lambda s: ",".join(str(int(i)) for i in s))
+        )
+        return pd.DataFrame(
+            {
+                "term": df_counts.index,
+                "df": df_counts.to_numpy(np.int64),
+                "ids": ids.reindex(df_counts.index).to_numpy(),
+            }
+        )
+
+    return grouped_map(
+        docs.map_batches(pairs, batch_format="pyarrow"), "term", postings
+    )
+
+
+SQL_TERM_POSTINGS = """
+WITH p AS (SELECT DISTINCT t AS term, doc_id FROM (
+             SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> '')
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:5], ',') AS ids
+FROM p GROUP BY term
+"""
+
+
+def q_events_zscore_outliers(sf_dir: str, z: float = 2.0):
+    """Population z-score outlier counts per event type: pass 1 folds
+    sufficient statistics (n, Σv, Σv²) per type via the combiner path
+    (one row per batch x type); the tiny (type, mu, sd) table rides in
+    the second pass's task closure, which counts |v - mu| > z·sd
+    vectorized with zero additional shuffle."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.agg import pre_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        return batch.append_column("v2", pc.multiply(v, v))
+
+    stats = pre_aggregate(
+        ev.map_batches(add_sq, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": (None, "count"), "sv": ("value", "sum"), "sq": ("v2", "sum")},
+    ).to_pandas()
+    mu = stats["sv"].to_numpy(np.float64) / stats["n"].to_numpy(np.float64)
+    sd = np.sqrt(
+        np.maximum(
+            stats["sq"].to_numpy(np.float64)
+            / stats["n"].to_numpy(np.float64)
+            - mu * mu,
+            0.0,
+        )
+    )
+    bounds = {
+        t: (m, s) for t, m, s in zip(stats["event_type"], mu, sd)
+    }
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["event_type"].map(lambda t: bounds[t][0]).to_numpy(np.float64)
+        s = df["event_type"].map(lambda t: bounds[t][1]).to_numpy(np.float64)
+        v = df["value"].to_numpy(np.float64)
+        hit = np.abs(v - m) > z * s
+        g = (
+            df.loc[hit]
+            .groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n_outliers")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ev.map_batches(count_outliers, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+    )
+
+
+SQL_EVENTS_ZSCORE_OUTLIERS = """
+WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(value) AS sv, SUM(value * value) AS sq
+           FROM events GROUP BY 1),
+t AS (SELECT event_type, sv / n AS mu,
+             sqrt(GREATEST(sq / n - (sv / n) * (sv / n), 0)) AS sd
+      FROM s)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers
+FROM events e JOIN t USING (event_type)
+WHERE abs(e.value - t.mu) > 2 * t.sd
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -2229,4 +2697,13 @@ CATALOG: dict[str, tuple] = {
     "embed_dim_stats": (q_embed_dim_stats, SQL_EMBED_DIM_STATS),
     "events_interarrival": (q_events_interarrival, SQL_EVENTS_INTERARRIVAL),
     "value_quantiles_approx": (q_value_quantiles_approx, None),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "lang_top_terms": (q_lang_top_terms, SQL_LANG_TOP_TERMS),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "split_contamination": (q_split_contamination, SQL_SPLIT_CONTAMINATION),
+    "term_postings": (q_term_postings, SQL_TERM_POSTINGS),
+    "events_zscore_outliers": (
+        q_events_zscore_outliers, SQL_EVENTS_ZSCORE_OUTLIERS
+    ),
 }

@@ -1,0 +1,244 @@
+"""Curation/analytics batch 3 (kgray/queries.py): chunking, per-lang
+top terms, cohort retention, column profiler, cross-split contamination,
+inverted index, z-score outliers — each pinned against a brute-force
+pandas/python reference on synthetic inputs."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _docs(n=40, seed=11):
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 30)))
+        for _ in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(["en", "fr"], n),
+            "source": "syn",
+            "n_chars": np.array([len(t) for t in texts], np.int64),
+        }
+    )
+
+
+def _events(n=250, users=9, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+
+
+def test_doc_chunks_cover_every_doc_exactly(ray_session, tmp_path):
+    from kgray.queries import q_doc_chunks
+
+    df = _docs()
+    # force boundary lengths: below, at, just above the window, multiple
+    df.loc[0, "n_chars"] = 120
+    df.loc[1, "n_chars"] = 121
+    df.loc[2, "n_chars"] = 90
+    df.loc[3, "n_chars"] = 300
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        q_doc_chunks(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in df.iterrows():
+        n = int(r["n_chars"])
+        k = 1 + max(0, -(-(n - 120) // 90))
+        for i in range(k):
+            rows.append((r["doc_id"], i, i * 90, min(i * 90 + 120, n)))
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "cstart", "cstop"])
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64)
+    )
+    # invariants: first chunk starts at 0, last chunk ends at n_chars,
+    # consecutive chunks overlap by width - stride = 30
+    for doc, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert g["cstart"].iloc[0] == 0
+        assert g["cstop"].iloc[-1] == df.set_index("doc_id").loc[doc, "n_chars"]
+        if len(g) > 1:
+            assert (g["cstart"].iloc[1:].to_numpy()
+                    < g["cstop"].iloc[:-1].to_numpy()).all()
+
+
+def test_lang_top_terms_rank_and_tiebreak(ray_session, tmp_path):
+    from kgray.queries import q_lang_top_terms
+
+    df = _docs(60, seed=7)
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        q_lang_top_terms(str(tmp_path))
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    e = df[["doc_id", "lang"]].join(
+        df["text"].str.split(" ").rename("term")
+    ).explode("term")
+    e = e[e["term"] != ""].drop_duplicates(["doc_id", "term"])
+    dfreq = e.groupby(["lang", "term"]).size().reset_index(name="df")
+    dfreq = dfreq.sort_values(
+        ["lang", "df", "term"], ascending=[True, False, True]
+    )
+    dfreq["rank"] = dfreq.groupby("lang").cumcount() + 1
+    want = dfreq[dfreq["rank"] <= 3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got,
+        want.astype({"df": np.int64, "rank": np.int64})[got.columns],
+    )
+
+
+def test_events_retention_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_events_retention
+
+    df = _events()
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_day", "offset_d"])
+        .reset_index(drop=True)
+    )
+    e = df.assign(day=df["ts"].dt.normalize())
+    cohort = e.groupby("user_id")["day"].min().rename("cohort")
+    e = e.join(cohort, on="user_id")
+    e["cohort_day"] = e["cohort"].dt.strftime("%Y-%m-%d")
+    e["offset_d"] = (e["day"] - e["cohort"]).dt.days.astype(np.int64)
+    want = (
+        e.groupby(["cohort_day", "offset_d"])["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_day", "offset_d"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_users": np.int64}), want.astype({"n_users": np.int64})
+    )
+    # day-0 retention of a cohort equals its cohort size
+    day0 = got[got["offset_d"] == 0].set_index("cohort_day")["n_users"]
+    sizes = (
+        e.drop_duplicates("user_id").groupby("cohort_day")["user_id"].size()
+    )
+    assert day0.sort_index().tolist() == sizes.sort_index().tolist()
+
+
+def test_column_profile_handles_nulls(ray_session, tmp_path):
+    from kgray.queries import q_column_profile
+
+    df = pd.DataFrame(
+        {
+            "o_custkey": pd.array([5, 2, None, 9, 2], dtype="Int64"),
+            "o_totalprice": [10.5, 3.25, 99.0, np.nan, 3.25],
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM", "1-URGENT",
+                                "5-LOW", "2-HIGH"],
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+    got = q_column_profile(str(tmp_path)).to_pandas().set_index("col")
+    assert got.loc["o_custkey", "n_null"] == 1
+    assert got.loc["o_custkey", "n_distinct"] == 3
+    assert got.loc["o_custkey", "min_s"] == "2"
+    assert got.loc["o_custkey", "max_s"] == "9"
+    assert got.loc["o_totalprice", "n_null"] == 1
+    assert got.loc["o_totalprice", "n_distinct"] == 3
+    assert got.loc["o_totalprice", "min_s"] == "3.25"
+    assert got.loc["o_totalprice", "max_s"] == "99.0"
+    assert got.loc["o_orderpriority", "n_null"] == 0
+    assert got.loc["o_orderpriority", "n_distinct"] == 4
+    assert got.loc["o_orderpriority", "min_s"] == "1-URGENT"
+    assert got.loc["o_orderpriority", "max_s"] == "5-LOW"
+
+
+def test_split_contamination_matches_brute(ray_session, tmp_path):
+    from kgray.ops.dedup import word_shingles
+    from kgray.ops.sample import split_thresholds
+    from kgray.queries import q_split_contamination
+
+    df = _docs(80, seed=23)
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = int(
+        q_split_contamination(str(tmp_path)).to_pandas()["n_overlap"][0]
+    )
+    (_, t_train), (_, t_val), _ = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    train, test = set(), set()
+    for _, r in df.iterrows():
+        h = hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()
+        if t_train <= h < t_val:
+            continue
+        tgt = train if h < t_train else test
+        tgt.update(word_shingles(r["text"], 5))
+    assert got == len(train & test)
+    assert got > 0  # the synthetic corpus must actually exercise overlap
+
+
+def test_term_postings_df_and_first5(ray_session, tmp_path):
+    from kgray.queries import q_term_postings
+
+    df = _docs(50, seed=31)
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        q_term_postings(str(tmp_path))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    e = df[["doc_id"]].join(
+        df["text"].str.split(" ").rename("term")
+    ).explode("term")
+    e = e[e["term"] != ""].drop_duplicates(["term", "doc_id"])
+    want = (
+        e.sort_values(["term", "doc_id"])
+        .groupby("term")
+        .agg(
+            df=("doc_id", "size"),
+            ids=("doc_id", lambda s: ",".join(str(int(i)) for i in s[:5])),
+        )
+        .reset_index()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"df": np.int64}), want.astype({"df": np.int64})
+    )
+
+
+def test_zscore_outliers_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_events_zscore_outliers
+
+    df = _events(400, seed=17)
+    # plant extreme points so every type has outliers
+    df.loc[:2, "value"] = 1e4
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_zscore_outliers(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")["n_outliers"]
+    )
+    want = {}
+    for t, g in df.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        mu = v.sum() / len(v)
+        sd = np.sqrt(max((v * v).sum() / len(v) - mu * mu, 0.0))
+        n = int((np.abs(v - mu) > 2 * sd).sum())
+        if n:
+            want[t] = n
+    assert dict(got) == want
