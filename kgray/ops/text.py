@@ -551,3 +551,89 @@ def collocation_pmi(docs, k: int = 20, min_count: int = 5,
             ),
         }
     )
+
+
+def bpe_train(docs, num_merges: int = 50, text_col: str = "text",
+              min_freq: int = 1):
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    the algorithm behind GPT-2/RoBERTa vocabularies; the reference's
+    WordPiece vocab — ``legacy/labeling/bert`` — is the sibling scheme
+    this engine tokenizes with in ops/wordpiece.py).
+
+    The ONLY corpus-scale work is the distributed word-frequency fold
+    (per-batch value_counts combiner -> one Sum groupby): standard BPE
+    trains on the word-frequency TABLE, never the corpus, so the merge
+    loop runs on the driver over vocab-scale state (~380k distinct
+    words at the reference's corpus size) exactly like the CC round /
+    quantile-fold driver steps elsewhere.  Ties break deterministically
+    by (freq DESC, pair lexicographic ASC).
+
+    Returns an Arrow table (rank, left, right, freq) — the ordered
+    merge list that defines the learned tokenizer.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([text_col]).to_pandas()
+        words = (
+            df[text_col].str.split(" ").explode()
+        )
+        words = words[words != ""]
+        vc = words.value_counts()
+        return pa.table(
+            {
+                "w": pa.array(vc.index.astype(str), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts[counts["n"] >= min_freq]
+
+    words: dict[tuple, int] = {}
+    for w, c in zip(counts["w"], counts["n"]):
+        sym = tuple(list(w) + ["</w>"])
+        words[sym] = words.get(sym, 0) + int(c)
+
+    ranks, lefts, rights, freqs = [], [], [], []
+    for rank in range(num_merges):
+        pairs: dict[tuple, int] = {}
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ab = a + b
+        merged: dict[tuple, int] = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            merged[t] = merged.get(t, 0) + c
+        words = merged
+        ranks.append(rank)
+        lefts.append(a)
+        rights.append(b)
+        freqs.append(freq)
+
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+            "freq": pa.array(freqs, pa.int64()),
+        }
+    )

@@ -2602,6 +2602,87 @@ def q_events_zscore_outliers(sf_dir: str, z: float = 2.0):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the corpus: ONE distributed
+    word-frequency fold, then the classic merge loop on the vocab-scale
+    driver table.  Rows-only: the merge loop is iterative (each round's
+    pair counts depend on the previous merge), not SQL-expressible; the
+    algorithm is pinned by tests/test_curation3.py against the
+    hand-worked Sennrich example and a determinism check."""
+    from kgray.ops.text import bpe_train
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_train(docs, num_merges=20)
+
+
+def q_events_outer_activity(sf_dir: str):
+    """FULL OUTER join of two sparse per-(user, day) aggregates (click
+    counts vs purchase counts) — the join family's outer path, exercised
+    where BOTH null sides actually occur.  Each side pre-aggregates to a
+    composite string key (combiner first), then ONE bucket-cogroup
+    full-outer join; the key splits back into (user_id, day) in a
+    stateless finish map with 0-fill."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keyed(tp: str):
+        def add_key(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], tp))
+            k = pc.binary_join_element_wise(
+                pc.cast(t["user_id"], pa.string()),
+                pc.strftime(t["ts"], "%Y-%m-%d"),
+                "|",
+            )
+            return pa.table({"k": k})
+
+        return ev.map_batches(add_key, batch_format="pyarrow")
+
+    clicks = pre_aggregate(
+        keyed("click"), ["k"], {"n_click": (None, "count")}
+    )
+    purchases = pre_aggregate(
+        keyed("purchase"), ["k"], {"n_purchase": (None, "count")}
+    )
+    joined = bucket_join(clicks, purchases, on="k", how="outer")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        parts = df["k"].str.split("|", n=1, expand=True)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    parts[0].astype(np.int64), pa.int64()
+                ),
+                "day": pa.array(parts[1], pa.string()),
+                "n_click": pa.array(
+                    df["n_click"].fillna(0).astype(np.int64), pa.int64()
+                ),
+                "n_purchase": pa.array(
+                    df["n_purchase"].fillna(0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_OUTER_ACTIVITY = """
+WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n_click
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.day, p.day) AS day,
+       COALESCE(n_click, 0) AS n_click,
+       COALESCE(n_purchase, 0) AS n_purchase
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
 SQL_EVENTS_ZSCORE_OUTLIERS = """
 WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
                   SUM(value) AS sv, SUM(value * value) AS sq
@@ -2706,4 +2787,8 @@ CATALOG: dict[str, tuple] = {
     "events_zscore_outliers": (
         q_events_zscore_outliers, SQL_EVENTS_ZSCORE_OUTLIERS
     ),
+    "events_outer_activity": (
+        q_events_outer_activity, SQL_EVENTS_OUTER_ACTIVITY
+    ),
+    "bpe_merges": (q_bpe_merges, None),
 }

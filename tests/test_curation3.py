@@ -242,3 +242,90 @@ def test_zscore_outliers_matches_brute(ray_session, tmp_path):
         if n:
             want[t] = n
     assert dict(got) == want
+
+
+def test_bpe_train_matches_sennrich_example(ray_session, tmp_path):
+    """Hand-worked classic BPE example (low x5, lower x2, newest x6,
+    widest x3): first five merges are e+s(9), es+t(9), est+</w>(9),
+    l+o(7), lo+w(7) under (freq DESC, pair ASC) tie-break."""
+    import ray.data as rd
+
+    from kgray.ops.text import bpe_train
+
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    # spread the words across docs so the distributed fold is exercised
+    docs = rd.from_items(
+        [{"text": " ".join(texts[i::4])} for i in range(4)]
+    )
+    got = bpe_train(docs, num_merges=5).to_pandas()
+    assert list(zip(got["left"], got["right"], got["freq"])) == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+    assert got["rank"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_bpe_train_deterministic_and_composable(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.text import bpe_train
+
+    docs = rd.from_items(
+        [{"text": "ab abc abcd ab ab abc"}, {"text": "abcd abcd ab"}]
+    )
+    a = bpe_train(docs, num_merges=8).to_pandas()
+    b = bpe_train(docs, num_merges=8).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # every merge operand is either a single char, </w>, or the product
+    # of an earlier merge — the invariant that makes the list a tokenizer
+    known = {"</w>"}
+    for _, r in a.iterrows():
+        for side in (r["left"], r["right"]):
+            assert len(side) == 1 or side in known
+        known.add(r["left"] + r["right"])
+
+
+def test_events_outer_activity_both_null_sides(ray_session, tmp_path):
+    from kgray.queries import q_events_outer_activity
+
+    df = _events(300, users=12, seed=41)
+    df["event_type"] = np.where(
+        np.arange(len(df)) % 3 == 0, "click",
+        np.where(np.arange(len(df)) % 3 == 1, "purchase", "view"),
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_outer_activity(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    e = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d"))
+    c = (
+        e[e["event_type"] == "click"]
+        .groupby(["user_id", "day"])
+        .size()
+        .rename("n_click")
+    )
+    p = (
+        e[e["event_type"] == "purchase"]
+        .groupby(["user_id", "day"])
+        .size()
+        .rename("n_purchase")
+    )
+    want = (
+        pd.concat([c, p], axis=1)
+        .fillna(0)
+        .astype(np.int64)
+        .reset_index()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # the outer join must produce rows missing on each side
+    assert (got["n_click"] == 0).any() and (got["n_purchase"] == 0).any()
