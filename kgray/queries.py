@@ -2602,6 +2602,131 @@ def q_events_zscore_outliers(sf_dir: str, z: float = 2.0):
     )
 
 
+def q_events_value_trend(sf_dir: str):
+    """Per-group OLS regression (value vs days-since-epoch-start) in ONE
+    pass via sufficient statistics — five numbers per (batch, type) ride
+    the shuffle; slope/intercept come from the folded aggregate with the
+    textbook raw-moment formulas (algebraically equal to SQL
+    regr_slope/regr_intercept; summation-order ulp drift absorbed by the
+    4-digit round)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        # whole seconds first (DuckDB date_diff('second') truncates)
+        x = (ts - base_us) // 1_000_000 / 86400.0
+        y = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+                "xx": pa.array(x * x, pa.float64()),
+                "xy": pa.array(x * y, pa.float64()),
+            }
+        )
+
+    stats = pre_aggregate(
+        ev.map_batches(add_xy, batch_format="pyarrow"),
+        ["event_type"],
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "sxy": ("xy", "sum"),
+        },
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n"].to_numpy(np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, sxy = df["sxx"].to_numpy(), df["sxy"].to_numpy()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "slope": pa.array(round_half_up(slope, 4), pa.float64()),
+                "icept": pa.array(round_half_up(icept, 4), pa.float64()),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_TREND = """
+SELECT event_type,
+       ROUND(regr_slope(value,
+         date_diff('second', TIMESTAMP '2024-01-01', ts) / 86400.0),
+         4) AS slope,
+       ROUND(regr_intercept(value,
+         date_diff('second', TIMESTAMP '2024-01-01', ts) / 86400.0),
+         4) AS icept
+FROM events GROUP BY 1
+"""
+
+
+def q_events_interval_merge(sf_dir: str):
+    """Merge overlapping intervals (gaps-and-islands): each event spans
+    [ts, ts+30min); per user, overlapping spans coalesce into islands.
+    ONE user-keyed cogroup; inside the bucket the island boundaries are
+    a vectorized cummax-shift sweep (no row loop), and the output is the
+    per-user island count + exact covered microseconds (integer — bit
+    parity with the SQL window formulation is structural)."""
+    from kgray.util import grouped_map
+
+    span_us = 30 * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "s": s, "e": s + span_us}
+        ).sort_values(["user_id", "s", "e"], kind="mergesort")
+        cm = d.groupby("user_id", sort=False)["e"].cummax()
+        prev = cm.groupby(d["user_id"], sort=False).shift(1)
+        brk = (d["s"] > prev) | prev.isna()
+        d["grp"] = brk.cumsum()  # island starts make grp unique per user
+        isl = d.groupby(["user_id", "grp"], sort=False).agg(
+            s=("s", "min"), e=("e", "max")
+        ).reset_index()
+        out = isl.assign(cov=isl["e"] - isl["s"]).groupby(
+            "user_id", sort=False
+        ).agg(n_islands=("grp", "size"), covered_us=("cov", "sum"))
+        return out.reset_index().astype(
+            {"n_islands": np.int64, "covered_us": np.int64}
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_INTERVAL_MERGE = """
+WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+            FROM events),
+o AS (SELECT user_id, s, e,
+        CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS brk
+      FROM iv),
+g AS (SELECT user_id, s, e,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e) AS grp
+      FROM o),
+m AS (SELECT user_id, grp, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(epoch_us(e - s)) AS BIGINT) AS covered_us
+FROM m GROUP BY 1
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus: ONE distributed
     word-frequency fold, then the classic merge loop on the vocab-scale
@@ -2791,4 +2916,8 @@ CATALOG: dict[str, tuple] = {
         q_events_outer_activity, SQL_EVENTS_OUTER_ACTIVITY
     ),
     "bpe_merges": (q_bpe_merges, None),
+    "events_value_trend": (q_events_value_trend, SQL_EVENTS_VALUE_TREND),
+    "events_interval_merge": (
+        q_events_interval_merge, SQL_EVENTS_INTERVAL_MERGE
+    ),
 }

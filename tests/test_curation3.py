@@ -329,3 +329,68 @@ def test_events_outer_activity_both_null_sides(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want[got.columns])
     # the outer join must produce rows missing on each side
     assert (got["n_click"] == 0).any() and (got["n_purchase"] == 0).any()
+
+
+def test_events_value_trend_matches_numpy_polyfit(ray_session, tmp_path):
+    from kgray.queries import q_events_value_trend
+
+    df = _events(400, seed=29)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_value_trend(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    base = pd.Timestamp("2024-01-01").value // 1000
+    for t, g in df.groupby("event_type"):
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        x = (ts - base) // 1_000_000 / 86400.0
+        y = g["value"].to_numpy(np.float64)
+        slope, icept = np.polyfit(x, y, 1)
+        assert abs(got.loc[t, "slope"] - slope) < 1e-3
+        assert abs(got.loc[t, "icept"] - icept) < 1e-3
+
+
+def test_events_interval_merge_hand_worked(ray_session, tmp_path):
+    """User 1: events at 0min, 10min (overlap -> one island), 100min
+    (second island).  User 2: one event = one island of exactly 30min."""
+    from kgray.queries import q_events_interval_merge
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": [t0, t0 + pd.Timedelta(minutes=10),
+                   t0 + pd.Timedelta(minutes=100), t0],
+            "user_id": np.array([1, 1, 1, 2], np.int64),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_interval_merge(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    m = 60 * 1_000_000
+    assert got.loc[1, "n_islands"] == 2
+    assert got.loc[1, "covered_us"] == 40 * m + 30 * m
+    assert got.loc[2, "n_islands"] == 1
+    assert got.loc[2, "covered_us"] == 30 * m
+
+
+def test_events_interval_merge_total_coverage_bounds(ray_session, tmp_path):
+    from kgray.queries import q_events_interval_merge
+
+    df = _events(300, users=6, seed=13)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = q_events_interval_merge(str(tmp_path)).to_pandas()
+    span = 30 * 60 * 1_000_000
+    per_user = df.groupby("user_id").size()
+    for _, r in got.iterrows():
+        n_ev = per_user[r["user_id"]]
+        # covered time is at most n_events * span and at least one span,
+        # and islands can never outnumber events
+        assert span <= r["covered_us"] <= n_ev * span
+        assert 1 <= r["n_islands"] <= n_ev
