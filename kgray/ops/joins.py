@@ -82,8 +82,8 @@ def hash_join(
 def bucket_join(
     left,
     right,
-    on: str,
-    right_on: str | None = None,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
     how: str = "left",
     num_buckets: int = 32,
     right_suffix: str = "_r",
@@ -100,16 +100,31 @@ def bucket_join(
     the bucket hash of a chained join).  ``num_buckets`` is the shuffle
     fan-out: size so one bucket (both sides) fits a worker's heap; salt
     skewed keys before calling.
+
+    ``on`` / ``right_on`` accept a list for composite keys: the bucket
+    hash combines the normalized key columns row-wise (ints widened to
+    int64 first, so an int32 left key meets an int64 right key in the
+    same bucket), and the in-bucket Arrow join runs on the full key
+    tuple — no caller-side key concatenation needed.
     """
 
     import pyarrow.compute as pc
 
-    right_on = right_on or on
+    on_keys = [on] if isinstance(on, str) else list(on)
+    if right_on is None:
+        r_keys = list(on_keys)
+    else:
+        r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(on_keys) != len(r_keys):
+        raise ValueError("on and right_on must have the same arity")
+    on = on_keys[0]
+    right_on = r_keys[0]
 
     l_schema, r_schema = left.schema(), right.schema()
     left_cols = l_schema.names
     right_cols = r_schema.names
-    clash = (set(left_cols) & set(right_cols)) - ({on} if on == right_on else set())
+    same_named = {r for l, r in zip(on_keys, r_keys) if l == r}
+    clash = (set(left_cols) & set(right_cols)) - same_named
     ren = {c: c + right_suffix for c in clash}
 
     def _pa_type(t) -> pa.DataType:
@@ -126,13 +141,16 @@ def bucket_join(
         col_types[n] = _pa_type(t)
     for n, t in zip(r_schema.names, r_schema.types):
         col_types[ren.get(n, n)] = _pa_type(t)
+    # key dtypes must agree across sides for the in-bucket Arrow join:
+    # widen integer key pairs to int64 (the tag pass casts to col_types)
+    for lk, rk in zip(on_keys, [ren.get(k, k) for k in r_keys]):
+        lt, rt = col_types.get(lk), col_types.get(rk)
+        if lt != rt and pa.types.is_integer(lt) and pa.types.is_integer(rt):
+            col_types[lk] = col_types[rk] = pa.int64()
 
-    def _buckets(col) -> np.ndarray:
-        from kgray.util import bucket_of
+    def tag(side: int, key_cols: list[str], rename: dict[str, str]):
+        from kgray.util import bucket_of, bucket_of_multi
 
-        return bucket_of(col, num_buckets)
-
-    def tag(side: int, key_col: str, rename: dict[str, str]):
         def apply(batch: pa.Table) -> pa.Table:
             if rename:
                 batch = batch.rename_columns(
@@ -145,15 +163,19 @@ def bucket_join(
                 if want is not None and batch.schema.field(c).type != want:
                     i = batch.column_names.index(c)
                     batch = batch.set_column(i, c, batch[c].cast(want))
-            bucket = _buckets(batch[rename.get(key_col, key_col)])
+            eff = [rename.get(k, k) for k in key_cols]
+            if len(eff) == 1:
+                bucket = bucket_of(batch[eff[0]], num_buckets)
+            else:
+                bucket = bucket_of_multi(batch, eff, num_buckets)
             return batch.append_column("__bucket", pa.array(bucket)).append_column(
                 "__side", pa.array(np.full(len(batch), side, np.int8))
             )
 
         return apply
 
-    l_tagged = left.map_batches(tag(0, on, {}), batch_format="pyarrow")
-    r_tagged = right.map_batches(tag(1, right_on, ren), batch_format="pyarrow")
+    l_tagged = left.map_batches(tag(0, on_keys, {}), batch_format="pyarrow")
+    r_tagged = right.map_batches(tag(1, r_keys, ren), batch_format="pyarrow")
 
     l_names = [*left_cols, "__bucket", "__side"]
     r_names = [*(ren.get(c, c) for c in right_cols), "__bucket", "__side"]
@@ -182,10 +204,12 @@ def bucket_join(
     r_wide = r_tagged.map_batches(widen(r_names), batch_format="pyarrow",
                                   batch_size=_COALESCE_BATCH_ROWS)
 
-    r_key = ren.get(right_on, right_on)
+    r_keys_eff = [ren.get(k, k) for k in r_keys]
+    drop_keys = {
+        r for l, r in zip(on_keys, r_keys_eff) if r != l
+    }
     out_cols = [c for c in all_names if c not in ("__bucket", "__side")]
-    if r_key != on:
-        out_cols = [c for c in out_cols if c != r_key]
+    out_cols = [c for c in out_cols if c not in drop_keys]
     arrow_how = {
         "left": "left outer", "left_outer": "left outer",
         "right": "right outer", "right_outer": "right outer",
@@ -198,7 +222,9 @@ def bucket_join(
         mask = pc.equal(g["__side"], 0)
         lp = g.filter(mask).select(l_data)
         rp = g.filter(pc.invert(mask)).select(r_data)
-        m = lp.join(rp, keys=[on], right_keys=[r_key], join_type=arrow_how)
+        m = lp.join(
+            rp, keys=on_keys, right_keys=r_keys_eff, join_type=arrow_how
+        )
         return m.select(out_cols).combine_chunks()
 
     return (

@@ -3012,10 +3012,11 @@ def q_bpe_merges(sf_dir: str):
 def q_events_outer_activity(sf_dir: str):
     """FULL OUTER join of two sparse per-(user, day) aggregates (click
     counts vs purchase counts) — the join family's outer path, exercised
-    where BOTH null sides actually occur.  Each side pre-aggregates to a
-    composite string key (combiner first), then ONE bucket-cogroup
-    full-outer join; the key splits back into (user_id, day) in a
-    stateless finish map with 0-fill."""
+    where BOTH null sides actually occur.  Each side pre-aggregates on
+    the composite (user_id, day) key (combiner first), then ONE
+    bucket-cogroup full-outer join on the key TUPLE (bucket_join's
+    native multi-key path — no caller-side key concatenation), and a
+    stateless 0-fill finish map."""
     from kgray.ops.agg import pre_aggregate
     from kgray.ops.joins import bucket_join
 
@@ -3024,32 +3025,34 @@ def q_events_outer_activity(sf_dir: str):
     def keyed(tp: str):
         def add_key(batch: pa.Table) -> pa.Table:
             t = batch.filter(pc.equal(batch["event_type"], tp))
-            k = pc.binary_join_element_wise(
-                pc.cast(t["user_id"], pa.string()),
-                pc.strftime(t["ts"], "%Y-%m-%d"),
-                "|",
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pc.strftime(t["ts"], "%Y-%m-%d"),
+                }
             )
-            return pa.table({"k": k})
 
         return ev.map_batches(add_key, batch_format="pyarrow")
 
     clicks = pre_aggregate(
-        keyed("click"), ["k"], {"n_click": (None, "count")}
+        keyed("click"), ["user_id", "day"], {"n_click": (None, "count")}
     )
     purchases = pre_aggregate(
-        keyed("purchase"), ["k"], {"n_purchase": (None, "count")}
+        keyed("purchase"), ["user_id", "day"],
+        {"n_purchase": (None, "count")},
     )
-    joined = bucket_join(clicks, purchases, on="k", how="outer")
+    joined = bucket_join(
+        clicks, purchases, on=["user_id", "day"], how="outer"
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        parts = df["k"].str.split("|", n=1, expand=True)
         return pa.table(
             {
                 "user_id": pa.array(
-                    parts[0].astype(np.int64), pa.int64()
+                    df["user_id"].astype(np.int64), pa.int64()
                 ),
-                "day": pa.array(parts[1], pa.string()),
+                "day": pa.array(df["day"], pa.string()),
                 "n_click": pa.array(
                     df["n_click"].fillna(0).astype(np.int64), pa.int64()
                 ),

@@ -33,6 +33,28 @@ def bucket_of(col, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def bucket_of_multi(batch: pa.Table, key_cols: list[str],
+                    num_buckets: int) -> np.ndarray:
+    """Composite-key hash buckets: pandas' vectorized row hash over the
+    normalized key columns (ints widened to int64 so an int32 key on one
+    join side lands in the same bucket as its int64 twin).  Same
+    cross-process-determinism contract as ``bucket_of``."""
+    import pandas as pd
+
+    norm = {}
+    for c in key_cols:
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            col = col.cast(pa.int64())
+        norm[c] = col.to_pandas()
+    h = pd.util.hash_pandas_object(
+        pd.DataFrame(norm), index=False
+    ).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def default_num_buckets() -> int:
     """Shuffle-parallelism default: one bucket per cluster CPU, floor 32.
     A fixed 32 caps shuffle parallelism at 32 workers AND makes bucket
