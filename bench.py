@@ -67,6 +67,11 @@ SUITE = [
     "pack_offsets",
     # late round-3: two-pass bigram-LM quality scoring (fit + score reads)
     "lm_score",
+    # final round-3: cohort retention (user cogroup + fold) and the
+    # TPC-H Q18 HAVING->broadcast shape (suite totals before these two
+    # entries exclude them)
+    "events_retention",
+    "orders_large_baskets",
 ]
 
 
