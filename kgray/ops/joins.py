@@ -527,3 +527,69 @@ def range_join_broadcast(ds, bounds, value_col: str, band_col: str = "band"):
         return batch.append_column(band_col, pa.array(band.astype(np.int64)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def table_diff(left, right, on, compare_cols: list[str],
+               num_buckets: int = 32):
+    """Data reconciliation between two snapshots of a keyed table:
+    counts of added / removed / changed / unchanged keys.
+
+    Each side collapses to (key, row-fingerprint) in a stateless map
+    (pandas' vectorized 64-bit row hash over ``compare_cols`` — a 2^-64
+    per-pair collision would miscount a changed row as unchanged;
+    deterministic, documented, negligible), then ONE full-outer bucket
+    cogroup on the key classifies every key, and per-batch status
+    partials fold in a tiny Sum groupby.  The shuffle moves one
+    (key, fp) row per input row — never the payload columns.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    on_keys = [on] if isinstance(on, str) else list(on)
+
+    def fp(side: str):
+        def apply(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            h = pd.util.hash_pandas_object(
+                df[compare_cols], index=False
+            ).to_numpy()
+            out = {k: batch[k] for k in on_keys}
+            # int64 view keeps the Arrow schema simple; hash equality is
+            # preserved bijectively
+            out[f"fp_{side}"] = pa.array(
+                h.view(np.int64), pa.int64()
+            )
+            return pa.table(out)
+
+        return apply
+
+    l_fp = left.map_batches(fp("l"), batch_format="pyarrow")
+    r_fp = right.map_batches(fp("r"), batch_format="pyarrow")
+    joined = bucket_join(
+        l_fp, r_fp, on=on_keys, how="outer", num_buckets=num_buckets
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lv, rv = df["fp_l"], df["fp_r"]
+        status = np.where(
+            lv.isna(), "added",
+            np.where(
+                rv.isna(), "removed",
+                np.where(lv.eq(rv), "unchanged", "changed"),
+            ),
+        )
+        g = (
+            pd.Series(status)
+            .value_counts()
+            .rename_axis("status")
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(classify, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -297,3 +297,95 @@ def hll_distinct_by(ds, key_col: str, col: str, p: int = 12):
             "est": pa.array(ests, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates under fixed memory)
+# ---------------------------------------------------------------------------
+
+def _cms_indices(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices: row j rehashes the base hash with a
+    splitmix64-derived seed — pairwise-independent enough for the CM
+    guarantee, deterministic across processes."""
+    seeds = splitmix64(np.arange(1, depth + 1, dtype=np.uint64))
+    return np.stack(
+        [
+            (splitmix64(h ^ s) % np.uint64(width)).astype(np.int64)
+            for s in seeds
+        ]
+    )
+
+
+def cms_value_counts(ds, col: str, width: int = 8192, depth: int = 4):
+    """Count-Min frequency estimates for every distinct value of ``col``.
+
+    Build shuffles only NONZERO GRID CELLS: each batch folds its local
+    value counts into the depth x width grid (value_counts -> one hash
+    per distinct value -> np.bincount per row) and emits at most
+    depth * min(width, distinct-in-batch) cell rows; a Sum-groupby
+    merges them (CM grids are additive), and the driver holds only the
+    depth x width grid.  Estimate = min over rows (Cormode-Muthukrishnan:
+    overestimate only, err <= e/width * N with prob 1 - e^-depth).
+
+    The query-key set here is the DISTINCT value set (vocab-bounded for
+    token streams); at open-ended-key scale you would pass an explicit
+    key list instead of enumerating — the sketch itself never needs the
+    key set, which is the point of its fixed memory.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = c.to_pandas().value_counts()
+        if not len(vc):
+            return pa.table(
+                {"j": pa.array([], pa.int64()), "c": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        h = _hash_column(pa.array(vc.index))
+        n = vc.to_numpy(np.int64)
+        idx = _cms_indices(h, depth, width)
+        js, cs, ns = [], [], []
+        for j in range(depth):
+            bc = np.bincount(idx[j], weights=n)
+            nz = np.nonzero(bc)[0]
+            js.append(np.full(len(nz), j, np.int64))
+            cs.append(nz.astype(np.int64))
+            ns.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js), pa.int64()),
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["j", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    grid = np.zeros((depth, width), np.int64)
+    grid[cells["j"].to_numpy(), cells["c"].to_numpy()] = cells[
+        "n"
+    ].to_numpy()
+
+    keys = (
+        ds.groupby(col)
+        .aggregate(Count(alias_name="__k"))
+        .to_pandas()[col]
+        .tolist()
+    )
+    keys = sorted(keys)
+    kh = _hash_column(pa.array(keys))
+    kidx = _cms_indices(kh, depth, width)
+    est = grid[np.arange(depth)[:, None], kidx].min(axis=0)
+    return pa.table(
+        {
+            col: pa.array([str(k) for k in keys], pa.string()),
+            "est": pa.array(est, pa.int64()),
+        }
+    )

@@ -2996,6 +2996,99 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_word_counts_cms(sf_dir: str):
+    """Count-Min sketch word frequencies: the build shuffles nonzero
+    grid cells (<= depth x width rows per batch) instead of tokens, the
+    grids merge additively, and point estimates come off the driver
+    grid.  Exactness at this vocab/width ratio is structural (no key
+    collides with another in all depth rows — deterministic hashing
+    makes the check stable), so the exact-count SQL is a true oracle;
+    the general overestimate-only bound is test-pinned."""
+    from kgray.ops.sketch import cms_value_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.split(" ").explode()
+        s = s[s != ""]
+        return pa.table({"term": pa.array(s, pa.string())})
+
+    return cms_value_counts(
+        docs.map_batches(toks, batch_format="pyarrow"), "term"
+    )
+
+
+SQL_WORD_COUNTS_CMS = """
+SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS est
+FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+WHERE t <> '' GROUP BY t
+"""
+
+
+def q_orders_diff(sf_dir: str):
+    """Snapshot reconciliation (CDC audit): diff two deterministic
+    'snapshots' of orders — old = keys not divisible by 89, new = keys
+    not divisible by 97 with totalprice bumped for custkey%10==0 — into
+    added/removed/changed/unchanged counts.  Each side collapses to
+    (key, row-fingerprint) before the ONE full-outer cogroup, so the
+    shuffle never moves payload columns."""
+    from kgray.ops.joins import table_diff
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+
+    def _mod_ne0(col, m: int) -> pa.Array:
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array(k % m != 0)
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(_mod_ne0(batch["o_orderkey"], 89))
+        return t.select(["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(_mod_ne0(batch["o_orderkey"], 97))
+        bump = pc.invert(_mod_ne0(t["o_custkey"], 10))
+        price = pc.if_else(
+            bump, pc.add(t["o_totalprice"], 1000.0), t["o_totalprice"]
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": price,
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", cols)
+    left = orders.map_batches(old_side, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", cols).map_batches(
+        new_side, batch_format="pyarrow"
+    )
+    return table_diff(
+        left, right, on="o_orderkey",
+        compare_cols=["o_totalprice", "o_orderpriority"],
+    )
+
+
+SQL_ORDERS_DIFF = """
+WITH l AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 89 <> 0),
+r AS (SELECT o_orderkey,
+             CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN l.o_orderkey IS NULL THEN 'added'
+              WHEN r.o_orderkey IS NULL THEN 'removed'
+              WHEN l.o_totalprice = r.o_totalprice
+                   AND l.o_orderpriority = r.o_orderpriority
+                   THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+GROUP BY status
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus: ONE distributed
     word-frequency fold, then the classic merge loop on the vocab-scale
@@ -3195,6 +3288,8 @@ CATALOG: dict[str, tuple] = {
     "events_rolling_active": (
         q_events_rolling_active, SQL_EVENTS_ROLLING_ACTIVE
     ),
+    "word_counts_cms": (q_word_counts_cms, SQL_WORD_COUNTS_CMS),
+    "orders_diff": (q_orders_diff, SQL_ORDERS_DIFF),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

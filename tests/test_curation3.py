@@ -501,3 +501,72 @@ def test_embed_quantize_error_matches_numpy(ray_session, tmp_path):
     # int8 range actually used: every quantized value fits in [-127, 127]
     q = np.floor(md / scale * 127.0 + 0.5)
     assert q.min() >= -127 and q.max() <= 127
+
+
+def test_cms_overestimates_only_and_exact_when_wide(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.sketch import cms_value_counts
+
+    rng = np.random.default_rng(71)
+    vals = rng.choice([f"k{i}" for i in range(50)], 5000,
+                      p=np.arange(50, 0, -1) / np.arange(50, 0, -1).sum())
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    true = pd.Series(vals).value_counts()
+
+    # tiny width forces collisions: estimates may only OVERestimate
+    narrow = cms_value_counts(ds, "v", width=16, depth=3).to_pandas()
+    est = narrow.set_index("v")["est"]
+    assert (est[true.index] >= true).all()
+    assert (est[true.index] > true).any()  # collisions actually happened
+
+    # wide grid: exact (no key collides in all rows at 50 keys / 4096)
+    wide = cms_value_counts(ds, "v", width=4096, depth=4).to_pandas()
+    est_w = wide.set_index("v")["est"]
+    assert (est_w[true.index] == true).all()
+
+    # determinism across rebuilds (block layout independence)
+    again = cms_value_counts(
+        ds.repartition(7), "v", width=16, depth=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(narrow, again)
+
+
+def test_table_diff_matches_brute(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.joins import table_diff
+
+    rng = np.random.default_rng(83)
+    n = 300
+    base = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "a": rng.integers(0, 5, n).astype(np.int64),
+            "b": rng.choice(["x", "y"], n),
+        }
+    )
+    old = base[base["k"] % 7 != 0]                    # 0 mod 7 -> added
+    new = base[base["k"] % 11 != 0].copy()            # 0 mod 11 -> removed
+    chg = new["k"] % 5 == 0
+    new.loc[chg, "a"] = new.loc[chg, "a"] + 100       # mod 5 -> changed
+    got = (
+        table_diff(
+            rd.from_pandas(old), rd.from_pandas(new),
+            on="k", compare_cols=["a", "b"], num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("status")["n"]
+    )
+    m = old.merge(new, on="k", how="outer", suffixes=("_l", "_r"),
+                  indicator=True)
+    want = {
+        "added": int((m["_merge"] == "right_only").sum()),
+        "removed": int((m["_merge"] == "left_only").sum()),
+    }
+    both = m[m["_merge"] == "both"]
+    same = (both["a_l"] == both["a_r"]) & (both["b_l"] == both["b_r"])
+    want["changed"] = int((~same).sum())
+    want["unchanged"] = int(same.sum())
+    assert dict(got) == {k: v for k, v in want.items() if v}
+    assert len(got) == 4  # every status exercised
