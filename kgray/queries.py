@@ -2996,6 +2996,114 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_doc_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (a repetition/
+    quality signal): vectorized explode + (doc, term) count, then
+    -sum(p ln p) per doc.  ln is C-libm ``math.log`` memoized over the
+    DISTINCT (count, total) pairs — a few hundred entries regardless of
+    corpus size — for bit parity with DuckDB's ln (numpy's vectorized
+    log drifts one ulp; see tfidf_topk)."""
+    import math
+
+    from kgray.util import round_half_up
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        e = df[["doc_id"]].join(
+            df["text"].str.split(" ").rename("t")
+        ).explode("t")
+        e = e[e["t"] != ""]
+        tc = e.groupby(["doc_id", "t"], sort=False).size().reset_index(
+            name="c"
+        )
+        n = tc.groupby("doc_id", sort=False)["c"].transform("sum")
+        cn = tc["c"].to_numpy(np.int64)
+        nn = n.to_numpy(np.int64)
+        logmemo: dict[tuple[int, int], float] = {}
+        terms = np.empty(len(cn), np.float64)
+        for i, (c, m) in enumerate(zip(cn.tolist(), nn.tolist())):
+            v = logmemo.get((c, m))
+            if v is None:
+                p = c / m
+                v = -p * math.log(p)
+                logmemo[(c, m)] = v
+            terms[i] = v
+        ent = (
+            pd.DataFrame({"doc_id": tc["doc_id"], "e": terms})
+            .groupby("doc_id", sort=False)["e"]
+            .sum()
+            .reset_index(name="entropy")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ent["doc_id"]),
+                "entropy": pa.array(
+                    round_half_up(ent["entropy"].to_numpy(np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_DOC_ENTROPY = """
+WITH tc AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> '' GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY 1)
+SELECT tc.doc_id, ROUND(SUM(-(c / n) * ln(c / n)), 4) AS entropy
+FROM tc JOIN n ON tc.doc_id = n.doc_id GROUP BY tc.doc_id
+"""
+
+
+def q_events_transitions(sf_dir: str):
+    """First-order event-type transition counts (sequence mining): ONE
+    user-keyed cogroup pairs each event with its predecessor via the
+    same shift trick as the inter-arrival window, folds (prev, next)
+    partials in-bucket, and a tiny Sum groupby merges buckets."""
+    from ray.data.aggregate import Sum
+
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        same = us[1:] == us[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        return (
+            pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    part = grouped_map(ev, "user_id", per_bucket)
+    return part.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_word_counts_cms(sf_dir: str):
     """Count-Min sketch word frequencies: the build shuffles nonzero
     grid cells (<= depth x width rows per batch) instead of tokens, the
@@ -3290,6 +3398,8 @@ CATALOG: dict[str, tuple] = {
     ),
     "word_counts_cms": (q_word_counts_cms, SQL_WORD_COUNTS_CMS),
     "orders_diff": (q_orders_diff, SQL_ORDERS_DIFF),
+    "doc_entropy": (q_doc_entropy, SQL_DOC_ENTROPY),
+    "events_transitions": (q_events_transitions, SQL_EVENTS_TRANSITIONS),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

@@ -570,3 +570,54 @@ def test_table_diff_matches_brute(ray_session):
     want["unchanged"] = int(same.sum())
     assert dict(got) == {k: v for k, v in want.items() if v}
     assert len(got) == 4  # every status exercised
+
+
+def test_doc_entropy_matches_scipy_formula(ray_session, tmp_path):
+    from kgray.queries import q_doc_entropy
+
+    df = _docs(30, seed=91)
+    # planted extremes: single repeated token -> 0; all-distinct -> ln(n)
+    df.loc[0, "text"] = "alpha alpha alpha alpha"
+    df.loc[1, "text"] = "alpha beta gamma delta"
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        q_doc_entropy(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["entropy"]
+    )
+    for _, r in df.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        vc = pd.Series(toks).value_counts().to_numpy(np.float64)
+        p = vc / vc.sum()
+        want = float(-(p * np.log(p)).sum())
+        assert abs(got[r["doc_id"]] - want) < 1e-3
+    assert got[0] == 0.0
+    assert abs(got[1] - np.log(4)) < 1e-3
+
+
+def test_events_transitions_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_events_transitions
+
+    df = _events(350, users=7, seed=97)
+    df["event_type"] = np.random.default_rng(5).choice(
+        ["a", "b", "c"], len(df)
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_transitions(str(tmp_path))
+        .to_pandas()
+        .set_index(["prev_type", "next_type"])["n"]
+        .sort_index()
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    prev = s.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame(
+        {"prev_type": prev, "next_type": s["event_type"]}
+    ).dropna()
+    want = (
+        pairs.groupby(["prev_type", "next_type"]).size().sort_index()
+    )
+    assert got.tolist() == want.tolist()
+    assert got.index.tolist() == want.index.tolist()
+    # transition counts conserve: total = events - users-with-events
+    assert got.sum() == len(df) - df["user_id"].nunique()
