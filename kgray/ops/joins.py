@@ -593,3 +593,51 @@ def table_diff(left, right, on, compare_cols: list[str],
         .groupby("status")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def salted_bucket_join(left, right, on, salt_col: str, salt: int = 8,
+                       right_on=None, how: str = "left",
+                       num_buckets: int = 32, right_suffix: str = "_r"):
+    """Skew-defused partitioned join: when one hot key carries a large
+    fraction of the LEFT side, a plain hash join lands all of it in one
+    bucket (one straggling reducer).  Here every left row gets a
+    deterministic per-row salt (hash of ``salt_col`` mod ``salt``) and
+    the RIGHT side replicates each row ``salt`` times — the join runs
+    on the composite (key, salt) via ``bucket_join``'s multi-key path,
+    spreading the hot key over ``salt`` buckets.  Replication costs
+    salt x |right|: use for skewed-big-left x modest-right (tiny rights
+    should broadcast; balanced keys need no salt).  Results are
+    identical to the unsalted join because each left row matches
+    exactly its own salt replica (test-pinned)."""
+    from kgray.util import bucket_of
+
+    on_keys = [on] if isinstance(on, str) else list(on)
+    if right_on is None:
+        r_keys = list(on_keys)
+    else:
+        r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        s = bucket_of(batch[salt_col], salt)
+        return batch.append_column("_salt", pa.array(s, pa.int64()))
+
+    def rep_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        rep = batch.take(pa.array(np.repeat(np.arange(n), salt)))
+        sal = np.tile(np.arange(salt, dtype=np.int64), n)
+        return rep.append_column("_salt", pa.array(sal, pa.int64()))
+
+    joined = bucket_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(rep_right, batch_format="pyarrow"),
+        on=[*on_keys, "_salt"],
+        right_on=[*r_keys, "_salt"],
+        how=how,
+        num_buckets=num_buckets,
+        right_suffix=right_suffix,
+    )
+
+    def drop_salt(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_salt"])
+
+    return joined.map_batches(drop_salt, batch_format="pyarrow")

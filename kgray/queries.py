@@ -2996,6 +2996,73 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_events_mktsegment_value(sf_dir: str):
+    """Fact-to-dimension join under the salted path: events join
+    customer on user key through ``salted_bucket_join`` (per-row salt on
+    event_id spreads any hot user over 8 buckets; the dimension side
+    replicates 8x — the skew-defusing trade for big-skewed-left joins),
+    then per-segment partial sums fold in a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import salted_bucket_join
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = salted_bucket_join(
+        ev, cust, on="user_id", right_on="c_custkey",
+        salt_col="event_id", salt=8, how="inner",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_mktsegment", sort=False)["value"].agg(
+            ["sum", "size"]
+        ).reset_index()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+                "sv": pa.array(g["sum"].to_numpy(np.float64),
+                               pa.float64()),
+                "n_events": pa.array(g["size"].to_numpy(np.int64),
+                                     pa.int64()),
+            }
+        )
+
+    folded = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("sv", alias_name="sv"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "total_value": pa.array(
+                    round_half_up(
+                        batch["sv"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+                "n_events": batch["n_events"],
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_MKTSEGMENT_VALUE = """
+SELECT c_mktsegment, ROUND(SUM(value), 2) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_doc_entropy(sf_dir: str):
     """Per-doc Shannon entropy of the token distribution (a repetition/
     quality signal): vectorized explode + (doc, term) count, then
@@ -3400,6 +3467,9 @@ CATALOG: dict[str, tuple] = {
     "orders_diff": (q_orders_diff, SQL_ORDERS_DIFF),
     "doc_entropy": (q_doc_entropy, SQL_DOC_ENTROPY),
     "events_transitions": (q_events_transitions, SQL_EVENTS_TRANSITIONS),
+    "events_mktsegment_value": (
+        q_events_mktsegment_value, SQL_EVENTS_MKTSEGMENT_VALUE
+    ),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

@@ -136,3 +136,73 @@ def test_single_key_path_unchanged(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_salted_join_equals_unsalted_under_skew(ray_session):
+    """One hot key carries half the left side; the salted join must
+    return exactly the plain join's rows (including left-unmatched
+    null fills)."""
+    import ray.data as rd
+
+    from kgray.ops.joins import bucket_join, salted_bucket_join
+
+    rng = np.random.default_rng(19)
+    n = 2000
+    keys = np.where(
+        rng.random(n) < 0.5, 7, rng.integers(0, 50, n)
+    ).astype(np.int64)
+    left = pd.DataFrame(
+        {
+            "k": keys,
+            "row_id": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.arange(0, 40, dtype=np.int64),  # keys 40..49 unmatched
+            "y": np.arange(0, 400, 10, dtype=np.int64),
+        }
+    )
+    for how in ("inner", "left"):
+        plain = (
+            bucket_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="k", how=how, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("row_id")
+            .reset_index(drop=True)
+        )
+        salted = (
+            salted_bucket_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="k", salt_col="row_id", salt=8, how=how, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("row_id")
+            .reset_index(drop=True)
+        )
+        assert salted.columns.tolist() == plain.columns.tolist()
+        pd.testing.assert_frame_equal(salted, plain[salted.columns])
+    # left how actually exercised null fills
+    assert left["k"].max() >= 40
+
+
+def test_salted_join_spreads_the_hot_key(ray_session):
+    """The mechanism itself: the hot key's rows land in more than one
+    bucket once salted (bucket = hash(key tuple) % buckets)."""
+    import pyarrow as pa
+
+    from kgray.util import bucket_of, bucket_of_multi
+
+    hot = pa.table(
+        {
+            "k": pa.array(np.full(64, 7, np.int64)),
+            "_salt": pa.array(np.arange(64, dtype=np.int64) % 8),
+        }
+    )
+    unsalted = set(bucket_of(hot["k"].combine_chunks(), 8).tolist())
+    salted = set(bucket_of_multi(hot, ["k", "_salt"], 8).tolist())
+    assert len(unsalted) == 1
+    assert len(salted) > 1
