@@ -2996,6 +2996,77 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_events_chi2(sf_dir: str):
+    """Chi-square independence statistic for (event_type, day-of-week):
+    one combiner-fold pass builds the contingency table (one row per
+    batch x cell, 35 cells), and the statistic is driver arithmetic over
+    the aggregate — the same sufficient-statistic shape as corr/OLS.
+    Expected counts use the textbook row x col / n formula in BOTH
+    engines, so parity is algebraic (4-digit round absorbs sum-order
+    ulps)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_dow(batch: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0=Sunday; pandas dayofweek: 0=Monday
+        dow = (
+            batch["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+            + 4
+        ) % 7  # 1970-01-01 was a Thursday -> +4 makes 0=Sunday
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pa.array(dow, pa.int64()),
+            }
+        )
+
+    cells = pre_aggregate(
+        ev.map_batches(add_dow, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    piv = cells.pivot_table(
+        index="event_type", columns="dow", values="n", fill_value=0,
+        aggfunc="sum",
+    ).to_numpy(np.float64)
+    n = piv.sum()
+    exp = piv.sum(axis=1, keepdims=True) * piv.sum(axis=0, keepdims=True) / n
+    chi2 = ((piv - exp) ** 2 / exp).sum()
+    return pa.table(
+        {
+            "chi2": pa.array([round_half_up(chi2, 4)], pa.float64()),
+            "dof": pa.array(
+                [int((piv.shape[0] - 1) * (piv.shape[1] - 1))], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_EVENTS_CHI2 = """
+WITH c AS (SELECT event_type, dayofweek(ts) AS dow,
+                  CAST(COUNT(*) AS DOUBLE) AS o
+           FROM events GROUP BY 1, 2),
+f AS (SELECT t.event_type, d.dow, COALESCE(c.o, 0) AS o
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT DISTINCT dow FROM c) d
+      LEFT JOIN c USING (event_type, dow)),
+t AS (SELECT SUM(o) AS n FROM f),
+r AS (SELECT event_type, SUM(o) AS rc FROM f GROUP BY 1),
+k AS (SELECT dow, SUM(o) AS cc FROM f GROUP BY 1)
+SELECT ROUND(SUM(POW(f.o - r.rc * k.cc / t.n, 2)
+             / (r.rc * k.cc / t.n)), 4) AS chi2,
+       CAST((SELECT (COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT dow) - 1)
+             FROM f) AS BIGINT) AS dof
+FROM f JOIN r USING (event_type) JOIN k USING (dow), t
+"""
+
+
 def q_events_mktsegment_value(sf_dir: str):
     """Fact-to-dimension join under the salted path: events join
     customer on user key through ``salted_bucket_join`` (per-row salt on
@@ -3470,6 +3541,7 @@ CATALOG: dict[str, tuple] = {
     "events_mktsegment_value": (
         q_events_mktsegment_value, SQL_EVENTS_MKTSEGMENT_VALUE
     ),
+    "events_chi2": (q_events_chi2, SQL_EVENTS_CHI2),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

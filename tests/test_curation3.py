@@ -621,3 +621,23 @@ def test_events_transitions_matches_brute(ray_session, tmp_path):
     assert got.index.tolist() == want.index.tolist()
     # transition counts conserve: total = events - users-with-events
     assert got.sum() == len(df) - df["user_id"].nunique()
+
+
+def test_events_chi2_matches_scipy_formula(ray_session, tmp_path):
+    from kgray.queries import q_events_chi2
+
+    df = _events(500, users=10, seed=101)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = q_events_chi2(str(tmp_path)).to_pandas()
+    e = df.assign(dow=(df["ts"].dt.dayofweek + 1) % 7)  # 0=Sunday
+    piv = (
+        e.groupby(["event_type", "dow"])
+        .size()
+        .unstack(fill_value=0)
+        .to_numpy(np.float64)
+    )
+    n = piv.sum()
+    exp = piv.sum(1, keepdims=True) * piv.sum(0, keepdims=True) / n
+    chi2 = ((piv - exp) ** 2 / exp).sum()
+    assert abs(got["chi2"][0] - chi2) < 1e-3
+    assert got["dof"][0] == (piv.shape[0] - 1) * (piv.shape[1] - 1)

@@ -174,3 +174,55 @@ def test_pagerank_kernel_is_a_distribution(edge_list):
     rank = _pagerank_kernel(src, dst, nodes, iters=5, damping=0.85)
     assert (rank > 0).all()
     assert abs(rank.sum() - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# composite-key bucket hash (util.bucket_of_multi) — the invariants the
+# multi-key join's correctness rests on
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pyarrow as pa
+
+keys_ints = st.lists(st.integers(-2**31, 2**31 - 1), min_size=1,
+                     max_size=50)
+keys_strs = st.lists(st.text(alphabet="abcXYZ09", max_size=6),
+                     min_size=1, max_size=50)
+
+
+@given(keys_ints, keys_strs, st.integers(2, 64))
+@settings(max_examples=200, deadline=None)
+def test_bucket_of_multi_invariances(ints, strs, buckets):
+    from kgray.util import bucket_of_multi
+
+    n = min(len(ints), len(strs))
+    ints, strs = ints[:n], strs[:n]
+    t1 = pa.table(
+        {"a": pa.array(ints, pa.int64()), "b": pa.array(strs)}
+    )
+    got = bucket_of_multi(t1, ["a", "b"], buckets)
+    assert ((got >= 0) & (got < buckets)).all()
+    # column-name invariance: the right join side renames its keys
+    t2 = pa.table(
+        {"x": pa.array(ints, pa.int64()), "y": pa.array(strs)}
+    )
+    assert (bucket_of_multi(t2, ["x", "y"], buckets) == got).all()
+    # int-width invariance: int32 keys must land with their int64 twins
+    t3 = pa.table(
+        {"a": pa.array(ints, pa.int32()), "b": pa.array(strs)}
+    )
+    assert (bucket_of_multi(t3, ["a", "b"], buckets) == got).all()
+    # chunking invariance: block boundaries must not change the bucket
+    if n > 1:
+        t4 = pa.table(
+            {
+                "a": pa.chunked_array(
+                    [pa.array(ints[:1], pa.int64()),
+                     pa.array(ints[1:], pa.int64())]
+                ),
+                "b": pa.chunked_array(
+                    [pa.array(strs[:1]), pa.array(strs[1:])]
+                ),
+            }
+        )
+        assert (bucket_of_multi(t4, ["a", "b"], buckets) == got).all()
