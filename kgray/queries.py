@@ -2996,6 +2996,118 @@ GROUP BY v.dim, s.scale
 """
 
 
+def _embed_cov(sf_dir: str):
+    """One-pass covariance sufficient statistics: each batch folds the
+    d x d Gram matrix + d sums + a count into ONE partial row (the
+    shuffle moves d^2+d+1 numbers per batch, never vectors); the driver
+    assembles cov = G/n - mu mu^T from the folded aggregate."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.similarity import _matrix
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    probe = emb.limit(1).take_batch(1, batch_format="pyarrow")
+    d = _matrix(probe, "embedding").shape[1]
+
+    iu = np.triu_indices(d)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # long-format partial: (i, j, v) rows — upper-triangle Gram
+        # entries, per-dim sums as (i, -1), the count as (-1, -1).
+        # ~d^2/2 rows per batch fold in ONE small groupby (a few
+        # thousand named aggregates would instead pay seconds of
+        # aggregate-spec overhead per batch).
+        m = _matrix(batch, "embedding").astype(np.float64)
+        g = m.T @ m
+        s = m.sum(axis=0)
+        i_out = np.concatenate(
+            [iu[0], np.arange(d), [-1]]
+        ).astype(np.int64)
+        j_out = np.concatenate(
+            [iu[1], np.full(d, -1), [-1]]
+        ).astype(np.int64)
+        v_out = np.concatenate([g[iu], s, [float(m.shape[0])]])
+        return pa.table(
+            {
+                "i": pa.array(i_out, pa.int64()),
+                "j": pa.array(j_out, pa.int64()),
+                "v": pa.array(v_out, pa.float64()),
+            }
+        )
+
+    folded = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    key = folded.set_index(["i", "j"])["v"]
+    n = float(key[(-1, -1)])
+    s = np.array([key[(i, -1)] for i in range(d)], np.float64)
+    g = np.zeros((d, d), np.float64)
+    for i, j in zip(*iu):
+        g[i, j] = g[j, i] = key[(i, j)]
+    mu = s / n
+    return g / n - np.outer(mu, mu), d
+
+
+def q_embed_covariance(sf_dir: str):
+    """Population covariance matrix of the embedding table in ONE pass
+    (PCA's input), long format."""
+    from kgray.util import round_half_up
+
+    cov, d = _embed_cov(sf_dir)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return pa.table(
+        {
+            "i": pa.array(ii.ravel(), pa.int64()),
+            "j": pa.array(jj.ravel(), pa.int64()),
+            "cov": pa.array(
+                round_half_up(cov.ravel(), 6), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_EMBED_COVARIANCE = """
+WITH v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+m AS (SELECT i, AVG(v) AS mu FROM v GROUP BY i)
+SELECT a.i, b.i AS j,
+       ROUND(AVG(a.v * b.v) - ma.mu * mb.mu, 6) AS cov
+FROM v a JOIN v b USING (vec_id)
+JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
+GROUP BY a.i, b.i, ma.mu, mb.mu
+"""
+
+
+def q_embed_pca_variance(sf_dir: str):
+    """PCA spectrum from the one-pass covariance fold: top-8
+    eigenvalues + explained-variance ratios (driver eigendecomposition
+    of the d x d aggregate — the distributed work is the covariance
+    fold).  Rows-only: eigendecomposition is not SQL-expressible; the
+    covariance input is the oracle-checked embed_covariance and the
+    spectrum is test-pinned against numpy on synthetic data."""
+    from kgray.util import round_half_up
+
+    cov, d = _embed_cov(sf_dir)
+    w = np.linalg.eigvalsh(cov)[::-1]
+    total = w.sum()
+    k = 8
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            "eigenvalue": pa.array(
+                round_half_up(w[:k], 6), pa.float64()
+            ),
+            "explained": pa.array(
+                round_half_up(w[:k] / total, 4), pa.float64()
+            ),
+        }
+    )
+
+
 def q_events_chi2(sf_dir: str):
     """Chi-square independence statistic for (event_type, day-of-week):
     one combiner-fold pass builds the contingency table (one row per
@@ -3542,6 +3654,8 @@ CATALOG: dict[str, tuple] = {
         q_events_mktsegment_value, SQL_EVENTS_MKTSEGMENT_VALUE
     ),
     "events_chi2": (q_events_chi2, SQL_EVENTS_CHI2),
+    "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
+    "embed_pca_variance": (q_embed_pca_variance, None),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

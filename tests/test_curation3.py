@@ -641,3 +641,34 @@ def test_events_chi2_matches_scipy_formula(ray_session, tmp_path):
     chi2 = ((piv - exp) ** 2 / exp).sum()
     assert abs(got["chi2"][0] - chi2) < 1e-3
     assert got["dof"][0] == (piv.shape[0] - 1) * (piv.shape[1] - 1)
+
+
+def test_embed_covariance_and_pca_match_numpy(ray_session, tmp_path):
+    from kgray.queries import q_embed_covariance, q_embed_pca_variance
+
+    rng = np.random.default_rng(107)
+    n, d = 300, 64
+    # planted low-rank structure: 3 strong directions + noise
+    basis = rng.normal(0, 1, (3, d))
+    m = (rng.normal(0, 1, (n, 3)) * [5, 3, 2]) @ basis
+    m = (m + rng.normal(0, 0.1, (n, d))).astype(np.float32)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row for row in m],
+            "label": "x",
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    got_cov = q_embed_covariance(str(tmp_path)).to_pandas()
+    md = m.astype(np.float64)
+    want_cov = np.cov(md, rowvar=False, bias=True)
+    grid = got_cov.pivot(index="i", columns="j", values="cov").to_numpy()
+    assert np.allclose(grid, want_cov, atol=1e-4)
+
+    got_pca = q_embed_pca_variance(str(tmp_path)).to_pandas()
+    w = np.linalg.eigvalsh(want_cov)[::-1]
+    assert np.allclose(got_pca["eigenvalue"], w[:8], atol=1e-3)
+    # 3 planted directions dominate the spectrum
+    assert got_pca["explained"][:3].sum() > 0.95
+    assert abs(got_pca["explained"].sum() - (w[:8] / w.sum()).sum()) < 1e-2
