@@ -203,3 +203,104 @@ def label_centroids(embeddings, label_col: str = "label",
                             pa.float64()),
         }
     )
+
+
+def kmeans_lloyd(ds, k: int = 8, iters: int = 5,
+                 vec_col: str = "embedding", seed: int = 7,
+                 sample_rows: int = 2048):
+    """Distributed Lloyd k-means (Euclidean; the cosine quantizer for
+    IVF lives in ``fit_centroids``): deterministic sample-seeded init,
+    then each round is ONE streaming assignment pass against the
+    broadcast centroids — per-batch partials are long-format
+    (cluster, dim, sum) rows plus (cluster, -1, count), cluster-scale,
+    so the per-round fold is a tiny groupby, never an all-to-all of
+    vectors (the CC/PageRank round shape without the shuffle).
+
+    Returns (centroids (k, d) ndarray, summary table with per-cluster
+    size and sum of squared distances).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    sample = ds.limit(sample_rows).to_arrow_refs()
+    mats = [
+        _matrix(t, vec_col).astype(np.float64)
+        for t in (ray.get(r) for r in sample)
+        if t.num_rows
+    ]
+    X = np.vstack(mats)
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    k_eff = len(C)
+
+    def assign(m: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        # argmin ||m - c||^2 = argmin ||c||^2 - 2 m.c (m-term constant)
+        scores = (C_ * C_).sum(axis=1)[None, :] - 2.0 * (m @ C_.T)
+        return scores.argmin(axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = _matrix(batch, vec_col).astype(np.float64)
+            C_ = ray.get(ref)
+            a = assign(m, C_)
+            S = np.zeros((k_eff, m.shape[1]))
+            np.add.at(S, a, m)
+            n = np.bincount(a, minlength=k_eff).astype(np.float64)
+            live = np.nonzero(n)[0]
+            cs, js, vs = [], [], []
+            for c in live:
+                cs.append(np.full(m.shape[1], c, np.int64))
+                js.append(np.arange(m.shape[1], dtype=np.int64))
+                vs.append(S[c])
+            cs.append(live.astype(np.int64))
+            js.append(np.full(len(live), -1, np.int64))
+            vs.append(n[live])
+            return pa.table(
+                {
+                    "c": pa.array(np.concatenate(cs), pa.int64()),
+                    "j": pa.array(np.concatenate(js), pa.int64()),
+                    "v": pa.array(np.concatenate(vs), pa.float64()),
+                }
+            )
+
+        folded = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["c", "j"])
+            .aggregate(Sum("v", alias_name="v"))
+            .to_pandas()
+        )
+        counts = folded[folded["j"] == -1].set_index("c")["v"]
+        sums = folded[folded["j"] >= 0].pivot(
+            index="c", columns="j", values="v"
+        )
+        for c in sums.index:
+            if counts.get(c, 0) > 0:
+                C[c] = sums.loc[c].to_numpy() / counts[c]
+        # empty clusters keep their previous centroid (deterministic)
+
+    ref = ray.put(C)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, vec_col).astype(np.float64)
+        C_ = ray.get(ref)
+        a = assign(m, C_)
+        d2 = ((m - C_[a]) ** 2).sum(axis=1)
+        n = np.bincount(a, minlength=k_eff)
+        sse = np.bincount(a, weights=d2, minlength=k_eff)
+        live = np.nonzero(n)[0].astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(live, pa.int64()),
+                "n": pa.array(n[live].astype(np.int64), pa.int64()),
+                "sse": pa.array(sse[live], pa.float64()),
+            }
+        )
+
+    summary = (
+        ds.map_batches(metrics, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("sse", alias_name="sse"))
+    )
+    return C, summary

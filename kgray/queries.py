@@ -2996,6 +2996,35 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table: per-cluster
+    size + SSE after 5 rounds (each round = one streaming assignment
+    pass + a cluster-scale groupby fold, no vector shuffle).  Rows-only:
+    the fixpoint is iterative; recovery of planted blob structure and
+    numpy-brute parity are test-pinned (tests/test_curation3.py)."""
+    from kgray.ops.similarity import kmeans_lloyd
+    from kgray.util import round_half_up
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    _, summary = kmeans_lloyd(emb, k=8, iters=5)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster": batch["cluster"],
+                "n": batch["n"],
+                "sse": pa.array(
+                    round_half_up(
+                        batch["sse"].to_numpy(zero_copy_only=False), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return summary.map_batches(finish, batch_format="pyarrow")
+
+
 def _embed_cov(sf_dir: str):
     """One-pass covariance sufficient statistics: each batch folds the
     d x d Gram matrix + d sums + a count into ONE partial row (the
@@ -3656,6 +3685,7 @@ CATALOG: dict[str, tuple] = {
     "events_chi2": (q_events_chi2, SQL_EVENTS_CHI2),
     "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
     "embed_pca_variance": (q_embed_pca_variance, None),
+    "embed_kmeans": (q_embed_kmeans, None),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

@@ -672,3 +672,64 @@ def test_embed_covariance_and_pca_match_numpy(ray_session, tmp_path):
     # 3 planted directions dominate the spectrum
     assert got_pca["explained"][:3].sum() > 0.95
     assert abs(got_pca["explained"].sum() - (w[:8] / w.sum()).sum()) < 1e-2
+
+
+def test_kmeans_lloyd_recovers_planted_blobs(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgray.ops.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(113)
+    centers = np.array(
+        [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+    )
+    sizes = [120, 80, 100]
+    m = np.vstack(
+        [
+            c + rng.normal(0, 0.5, (s, 8))
+            for c, s in zip(centers, sizes)
+        ]
+    ).astype(np.float32)
+    perm = rng.permutation(len(m))
+    m = m[perm]
+    pd.DataFrame({"embedding": [row for row in m]}).to_parquet(
+        tmp_path / "emb.parquet", index=False
+    )
+    ds = rd.read_parquet(str(tmp_path / "emb.parquet")).repartition(5)
+    C, summary = kmeans_lloyd(ds, k=3, iters=5)
+    got = summary.to_pandas().sort_values("n")["n"].tolist()
+    assert got == sorted(sizes)
+    # every learned centroid sits on one planted center
+    md = m.astype(np.float64)
+    for c in C:
+        d = np.abs(centers - c).max(axis=1).min()
+        assert d < 0.2
+    # SSE equals the within-cluster residual of the learned partition
+    assign = np.argmin(
+        ((md[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    want = sum(
+        ((md[assign == c] - C[c]) ** 2).sum() for c in range(3)
+    )
+    got_sse = summary.to_pandas()["sse"].sum()
+    assert abs(got_sse - want) / want < 1e-6
+
+
+def test_kmeans_lloyd_block_layout_invariant(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgray.ops.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(127)
+    m = rng.normal(0, 1, (400, 8)).astype(np.float32)
+    pd.DataFrame({"embedding": [row for row in m]}).to_parquet(
+        tmp_path / "emb.parquet", index=False
+    )
+    ds = rd.read_parquet(str(tmp_path / "emb.parquet"))
+    C1, s1 = kmeans_lloyd(ds.repartition(3), k=4, iters=3)
+    C2, s2 = kmeans_lloyd(ds.repartition(11), k=4, iters=3)
+    assert np.allclose(C1, C2, atol=1e-9)
+    pd.testing.assert_frame_equal(
+        s1.to_pandas().sort_values("cluster").reset_index(drop=True),
+        s2.to_pandas().sort_values("cluster").reset_index(drop=True),
+    )
