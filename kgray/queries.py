@@ -2996,6 +2996,98 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_events_mad_outliers(sf_dir: str):
+    """Robust outlier detection (median/MAD, the z-score's
+    breakdown-resistant sibling): exact per-type median via the
+    rank-quantile cogroup, exact MAD via a second quantile fold over
+    |v - med| (the deviation column rides a stateless map with the tiny
+    median table in its closure), then a shuffle-free outlier count at
+    1.5 x MAD.  Medians/MADs are exact data values — no rounding needed
+    for bit parity with percentile_disc."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.sample import grouped_rank_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    med = (
+        grouped_rank_quantiles(ev, "event_type", "value", [0.5])
+        .to_pandas()
+        .set_index("event_type")["value"]
+        .to_dict()
+    )
+
+    def dev(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["event_type"].map(med).to_numpy(np.float64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dev": pa.array(
+                    np.abs(df["value"].to_numpy(np.float64) - m),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    devs = ev.map_batches(dev, batch_format="pyarrow")
+    mad = (
+        grouped_rank_quantiles(devs, "event_type", "dev", [0.5])
+        .to_pandas()
+        .set_index("event_type")["value"]
+        .to_dict()
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["event_type"].map(med).to_numpy(np.float64)
+        a = df["event_type"].map(mad).to_numpy(np.float64)
+        hit = np.abs(df["value"].to_numpy(np.float64) - m) > 1.5 * a
+        g = (
+            df.loc[hit]
+            .groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n_outliers")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        ev.map_batches(count, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+        .to_pandas()
+        .set_index("event_type")["n_outliers"]
+    )
+    types = sorted(med)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "med": pa.array([med[t] for t in types], pa.float64()),
+            "mad": pa.array([mad[t] for t in types], pa.float64()),
+            "n_outliers": pa.array(
+                [int(folded.get(t, 0)) for t in types], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH m AS (SELECT event_type,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                  AS med
+           FROM events GROUP BY 1),
+d AS (SELECT e.event_type, ABS(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)),
+a AS (SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM d GROUP BY 1)
+SELECT m.event_type, m.med, a.mad,
+       CAST(COUNT(*) FILTER (WHERE d.dev > 1.5 * a.mad) AS BIGINT)
+       AS n_outliers
+FROM d JOIN m USING (event_type) JOIN a USING (event_type)
+GROUP BY m.event_type, m.med, a.mad
+"""
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table: per-cluster
     size + SSE after 5 rounds (each round = one streaming assignment
@@ -3686,6 +3778,9 @@ CATALOG: dict[str, tuple] = {
     "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
     "embed_pca_variance": (q_embed_pca_variance, None),
     "embed_kmeans": (q_embed_kmeans, None),
+    "events_mad_outliers": (
+        q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS
+    ),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

@@ -733,3 +733,32 @@ def test_kmeans_lloyd_block_layout_invariant(ray_session, tmp_path):
         s1.to_pandas().sort_values("cluster").reset_index(drop=True),
         s2.to_pandas().sort_values("cluster").reset_index(drop=True),
     )
+
+
+def test_events_mad_outliers_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_events_mad_outliers
+
+    df = _events(400, seed=131)
+    df.loc[:3, "value"] = 500.0  # planted gross outliers
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_mad_outliers(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+
+    def pdisc(v, p=0.5):
+        s = np.sort(v)
+        return s[max(int(np.ceil(p * len(s))), 1) - 1]
+
+    for t, g in df.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        med = pdisc(v)
+        mad = pdisc(np.abs(v - med))
+        n = int((np.abs(v - med) > 1.5 * mad).sum())
+        assert got.loc[t, "med"] == med
+        assert got.loc[t, "mad"] == mad
+        assert got.loc[t, "n_outliers"] == n
+    # the planted 500s must be counted, proving MAD is not broken by them
+    assert got["n_outliers"].sum() >= 4
