@@ -2996,6 +2996,108 @@ GROUP BY v.dim, s.scale
 """
 
 
+_BM25_TERMS = ["table", "value", "key"]
+
+
+def q_bm25_topk(sf_dir: str, k1: float = 1.2, b: float = 0.75):
+    """BM25 ranking for a fixed 3-term query (the search-scoring family
+    on top of the inverted-index stats): pass 1 folds ONE row per batch
+    of corpus constants (doc count, total length, per-term document
+    frequencies); pass 2 scores stateless per batch — tf and dl are
+    in-batch, idf comes precomputed with C-libm log in the closure —
+    and a global sort+limit picks the top 20.  The corpus never
+    shuffles."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ").map(
+            lambda ws: [w for w in ws if w]
+        )
+        dl = toks.map(len).to_numpy(np.int64)
+        out = {
+            "n_docs": pa.array([len(df)], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for t in _BM25_TERMS:
+            out[f"df_{t}"] = pa.array(
+                [int(toks.map(lambda ws: t in ws).sum())], pa.int64()
+            )
+        return pa.table(out)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_dl", alias_name="sum_dl")]
+    aggs += [Sum(f"df_{t}", alias_name=f"df_{t}") for t in _BM25_TERMS]
+    row = docs.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        *aggs
+    )
+    n = float(row["n_docs"])
+    avgdl = float(row["sum_dl"]) / n
+    idf = {
+        t: math.log((n - float(row[f"df_{t}"]) + 0.5)
+                    / (float(row[f"df_{t}"]) + 0.5) + 1.0)
+        for t in _BM25_TERMS
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ").map(
+            lambda ws: [w for w in ws if w]
+        )
+        dl = toks.map(len).to_numpy(np.float64)
+        total = np.zeros(len(df))
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        for t in _BM25_TERMS:
+            tf = toks.map(lambda ws: ws.count(t)).to_numpy(np.float64)
+            total += idf[t] * tf * (k1 + 1.0) / (tf + norm)
+        hit = total > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(df.loc[hit, "doc_id"]),
+                "score": pa.array(
+                    round_half_up(total[hit], 4), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (SELECT doc_id, t FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                FROM documents) WHERE t <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+       WHERE t IN ('table', 'value', 'key') GROUP BY 1, 2),
+df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75
+                                    + 0.75 * dl.dl / stats.avgdl)))
+              AS s
+       FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats
+       GROUP BY 1)
+SELECT doc_id, ROUND(s, 4) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_events_mad_outliers(sf_dir: str):
     """Robust outlier detection (median/MAD, the z-score's
     breakdown-resistant sibling): exact per-type median via the
@@ -3781,6 +3883,7 @@ CATALOG: dict[str, tuple] = {
     "events_mad_outliers": (
         q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS
     ),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

@@ -762,3 +762,46 @@ def test_events_mad_outliers_matches_brute(ray_session, tmp_path):
         assert got.loc[t, "n_outliers"] == n
     # the planted 500s must be counted, proving MAD is not broken by them
     assert got["n_outliers"].sum() >= 4
+
+
+def test_bm25_matches_brute_formula(ray_session, tmp_path):
+    import math
+
+    from kgray.queries import _BM25_TERMS, q_bm25_topk
+
+    rng = np.random.default_rng(137)
+    vocab = np.array(_BM25_TERMS + ["alpha", "beta", "gamma"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 25)))
+        for _ in range(60)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "text": texts,
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = q_bm25_topk(str(tmp_path)).to_pandas()
+
+    toks = [t.split(" ") for t in texts]
+    dls = np.array([len(t) for t in toks], np.float64)
+    n, avgdl = float(len(toks)), dls.mean()
+    k1, b = 1.2, 0.75
+    scores = {}
+    for i, ws in enumerate(toks):
+        s = 0.0
+        for t in _BM25_TERMS:
+            df_t = sum(1 for w in toks if t in w)
+            tf = float(ws.count(t))
+            if tf:
+                idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dls[i] / avgdl)
+                )
+        if s > 0:
+            scores[i] = round(s, 4)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert np.allclose(got["score"], [s for _, s in want], atol=1e-4)
+    # a doc with more query-term hits outranks a same-length doc without
+    assert got["score"].is_monotonic_decreasing
