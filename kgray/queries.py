@@ -2996,6 +2996,58 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_user_activity_gini(sf_dir: str):
+    """Key-skew report (shuffle planning input): Gini coefficient and
+    p99/p50 ratio of the events-per-user distribution.  The per-user
+    count fold is the only corpus-scale pass; the Gini formula runs on
+    the key-scale aggregate (at open-ended key cardinality the DDSketch
+    quantile path replaces the exact sort — documented trade)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = (
+        pre_aggregate(ev, ["user_id"], {"n": (None, "count")})
+        .to_pandas()
+        .sort_values(["n", "user_id"], kind="mergesort")
+    )
+    x = counts["n"].to_numpy(np.float64)
+    k = float(len(x))
+    rn = np.arange(1, len(x) + 1, dtype=np.float64)
+    gini = 2.0 * (rn * x).sum() / (k * x.sum()) - (k + 1.0) / k
+
+    def pdisc(v, p):
+        return v[max(int(np.ceil(p * len(v))), 1) - 1]
+
+    return pa.table(
+        {
+            "gini": pa.array([round_half_up(gini, 4)], pa.float64()),
+            "p99_over_p50": pa.array(
+                [round_half_up(pdisc(x, 0.99) / pdisc(x, 0.5), 4)],
+                pa.float64(),
+            ),
+            "n_keys": pa.array([int(k)], pa.int64()),
+        }
+    )
+
+
+SQL_USER_ACTIVITY_GINI = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rn,
+             COUNT(*) OVER () AS k, SUM(n) OVER () AS tot
+      FROM c)
+SELECT ROUND(2 * SUM(rn * n) / (MAX(k) * MAX(tot))
+             - (MAX(k) + 1.0) / MAX(k), 4) AS gini,
+       ROUND((SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY n)
+              FROM c)
+             / (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                FROM c), 4) AS p99_over_p50,
+       CAST(MAX(k) AS BIGINT) AS n_keys
+FROM r
+"""
+
+
 _BM25_TERMS = ["table", "value", "key"]
 
 
@@ -3884,6 +3936,7 @@ CATALOG: dict[str, tuple] = {
         q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS
     ),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "user_activity_gini": (q_user_activity_gini, SQL_USER_ACTIVITY_GINI),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

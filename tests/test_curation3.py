@@ -805,3 +805,34 @@ def test_bm25_matches_brute_formula(ray_session, tmp_path):
     assert np.allclose(got["score"], [s for _, s in want], atol=1e-4)
     # a doc with more query-term hits outranks a same-length doc without
     assert got["score"].is_monotonic_decreasing
+
+
+def test_user_activity_gini_known_distributions(ray_session, tmp_path):
+    from kgray.queries import q_user_activity_gini
+
+    # perfectly equal activity -> gini 0
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(40, dtype=np.int64),
+            "user_id": np.repeat(np.arange(8, dtype=np.int64), 5),
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    got = q_user_activity_gini(str(tmp_path)).to_pandas()
+    assert got["gini"][0] == 0.0
+    assert got["p99_over_p50"][0] == 1.0
+    assert got["n_keys"][0] == 8
+
+    # one user owns nearly everything -> gini near (k-1)/k
+    skew = pd.DataFrame(
+        {
+            "event_id": np.arange(108, dtype=np.int64),
+            "user_id": np.concatenate(
+                [np.arange(8, dtype=np.int64), np.full(100, 0, np.int64)]
+            ),
+        }
+    )
+    skew.to_parquet(tmp_path / "events.parquet", index=False)
+    got2 = q_user_activity_gini(str(tmp_path)).to_pandas()
+    assert got2["gini"][0] > 0.75
+    assert got2["p99_over_p50"][0] > 50
