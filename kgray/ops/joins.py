@@ -123,6 +123,15 @@ def bucket_join(
     l_schema, r_schema = left.schema(), right.schema()
     left_cols = l_schema.names
     right_cols = r_schema.names
+    dunder = [c for c in (*left_cols, *right_cols)
+              if c.startswith("__") and c not in ("__bucket", "__side")]
+    if dunder:
+        # "__" is the internal-column namespace silently stripped from
+        # the in-bucket join — a payload column there would vanish from
+        # the output (bit table_diff's first draft); fail loudly instead
+        raise ValueError(
+            f"bucket_join reserves '__'-prefixed columns; rename {dunder}"
+        )
     same_named = {r for l, r in zip(on_keys, r_keys) if l == r}
     clash = (set(left_cols) & set(right_cols)) - same_named
     ren = {c: c + right_suffix for c in clash}

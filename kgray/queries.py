@@ -2996,6 +2996,41 @@ GROUP BY v.dim, s.scale
 """
 
 
+def q_events_user_ewma(sf_dir: str, alpha: float = 1.0 / 3.0):
+    """Streaming per-user feature: the recursive EWMA
+    y_t = (1-a) y_{t-1} + a x_t over each user's (ts, event_id)-ordered
+    values, reporting the final state per user.  ONE user-keyed cogroup;
+    the recursion runs at C speed via pandas ewm inside the bucket.
+    Rows-only: the recursion is stateful-streaming, not SQL-expressible
+    (a recursive CTE per user would be quadratic); the exact recurrence
+    is pinned against a hand-rolled loop in tests."""
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        ew = (
+            df.groupby("user_id", sort=False)["value"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        )
+        last = df.assign(ew=ew).groupby("user_id", sort=False).agg(
+            ewma=("ew", "last"), n=("ew", "size")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": last.index.to_numpy(np.int64),
+                "ewma": round_half_up(
+                    last["ewma"].to_numpy(np.float64), 4
+                ),
+                "n": last["n"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
 def q_user_activity_gini(sf_dir: str):
     """Key-skew report (shuffle planning input): Gini coefficient and
     p99/p50 ratio of the events-per-user distribution.  The per-user
@@ -3937,6 +3972,7 @@ CATALOG: dict[str, tuple] = {
     ),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "user_activity_gini": (q_user_activity_gini, SQL_USER_ACTIVITY_GINI),
+    "events_user_ewma": (q_events_user_ewma, None),
     "orders_large_baskets": (
         q_orders_large_baskets, SQL_ORDERS_LARGE_BASKETS
     ),

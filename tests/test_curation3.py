@@ -836,3 +836,23 @@ def test_user_activity_gini_known_distributions(ray_session, tmp_path):
     got2 = q_user_activity_gini(str(tmp_path)).to_pandas()
     assert got2["gini"][0] > 0.75
     assert got2["p99_over_p50"][0] > 50
+
+
+def test_events_user_ewma_matches_recursive_loop(ray_session, tmp_path):
+    from kgray.queries import q_events_user_ewma
+
+    df = _events(300, users=6, seed=139)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        q_events_user_ewma(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    a = 1.0 / 3.0
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        y = None
+        for x in g["value"]:
+            y = x if y is None else (1 - a) * y + a * x
+        assert abs(got.loc[u, "ewma"] - y) < 1e-3
+        assert got.loc[u, "n"] == len(g)
