@@ -3855,6 +3855,196 @@ GROUP BY 1
 """
 
 
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority check): EXISTS semi-join of a
+    date-pruned orders slice against the big lineitem side.  The
+    lineitem predicate filters at the read-adjacent map, the key set
+    reduces to distinct orderkeys (semi_join's combiner), and the
+    broadcast-vs-bloom-cogroup gate picks the shuffle-free path when
+    the surviving key set is dimension-sized.  No commit/receipt dates
+    in this corpus: the lineitem EXISTS predicate is l_quantity > 45."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= datetime.datetime(1995, 7, 1))
+        & (pds.field("o_orderdate") < datetime.datetime(1995, 10, 1)),
+    )
+    hot = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater(b["l_quantity"], 45.0)).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    kept = semi_join(orders, hot, on="o_orderkey", right_on="l_orderkey")
+    return pre_aggregate(
+        kept, ["o_orderpriority"], {"n_orders": (None, "count")}
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY 1
+"""
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): orders fold
+    to one row per custkey FIRST (combiner groupby — the shuffle moves
+    counts, not orders), then ONE left bucket-cogroup against the
+    customer keys preserves zero-order customers, and the distribution
+    is a second tiny fold over at-most-|customer| rows."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join
+
+    counts = pre_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"],
+        {"c_count": (None, "count")},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = bucket_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", how="left"
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        cc = pc.cast(pc.fill_null(batch["c_count"], 0), pa.int64())
+        return pa.table({"c_count": cc})
+
+    filled = joined.map_batches(fill, batch_format="pyarrow")
+    return pre_aggregate(filled, ["c_count"], {"custdist": (None, "count")})
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share): date-pruned lineitem read,
+    part attaches via broadcast (dimension side ships once through the
+    object store), and the two conditional revenue sums fold through
+    per-batch partials — the driver touches exactly one row."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.joins import broadcast_join
+    from kgray.util import round_half_up
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= datetime.datetime(1995, 9, 1))
+        & (pds.field("l_shipdate") < datetime.datetime(1995, 10, 1)),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = broadcast_join(line, part, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        promo = pc.if_else(
+            pc.equal(batch["p_type"], "PROMO"), rev, pa.scalar(0.0)
+        )
+        return pa.table(
+            {
+                "promo_rev": pa.array([pc.sum(promo).as_py() or 0.0]),
+                "total_rev": pa.array([pc.sum(rev).as_py() or 0.0]),
+            }
+        )
+
+    sums = joined.map_batches(partial, batch_format="pyarrow")
+    promo = sums.sum("promo_rev") or 0.0
+    total = sums.sum("total_rev") or 1.0
+    pct = float(round_half_up(np.float64(100.0 * promo / total), 4))
+    return pa.table({"promo_revenue": pa.array([pct], pa.float64())})
+
+
+SQL_TPCH_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-customer dormancy): a scalar subquery
+    (avg positive balance — two metadata-scale folds, broadcast by
+    closure) gates the customer scan, then an ANTI semi-join drops
+    customers holding any urgent order (bloom-prefiltered cogroup on
+    the big-big path), and the survivors fold per nation.  The corpus
+    has no order-free customers, so the NOT EXISTS probes the
+    urgent-priority slice instead of all orders."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import semi_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    pos = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], 0.0)).select(
+            ["c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    )
+    avg_bal = pos.sum("c_acctbal") / pos.count()
+
+    rich = cust.map_batches(
+        lambda b, t=avg_bal: b.filter(pc.greater(b["c_acctbal"], t)),
+        batch_format="pyarrow",
+    )
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+    dormant = semi_join(rich, urgent, on="c_custkey", right_on="o_custkey",
+                        anti=True)
+    agg = pre_aggregate(
+        dormant,
+        ["c_nationkey"],
+        {"numcust": (None, "count"), "totacctbal": ("c_acctbal", "sum")},
+    )
+    return _round_col(agg, "totacctbal", 2)
+
+
+SQL_TPCH_Q22 = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT SUM(c_acctbal) / COUNT(*) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3979,4 +4169,8 @@ CATALOG: dict[str, tuple] = {
     "embed_quantize_error": (
         q_embed_quantize_error, SQL_EMBED_QUANTIZE_ERROR
     ),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
 }

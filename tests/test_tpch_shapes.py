@@ -1,0 +1,158 @@
+"""TPC-H shape batch (Q4 EXISTS, Q13 left-join distribution, Q14
+conditional ratio, Q22 scalar-subquery + anti-join) — each pinned
+against a brute-force pandas reference on synthetic tables that force
+the interesting cases (zero-order customers, empty promo slice edge,
+urgent-free customers)."""
+
+import numpy as np
+import pandas as pd
+
+
+def _tables(tmp_path, n_cust=30, n_orders=120, n_lines=400, seed=7):
+    rng = np.random.default_rng(seed)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"c{i}" for i in range(n_cust)],
+            "c_nationkey": rng.integers(0, 5, n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-500, 5000, n_cust), 2),
+            "c_mktsegment": rng.choice(["A", "B"], n_cust),
+        }
+    )
+    # leave the last 4 customers order-free so Q13's zero bucket is real
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust - 4, n_orders).astype(
+                np.int64
+            ),
+            "o_orderstatus": "F",
+            "o_totalprice": np.round(rng.uniform(100, 9000, n_orders), 2),
+            "o_orderdate": pd.Timestamp("1995-01-01")
+            + pd.to_timedelta(rng.integers(0, 500, n_orders), unit="D"),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM"], n_orders
+            ),
+        }
+    )
+    line = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_lines).astype(
+                np.int64
+            ),
+            "l_partkey": rng.integers(0, 20, n_lines).astype(np.int64),
+            "l_suppkey": rng.integers(0, 5, n_lines).astype(np.int64),
+            "l_linenumber": np.arange(n_lines, dtype=np.int32) % 7,
+            "l_quantity": rng.integers(1, 51, n_lines).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(10, 2000, n_lines), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n_lines), 2),
+            "l_tax": 0.0,
+            "l_returnflag": "N",
+            "l_linestatus": "O",
+            "l_shipdate": pd.Timestamp("1995-08-15")
+            + pd.to_timedelta(rng.integers(0, 60, n_lines), unit="D"),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(20, dtype=np.int64),
+            "p_name": [f"p{i}" for i in range(20)],
+            "p_brand": "B",
+            "p_type": np.where(np.arange(20) % 3 == 0, "PROMO", "STANDARD"),
+            "p_size": np.arange(20, dtype=np.int32),
+            "p_retailprice": 1.0,
+        }
+    )
+    for name, df in [
+        ("customer", cust), ("orders", orders),
+        ("lineitem", line), ("part", part),
+    ]:
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return cust, orders, line, part
+
+
+def test_tpch_q4_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q4
+
+    cust, orders, line, part = _tables(tmp_path)
+    got = (
+        q_tpch_q4(str(tmp_path)).to_pandas()
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    win = orders[
+        (orders["o_orderdate"] >= "1995-07-01")
+        & (orders["o_orderdate"] < "1995-10-01")
+    ]
+    hot = set(line.loc[line["l_quantity"] > 45, "l_orderkey"])
+    exp = (
+        win[win["o_orderkey"].isin(hot)]
+        .groupby("o_orderpriority").size().rename("n_orders")
+        .reset_index().sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+
+
+def test_tpch_q13_zero_bucket_counts_orderless_customers(
+    ray_session, tmp_path
+):
+    from kgray.queries import q_tpch_q13
+
+    cust, orders, _, _ = _tables(tmp_path)
+    got = (
+        q_tpch_q13(str(tmp_path)).to_pandas()
+        .sort_values("c_count").reset_index(drop=True)
+    )
+    per_cust = (
+        orders.groupby("o_custkey").size()
+        .reindex(cust["c_custkey"], fill_value=0)
+    )
+    exp = per_cust.value_counts().sort_index()
+    assert got["c_count"].tolist() == exp.index.tolist()
+    assert got["custdist"].tolist() == exp.tolist()
+    assert 0 in got["c_count"].tolist()  # the order-free tail is counted
+
+
+def test_tpch_q14_matches_brute_ratio(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q14
+
+    _, _, line, part = _tables(tmp_path)
+    got = q_tpch_q14(str(tmp_path)).to_pandas()
+    win = line[
+        (line["l_shipdate"] >= "1995-09-01")
+        & (line["l_shipdate"] < "1995-10-01")
+    ].merge(part, left_on="l_partkey", right_on="p_partkey")
+    rev = win["l_extendedprice"] * (1 - win["l_discount"])
+    exp = 100.0 * rev[win["p_type"] == "PROMO"].sum() / rev.sum()
+    assert abs(got["promo_revenue"].iloc[0] - exp) < 5e-5  # ROUND(.., 4)
+
+
+def test_tpch_q22_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q22
+
+    cust, orders, _, _ = _tables(tmp_path)
+    got = (
+        q_tpch_q22(str(tmp_path)).to_pandas()
+        .sort_values("c_nationkey").reset_index(drop=True)
+    )
+    pos = cust.loc[cust["c_acctbal"] > 0, "c_acctbal"]
+    thr = pos.sum() / len(pos)
+    urgent = set(
+        orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_custkey"]
+    )
+    keep = cust[
+        (cust["c_acctbal"] > thr) & ~cust["c_custkey"].isin(urgent)
+    ]
+    exp = (
+        keep.groupby("c_nationkey")
+        .agg(numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum"))
+        .reset_index().sort_values("c_nationkey").reset_index(drop=True)
+    )
+    assert len(keep) > 0  # synthetic data exercises the anti-join keep side
+    assert got["c_nationkey"].tolist() == exp["c_nationkey"].tolist()
+    assert got["numcust"].tolist() == exp["numcust"].tolist()
+    np.testing.assert_allclose(
+        got["totacctbal"].to_numpy(), exp["totacctbal"].to_numpy(),
+        atol=0.005,
+    )
