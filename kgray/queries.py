@@ -4045,6 +4045,95 @@ GROUP BY 1
 """
 
 
+def q_events_conversion_lag(sf_dir: str):
+    """First-view -> first-subsequent-purchase lag per user: every row
+    of a user lands in one coarse bucket (ONE cogroup shuffle), then the
+    two mask+groupby-min passes and the subtraction run vectorized per
+    bucket.  Integer microsecond arithmetic end-to-end — bit-exact vs
+    the SQL epoch_us oracle."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        fv = (
+            df[df["event_type"] == "view"]
+            .groupby("user_id")["ts"].min().rename("fv")
+        )
+        p = df[df["event_type"] == "purchase"].merge(
+            fv, left_on="user_id", right_index=True
+        )
+        p = p[p["ts"] >= p["fv"]]
+        fp = p.groupby("user_id")["ts"].min()
+        lag = (
+            fp.to_numpy("datetime64[us]").astype(np.int64)
+            - fv.loc[fp.index].to_numpy("datetime64[us]").astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": fp.index.to_numpy(np.int64),
+                "lag_us": lag,
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_CONVERSION_LAG = """
+WITH f AS (SELECT user_id, MIN(ts) AS fv FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS fp
+      FROM events e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= f.fv GROUP BY 1)
+SELECT p.user_id, CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT) AS lag_us
+FROM p JOIN f USING (user_id)
+"""
+
+
+def q_events_moving_avg(sf_dir: str):
+    """Bounded-ROWS-frame window (AVG OVER ... ROWS 2 PRECEDING): user
+    cogroup, per-bucket mergesort on (user, ts, event_id) — the tiebreak
+    pins the frame deterministically — then the 3-row trailing mean via
+    two in-user shifts.  Summed in FRAME ORDER (oldest first) so the
+    float additions associate exactly like the window engine's running
+    sum; round_half_up(4) on both sides."""
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        v = df["value"].to_numpy(np.float64)
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        v1 = np.empty_like(v)
+        v2 = np.empty_like(v)
+        v1[1:], v1[:1] = v[:-1], 0.0
+        v2[2:], v2[:2] = v[:-2], 0.0
+        v1[pos < 1] = 0.0
+        v2[pos < 2] = 0.0
+        n = np.minimum(pos + 1, 3).astype(np.float64)
+        mov = ((v2 + v1) + v) / n
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "mov_avg": round_half_up(mov, 4),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS mov_avg
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4173,4 +4262,8 @@ CATALOG: dict[str, tuple] = {
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "events_conversion_lag": (
+        q_events_conversion_lag, SQL_EVENTS_CONVERSION_LAG
+    ),
+    "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
 }
