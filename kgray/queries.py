@@ -4134,6 +4134,124 @@ FROM events
 """
 
 
+def q_bigram_diff(sf_dir: str):
+    """Distributed set difference over n-grams: bigrams of the 'en'
+    slice absent from the 'zh' slice, with occurrence counts.  Both
+    sides explode vectorized (the shift-pair trick, no per-row python),
+    the en side folds through the combiner groupby so the anti-join
+    probes distinct grams (not occurrences), and semi_join's
+    broadcast/bloom gate picks the shuffle-free path for the small
+    distinct-gram set."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import semi_join
+    from kgray.ops.text import _explode_bigrams
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def grams(lang: str):
+        def apply(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["lang"], lang))
+            _, _, g, _, _ = _explode_bigrams(t["text"].to_pylist())
+            return pa.table({"bg": pa.array(g.tolist(), pa.string())})
+
+        return docs.map_batches(apply, batch_format="pyarrow")
+
+    en = pre_aggregate(grams("en"), ["bg"], {"n": (None, "count")})
+    return semi_join(en, grams("zh"), on="bg", anti=True)
+
+
+SQL_BIGRAM_DIFF = """
+WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT lang, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM (SELECT lang, toks, UNNEST(range(1, len(toks))) AS i FROM t)),
+zh AS (SELECT DISTINCT bg FROM g WHERE lang = 'zh')
+SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM g
+WHERE lang = 'en' AND bg NOT IN (SELECT bg FROM zh)
+GROUP BY 1
+"""
+
+
+def q_quality_rules(sf_dir: str):
+    """Composite Gopher-style quality gate: per-doc token count, mean
+    word length and top-word fraction computed in ONE stateless pass
+    (exploded-token pandas groupby per batch), each rule's fail count
+    pre-summed per batch, folded by a 3-row groupby.  All three
+    thresholds compare UNROUNDED integer-ratio doubles — division of
+    the same integers is bit-identical in numpy and DuckDB, so the
+    gate decisions match exactly."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        n = np.fromiter(
+            (len(t) for t in tok_lists), np.int64, len(tok_lists)
+        )
+        ch = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        flat = pd.DataFrame(
+            {
+                "i": np.repeat(np.arange(len(texts), dtype=np.int64), n),
+                "tok": np.concatenate(
+                    [np.asarray(t, object) for t in tok_lists]
+                ) if tok_lists else np.array([], object),
+            }
+        )
+        tf = flat.groupby(["i", "tok"], sort=False).size()
+        maxc = (
+            tf.groupby(level="i").max()
+            .reindex(np.arange(len(texts)), fill_value=0)
+            .to_numpy(np.int64)
+        )
+        mean_wl = (ch - (n - 1)) / n
+        top = maxc / n
+        fails = np.array(
+            [
+                int((n < 50).sum()),
+                int(((mean_wl < 3.0) | (mean_wl > 10.0)).sum()),
+                int((top > 0.2).sum()),
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["too_short", "word_len", "repetitive"], pa.string()
+                ),
+                "n_fail": pa.array(fails),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(Sum("n_fail", alias_name="n_fail"))
+    )
+
+
+SQL_QUALITY_RULES = """
+WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+           FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+mx AS (SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS n
+       FROM tf GROUP BY 1),
+m AS (SELECT mx.n, len(d.text) AS ch, mx.maxc
+      FROM documents d JOIN mx USING (doc_id))
+SELECT 'too_short' AS rule,
+       CAST(COUNT(*) FILTER (WHERE n < 50) AS BIGINT) AS n_fail FROM m
+UNION ALL
+SELECT 'word_len',
+       CAST(COUNT(*) FILTER (
+         WHERE (ch - (n - 1)) / CAST(n AS DOUBLE) < 3.0
+            OR (ch - (n - 1)) / CAST(n AS DOUBLE) > 10.0) AS BIGINT) FROM m
+UNION ALL
+SELECT 'repetitive',
+       CAST(COUNT(*) FILTER (
+         WHERE CAST(maxc AS DOUBLE) / n > 0.2) AS BIGINT) FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4266,4 +4384,6 @@ CATALOG: dict[str, tuple] = {
         q_events_conversion_lag, SQL_EVENTS_CONVERSION_LAG
     ),
     "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+    "bigram_diff": (q_bigram_diff, SQL_BIGRAM_DIFF),
+    "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
 }
