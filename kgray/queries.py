@@ -4252,6 +4252,112 @@ SELECT 'repetitive',
 """
 
 
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair mining (co-purchase support): all rows of an
+    order land in one coarse bucket (ONE cogroup shuffle), the
+    within-order pair expansion is a vectorized pandas self-merge per
+    bucket (baskets average ~4 items, so the blowup is bounded by
+    max-basket-size squared, not bucket size), pair partials fold
+    through the combiner groupby, and the top-20 by support takes the
+    global sort on the already-tiny distinct-pair table."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return out.rename(columns={"l_partkey_x": "p1",
+                                   "l_partkey_y": "p2"})
+
+    pairs = grouped_map(line, "l_orderkey", per_bucket)
+
+    # pair keys are near-unique (most supports are 1), so a row-level
+    # groupby.aggregate fold can't compress — the Q18 lesson.  Instead
+    # cogroup on p1 (a pair lives entirely in one bucket), fold AND
+    # take the local top-20 there, and globally sort only B x 20 rows.
+    def fold_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby(["p1", "p2"], sort=False)["n"].sum()
+            .rename("n_orders").reset_index()
+        )
+        return c.sort_values(
+            ["n_orders", "p1", "p2"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(20)
+
+    top = grouped_map(pairs, "p1", fold_topk)
+    return top.sort(
+        ["n_orders", "p1", "p2"], descending=[True, False, False]
+    ).limit(20)
+
+
+SQL_BASKET_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+s AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM p GROUP BY 1, 2)
+SELECT p1, p2, n_orders FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_orders DESC, p1, p2) AS r
+  FROM s)
+WHERE r <= 20
+"""
+
+
+def q_events_decay_sum(sf_dir: str):
+    """Recency-weighted (exponential time-decay) per-user value sum —
+    the freshness-scoring aggregate.  Day deltas are exact integers, the
+    decay weight is memoized C-libm math.exp over the <=1000 distinct
+    deltas (numpy's vectorized exp drifts one ulp off DuckDB's
+    std::exp, same story as the tf-idf ln), and the weighted values
+    fold through the combiner groupby."""
+    import math
+
+    from kgray.ops.agg import pre_aggregate
+
+    anchor = np.datetime64("2024-03-01")
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def weight(batch: pa.Table) -> pa.Table:
+        days = (
+            anchor - batch["ts"].to_numpy().astype("datetime64[D]")
+        ).astype(np.int64)
+        uniq, inv = np.unique(days, return_inverse=True)
+        w = np.array([math.exp(-d / 7.0) for d in uniq], np.float64)[inv]
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "wv": pa.array(
+                    batch["value"].to_numpy() * w, pa.float64()
+                ),
+            }
+        )
+
+    ds = pre_aggregate(
+        ev.map_batches(weight, batch_format="pyarrow"),
+        ["user_id"],
+        {"decay_sum": ("wv", "sum")},
+    )
+    return _round_col(ds, "decay_sum", 4)
+
+
+SQL_EVENTS_DECAY_SUM = """
+SELECT user_id,
+       ROUND(SUM(value * exp(-CAST(date_diff('day', CAST(ts AS DATE),
+                                   DATE '2024-03-01') AS DOUBLE) / 7.0)),
+             4) AS decay_sum
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4386,4 +4492,6 @@ CATALOG: dict[str, tuple] = {
     "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
     "bigram_diff": (q_bigram_diff, SQL_BIGRAM_DIFF),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
+    "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "events_decay_sum": (q_events_decay_sum, SQL_EVENTS_DECAY_SUM),
 }
