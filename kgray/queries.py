@@ -4358,6 +4358,116 @@ FROM events GROUP BY 1
 """
 
 
+def q_doclen_ntile(sf_dir: str):
+    """Distributed NTILE(4) over a global (n_chars, doc_id) order — the
+    equal-frequency binning window.  Global rank decomposes into a
+    value-histogram base (combiner fold over distinct n_chars — a
+    metadata-scale table broadcast by closure) plus an in-value tie
+    rank from ONE n_chars-keyed cogroup; the NTILE uneven-bucket
+    arithmetic is exact integer math on the rank."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = (
+        pre_aggregate(docs, ["n_chars"], {"c": (None, "count")})
+        .to_pandas().sort_values("n_chars")
+    )
+    base = dict(
+        zip(
+            hist["n_chars"].to_numpy(),
+            np.concatenate([[0], np.cumsum(hist["c"].to_numpy())[:-1]]),
+        )
+    )
+    total = int(hist["c"].sum())
+    k = 4
+    q, rem = divmod(total, k)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        tie = df.groupby("n_chars", sort=False).cumcount().to_numpy()
+        r = df["n_chars"].map(base).to_numpy(np.int64) + tie
+        cut = rem * (q + 1)
+        tile = np.where(
+            r < cut, r // max(q + 1, 1) + 1, rem + (r - cut) // max(q, 1) + 1
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "tile": tile.astype(np.int64),
+            }
+        )
+
+    return grouped_map(docs, "n_chars", per_bucket)
+
+
+SQL_DOCLEN_NTILE = """
+SELECT doc_id,
+       CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+"""
+
+
+def q_users_copurchase(sf_dir: str):
+    """Co-occurrence similarity join: user pairs purchasing in the same
+    hour at least twice.  Distinct (hour, user) pairs fold per batch
+    first, the hour cogroup expands pairs with a vectorized self-merge
+    (hour cohorts are bounded, so the quadratic stays local), and the
+    near-unique pair keys fold inside a u1-keyed cogroup (the Q18
+    lesson: a row-level groupby can't compress unique keys) with the
+    support filter applied in-bucket."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def hour_user(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table(
+            {
+                "hr": pc.strftime(t["ts"], "%Y-%m-%d %H"),
+                "user_id": t["user_id"],
+            }
+        )
+
+    hu = pre_aggregate(
+        ev.map_batches(hour_user, batch_format="pyarrow"),
+        ["hr", "user_id"],
+        {"c": (None, "count")},
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["hr", "user_id"]]
+        m = d.merge(d, on="hr")
+        m = m[m["user_id_x"] < m["user_id_y"]]
+        out = (
+            m.groupby(["user_id_x", "user_id_y"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return out.rename(columns={"user_id_x": "u1", "user_id_y": "u2"})
+
+    partial = grouped_map(hu, "hr", pairs)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby(["u1", "u2"], sort=False)["n"].sum()
+            .rename("n_hours").reset_index()
+        )
+        return c[c["n_hours"] >= 2]
+
+    return grouped_map(partial, "u1", fold)
+
+
+SQL_USERS_COPURCHASE = """
+WITH p AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS hr, user_id
+           FROM events WHERE event_type = 'purchase')
+SELECT a.user_id AS u1, b.user_id AS u2,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM p a JOIN p b ON a.hr = b.hr AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4494,4 +4604,6 @@ CATALOG: dict[str, tuple] = {
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
     "events_decay_sum": (q_events_decay_sum, SQL_EVENTS_DECAY_SUM),
+    "doclen_ntile": (q_doclen_ntile, SQL_DOCLEN_NTILE),
+    "users_copurchase": (q_users_copurchase, SQL_USERS_COPURCHASE),
 }
