@@ -4468,6 +4468,121 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+def q_orders_upsert(sf_dir: str):
+    """SCD-1 upsert / compaction merge: a deterministic delta (updates
+    for keys %10, inserts shifted by 1e6 for keys %17) unions with the
+    base and latest-version-per-key wins inside ONE key cogroup — the
+    lakehouse MERGE INTO shape.  No driver materialization: the delta
+    derives per batch from the same pruned read."""
+    from kgray.util import grouped_map, round_half_up
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "v", pa.array(np.zeros(len(batch), np.int64))
+        )
+
+    def make_delta(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        price = batch["o_totalprice"].to_numpy()
+        ins = k % 17 == 0
+        upd = k % 10 == 0
+        return pa.table(
+            {
+                "o_orderkey": np.concatenate([k[ins] + 1_000_000, k[upd]]),
+                "o_totalprice": np.concatenate(
+                    [price[ins], price[upd] + 100.0]
+                ),
+                "o_orderstatus": pa.array(
+                    ["N"] * int(ins.sum()) + ["U"] * int(upd.sum()),
+                    pa.string(),
+                ),
+                "v": np.ones(int(ins.sum()) + int(upd.sum()), np.int64),
+            }
+        )
+
+    merged = base.map_batches(tag_base, batch_format="pyarrow").union(
+        base.map_batches(make_delta, batch_format="pyarrow")
+    )
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderkey", "v"], kind="mergesort")
+        keep = df.groupby("o_orderkey", sort=False).tail(1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": round_half_up(
+                    keep["o_totalprice"].to_numpy(np.float64), 2
+                ),
+                "o_orderstatus": keep["o_orderstatus"].to_numpy(),
+            }
+        )
+
+    return grouped_map(merged, "o_orderkey", latest)
+
+
+SQL_ORDERS_UPSERT = """
+WITH delta AS (
+  SELECT o_orderkey + 1000000 AS o_orderkey, o_totalprice,
+         'N' AS o_orderstatus, 1 AS v
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 100, 'U', 1
+  FROM orders WHERE o_orderkey % 10 = 0),
+all_rows AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS v FROM orders
+  UNION ALL SELECT * FROM delta)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderstatus
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY v DESC) AS r
+      FROM all_rows)
+WHERE r = 1
+"""
+
+
+def q_events_out_of_order(sf_dir: str):
+    """Late-data audit (streaming watermark health): per user, how many
+    events arrived (in event_id order) with a timestamp behind the
+    running max — a shifted cumulative-max window computed vectorized
+    per user bucket on exact integer microseconds."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        g = df.assign(_ts=ts).groupby("user_id", sort=False)
+        prev = g["_ts"].cummax().shift(1).to_numpy()
+        first = g.cumcount().to_numpy() == 0
+        late = ~first & (ts < np.where(first, ts, prev))
+        out = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "l": late})
+            .groupby("user_id", sort=False)["l"].sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(np.int64),
+                "n_late": out.to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_OUT_OF_ORDER = """
+SELECT user_id, CAST(COUNT(*) FILTER (WHERE ts < mx) AS BIGINT) AS n_late
+FROM (SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mx
+      FROM events)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4606,4 +4721,8 @@ CATALOG: dict[str, tuple] = {
     "events_decay_sum": (q_events_decay_sum, SQL_EVENTS_DECAY_SUM),
     "doclen_ntile": (q_doclen_ntile, SQL_DOCLEN_NTILE),
     "users_copurchase": (q_users_copurchase, SQL_USERS_COPURCHASE),
+    "orders_upsert": (q_orders_upsert, SQL_ORDERS_UPSERT),
+    "events_out_of_order": (
+        q_events_out_of_order, SQL_EVENTS_OUT_OF_ORDER
+    ),
 }
