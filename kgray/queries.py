@@ -4583,6 +4583,168 @@ GROUP BY 1
 """
 
 
+def q_top_supplier_per_nation(sf_dir: str):
+    """Argmax-with-row-recovery (TPC-H Q2's core shape): per-group max
+    folds through the combiner to a nation-sized table (broadcast by
+    closure), the winning rows filter shuffle-free inside map_batches
+    (float equality on UNTOUCHED values — no arithmetic, so bit-exact),
+    and the min-suppkey tiebreak is a second metadata-scale fold."""
+    from kgray.ops.agg import pre_aggregate
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    mx = pre_aggregate(
+        sup, ["s_nationkey"], {"mx": ("s_acctbal", "max")}
+    ).to_pandas()
+    mx_of = dict(zip(mx["s_nationkey"].tolist(), mx["mx"].tolist()))
+
+    def winners(batch: pa.Table) -> pa.Table:
+        nat = batch["s_nationkey"].to_numpy()
+        bal = batch["s_acctbal"].to_numpy()
+        keep = bal == np.array([mx_of[n] for n in nat], np.float64)
+        return batch.filter(pa.array(keep))
+
+    won = sup.map_batches(winners, batch_format="pyarrow")
+    tie = pre_aggregate(
+        won, ["s_nationkey"], {"s_suppkey": ("s_suppkey", "min")}
+    ).to_pandas()
+    pick = set(tie["s_suppkey"].tolist())
+
+    final = sup.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["s_suppkey"], value_set=pa.array(sorted(pick)))
+        ),
+        batch_format="pyarrow",
+    )
+    return _round_col(final, "s_acctbal", 2)
+
+
+SQL_TOP_SUPPLIER_PER_NATION = """
+SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC, s_suppkey)
+        AS r
+      FROM supplier)
+WHERE r = 1
+"""
+
+
+def q_user_type_profile(sf_dir: str):
+    """Ordered STRING_AGG feature assembly: per user, event types joined
+    by frequency rank (count desc, name asc).  Counts fold through the
+    combiner on the composite key, then ONE user cogroup assembles the
+    profile strings — the string join runs over the tiny per-user
+    ranked lists, not the raw events."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = pre_aggregate(
+        ev, ["user_id", "event_type"], {"c": (None, "count")}
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "c", "event_type"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        prof = df.groupby("user_id", sort=False)["event_type"].agg(
+            ",".join
+        )
+        return pd.DataFrame(
+            {
+                "user_id": prof.index.to_numpy(np.int64),
+                "profile": prof.to_numpy(),
+            }
+        )
+
+    return grouped_map(counts, "user_id", per_bucket)
+
+
+SQL_USER_TYPE_PROFILE = """
+WITH t AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
+           GROUP BY 1, 2)
+SELECT user_id,
+       STRING_AGG(event_type, ',' ORDER BY c DESC, event_type) AS profile
+FROM t GROUP BY 1
+"""
+
+
+def q_events_distinct_bitmap(sf_dir: str):
+    """Exact distinct count via BITMAP OR-fold (the roaring-bitmap
+    mechanism): each batch packs its distinct (type, user-chunk) ids
+    into 8 KB bit words, the shuffle moves only the nonzero chunks
+    (bounded by id-domain/65536 per type, not by row count), the
+    chunk cogroup ORs and popcounts, and a final metadata-scale fold
+    sums per type.  The scale alternative to a raw COUNT DISTINCT
+    shuffle when ids are dense integers."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    CHUNK_BITS = 16
+    WORDS = (1 << CHUNK_BITS) >> 6
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "t": batch["event_type"].to_numpy(zero_copy_only=False),
+                "u": batch["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        df["chunk"] = df["u"].to_numpy() >> CHUNK_BITS
+        tcs, types, bms = [], [], []
+        for (t, ch), g in df.groupby(["t", "chunk"], sort=False):
+            words = np.zeros(WORDS, np.uint64)
+            off = (
+                g["u"].to_numpy() & ((1 << CHUNK_BITS) - 1)
+            ).astype(np.uint64)
+            np.bitwise_or.at(
+                words, (off >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (off & np.uint64(63)),
+            )
+            tcs.append(f"{t}:{ch}")
+            types.append(t)
+            bms.append(words.tobytes())
+        return pa.table(
+            {
+                "tc": pa.array(tcs, pa.string()),
+                "event_type": pa.array(types, pa.string()),
+                "bm": pa.array(bms, pa.binary()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_n = [], []
+        for tc, g in df.groupby("tc", sort=False):
+            acc = np.zeros(WORDS, np.uint64)
+            for b in g["bm"]:
+                acc |= np.frombuffer(b, np.uint64)
+            n = int(np.unpackbits(acc.view(np.uint8)).sum())
+            out_t.append(g["event_type"].iloc[0])
+            out_n.append(n)
+        return pd.DataFrame(
+            {
+                "event_type": out_t,
+                "n_users": np.array(out_n, np.int64),
+            }
+        )
+
+    partial_counts = grouped_map(parts, "tc", fold)
+    return pre_aggregate(
+        partial_counts, ["event_type"], {"n_users": ("n_users", "sum")}
+    )
+
+
+SQL_EVENTS_DISTINCT_BITMAP = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4724,5 +4886,12 @@ CATALOG: dict[str, tuple] = {
     "orders_upsert": (q_orders_upsert, SQL_ORDERS_UPSERT),
     "events_out_of_order": (
         q_events_out_of_order, SQL_EVENTS_OUT_OF_ORDER
+    ),
+    "top_supplier_per_nation": (
+        q_top_supplier_per_nation, SQL_TOP_SUPPLIER_PER_NATION
+    ),
+    "user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
+    "events_distinct_bitmap": (
+        q_events_distinct_bitmap, SQL_EVENTS_DISTINCT_BITMAP
     ),
 }
