@@ -4745,6 +4745,130 @@ FROM events GROUP BY 1
 """
 
 
+def _skyline2d(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D Pareto frontier (minimize p_retailprice, maximize p_size)
+    with NOT-EXISTS strict-domination semantics: duplicates of a
+    frontier cell all survive.  Sort by (price asc, size desc); a row
+    survives iff its size equals its price-group max AND strictly
+    exceeds the running max over cheaper prices."""
+    if not len(df):
+        return df
+    df = df.sort_values(["p_retailprice", "p_size"],
+                        ascending=[True, False], kind="mergesort")
+    size = df["p_size"].to_numpy(np.int64)
+    grp_max = df.groupby("p_retailprice", sort=False)["p_size"].transform(
+        "max"
+    ).to_numpy(np.int64)
+    # best size among strictly-cheaper price groups: cummax of the
+    # per-group maxima, shifted by one group
+    gm = df.groupby("p_retailprice", sort=False)["p_size"].max()
+    gcum = np.concatenate(
+        [[np.iinfo(np.int64).min],
+         np.maximum.accumulate(gm.to_numpy(np.int64))[:-1]]
+    )
+    prev_best = df["p_retailprice"].map(
+        dict(zip(gm.index.to_numpy(), gcum))
+    ).to_numpy(np.int64)
+    keep = (size == grp_max) & (size > prev_best)
+    return df[keep]
+
+
+def q_pareto_parts(sf_dir: str):
+    """Distributed Pareto skyline (cheapest-per-size frontier): each
+    block computes its LOCAL skyline (any global frontier point is
+    locally non-dominated, so local filtering is lossless), survivors
+    are frontier-sized (O(log n) expected for independent dims), and
+    the exact global skyline runs once over that tiny union."""
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_retailprice", "p_size"])
+    local = parts.map_batches(
+        lambda b: pa.Table.from_pandas(
+            _skyline2d(b.to_pandas()), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+    survivors = local.to_pandas()
+    out = _skyline2d(survivors).sort_values("p_partkey")
+    from kgray.util import round_half_up
+
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+            "p_retailprice": pa.array(
+                round_half_up(out["p_retailprice"].to_numpy(np.float64), 2)
+            ),
+            "p_size": pa.array(out["p_size"].to_numpy(np.int32),
+                               pa.int32()),
+        }
+    )
+
+
+SQL_PARETO_PARTS = """
+SELECT p_partkey, ROUND(p_retailprice, 2) AS p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q_events_adoption(sf_dir: str):
+    """Expanding-distinct window (feature-adoption curve): per active
+    (user, day), how many distinct event types the user has seen so
+    far.  First-occurrence days and active days both reduce inside one
+    user cogroup; the cumulative count attaches with a vectorized
+    per-bucket merge_asof — no inequality join ships over the wire."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            d=df["ts"].to_numpy("datetime64[us]").astype("datetime64[D]")
+        )
+        first = (
+            df.groupby(["user_id", "event_type"], sort=False)["d"].min()
+            .reset_index().sort_values(["user_id", "d"], kind="mergesort")
+        )
+        first["n_types"] = (
+            first.groupby("user_id", sort=False).cumcount() + 1
+        )
+        # a user can adopt several types the same day: keep the day's max
+        cum = (
+            first.groupby(["user_id", "d"], sort=False)["n_types"].max()
+            .reset_index()
+        )
+        days = (
+            df[["user_id", "d"]].drop_duplicates()
+            .sort_values("d", kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            days, cum.sort_values("d", kind="mergesort"),
+            on="d", by="user_id", direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": merged["user_id"].to_numpy(np.int64),
+                "day": merged["d"].dt.strftime("%Y-%m-%d").to_numpy(),
+                "n_types": merged["n_types"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_ADOPTION = """
+WITH f AS (SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS d
+           FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT days.user_id, strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM days JOIN f ON f.user_id = days.user_id AND f.d <= days.d
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4894,4 +5018,6 @@ CATALOG: dict[str, tuple] = {
     "events_distinct_bitmap": (
         q_events_distinct_bitmap, SQL_EVENTS_DISTINCT_BITMAP
     ),
+    "pareto_parts": (q_pareto_parts, SQL_PARETO_PARTS),
+    "events_adoption": (q_events_adoption, SQL_EVENTS_ADOPTION),
 }
