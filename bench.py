@@ -72,6 +72,11 @@ SUITE = [
     # entries exclude them)
     "events_retention",
     "orders_large_baskets",
+    # post-final round-3: left-join count distribution (Q13) and
+    # market-basket pair mining (order cogroup + p1-bucket top-k fold);
+    # suite totals before these two entries exclude them
+    "tpch_q13",
+    "basket_pairs",
 ]
 
 
