@@ -4869,6 +4869,129 @@ GROUP BY 1, 2
 """
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase credits the user's latest
+    prior click WITHIN ONE DAY (the as-of cogroup + an exact integer-us
+    tolerance filter), revenue then folds per attributed click hour.
+    Hour-grain output is tie-insensitive: simultaneous clicks share the
+    timestamp, so whichever the as-of picks, the credited hour and the
+    summed value are identical."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def side(event_type, cols):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], event_type))
+            return pa.table({out: t[src] for src, out in cols})
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    purchases = side("purchase", [("user_id", "user_id"), ("ts", "ts"),
+                                  ("value", "value")])
+    clicks = side("click", [("user_id", "user_id"), ("ts", "cts")])
+    joined = asof_join(purchases, clicks, key="user_id", time_col="ts",
+                       right_time_col="cts")
+
+    def window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["cts"].notna()]
+        gap = (
+            df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            - df["cts"].to_numpy("datetime64[us]").astype(np.int64)
+        )
+        df = df[gap <= 86_400_000_000]
+        return pa.table(
+            {
+                "hour": pa.array(
+                    df["cts"].dt.strftime("%Y-%m-%d %H").to_numpy(),
+                    pa.string(),
+                ),
+                "value": pa.array(df["value"].to_numpy(np.float64)),
+            }
+        )
+
+    agg = pre_aggregate(
+        joined.map_batches(window, batch_format="pyarrow"),
+        ["hour"],
+        {"n_purchases": (None, "count"),
+         "attributed_value": ("value", "sum")},
+    )
+    return _round_col(agg, "attributed_value", 4)
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH cl AS (SELECT user_id, ts AS cts FROM events
+            WHERE event_type = 'click'),
+pu AS (SELECT user_id, ts AS pts, value FROM events
+       WHERE event_type = 'purchase'),
+m AS (SELECT pu.value, cl.cts
+      FROM pu ASOF JOIN cl
+        ON pu.user_id = cl.user_id AND pu.pts >= cl.cts
+      WHERE epoch_us(pu.pts) - epoch_us(cl.cts) <= 86400000000)
+SELECT strftime(cts, '%Y-%m-%d %H') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 4) AS attributed_value
+FROM m GROUP BY 1
+"""
+
+
+def q_embed_drift(sf_dir: str):
+    """Vector-window drift: cosine similarity of each embedding to its
+    predecessor (vec_id - 1) — the sequence-drift monitor for embedding
+    pipelines.  The predecessor attaches via ONE bucket cogroup on a
+    shifted key (vec_id == prev + 1); the cosine is a float64 row-wise
+    kernel over the two list columns, rounded 4 like the knn oracles."""
+    from kgray.util import grouped_map, round_half_up
+
+    W = 4096  # id-range block: a pair (i-1, i) always shares a block
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # Arrow's in-bucket join rejects list payload columns, so the
+        # predecessor meets its successor by RANGE-bucketing vec_id//W
+        # and duplicating each block's first id (vid % W == 0) into the
+        # previous block — every consecutive pair co-locates exactly once
+        vid = batch["vec_id"].to_numpy()
+        extra = np.nonzero(vid % W == 0)[0]
+        idx = np.concatenate([np.arange(len(vid)), extra])
+        out = batch.take(pa.array(idx, pa.int64()))
+        blk = np.concatenate([vid // W, vid[extra] // W - 1])
+        return out.append_column("blk", pa.array(blk, pa.int64()))
+
+    tagged = emb.map_batches(tag, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["blk", "vec_id"], kind="mergesort")
+        vid = df["vec_id"].to_numpy(np.int64)
+        blk = df["blk"].to_numpy(np.int64)
+        if not len(df):
+            return pd.DataFrame({"vec_id": vid, "cos": np.array([])})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        pair = np.zeros(len(df), bool)
+        pair[1:] = (blk[1:] == blk[:-1]) & (vid[1:] == vid[:-1] + 1)
+        a, b = m[pair], m[np.roll(pair, -1)]
+        num = (a * b).sum(axis=1)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        c = num / np.where(den == 0, 1, den)
+        return pd.DataFrame(
+            {"vec_id": vid[pair], "cos": round_half_up(c, 4)}
+        )
+
+    return grouped_map(tagged, "blk", per_bucket)
+
+
+SQL_EMBED_DRIFT = """
+SELECT a.vec_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])),
+             4) AS cos
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5020,4 +5143,6 @@ CATALOG: dict[str, tuple] = {
     ),
     "pareto_parts": (q_pareto_parts, SQL_PARETO_PARTS),
     "events_adoption": (q_events_adoption, SQL_EVENTS_ADOPTION),
+    "events_attribution": (q_events_attribution, SQL_EVENTS_ATTRIBUTION),
+    "embed_drift": (q_embed_drift, SQL_EMBED_DRIFT),
 }
