@@ -4992,6 +4992,196 @@ FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
 """
 
 
+def q_part_name_fuzzy_pairs(sf_dir: str):
+    """Blocked fuzzy self-join (entity-resolution shape): the corpus
+    first collapses to its DISTINCT name vocabulary (combiner fold —
+    the scale step: candidate generation runs on names, never rows),
+    blocks on the trailing token, and the in-block pair expansion is
+    filtered by the VECTORIZED Levenshtein DP (ops/fuzzy.py) at
+    distance <= 2.  The blocking key is part of the op's contract and
+    appears in the oracle too."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.fuzzy import levenshtein_batch
+    from kgray.util import grouped_map
+
+    names = pre_aggregate(
+        _read(sf_dir, "part", ["p_name"]), ["p_name"],
+        {"c": (None, "count")},
+    )
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        nm = batch["p_name"].to_pylist()
+        return pa.table(
+            {
+                "p_name": batch["p_name"],
+                "blk": pa.array(
+                    [s.rsplit(" ", 1)[-1] for s in nm], pa.string()
+                ),
+            }
+        )
+
+    blocked = names.map_batches(add_block, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["blk", "p_name"]]
+        m = d.merge(d, on="blk")
+        m = m[m["p_name_x"] < m["p_name_y"]]
+        dist = levenshtein_batch(
+            m["p_name_x"].tolist(), m["p_name_y"].tolist()
+        )
+        keep = dist <= 2
+        return pd.DataFrame(
+            {
+                "name_a": m["p_name_x"].to_numpy()[keep],
+                "name_b": m["p_name_y"].to_numpy()[keep],
+                "dist": dist[keep],
+            }
+        )
+
+    return grouped_map(blocked, "blk", pairs)
+
+
+SQL_PART_NAME_FUZZY_PAIRS = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM n a JOIN n b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q_orders_weekly_growth(sf_dir: str):
+    """Aggregate-then-window: weekly revenue folds through the combiner
+    (the only row-scale pass), then the week-over-week percent change
+    runs as a LAG window on the metadata-scale weekly series."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def week(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wk": pc.strftime(batch["o_orderdate"], "%Y-%W"),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    weekly = pre_aggregate(
+        orders.map_batches(week, batch_format="pyarrow"),
+        ["wk"], {"revenue": ("o_totalprice", "sum")},
+    ).to_pandas().sort_values("wk").reset_index(drop=True)
+    rev = weekly["revenue"].to_numpy(np.float64)
+    growth = np.full(len(rev), np.nan)
+    if len(rev) > 1:
+        growth[1:] = 100.0 * (rev[1:] - rev[:-1]) / rev[:-1]
+    return pa.table(
+        {
+            "wk": pa.array(weekly["wk"].to_numpy(), pa.string()),
+            "revenue": pa.array(round_half_up(rev, 2), pa.float64()),
+            "growth_pct": pa.array(round_half_up(growth, 4),
+                                   pa.float64()),
+        }
+    )
+
+
+SQL_ORDERS_WEEKLY_GROWTH = """
+WITH w AS (SELECT strftime(o_orderdate, '%Y-%W') AS wk,
+                  SUM(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+SELECT wk, ROUND(rev, 2) AS revenue,
+       ROUND(100.0 * (rev - LAG(rev) OVER (ORDER BY wk))
+             / LAG(rev) OVER (ORDER BY wk), 4) AS growth_pct
+FROM w
+"""
+
+
+def q_join_stats(sf_dir: str):
+    """Join-cardinality audit (the optimizer-statistics op): distinct
+    keys per side, actual join cardinality, and the independence
+    estimate |L|*|R|/max(ndv) — all exact integers from combiner folds,
+    the actual cardinality from per-key count partials multiplied in a
+    tiny cogroup (orders x customer on custkey)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join
+
+    o = pre_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
+        {"n_o": (None, "count")},
+    )
+    c = pre_aggregate(
+        _read(sf_dir, "customer", ["c_custkey"]), ["c_custkey"],
+        {"n_c": (None, "count")},
+    )
+    # ONE full-outer cogroup yields every statistic in a single pass:
+    # per-key row counts multiply for the actual cardinality, null
+    # sides mark keys private to one input, sums recover row counts
+    j = bucket_join(o, c, on="o_custkey", right_on="c_custkey",
+                    how="outer")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        no = pc.fill_null(batch["n_o"], 0)
+        nc = pc.fill_null(batch["n_c"], 0)
+
+        def s(col):
+            return pa.array([pc.sum(col).as_py() or 0], pa.int64())
+
+        return pa.table(
+            {
+                "rows_actual": s(pc.multiply(no, nc)),
+                "n_left": s(no),
+                "n_right": s(nc),
+                "ndv_left": pa.array(
+                    [pc.sum(pc.cast(pc.greater(no, 0), pa.int64()))
+                     .as_py() or 0], pa.int64()
+                ),
+                "ndv_right": pa.array(
+                    [pc.sum(pc.cast(pc.greater(nc, 0), pa.int64()))
+                     .as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = j.map_batches(fold, batch_format="pyarrow").to_pandas()
+    rows_actual = int(parts["rows_actual"].sum())
+    n_left = int(parts["n_left"].sum())
+    n_right = int(parts["n_right"].sum())
+    ndv_left = int(parts["ndv_left"].sum())
+    ndv_right = int(parts["ndv_right"].sum())
+    est = (n_left * n_right) // max(ndv_left, ndv_right)
+    return pa.table(
+        {
+            "n_left": pa.array([n_left], pa.int64()),
+            "n_right": pa.array([n_right], pa.int64()),
+            "ndv_left": pa.array([ndv_left], pa.int64()),
+            "ndv_right": pa.array([ndv_right], pa.int64()),
+            "rows_actual": pa.array([rows_actual], pa.int64()),
+            "rows_est": pa.array([est], pa.int64()),
+        }
+    )
+
+
+SQL_JOIN_STATS = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_left,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_right,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         AS ndv_left,
+       (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+         AS ndv_right,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+         AS rows_actual,
+       CAST((SELECT COUNT(*) FROM orders)
+            * (SELECT COUNT(*) FROM customer)
+            // GREATEST(
+                (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                (SELECT COUNT(DISTINCT c_custkey) FROM customer))
+         AS BIGINT) AS rows_est
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5145,4 +5335,11 @@ CATALOG: dict[str, tuple] = {
     "events_adoption": (q_events_adoption, SQL_EVENTS_ADOPTION),
     "events_attribution": (q_events_attribution, SQL_EVENTS_ATTRIBUTION),
     "embed_drift": (q_embed_drift, SQL_EMBED_DRIFT),
+    "part_name_fuzzy_pairs": (
+        q_part_name_fuzzy_pairs, SQL_PART_NAME_FUZZY_PAIRS
+    ),
+    "orders_weekly_growth": (
+        q_orders_weekly_growth, SQL_ORDERS_WEEKLY_GROWTH
+    ),
+    "join_stats": (q_join_stats, SQL_JOIN_STATS),
 }
