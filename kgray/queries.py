@@ -4408,14 +4408,9 @@ FROM documents
 """
 
 
-def q_users_copurchase(sf_dir: str):
-    """Co-occurrence similarity join: user pairs purchasing in the same
-    hour at least twice.  Distinct (hour, user) pairs fold per batch
-    first, the hour cogroup expands pairs with a vectorized self-merge
-    (hour cohorts are bounded, so the quadratic stays local), and the
-    near-unique pair keys fold inside a u1-keyed cogroup (the Q18
-    lesson: a row-level groupby can't compress unique keys) with the
-    support filter applied in-bucket."""
+def _copurchase_pairs(sf_dir: str):
+    """Shared building block: user pairs purchasing in the same hour at
+    least twice (see q_users_copurchase for the dataflow notes)."""
     from kgray.ops.agg import pre_aggregate
     from kgray.util import grouped_map
 
@@ -4456,6 +4451,17 @@ def q_users_copurchase(sf_dir: str):
         return c[c["n_hours"] >= 2]
 
     return grouped_map(partial, "u1", fold)
+
+
+def q_users_copurchase(sf_dir: str):
+    """Co-occurrence similarity join: user pairs purchasing in the same
+    hour at least twice.  Distinct (hour, user) pairs fold per batch
+    first, the hour cogroup expands pairs with a vectorized self-merge
+    (hour cohorts are bounded, so the quadratic stays local), and the
+    near-unique pair keys fold inside a u1-keyed cogroup (the Q18
+    lesson: a row-level groupby can't compress unique keys) with the
+    support filter applied in-bucket."""
+    return _copurchase_pairs(sf_dir)
 
 
 SQL_USERS_COPURCHASE = """
@@ -5182,6 +5188,181 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_left,
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Filtered ANN (hard-negative mining for contrastive training):
+    for each query vector (vec_id < 5), the top-3 most-similar
+    embeddings with a DIFFERENT label.  The 5-row query matrix ships
+    once by closure; every batch computes float64 cosines against all
+    queries, masks same-label rows, and emits its LOCAL top-3 per
+    query; the global fold sorts only blocks x 15 candidate rows."""
+    from kgray.ops.similarity import _matrix
+    from kgray.util import grouped_map, round_half_up
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = emb.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], 5)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qlabels = qdf["label"].to_numpy()
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1, norms)
+        sims = m @ qm.T  # (n, 5)
+        labels = batch["label"].to_numpy()
+        vids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids)):
+            mask = (labels != qlabels[j]) & (vids != qids[j])
+            idx = np.nonzero(mask)[0]
+            s = sims[idx, j]
+            # deterministic top-3: sim desc, vec_id asc
+            order = np.lexsort((vids[idx], -s))[:3]
+            take = idx[order]
+            out_q.append(np.full(len(take), qids[j], np.int64))
+            out_v.append(vids[take])
+            out_s.append(s[order])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    cand = emb.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", "vec_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        top = df.groupby("query_id", sort=False).head(3)
+        return pd.DataFrame(
+            {
+                "query_id": top["query_id"].to_numpy(np.int64),
+                "vec_id": top["vec_id"].to_numpy(np.int64),
+                "sim": round_half_up(top["sim"].to_numpy(np.float64), 4),
+            }
+        )
+
+    return grouped_map(cand, "query_id", final)
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS sim
+      FROM embeddings e JOIN q
+        ON e.label <> q.ql AND e.vec_id <> q.query_id)
+SELECT query_id, vec_id, ROUND(sim, 4) AS sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS r
+      FROM s)
+WHERE r <= 3
+"""
+
+
+def q_users_bfs(sf_dir: str):
+    """Multi-source-free BFS (single-source shortest hops <= 3) over
+    the co-purchase graph: each round, the frontier bucket-joins the
+    symmetric edge table and an anti semi-join drops already-visited
+    nodes — the CC-loop shape with per-round distances.  The seed is
+    the smallest node with an edge (deterministic on both engines)."""
+    from kgray.ops.joins import bucket_join, semi_join
+
+    pairs = _copurchase_pairs(sf_dir).materialize()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [batch["u1"].combine_chunks().cast(pa.int64()),
+                     batch["u2"].combine_chunks().cast(pa.int64())]
+                ),
+                "b": pa.concat_arrays(
+                    [batch["u2"].combine_chunks().cast(pa.int64()),
+                     batch["u1"].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    seed = int(edges.min("a"))
+
+    import ray.data as rd
+
+    dist = rd.from_arrow(
+        pa.table({"node": pa.array([seed], pa.int64()),
+                  "dist": pa.array([0], pa.int64())})
+    ).materialize()
+    frontier = dist
+    for k in (1, 2, 3):
+        hop = bucket_join(
+            edges, frontier.select_columns(["node"]), on="a",
+            right_on="node", how="inner",
+        ).map_batches(
+            lambda t: pa.table({"node": pc_unique_sorted(t["b"])}),
+            batch_format="pyarrow",
+        )
+        new = semi_join(hop, dist, on="node", anti=True).map_batches(
+            lambda t, d=k: pa.table(
+                {
+                    "node": pc_unique_sorted(t["node"]),
+                    "dist": pa.array(
+                        np.full(len(pc_unique_sorted(t["node"])), d,
+                                np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # per-batch unique is not global: dedup across blocks
+        from kgray.ops.agg import pre_aggregate
+
+        new = pre_aggregate(
+            new, ["node"], {"dist": ("dist", "min")}
+        ).materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+    return dist
+
+
+def pc_unique_sorted(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as _pc
+
+    return _pc.unique(col)
+
+
+SQL_USERS_BFS = """
+WITH RECURSIVE p AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS hr, user_id
+           FROM events WHERE event_type = 'purchase'),
+pr AS (SELECT a.user_id AS u1, b.user_id AS u2
+       FROM p a JOIN p b ON a.hr = b.hr AND a.user_id < b.user_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT u1 AS a, u2 AS b FROM pr
+      UNION ALL SELECT u2, u1 FROM pr),
+seed AS (SELECT MIN(a) AS s FROM e),
+bfs AS (
+  SELECT s AS node, 0 AS d FROM seed
+  UNION ALL
+  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.node
+  WHERE bfs.d < 3
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5342,4 +5523,6 @@ CATALOG: dict[str, tuple] = {
         q_orders_weekly_growth, SQL_ORDERS_WEEKLY_GROWTH
     ),
     "join_stats": (q_join_stats, SQL_JOIN_STATS),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "users_bfs": (q_users_bfs, SQL_USERS_BFS),
 }
