@@ -5363,6 +5363,170 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY 1
 """
 
 
+def q_events_drawdown(sf_dir: str):
+    """Running-max drawdown per user (the monitoring/finance window):
+    min(value - running max) over (ts, event_id) order.  One user
+    cogroup; the running max is a per-user groupby cummax and the
+    output is exact float subtraction + MIN — no arithmetic that could
+    drift, so no rounding is needed for oracle parity."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        run = df.groupby("user_id", sort=False)["value"].cummax()
+        dd = df["value"].to_numpy(np.float64) - run.to_numpy(np.float64)
+        out = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "dd": dd})
+            .groupby("user_id", sort=False)["dd"].min()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(np.int64),
+                "max_drawdown": out.to_numpy(np.float64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_DRAWDOWN = """
+SELECT user_id, MIN(value - run_max) AS max_drawdown
+FROM (SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_max
+      FROM events)
+GROUP BY 1
+"""
+
+
+def q_events_trigrams(sf_dir: str):
+    """Behavioral path mining: top-5 three-step event-type sequences
+    (per-user (ts, event_id) order), ties broken lexicographically.
+    The double shift-pairing runs vectorized inside ONE user cogroup,
+    trigram partials fold through the combiner (the trigram alphabet is
+    tiny — 125 keys — so groupby.aggregate compresses well here), and
+    the top-5 sorts a vocabulary-sized table."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        if len(df) < 3:
+            return pd.DataFrame({"path": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        path = pd.Series(et[:-2][same]).str.cat(
+            [pd.Series(et[1:-1][same]), pd.Series(et[2:][same])], sep=">"
+        )
+        out = path.value_counts()
+        return pd.DataFrame(
+            {"path": out.index.to_numpy(),
+             "n": out.to_numpy(np.int64)}
+        )
+
+    partial = grouped_map(ev, "user_id", per_bucket)
+    folded = pre_aggregate(partial, ["path"], {"n_paths": ("n", "sum")})
+    return folded.sort(
+        ["n_paths", "path"], descending=[True, False]
+    ).limit(5)
+
+
+SQL_EVENTS_TRIGRAMS = """
+WITH s AS (SELECT user_id, event_type,
+                  LAG(event_type, 1) OVER w AS p1,
+                  LAG(event_type, 2) OVER w AS p2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT p2 || '>' || p1 || '>' || event_type AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM s WHERE p2 IS NOT NULL GROUP BY 1)
+SELECT path, n_paths FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS r FROM t)
+WHERE r <= 5
+"""
+
+
+def q_events_seasonal_anomaly(sf_dir: str):
+    """Seasonal-baseline anomaly detection: per (date, hour-of-day)
+    event counts compared against that hour-of-day's cross-date mean
+    and std; emit cells beyond 2 sigma.  Counts fold through the
+    combiner; the 24-row baseline attaches by closure (aggregate ->
+    join-back-to-aggregate at a coarser grain, no second shuffle).
+    The z math follows the zscore-outliers formula for bit parity."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch["ts"], "%Y-%m-%d"),
+                "hod": pc.strftime(batch["ts"], "%H"),
+            }
+        )
+
+    cells = pre_aggregate(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        ["day", "hod"], {"n": (None, "count")},
+    ).materialize()
+
+    base = cells.to_pandas()  # (days x 24) rows: metadata-scale
+    g = base.groupby("hod")["n"]
+    stats = pd.DataFrame(
+        {"k": g.size(), "sv": g.sum(), "sq": (base["n"] ** 2).groupby(
+            base["hod"]).sum()}
+    )
+    mu = stats["sv"] / stats["k"]
+    sd = np.sqrt(np.maximum(stats["sq"] / stats["k"] - mu * mu, 0.0))
+    mu_of, sd_of = mu.to_dict(), sd.to_dict()
+
+    def flag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["hod"].map(mu_of).to_numpy(np.float64)
+        s = df["hod"].map(sd_of).to_numpy(np.float64)
+        z = (df["n"].to_numpy(np.float64) - m) / np.where(s == 0, 1, s)
+        keep = np.abs(z) > 2.0
+        return pa.table(
+            {
+                "day": pa.array(df["day"].to_numpy()[keep], pa.string()),
+                "hod": pa.array(df["hod"].to_numpy()[keep], pa.string()),
+                "z": pa.array(round_half_up(z[keep], 4), pa.float64()),
+            }
+        )
+
+    return cells.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_EVENTS_SEASONAL_ANOMALY = """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  strftime(ts, '%H') AS hod,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT hod, CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(SUM(n) AS DOUBLE) AS sv,
+             CAST(SUM(n * n) AS DOUBLE) AS sq
+      FROM c GROUP BY 1),
+t AS (SELECT hod, sv / k AS mu,
+             sqrt(GREATEST(sq / k - (sv / k) * (sv / k), 0)) AS sd
+      FROM b)
+SELECT day, c.hod,
+       ROUND((n - mu) / CASE WHEN sd = 0 THEN 1 ELSE sd END, 4) AS z
+FROM c JOIN t ON c.hod = t.hod
+WHERE abs((n - mu) / CASE WHEN sd = 0 THEN 1 ELSE sd END) > 2.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5525,4 +5689,9 @@ CATALOG: dict[str, tuple] = {
     "join_stats": (q_join_stats, SQL_JOIN_STATS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "users_bfs": (q_users_bfs, SQL_USERS_BFS),
+    "events_drawdown": (q_events_drawdown, SQL_EVENTS_DRAWDOWN),
+    "events_trigrams": (q_events_trigrams, SQL_EVENTS_TRIGRAMS),
+    "events_seasonal_anomaly": (
+        q_events_seasonal_anomaly, SQL_EVENTS_SEASONAL_ANOMALY
+    ),
 }
