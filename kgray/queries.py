@@ -5527,6 +5527,108 @@ WHERE abs((n - mu) / CASE WHEN sd = 0 THEN 1 ELSE sd END) > 2.0
 """
 
 
+def q_events_rfm(sf_dir: str):
+    """RFM customer segmentation (the classic marketing pipeline): ONE
+    combiner fold to per-user (recency, frequency, monetary), three
+    exact rank-quantile cuts over the user-scale table (distinct-value
+    histogram folds — never row-scale on the driver), then a stateless
+    quartile-code assignment and a tiny per-code fold.  Quartile digit
+    = 1 + (> p25) + (> p50) + (> p75): deterministic under ties, same
+    closed form in the oracle."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.sample import rank_quantiles
+
+    anchor_day = np.datetime64("2024-03-01").astype("datetime64[D]")
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy().astype("datetime64[D]")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "dayidx": pa.array(
+                    day.astype(np.int64), pa.int64()
+                ),
+                "value": batch["value"],
+            }
+        )
+
+    users = pre_aggregate(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        ["user_id"],
+        {"last_day": ("dayidx", "max"), "freq": (None, "count"),
+         "monetary": ("value", "sum")},
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "recency": pc.subtract(
+                    pa.scalar(int(anchor_day.astype(np.int64))),
+                    b["last_day"],
+                ),
+                "freq": b["freq"],
+                "monetary": b["monetary"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    cuts = {
+        dim: rank_quantiles(users, dim, [0.25, 0.50, 0.75])["value"]
+        .to_pylist()
+        for dim in ("recency", "freq", "monetary")
+    }
+
+    def code(batch: pa.Table) -> pa.Table:
+        def digit(col, qs):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            return (
+                1 + (v > qs[0]).astype(np.int64)
+                + (v > qs[1]).astype(np.int64)
+                + (v > qs[2]).astype(np.int64)
+            )
+
+        rfm = (
+            digit("recency", cuts["recency"]) * 100
+            + digit("freq", cuts["freq"]) * 10
+            + digit("monetary", cuts["monetary"])
+        )
+        return pa.table({"rfm_code": pa.array(rfm, pa.int64())})
+
+    coded = users.map_batches(code, batch_format="pyarrow")
+    return pre_aggregate(coded, ["rfm_code"],
+                         {"n_users": (None, "count")})
+
+
+SQL_EVENTS_RFM = """
+WITH u AS (SELECT user_id,
+             CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+                            DATE '2024-03-01') AS BIGINT) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(value) AS monetary
+           FROM events GROUP BY 1),
+q AS (SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY recency) AS r25,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY recency) AS r50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY recency) AS r75,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS f25,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY freq) AS f50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS f75,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m25,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS m50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m75
+      FROM u)
+SELECT CAST((1 + (recency > r25)::INT + (recency > r50)::INT
+               + (recency > r75)::INT) * 100
+          + (1 + (freq > f25)::INT + (freq > f50)::INT
+               + (freq > f75)::INT) * 10
+          + (1 + (monetary > m25)::INT + (monetary > m50)::INT
+               + (monetary > m75)::INT) AS BIGINT) AS rfm_code,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u, q GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5694,4 +5796,5 @@ CATALOG: dict[str, tuple] = {
     "events_seasonal_anomaly": (
         q_events_seasonal_anomaly, SQL_EVENTS_SEASONAL_ANOMALY
     ),
+    "events_rfm": (q_events_rfm, SQL_EVENTS_RFM),
 }
