@@ -5198,10 +5198,14 @@ def q_hard_negatives(sf_dir: str):
     from kgray.ops.similarity import _matrix
     from kgray.util import grouped_map, round_half_up
 
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    qdf = emb.map_batches(
-        lambda b: b.filter(pc.less(b["vec_id"], 5)),
-        batch_format="pyarrow",
+    qdf = rd.read_parquet(  # prune at the read: only the 5 query rows
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pds.field("vec_id") < 5,
     ).to_pandas().sort_values("vec_id")
     qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
