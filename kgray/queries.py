@@ -5633,6 +5633,272 @@ FROM u, q GROUP BY 1
 """
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top-10): both fact reads are
+    date-pruned at the parquet scan, the BUILDING customer-key set
+    gates orders via ``semi_join`` (auto broadcast/bloom), lineitem
+    and the surviving orders bucket-join on orderkey, and — because
+    the group key (orderkey) is near-unique, so a combiner cannot
+    compress the shuffle (the Q18 lesson) — the revenue fold runs
+    INSIDE the same coarse orderkey cogroup with an in-bucket top-10
+    (lossless for a global top-10); the driver folds buckets x 10
+    rows.  Ranking uses the ROUNDED revenue with orderkey tiebreak so
+    both engines order identically under float-sum ulp drift."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.joins import bucket_join, semi_join
+    from kgray.util import grouped_map, round_half_up
+
+    cutoff = datetime.datetime(1997, 1, 1)
+    building = _read(sf_dir, "customer",
+                     ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pds.field("o_orderdate") < cutoff,
+    )
+    orders = semi_join(orders, building, on="o_custkey",
+                       right_on="c_custkey")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_shipdate") > cutoff,
+    )
+    joined = bucket_join(
+        line,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.assign(rev=d["l_extendedprice"] * (1 - d["l_discount"]))
+        g = (
+            d.groupby("l_orderkey", sort=False)
+            .agg(revenue=("rev", "sum"), o_orderdate=("o_orderdate", "first"))
+            .reset_index()
+        )
+        g["revenue"] = round_half_up(g["revenue"].to_numpy(np.float64), 2)
+        g = g.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
+        g["o_orderdate"] = g["o_orderdate"].dt.strftime("%Y-%m-%d")
+        return g[["l_orderkey", "revenue", "o_orderdate"]]
+
+    cand = grouped_map(joined, "l_orderkey", fold).to_pandas()
+    top = cand.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True], kind="mergesort",
+    ).head(10)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+SQL_TPCH_Q3 = """
+WITH g AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < DATE '1997-01-01' AND l_shipdate > DATE '1997-01-01'
+  GROUP BY 1, 3)
+SELECT l_orderkey, revenue, o_orderdate FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY revenue DESC, o_orderdate, l_orderkey) AS r FROM g)
+WHERE r <= 10
+"""
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): BOTH fact
+    sides are nation-pre-filtered via broadcast dimension maps BEFORE
+    the big-big orderkey shuffle, so the all-to-all moves only the two
+    nations' rows (~2/|nations| of the data); the (supp, cust) pair
+    gate and the year extraction are vectorized Arrow kernels, and the
+    final (nation, nation, year) fold compresses through the combiner."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, bucket_join
+
+    n1, n2 = 1, 2
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= datetime.datetime(1995, 1, 1))
+        & (pds.field("l_shipdate") <= datetime.datetime(1996, 12, 31)),
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    line = broadcast_join(line, sup, on="l_suppkey", right_on="s_suppkey",
+                          how="inner").map_batches(
+        lambda b: b.filter(pc.is_in(
+            b["s_nationkey"], value_set=pa.array([n1, n2], pa.int32())
+        )),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = broadcast_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey", how="inner").map_batches(
+        lambda b: b.filter(pc.is_in(
+            b["c_nationkey"], value_set=pa.array([n1, n2], pa.int32())
+        )),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        line,
+        orders.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].tolist(), nat["n_name"].tolist()))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        b = batch.filter(pa.array(keep))
+        rev = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]),
+        )
+        sn, cn = sn[keep], cn[keep]
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [name_of[int(k)] for k in sn], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [name_of[int(k)] for k in cn], pa.string()
+                ),
+                "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    shaped = joined.map_batches(shape, batch_format="pyarrow")
+    ds = pre_aggregate(
+        shaped, ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": ("rev", "sum")},
+    )
+    return _round_col(ds, "revenue", 2)
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+          OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+        AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item top customers): the revenue fold
+    runs BELOW the dimension joins — lineitem('R') bucket-joins the
+    date-pruned orders on orderkey, folds to one row per custkey
+    (combiner-compressed), and only that bounded aggregate joins the
+    customer/nation dims (the tiny side broadcasts INTO the customer
+    stream, so no row-scale data ever re-shuffles).  Top-20 ranks on
+    the ROUNDED revenue with custkey tiebreak (ulp-safe, as Q3)."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, bucket_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pds.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
+        & (pds.field("o_orderdate") < datetime.datetime(1996, 4, 1)),
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_returnflag") == "R",
+    )
+    joined = bucket_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "rev": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    per_cust = pre_aggregate(
+        joined.map_batches(rev, batch_format="pyarrow"),
+        ["o_custkey"], {"revenue": ("rev", "sum")},
+    )
+    per_cust = _round_col(per_cust, "revenue", 2)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    named = broadcast_join(cust, per_cust, on="c_custkey",
+                           right_on="o_custkey", how="inner")
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    named = broadcast_join(named, nat, on="c_nationkey",
+                           right_on="n_nationkey", how="inner")
+    named = _round_col(named, "c_acctbal", 2)
+    return (
+        named.select_columns(
+            ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+        )
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+WITH g AS (
+  SELECT c_custkey, c_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         ROUND(c_acctbal, 2) AS c_acctbal, n_name
+  FROM customer, orders, lineitem, nation
+  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1996-04-01'
+    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+  GROUP BY 1, 2, 4, 5)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS r
+  FROM g)
+WHERE r <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5801,4 +6067,7 @@ CATALOG: dict[str, tuple] = {
         q_events_seasonal_anomaly, SQL_EVENTS_SEASONAL_ANOMALY
     ),
     "events_rfm": (q_events_rfm, SQL_EVENTS_RFM),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
 }

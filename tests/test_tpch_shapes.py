@@ -1,8 +1,9 @@
 """TPC-H shape batch (Q4 EXISTS, Q13 left-join distribution, Q14
-conditional ratio, Q22 scalar-subquery + anti-join) — each pinned
-against a brute-force pandas reference on synthetic tables that force
-the interesting cases (zero-order customers, empty promo slice edge,
-urgent-free customers)."""
+conditional ratio, Q22 scalar-subquery + anti-join, Q3 top-10 fold,
+Q7 two-nation volume, Q10 returned-item top-20) — each pinned against
+a brute-force pandas reference on synthetic tables that force the
+interesting cases (zero-order customers, empty promo slice edge,
+urgent-free customers, both nation-pair directions)."""
 
 import numpy as np
 import pandas as pd
@@ -16,7 +17,7 @@ def _tables(tmp_path, n_cust=30, n_orders=120, n_lines=400, seed=7):
             "c_name": [f"c{i}" for i in range(n_cust)],
             "c_nationkey": rng.integers(0, 5, n_cust).astype(np.int32),
             "c_acctbal": np.round(rng.uniform(-500, 5000, n_cust), 2),
-            "c_mktsegment": rng.choice(["A", "B"], n_cust),
+            "c_mktsegment": rng.choice(["BUILDING", "A"], n_cust),
         }
     )
     # leave the last 4 customers order-free so Q13's zero bucket is real
@@ -47,10 +48,10 @@ def _tables(tmp_path, n_cust=30, n_orders=120, n_lines=400, seed=7):
             "l_extendedprice": np.round(rng.uniform(10, 2000, n_lines), 2),
             "l_discount": np.round(rng.uniform(0, 0.1, n_lines), 2),
             "l_tax": 0.0,
-            "l_returnflag": "N",
+            "l_returnflag": rng.choice(["R", "N"], n_lines),
             "l_linestatus": "O",
             "l_shipdate": pd.Timestamp("1995-08-15")
-            + pd.to_timedelta(rng.integers(0, 60, n_lines), unit="D"),
+            + pd.to_timedelta(rng.integers(0, 700, n_lines), unit="D"),
         }
     )
     part = pd.DataFrame(
@@ -63,9 +64,25 @@ def _tables(tmp_path, n_cust=30, n_orders=120, n_lines=400, seed=7):
             "p_retailprice": 1.0,
         }
     )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(5, dtype=np.int64),
+            "s_name": [f"s{i}" for i in range(5)],
+            "s_nationkey": np.arange(5, dtype=np.int32),
+            "s_acctbal": np.round(rng.uniform(0, 1000, 5), 2),
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(5, dtype=np.int32),
+            "n_name": [f"NATION_{i}" for i in range(5)],
+            "n_regionkey": np.zeros(5, dtype=np.int32),
+        }
+    )
     for name, df in [
         ("customer", cust), ("orders", orders),
         ("lineitem", line), ("part", part),
+        ("supplier", supplier), ("nation", nation),
     ]:
         df.to_parquet(tmp_path / f"{name}.parquet", index=False)
     return cust, orders, line, part
@@ -156,3 +173,106 @@ def test_tpch_q22_matches_brute(ray_session, tmp_path):
         got["totacctbal"].to_numpy(), exp["totacctbal"].to_numpy(),
         atol=0.005,
     )
+
+
+def test_tpch_q3_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q3
+    from kgray.util import round_half_up
+
+    cust, orders, line, _ = _tables(tmp_path)
+    got = q_tpch_q3(str(tmp_path)).to_pandas().reset_index(drop=True)
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[
+        orders["o_custkey"].isin(keys)
+        & (orders["o_orderdate"] < "1997-01-01")
+    ]
+    li = line[line["l_shipdate"] > "1997-01-01"].merge(
+        o[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    li = li.assign(rev=li["l_extendedprice"] * (1 - li["l_discount"]))
+    g = (
+        li.groupby(["l_orderkey", "o_orderdate"])["rev"].sum()
+        .reset_index(name="revenue")
+    )
+    g["revenue"] = round_half_up(g["revenue"].to_numpy(np.float64), 2)
+    g["o_orderdate"] = g["o_orderdate"].dt.strftime("%Y-%m-%d")
+    exp = g.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True], kind="mergesort",
+    ).head(10).reset_index(drop=True)
+    assert len(exp) > 0  # the synthetic window is non-degenerate
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    np.testing.assert_allclose(
+        got["revenue"].to_numpy(), exp["revenue"].to_numpy(), atol=0.005
+    )
+    assert got["o_orderdate"].tolist() == exp["o_orderdate"].tolist()
+
+
+def test_tpch_q7_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q7
+
+    cust, orders, line, _ = _tables(tmp_path)
+    got = (
+        q_tpch_q7(str(tmp_path)).to_pandas()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    li = line[
+        (line["l_shipdate"] >= "1995-01-01")
+        & (line["l_shipdate"] <= "1996-12-31")
+    ].merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    sn = li["l_suppkey"].to_numpy()  # s_nationkey == s_suppkey in fixture
+    cn = li["c_nationkey"].to_numpy()
+    keep = ((sn == 1) & (cn == 2)) | ((sn == 2) & (cn == 1))
+    li = li[keep]
+    assert len(li) > 0  # both pair directions are exercised
+    df = pd.DataFrame(
+        {
+            "supp_nation": "NATION_" + li["l_suppkey"].astype(str),
+            "cust_nation": "NATION_" + li["c_nationkey"].astype(str),
+            "l_year": li["l_shipdate"].dt.year.astype(np.int64),
+            "rev": li["l_extendedprice"] * (1 - li["l_discount"]),
+        }
+    )
+    exp = (
+        df.groupby(["supp_nation", "cust_nation", "l_year"])["rev"].sum()
+        .round(2).reset_index(name="revenue")
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=0.005)
+
+
+def test_tpch_q10_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q10
+    from kgray.util import round_half_up
+
+    cust, orders, line, _ = _tables(tmp_path)
+    got = q_tpch_q10(str(tmp_path)).to_pandas().reset_index(drop=True)
+    o = orders[
+        (orders["o_orderdate"] >= "1996-01-01")
+        & (orders["o_orderdate"] < "1996-04-01")
+    ]
+    li = line[line["l_returnflag"] == "R"].merge(
+        o[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    li = li.assign(rev=li["l_extendedprice"] * (1 - li["l_discount"]))
+    g = li.groupby("o_custkey")["rev"].sum().reset_index(name="revenue")
+    g["revenue"] = round_half_up(g["revenue"].to_numpy(np.float64), 2)
+    g = g.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    g["n_name"] = "NATION_" + g["c_nationkey"].astype(str)
+    g["c_acctbal"] = round_half_up(g["c_acctbal"].to_numpy(np.float64), 2)
+    exp = g.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(20).reset_index(drop=True)
+    assert len(exp) > 0
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    np.testing.assert_allclose(
+        got["revenue"].to_numpy(), exp["revenue"].to_numpy(), atol=0.005
+    )
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
