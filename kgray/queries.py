@@ -5899,6 +5899,199 @@ WHERE r <= 20
 """
 
 
+def q_tpch_q17(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part scalar subquery (0.2 * AVG(l_quantity) per partkey)
+    collapses into ONE partkey cogroup — each bucket computes the avg
+    and applies the gate in the same pass, so the brand-pruned slice
+    shuffles exactly once and nothing is re-read.  l_quantity is
+    integer-valued, so sum/count (hence the avg and the strict-less
+    gate) are bit-exact in both engines."""
+    from kgray.ops.joins import semi_join
+    from kgray.util import grouped_map, round_half_up
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], brand)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    line = semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        part, on="l_partkey", right_on="p_partkey",
+    )
+
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("l_partkey", sort=False)["l_quantity"]
+        thr = 0.2 * g.transform("sum") / g.transform("size")
+        kept = d.loc[d["l_quantity"] < thr, "l_extendedprice"]
+        return pd.DataFrame({"s": [float(kept.sum())]})
+
+    parts = grouped_map(line, "l_partkey", fold)
+    total = parts.sum("s") or 0.0
+    val = float(round_half_up(np.float64(total / 7.0), 2))
+    return pa.table({"avg_yearly": pa.array([val], pa.float64())})
+
+
+SQL_TPCH_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive predicate join): the part dim is
+    pre-pruned to the brands/sizes any disjunct can accept and ships
+    once as a broadcast map; each lineitem batch evaluates the whole
+    OR-of-ANDs as vectorized Arrow/numpy masks (no row loop, no
+    per-disjunct re-join); revenue folds through per-batch partials to
+    a single driver row."""
+    from kgray.ops.joins import broadcast_join
+    from kgray.util import round_half_up
+
+    DISJUNCTS = [  # (brand, max_size, qty_lo, qty_hi)
+        ("Brand#12", 10, 1.0, 11.0),
+        ("Brand#23", 20, 10.0, 20.0),
+        ("Brand#34", 30, 20.0, 30.0),
+    ]
+    brands = pa.array([d[0] for d in DISJUNCTS])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                 ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.is_in(b["p_brand"], value_set=brands),
+                pc.and_(pc.greater_equal(b["p_size"], 1),
+                        pc.less_equal(b["p_size"], 30)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(line, part, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(brand), bool)
+        for b, mx, lo, hi in DISJUNCTS:
+            keep |= (brand == b) & (size <= mx) & (qty >= lo) & (qty <= hi)
+        t = batch.filter(pa.array(keep))
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        return pa.table({"s": pa.array([pc.sum(rev).as_py() or 0.0])})
+
+    total = joined.map_batches(partial, batch_format="pyarrow").sum("s") or 0.0
+    val = float(round_half_up(np.float64(total), 2))
+    return pa.table({"revenue": pa.array([val], pa.float64())})
+
+
+SQL_TPCH_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this corpus: a line is LATE when l_shipdate > o_orderdate + 90
+    days (no commit/receipt dates here).  The EXISTS / NOT EXISTS pair
+    of lineitem self-joins collapses into ONE orderkey cogroup — each
+    bucket computes, per order, the distinct-supplier and
+    late-supplier sets and keeps late lines of the sole late supplier
+    in multi-supplier orders — so the self-join never materializes.
+    Per-supplier counts partial-fold in-bucket; names attach via the
+    broadcast supplier dim (cf. reference join staging,
+    classification/data_prepare.py)."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, bucket_join
+    from kgray.util import grouped_map
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pds.field("o_orderstatus") == "F",
+    )
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = bucket_join(line, orders, on="l_orderkey",
+                         right_on="o_orderkey", how="inner")
+
+    lag = datetime.timedelta(days=90)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy()
+        odate = batch["o_orderdate"].to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "is_late": pa.array(ship > odate + np.timedelta64(lag)),
+            }
+        )
+
+    marked = joined.map_batches(mark, batch_format="pyarrow")
+
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        nsupp = d.groupby("l_orderkey", sort=False)["l_suppkey"].nunique()
+        late = d[d["is_late"]]
+        lsupp = late.groupby("l_orderkey", sort=False)["l_suppkey"].nunique()
+        sole = lsupp[lsupp == 1].index
+        multi = nsupp[nsupp > 1].index
+        ok = sole.intersection(multi)
+        kept = late[late["l_orderkey"].isin(ok)]
+        return (
+            kept.groupby("l_suppkey", sort=False).size()
+            .reset_index(name="w")
+        )
+
+    waits = grouped_map(marked, "l_orderkey", fold)
+    per_supp = pre_aggregate(waits, ["l_suppkey"], {"numwait": ("w", "sum")})
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = broadcast_join(per_supp, sup, on="l_suppkey",
+                           right_on="s_suppkey", how="inner")
+    return named.select_columns(["s_name", "numwait"])
+
+
+SQL_TPCH_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM late l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6070,4 +6263,7 @@ CATALOG: dict[str, tuple] = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
 }

@@ -58,7 +58,9 @@ def _tables(tmp_path, n_cust=30, n_orders=120, n_lines=400, seed=7):
         {
             "p_partkey": np.arange(20, dtype=np.int64),
             "p_name": [f"p{i}" for i in range(20)],
-            "p_brand": "B",
+            "p_brand": rng.choice(
+                ["Brand#12", "Brand#13", "Brand#23", "Brand#34"], 20
+            ),
             "p_type": np.where(np.arange(20) % 3 == 0, "PROMO", "STANDARD"),
             "p_size": np.arange(20, dtype=np.int32),
             "p_retailprice": 1.0,
@@ -276,3 +278,71 @@ def test_tpch_q10_matches_brute(ray_session, tmp_path):
         got["revenue"].to_numpy(), exp["revenue"].to_numpy(), atol=0.005
     )
     assert got["n_name"].tolist() == exp["n_name"].tolist()
+
+
+def test_tpch_q17_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q17
+
+    _, _, line, part = _tables(tmp_path)
+    got = q_tpch_q17(str(tmp_path)).to_pandas()
+    keys = set(part.loc[part["p_brand"] == "Brand#13", "p_partkey"])
+    li = line[line["l_partkey"].isin(keys)]
+    assert len(li) > 0
+    thr = 0.2 * li.groupby("l_partkey")["l_quantity"].transform("mean")
+    exp = li.loc[li["l_quantity"] < thr, "l_extendedprice"].sum() / 7.0
+    assert abs(got["avg_yearly"].iloc[0] - exp) < 0.005
+
+
+def test_tpch_q19_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q19
+
+    _, _, line, part = _tables(tmp_path)
+    got = q_tpch_q19(str(tmp_path)).to_pandas()
+    li = line.merge(part, left_on="l_partkey", right_on="p_partkey")
+    keep = (
+        (li["p_brand"] == "Brand#12") & li["p_size"].between(1, 10)
+        & li["l_quantity"].between(1, 11)
+    ) | (
+        (li["p_brand"] == "Brand#23") & li["p_size"].between(1, 20)
+        & li["l_quantity"].between(10, 20)
+    ) | (
+        (li["p_brand"] == "Brand#34") & li["p_size"].between(1, 30)
+        & li["l_quantity"].between(20, 30)
+    )
+    kept = li[keep]
+    assert len(kept) > 0
+    exp = (kept["l_extendedprice"] * (1 - kept["l_discount"])).sum()
+    assert abs(got["revenue"].iloc[0] - exp) < 0.005
+
+
+def test_tpch_q21_sole_late_supplier_in_multi_supplier_orders(
+    ray_session, tmp_path
+):
+    from kgray.queries import q_tpch_q21
+
+    _, orders, line, _ = _tables(tmp_path)
+    got = (
+        q_tpch_q21(str(tmp_path)).to_pandas()
+        .sort_values("s_name").reset_index(drop=True)
+    )
+    li = line.merge(
+        orders[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    li = li.assign(
+        is_late=li["l_shipdate"] > li["o_orderdate"] + pd.Timedelta(days=90)
+    )
+    rows = []
+    for _, r in li[li["is_late"]].iterrows():
+        grp = li[li["l_orderkey"] == r["l_orderkey"]]
+        others = grp[grp["l_suppkey"] != r["l_suppkey"]]
+        if len(others) and not others["is_late"].any():
+            rows.append(r["l_suppkey"])
+    exp = (
+        pd.Series(rows, dtype=np.int64).value_counts().sort_index()
+    )
+    assert len(exp) > 0
+    got = got.assign(k=got["s_name"].str.lstrip("s").astype(np.int64))
+    got = got.sort_values("k")
+    assert got["k"].tolist() == exp.index.tolist()
+    assert got["numwait"].tolist() == exp.tolist()
