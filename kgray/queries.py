@@ -6092,6 +6092,302 @@ GROUP BY 1
 """
 
 
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): both fact sides are
+    gated BEFORE the single big-big orderkey shuffle — lineitem by the
+    PROMO-part semi-join plus the broadcast supplier-nation map,
+    orders by the broadcast customer map and the ASIA nation-set
+    filter — then the conditional (share vs total) volume sums fold
+    per year through the combiner and the ratio is one driver-side
+    vectorized divide."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, bucket_join, semi_join
+    from kgray.util import round_half_up
+
+    SHARE_NATION = 3
+
+    promo = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b["p_type"], "PROMO")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    line = semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]),
+        promo, on="l_partkey", right_on="p_partkey",
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    line = broadcast_join(line, sup, on="l_suppkey", right_on="s_suppkey",
+                          how="inner")
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia_regs = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    asia_keys = pa.array(
+        sorted(nat.loc[nat["n_regionkey"].isin(asia_regs),
+                       "n_nationkey"].tolist())
+    )
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = broadcast_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey", how="inner").map_batches(
+        lambda b: b.filter(pc.is_in(
+            pc.cast(b["c_nationkey"], pa.int64()), value_set=asia_keys
+        )),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        line.select_columns(["l_orderkey", "s_nationkey",
+                             "l_extendedprice", "l_discount"]),
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey", right_on="o_orderkey", how="inner",
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        vol = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        share = pc.if_else(
+            pc.equal(pc.cast(batch["s_nationkey"], pa.int64()),
+                     pa.scalar(SHARE_NATION, pa.int64())),
+            vol, pa.scalar(0.0),
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+                "vol": vol,
+                "share": share,
+            }
+        )
+
+    sums = pre_aggregate(
+        joined.map_batches(shape, batch_format="pyarrow"),
+        ["o_year"], {"share": ("share", "sum"), "vol": ("vol", "sum")},
+    ).to_pandas()  # one row per year: metadata-scale
+    return pa.table(
+        {
+            "o_year": pa.array(sums["o_year"].to_numpy(np.int64)),
+            "mkt_share": pa.array(
+                round_half_up(
+                    sums["share"].to_numpy(np.float64)
+                    / sums["vol"].to_numpy(np.float64),
+                    4,
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 3 THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             s_nationkey AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND p_type = 'PROMO')
+GROUP BY 1
+"""
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): quarter revenue folds per
+    suppkey through the combiner, is ROUNDED before the max gate (so
+    the scalar comparison is ulp-safe in both engines), the global max
+    is a Dataset aggregate (no driver materialization of the fold),
+    and only the winner row(s) join the broadcast supplier names."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join
+    from kgray.util import rename_cols
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pds.field("l_shipdate") < datetime.datetime(1996, 4, 1)),
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "rev": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    per_supp = pre_aggregate(
+        line.map_batches(rev, batch_format="pyarrow"),
+        ["l_suppkey"], {"total_revenue": ("rev", "sum")},
+    )
+    per_supp = _round_col(per_supp, "total_revenue", 2).materialize()
+    best = per_supp.max("total_revenue")
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["total_revenue"], best)),
+        batch_format="pyarrow",
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = broadcast_join(winners, sup, on="l_suppkey",
+                           right_on="s_suppkey", how="inner")
+    return rename_cols(
+        named.select_columns(["l_suppkey", "s_name", "total_revenue"]),
+        {"l_suppkey": "s_suppkey"},
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT l_suppkey AS s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_events_session_overlap(sf_dir: str, gap_s: int = 1800,
+                             spike_factor: float = 1.2):
+    """Interval-overlap join: per-user session intervals [min ts, max
+    ts] (gap-based, built in one user cogroup) against global SPIKE
+    hours (hourly counts > factor x the mean hourly count — a
+    metadata-scale interval set by construction: <= hours-in-range
+    rows at any data size).  The spike hour-starts broadcast as one
+    sorted array and each session counts its overlaps with two
+    searchsorted probes — no row loop, no second shuffle; per-user
+    totals fold through the combiner."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    hours = pre_aggregate(
+        ev.map_batches(
+            lambda b: pa.table(
+                {"h": pc.floor_temporal(b["ts"], unit="hour")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["h"], {"c": (None, "count")},
+    ).to_pandas()
+    thr = spike_factor * hours["c"].sum() / len(hours)
+    spikes = np.sort(
+        hours.loc[hours["c"] > thr, "h"].to_numpy().astype("datetime64[us]")
+    )
+    one_h = np.timedelta64(3600, "s")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        new = prev.isna() | ((df["ts"] - prev).dt.total_seconds() > gap_s)
+        sid = new.cumsum()
+        g = df.groupby([df["user_id"], sid], sort=False)["ts"]
+        s0 = g.min().to_numpy().astype("datetime64[us]")
+        s1 = g.max().to_numpy().astype("datetime64[us]")
+        uid = g.min().index.get_level_values(0).to_numpy(np.int64)
+        # window [h, h+1h) overlaps session [s0, s1] iff h <= s1 and
+        # h > s0 - 1h: two searchsorted probes per session
+        lo = np.searchsorted(spikes, s0 - one_h, side="right")
+        hi = np.searchsorted(spikes, s1, side="right")
+        n = (hi - lo).astype(np.int64)
+        out = pd.DataFrame({"user_id": uid, "n": n})
+        return out[out["n"] > 0]
+
+    per_sess = grouped_map(ev, "user_id", sessions)
+    return pre_aggregate(per_sess, ["user_id"],
+                         {"n_overlaps": ("n", "sum")})
+
+
+SQL_EVENTS_SESSION_OVERLAP = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+s AS (SELECT user_id, sid, MIN(ts) AS s0, MAX(ts) AS s1
+      FROM m GROUP BY 1, 2),
+w AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1
+      HAVING COUNT(*) > 1.2 * (SELECT COUNT(*) FROM events)
+                             / (SELECT COUNT(DISTINCT date_trunc('hour', ts))
+                                FROM events))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM s JOIN w ON s.s1 >= w.h AND s.s0 < w.h + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """Wide -> long UNPIVOT reshape: each batch emits the three measure
+    columns stacked into (measure, value) long format with one
+    vectorized concat (no row loop, no three separate scans — the
+    UNION ALL oracle reads the table three times; the Ray reshape
+    reads it once), then per-measure stats fold through the combiner."""
+    from kgray.ops.agg import pre_aggregate
+
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+    line = _read(sf_dir, "lineitem", MEASURES)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        vals = np.concatenate(
+            [batch[m].to_numpy(zero_copy_only=False) for m in MEASURES]
+        )
+        names = np.repeat(
+            np.array([m[2:] for m in MEASURES], dtype=object), n
+        )
+        return pa.table(
+            {
+                "measure": pa.array(names, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    long = line.map_batches(melt, batch_format="pyarrow")
+    stats = pre_aggregate(
+        long, ["measure"],
+        {"n": (None, "count"), "total": ("value", "sum")},
+    )
+    return _round_col(stats, "total", 2)
+
+
+SQL_LINEITEM_UNPIVOT = """
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM (SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6266,4 +6562,10 @@ CATALOG: dict[str, tuple] = {
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "events_session_overlap": (
+        q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
+    ),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
 }

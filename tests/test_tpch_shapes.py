@@ -78,13 +78,21 @@ def _tables(tmp_path, n_cust=30, n_orders=120, n_lines=400, seed=7):
         {
             "n_nationkey": np.arange(5, dtype=np.int32),
             "n_name": [f"NATION_{i}" for i in range(5)],
-            "n_regionkey": np.zeros(5, dtype=np.int32),
+            # split across two regions so the Q8 ASIA gate really drops rows
+            "n_regionkey": np.array([0, 0, 1, 1, 0], dtype=np.int32),
+        }
+    )
+    region = pd.DataFrame(
+        {
+            "r_regionkey": np.array([0, 1], dtype=np.int32),
+            "r_name": ["ASIA", "AMERICA"],
         }
     )
     for name, df in [
         ("customer", cust), ("orders", orders),
         ("lineitem", line), ("part", part),
         ("supplier", supplier), ("nation", nation),
+        ("region", region),
     ]:
         df.to_parquet(tmp_path / f"{name}.parquet", index=False)
     return cust, orders, line, part
@@ -346,3 +354,61 @@ def test_tpch_q21_sole_late_supplier_in_multi_supplier_orders(
     got = got.sort_values("k")
     assert got["k"].tolist() == exp.index.tolist()
     assert got["numwait"].tolist() == exp.tolist()
+
+
+def test_tpch_q8_matches_brute(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q8
+
+    cust, orders, line, part = _tables(tmp_path)
+    got = (
+        q_tpch_q8(str(tmp_path)).to_pandas()
+        .sort_values("o_year").reset_index(drop=True)
+    )
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    asia = {0, 1, 4}  # nations in region 0 per the fixture
+    li = line[line["l_partkey"].isin(promo)].merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
+    li = li[li["c_nationkey"].isin(asia)]
+    assert len(li) > 0 and li["l_suppkey"].nunique() > 1
+    vol = li["l_extendedprice"] * (1 - li["l_discount"])
+    df = pd.DataFrame(
+        {
+            "o_year": li["o_orderdate"].dt.year.astype(np.int64),
+            "vol": vol,
+            # s_nationkey == s_suppkey in the fixture
+            "share": np.where(li["l_suppkey"] == 3, vol, 0.0),
+        }
+    )
+    g = df.groupby("o_year").sum()
+    exp = (g["share"] / g["vol"]).round(4)
+    assert got["o_year"].tolist() == exp.index.tolist()
+    np.testing.assert_allclose(
+        got["mkt_share"].to_numpy(), exp.to_numpy(), atol=5e-5
+    )
+
+
+def test_tpch_q15_picks_global_max_supplier(ray_session, tmp_path):
+    from kgray.queries import q_tpch_q15
+    from kgray.util import round_half_up
+
+    _, _, line, _ = _tables(tmp_path)
+    got = q_tpch_q15(str(tmp_path)).to_pandas()
+    win = line[
+        (line["l_shipdate"] >= "1996-01-01")
+        & (line["l_shipdate"] < "1996-04-01")
+    ]
+    assert len(win) > 0
+    rev = (
+        (win["l_extendedprice"] * (1 - win["l_discount"]))
+        .groupby(win["l_suppkey"]).sum()
+    )
+    rev = pd.Series(
+        round_half_up(rev.to_numpy(np.float64), 2), index=rev.index
+    )
+    winners = rev[rev == rev.max()]
+    assert sorted(got["s_suppkey"].tolist()) == sorted(winners.index.tolist())
+    np.testing.assert_allclose(
+        np.sort(got["total_revenue"].to_numpy()),
+        np.sort(winners.to_numpy()), atol=0.005,
+    )
