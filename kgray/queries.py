@@ -6388,6 +6388,442 @@ GROUP BY 1
 """
 
 
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (priority by line status; no shipmode column in
+    this corpus, l_linestatus stands in): the 1996 shipdate slice prunes
+    lineitem at the read, ONE big-big orderkey cogroup attaches the
+    order priority, and the two conditional counts fold through the
+    combiner — the shuffle moves one row per (batch, status)."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pds.field("l_shipdate") < datetime.datetime(1997, 1, 1)),
+    ).select_columns(["l_orderkey", "l_linestatus"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucket_join(line, orders, on="l_orderkey",
+                         right_on="o_orderkey", how="inner")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(batch["o_orderpriority"],
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_linestatus": batch["l_linestatus"],
+                "high": hi,
+                "low": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+
+    return pre_aggregate(
+        joined.map_batches(shape, batch_format="pyarrow"),
+        ["l_linestatus"],
+        {"high_line_count": ("high", "sum"),
+         "low_line_count": ("low", "sum")},
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier per part; lineitem is the
+    part-supplier association — this corpus has no partsupp): the
+    correlated MIN subquery decorrelates into a per-part min fold
+    (combiner groupby) joined back on (partkey, exact price equality —
+    untouched doubles compare bit-exact).  Part and supplier gates
+    prune the fact scan BEFORE the fold: the size/type part filter is
+    a broadcast semi-join, the EUROPE supplier map ships once.  The
+    final DISTINCT is a key-only pre_aggregate."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, semi_join
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_size", "p_type"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["p_size"], 15),
+                    pc.equal(b["p_type"], "LARGE"))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    line = semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        parts, on="l_partkey", right_on="p_partkey",
+    )
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    eu_regs = set(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"])
+    eu_nat = nat[nat["n_regionkey"].isin(eu_regs)]
+    name_of = dict(zip(eu_nat["n_nationkey"].astype(np.int64),
+                       eu_nat["n_name"]))
+    eu_keys = pa.array(sorted(name_of))
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    line = broadcast_join(line, sup, on="l_suppkey", right_on="s_suppkey",
+                          how="inner").map_batches(
+        lambda b: b.filter(pc.is_in(
+            pc.cast(b["s_nationkey"], pa.int64()), value_set=eu_keys
+        )),
+        batch_format="pyarrow",
+    )
+    mc = pre_aggregate(
+        line.select_columns(["l_partkey", "l_extendedprice"]),
+        ["l_partkey"], {"mincost": ("l_extendedprice", "min")},
+    )
+    from kgray.ops.joins import bucket_join
+
+    joined = bucket_join(line, mc, on="l_partkey", how="inner")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.equal(batch["l_extendedprice"], batch["mincost"])
+        )
+        names = [name_of[k] for k in
+                 pc.cast(keep["s_nationkey"], pa.int64()).to_pylist()]
+        return pa.table(
+            {
+                "p_partkey": keep["l_partkey"],
+                "s_name": keep["s_name"],
+                "n_name": pa.array(names, pa.string()),
+                "s_acctbal": keep["s_acctbal"],
+                "cost": keep["l_extendedprice"],
+            }
+        )
+
+    rows = joined.map_batches(shape, batch_format="pyarrow")
+    distinct = pre_aggregate(
+        rows, ["p_partkey", "s_name", "n_name", "s_acctbal", "cost"],
+        {"nn": (None, "count")},
+    )
+    return distinct.map_batches(
+        lambda b: b.drop_columns(["nn"]), batch_format="pyarrow"
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+l AS (
+  SELECT l_partkey, l_extendedprice, s_name, s_acctbal, n_name
+  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_size = 15 AND p_type = 'LARGE'),
+mc AS (SELECT l_partkey, MIN(l_extendedprice) AS mincost
+       FROM l GROUP BY 1)
+SELECT DISTINCT l.l_partkey AS p_partkey, s_name, n_name, s_acctbal,
+       l_extendedprice AS cost
+FROM l JOIN mc ON l.l_partkey = mc.l_partkey
+   AND l.l_extendedprice = mc.mincost
+"""
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year; retail
+    price stands in for the missing ps_supplycost): the 'red%' part
+    gate and the supplier->nation map attach by broadcast BEFORE the
+    single big-big orderkey shuffle, so the all-to-all moves only
+    matched, pruned rows; the (nation, year) profit sums fold through
+    the combiner.  The cost coefficient is 1.0 (not TPC-H's fraction):
+    retailprice has two decimals and quantity is integral, so every
+    cost term is an exact 2-dp decimal — a fractional coefficient
+    would park sums on half-cent boundaries where ROUND half-up and
+    nearest-double disagree."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, bucket_join
+
+    red = _read(sf_dir, "part",
+                ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda b: b.filter(
+            pc.starts_with(b["p_name"], "red")
+        ).select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow",
+    )
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount"])
+    line = broadcast_join(line, red, on="l_partkey", right_on="p_partkey",
+                          how="inner")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    line = broadcast_join(line, sup, on="l_suppkey", right_on="s_suppkey",
+                          how="inner")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    line = broadcast_join(line, nation, on="s_nationkey",
+                          right_on="n_nationkey", how="inner")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = bucket_join(
+        line.select_columns(["l_orderkey", "n_name", "l_quantity",
+                             "l_extendedprice", "l_discount",
+                             "p_retailprice"]),
+        orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        amount = pc.subtract(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ),
+            pc.multiply(batch["p_retailprice"], batch["l_quantity"]),
+        )
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]),
+                                  pa.int64()),
+                "amount": amount,
+            }
+        )
+
+    agg = pre_aggregate(
+        joined.map_batches(shape, batch_format="pyarrow"),
+        ["n_name", "o_year"], {"sum_profit": ("amount", "sum")},
+    )
+    return _round_col(agg, "sum_profit", 2)
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important parts by traded value; lineitem
+    value = price x qty stands in for partsupp stock value): the
+    NATION_7 supplier gate is a broadcast semi-join, the per-part
+    values fold through the combiner, and the scalar-subquery
+    threshold (0.1% of the total) is ONE streaming sum over the
+    already-folded per-part rows — no second scan of the fact table."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import semi_join
+
+    sup7 = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.cast(b["s_nationkey"], pa.int64()), 7)
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+    line = semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]),
+        sup7, on="l_suppkey", right_on="s_suppkey",
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "val": pc.multiply(batch["l_extendedprice"],
+                                   batch["l_quantity"]),
+            }
+        )
+
+    per_part = pre_aggregate(
+        line.map_batches(shape, batch_format="pyarrow"),
+        ["l_partkey"], {"value": ("val", "sum")},
+    ).materialize()  # folded: one row per distinct part — reused twice
+    threshold = (per_part.sum("value") or 0.0) * 0.001
+    kept = per_part.map_batches(
+        lambda b, t=threshold: b.filter(pc.greater(b["value"], t)),
+        batch_format="pyarrow",
+    )
+    return _round_col(kept, "value", 2)
+
+
+SQL_TPCH_Q11 = """
+WITH v AS (
+  SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY 1)
+SELECT l_partkey, ROUND(value, 2) AS value FROM v
+WHERE value > (SELECT SUM(value) * 0.001 FROM v)
+"""
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier count per part attribute; negative
+    account balance stands in for the complaints pattern): the NOT-IN
+    supplier set drops via an ANTI semi-join (broadcast — the bad set
+    is dimension-sized), the part gate attaches by broadcast, and
+    COUNT(DISTINCT suppkey) decomposes into two combiner folds — the
+    first collapses to one row per (brand, size, suppkey), the second
+    counts them — so neither shuffle moves raw fact rows."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import broadcast_join, semi_join
+
+    bad = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_acctbal"]).map_batches(
+        lambda b: b.filter(pc.less(b["s_acctbal"], 0.0)).select(
+            ["s_suppkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    line = semi_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        bad, on="l_suppkey", right_on="s_suppkey", anti=True,
+    )
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.invert(pc.equal(b["p_type"], "PROMO")),
+                pc.is_in(pc.cast(b["p_size"], pa.int64()),
+                         value_set=pa.array([1, 5, 10, 15, 20, 25])),
+            )
+        ).select(["p_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(line, parts, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+    triple = pre_aggregate(
+        joined, ["p_brand", "p_size", "l_suppkey"], {"nn": (None, "count")}
+    )
+    return pre_aggregate(
+        triple, ["p_brand", "p_size"], {"supplier_cnt": (None, "count")}
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (dominant suppliers of 'small%' parts; the >50%
+    shipped-quantity share stands in for the availqty test): the 1996
+    slice prunes at the read and the part gate semi-joins BEFORE the
+    (part, supplier) quantity fold; the per-part total is a second fold
+    over already-collapsed rows, rejoined on partkey.  l_quantity is
+    integral, so the half-share compare is exact in both engines.  The
+    surviving supplier set is dimension-sized and gates the supplier
+    scan via a broadcast semi-join."""
+    import datetime
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join, semi_join
+
+    small = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda b: b.filter(pc.starts_with(b["p_name"], "small")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pds.field("l_shipdate") < datetime.datetime(1997, 1, 1)),
+    ).select_columns(["l_partkey", "l_suppkey", "l_quantity"])
+    line = semi_join(line, small, on="l_partkey", right_on="p_partkey")
+    q = pre_aggregate(
+        line, ["l_partkey", "l_suppkey"], {"qty": ("l_quantity", "sum")}
+    )
+    tot = pre_aggregate(q, ["l_partkey"], {"tq": ("qty", "sum")})
+    joined = bucket_join(q, tot, on="l_partkey", how="inner")
+    dom = joined.map_batches(
+        lambda b: b.filter(
+            pc.greater(b["qty"], pc.multiply(pa.scalar(0.5), b["tq"]))
+        ).select(["l_suppkey"]),
+        batch_format="pyarrow",
+    )
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    name_of = dict(
+        zip(nat.loc[nat["n_regionkey"].isin(asia), "n_nationkey"]
+            .astype(np.int64),
+            nat.loc[nat["n_regionkey"].isin(asia), "n_name"])
+    )
+    sup = semi_join(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+        dom, on="s_suppkey", right_on="l_suppkey",
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["s_nationkey"], pa.int64()).to_pylist()
+        mask = pa.array([k in name_of for k in keys])
+        keep = batch.filter(mask)
+        names = [name_of[k] for k in
+                 pc.cast(keep["s_nationkey"], pa.int64()).to_pylist()]
+        return pa.table(
+            {
+                "s_name": keep["s_name"],
+                "n_name": pa.array(names, pa.string()),
+            }
+        )
+
+    return sup.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_TPCH_Q20 = """
+WITH q AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2),
+t AS (SELECT l_partkey, SUM(qty) AS tq FROM q GROUP BY 1),
+dom AS (SELECT DISTINCT l_suppkey FROM q JOIN t USING (l_partkey)
+        WHERE qty > 0.5 * tq)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN dom ON s_suppkey = dom.l_suppkey
+WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                      WHERE r_name = 'ASIA')
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -6564,6 +7000,12 @@ CATALOG: dict[str, tuple] = {
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "events_session_overlap": (
         q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
     ),
