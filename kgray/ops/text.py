@@ -637,3 +637,39 @@ def bpe_train(docs, num_merges: int = 50, text_col: str = "text",
             "freq": pa.array(freqs, pa.int64()),
         }
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+# Patterns are deliberately ASCII-explicit so Python re and DuckDB's RE2
+# agree character-for-character (reference: the token_stats_bpe \w lesson —
+# Unicode-aware classes diverge between engines).  Compiled once at import;
+# map_batches tasks reuse them (no per-batch compile).
+
+import re as _re
+
+_PII_EMAIL = _re.compile(r"[A-Za-z0-9._]+@[A-Za-z0-9.]+")
+_PII_PHONE = _re.compile(r"[0-9]{3}-[0-9]{3,4}")
+PII_EMAIL_SQL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+PII_PHONE_SQL = "[0-9]{3}-[0-9]{3,4}"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "red") -> pa.Table:
+    """Mask email addresses and phone-shaped digit runs, and count the
+    hits.  Greedy character-class quantifiers behave identically under
+    Python re and RE2, so the DuckDB regexp_replace oracle is exact.
+    Emails are replaced BEFORE phones (an email local part can contain
+    a phone-shaped run; the oracle applies the same order)."""
+    texts = batch[text_col].to_pylist()
+    red, n_pii = [], []
+    for t in texts:
+        t = t or ""
+        ne = len(_PII_EMAIL.findall(t))
+        s = _PII_EMAIL.sub("<EMAIL>", t)
+        np_ = len(_PII_PHONE.findall(s))
+        s = _PII_PHONE.sub("<PHONE>", s)
+        red.append(s)
+        n_pii.append(ne + np_)
+    return batch.append_column(
+        out_col, pa.array(red, pa.string())
+    ).append_column("n_pii", pa.array(n_pii, pa.int64()))

@@ -6824,6 +6824,238 @@ WHERE n_regionkey IN (SELECT r_regionkey FROM region
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (emails + phone-shaped digit runs -> placeholder
+    tokens): the corpus text carries no PII, so a deterministic contact
+    header derived from doc_id is prepended IN BOTH ENGINES and the
+    redaction itself is the operator under test.  Patterns are compiled
+    once at module import (kgray/ops/text.py) and shared by every task;
+    ASCII-explicit classes pin Python-re == RE2 semantics."""
+    from kgray.ops.text import redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        head = [
+            f"user{i}@mail{i % 7}.example.com tel 555-{1000 + i % 9000} "
+            for i in ids
+        ]
+        raw = pc.binary_join_element_wise(
+            pa.array(head, pa.string()),
+            pc.cast(batch["text"], pa.string()), "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": raw})
+
+    red = docs.map_batches(attach, batch_format="pyarrow").map_batches(
+        redact_pii, batch_format="pyarrow"
+    )
+    return red.select_columns(["doc_id", "red", "n_pii"])
+
+
+SQL_PII_REDACT = """
+WITH raw AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.example.com tel 555-' ||
+         CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ' || text AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS red,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+            + len(regexp_extract_all(
+                regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+                               '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_pii
+FROM raw
+"""
+
+
+def q_user_value_median(sf_dir: str):
+    """Per-group EXACT median (not a sketch): every row of a user lands
+    in one coarse hash bucket (ONE cogroup shuffle), and the per-user
+    median is pandas' C groupby inside the bucket.  pandas interpolates
+    even-count medians linearly, exactly like DuckDB's MEDIAN
+    (quantile_cont 0.5); round(4) on both sides absorbs ulp drift."""
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("user_id", sort=False)["value"].median()
+        return pd.DataFrame(
+            {
+                "user_id": m.index.to_numpy(np.int64),
+                "med": round_half_up(m.to_numpy(np.float64), 4),
+            }
+        )
+
+    return grouped_map(ev, "user_id", med)
+
+
+SQL_USER_VALUE_MEDIAN = """
+SELECT user_id, ROUND(MEDIAN(value), 4) AS med FROM events GROUP BY 1
+"""
+
+
+def q_events_hourly_dedup(sf_dir: str):
+    """Windowed deduplication: keep the FIRST event (min ts, event_id
+    tiebreak) per (user, hour) — the idempotent-ingest primitive.  User
+    cogroup, then one mergesort + drop_duplicates per bucket; the hour
+    key is integer epoch arithmetic (unit-safe, no timestamp hashing)."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        hour = (
+            df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        out = df.assign(hour_bucket=hour).drop_duplicates(
+            ["user_id", "hour_bucket"], keep="first"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "hour_bucket": out["hour_bucket"].to_numpy(np.int64),
+                "first_event_id": out["event_id"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", dedup)
+
+
+SQL_EVENTS_HOURLY_DEDUP = """
+SELECT user_id, hour_bucket, event_id AS first_event_id FROM (
+  SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+         event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, floor(epoch(ts)/3600)
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_user_streaks(sf_dir: str):
+    """Max consecutive-active-day streak per user (gaps-and-islands over
+    integer day numbers): distinct (user, day) collapses inside each
+    batch FIRST (combiner — the shuffle moves at most one row per
+    (batch, user, day)), then the island id (day - rank) and the
+    per-island counts are three vectorized passes per bucket."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(us, 86_400_000_000),
+            }
+        )
+
+    days = pre_aggregate(
+        ev.map_batches(to_days, batch_format="pyarrow"),
+        ["user_id", "day"], {"nn": (None, "count")},
+    )
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        new_run = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_run[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        run_id = np.cumsum(new_run)
+        runs = pd.DataFrame({"user_id": u, "run": run_id})
+        lens = runs.groupby(["user_id", "run"], sort=False).size()
+        best = lens.groupby(level=0, sort=False).max()
+        return pd.DataFrame(
+            {
+                "user_id": best.index.to_numpy(np.int64),
+                "max_streak": best.to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(days, "user_id", streaks)
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak FROM (
+  SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+GROUP BY 1
+"""
+
+
+def q_user_daily_dense(sf_dir: str):
+    """Calendar gap-fill: per-user daily counts with ZERO rows for every
+    silent day between the user's first and last activity — the dense
+    time-series primitive.  Counts collapse via the combiner, then one
+    user cogroup; inside each bucket the calendar expands with numpy
+    repeat/cumsum arithmetic (no per-user python) and a left merge
+    fills the zeros.  Output size is sum of user spans, not users x
+    global range — skew-safe when one user is years long."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(us, 86_400_000_000),
+            }
+        )
+
+    counts = pre_aggregate(
+        ev.map_batches(to_days, batch_format="pyarrow"),
+        ["user_id", "day"], {"n": (None, "count")},
+    )
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        spans = df.groupby("user_id", sort=False)["day"].agg(["min", "max"])
+        length = (spans["max"] - spans["min"] + 1).to_numpy(np.int64)
+        users = np.repeat(spans.index.to_numpy(np.int64), length)
+        starts = np.repeat(np.cumsum(length) - length, length)
+        offs = np.arange(length.sum(), dtype=np.int64) - starts
+        days = np.repeat(spans["min"].to_numpy(np.int64), length) + offs
+        cal = pd.DataFrame({"user_id": users, "day": days})
+        out = cal.merge(df, on=["user_id", "day"], how="left")
+        out["n"] = out["n"].fillna(0).astype(np.int64)
+        return out[["user_id", "day", "n"]]
+
+    return grouped_map(counts, "user_id", densify)
+
+
+SQL_USER_DAILY_DENSE = """
+WITH c AS (
+  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM c GROUP BY 1),
+cal AS (SELECT user_id, UNNEST(generate_series(mn, mx)) AS day FROM s)
+SELECT cal.user_id, CAST(cal.day AS BIGINT) AS day,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM cal LEFT JOIN c ON cal.user_id = c.user_id AND cal.day = c.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7006,6 +7238,11 @@ CATALOG: dict[str, tuple] = {
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "user_value_median": (q_user_value_median, SQL_USER_VALUE_MEDIAN),
+    "events_hourly_dedup": (q_events_hourly_dedup, SQL_EVENTS_HOURLY_DEDUP),
+    "user_streaks": (q_user_streaks, SQL_USER_STREAKS),
+    "user_daily_dense": (q_user_daily_dense, SQL_USER_DAILY_DENSE),
     "events_session_overlap": (
         q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
     ),
