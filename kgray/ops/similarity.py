@@ -304,3 +304,60 @@ def kmeans_lloyd(ds, k: int = 8, iters: int = 5,
         .aggregate(Sum("n", alias_name="n"), Sum("sse", alias_name="sse"))
     )
     return C, summary
+
+
+def label_diversity(embeddings, label_col: str = "label",
+                    vec_col: str = "embedding", digits: int = 4):
+    """Per-label embedding diversity: the exact mean pairwise cosine
+    over all ordered pairs within a label, WITHOUT materializing any
+    pair — mean_cos = (||Σv̂||² - n) / (n(n-1)) for unit-normalized
+    rows (Σ||v̂ᵢ||² = n).  Same combiner shape as ``label_centroids``:
+    one (label, d-dim partial sum, count) row per batch moves through
+    the shuffle; the identity is evaluated on the label-scale fold.
+    Labels with a single member are dropped (the pair mean is
+    undefined), matching the oracle's HAVING n >= 2."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, vec_col).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(m)
+        df["__l"] = labels
+        g = df.groupby("__l", sort=False)
+        sums = g.sum()
+        counts = g.size()
+        out = {"label": pa.array(sums.index.to_numpy(np.int64), pa.int64()),
+               "n": pa.array(counts.to_numpy(np.int64), pa.int64())}
+        for j in range(m.shape[1]):
+            out[f"s{j}"] = pa.array(sums[j].to_numpy(np.float64),
+                                    pa.float64())
+        return pa.table(out)
+
+    probe = embeddings.limit(1).take_batch(1, batch_format="pyarrow")
+    d = _matrix(probe, vec_col).shape[1]
+    folded = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(*([Sum("n", alias_name="n")]
+                     + [Sum(f"s{j}", alias_name=f"s{j}") for j in range(d)]))
+        .to_pandas()  # label-scale, never rows
+    )
+    n = folded["n"].to_numpy(np.float64)
+    s = np.column_stack([folded[f"s{j}"].to_numpy(np.float64)
+                         for j in range(d)])
+    keep = n >= 2
+    norm2 = (s[keep] ** 2).sum(axis=1)
+    nk = n[keep]
+    avg = (norm2 - nk) / (nk * (nk - 1.0))
+    return pa.table(
+        {
+            "label": pa.array(folded["label"].to_numpy(np.int64)[keep],
+                              pa.int64()),
+            "n": pa.array(nk.astype(np.int64), pa.int64()),
+            "avg_cos": pa.array(round_half_up(avg, digits), pa.float64()),
+        }
+    )

@@ -7056,6 +7056,184 @@ FROM cal LEFT JOIN c ON cal.user_id = c.user_id AND cal.day = c.day
 """
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Per-doc duplicated-substring statistics (40-char windows, stride
+    1, shared across >= 2 docs) — see kgray/ops/dedup.py:dup_span_stats
+    for the distribution story.  The oracle is the literal substr
+    self-join; the Ray scale path (use_hash=True) is pinned equal to
+    this string path by test."""
+    from kgray.ops.dedup import dup_span_stats
+
+    return dup_span_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=40
+    )
+
+
+SQL_DUP_SPAN_STATS = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 40) AS w
+  FROM documents, UNNEST(range(1, length(text) - 38)) AS t(i)
+  WHERE length(text) >= 40),
+d AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_frac
+FROM w JOIN d USING (w) GROUP BY 1
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Unicode + whitespace normalization (NFC -> collapse ASCII
+    whitespace -> trim -> lower), the canonical pre-tokenization
+    cleanup.  The corpus is ASCII, so a decomposed accent (e +
+    combining acute) and stray whitespace are prepended IN BOTH ENGINES
+    — the NFC recombination and collapse are what the oracle checks.
+    Whitespace is an explicit ASCII class: Python \\s is Unicode-aware,
+    RE2's is not."""
+    import re
+    import unicodedata
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ws = re.compile(r"[ \t\n\r\f]+")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            raw = "e\u0301  " + (t or "") + " "  # decomposed, as the SQL
+            s = unicodedata.normalize("NFC", raw)
+            s = ws.sub(" ", s).strip(" ").lower()
+            out.append(s)
+        normed = pa.array(out, pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm": normed,
+                "n_chars_norm": pc.cast(pc.utf8_length(normed), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           nfc_normalize(chr(101) || chr(769) || '  ' || text || ' '),
+           '[ \t\n\r\f]+', ' ', 'g'), ' ')) AS norm
+  FROM documents)
+SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm FROM n
+"""
+
+
+def q_embed_label_diversity(sf_dir: str):
+    """Per-label mean pairwise cosine WITHOUT pair materialization —
+    (||Σv̂||² - n)/(n(n-1)) on the normalized-sum fold (the SemDeDup
+    cluster-diversity score).  One partial row per (batch, label)
+    shuffles; the identity runs on the label-scale aggregate."""
+    from kgray.ops.similarity import label_diversity
+
+    return label_diversity(_read(sf_dir, "embeddings",
+                                 ["label", "embedding"]))
+
+
+SQL_EMBED_LABEL_DIVERSITY = """
+WITH nv AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE) /
+                sqrt(list_sum(list_transform(embedding,
+                       y -> CAST(y AS DOUBLE) * y)))) AS v
+  FROM embeddings),
+s AS (
+  SELECT label, i, SUM(v[i]) AS sv
+  FROM nv, UNNEST(range(1, 65)) AS t(i)
+  GROUP BY 1, 2),
+c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1)
+SELECT s.label, CAST(c.n AS BIGINT) AS n,
+       ROUND((SUM(sv * sv) - c.n) / (c.n * (c.n - 1.0)), 4) AS avg_cos
+FROM s JOIN c USING (label)
+GROUP BY s.label, c.n
+HAVING c.n >= 2
+"""
+
+
+def q_user_value_mad(sf_dir: str):
+    """Per-group median absolute deviation (the robust dispersion
+    companion to z-score outliers): needs the group median TWICE —
+    everything for a user sits in one coarse bucket after the single
+    cogroup shuffle, so both median passes are pandas C groupbys with
+    no extra all-to-all.  Interpolation semantics match DuckDB MEDIAN
+    (quantile_cont 0.5) exactly; round(4) absorbs ulp drift."""
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def mad(df: pd.DataFrame) -> pd.DataFrame:
+        med = df.groupby("user_id", sort=False)["value"].transform("median")
+        dev = (df["value"] - med).abs()
+        m = dev.groupby(df["user_id"], sort=False).median()
+        return pd.DataFrame(
+            {
+                "user_id": m.index.to_numpy(np.int64),
+                "mad": round_half_up(m.to_numpy(np.float64), 4),
+            }
+        )
+
+    return grouped_map(ev, "user_id", mad)
+
+
+SQL_USER_VALUE_MAD = """
+WITH m AS (SELECT user_id, MEDIAN(value) AS med FROM events GROUP BY 1)
+SELECT e.user_id, ROUND(MEDIAN(ABS(e.value - m.med)), 4) AS mad
+FROM events e JOIN m USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+def q_events_session_ids(sf_dir: str):
+    """Session-id ASSIGNMENT (not just counts): each event gets its
+    user's running session index — LAG gap test + per-user running sum,
+    both vectorized inside the single user-cogroup bucket.  The
+    stateful-streaming window primitive in batch form."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        new_sess = (
+            prev.isna()
+            | ((df["ts"] - prev).dt.total_seconds() > 1800)
+        ).astype(np.int64)
+        idx = new_sess.groupby(df["user_id"], sort=False).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "session_idx": idx.to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", assign)
+
+
+SQL_EVENTS_SESSION_IDS = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7243,6 +7421,13 @@ CATALOG: dict[str, tuple] = {
     "events_hourly_dedup": (q_events_hourly_dedup, SQL_EVENTS_HOURLY_DEDUP),
     "user_streaks": (q_user_streaks, SQL_USER_STREAKS),
     "user_daily_dense": (q_user_daily_dense, SQL_USER_DAILY_DENSE),
+    "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "embed_label_diversity": (
+        q_embed_label_diversity, SQL_EMBED_LABEL_DIVERSITY
+    ),
+    "user_value_mad": (q_user_value_mad, SQL_USER_VALUE_MAD),
+    "events_session_ids": (q_events_session_ids, SQL_EVENTS_SESSION_IDS),
     "events_session_overlap": (
         q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
     ),

@@ -25,7 +25,11 @@ def bucket_of(col, num_buckets: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        k = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # unsigned keys (e.g. rolling-hash windows) overflow an int64
+        # cast; both lanes land in the same uint64 domain either way
+        wide = pa.uint64() if pa.types.is_unsigned_integer(col.type) \
+            else pa.int64()
+        k = col.cast(wide).to_numpy(zero_copy_only=False).astype(np.uint64)
         return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
             np.int64
         ) % num_buckets
