@@ -7234,6 +7234,186 @@ FROM (SELECT event_id, user_id, ts,
 """
 
 
+def q_events_window_join(sf_dir: str):
+    """Bounded stream-stream self-join: for every view, the count of
+    the SAME user's clicks inside the following 10 minutes — the
+    tumbling-window join primitive.  One user cogroup, then the window
+    count decomposes into two vectorized merge_asof passes against the
+    per-user cumulative click counter (n = F(t+W) - F(t)); no pair
+    materialization, cost is O(views + clicks) per bucket."""
+    from kgray.util import grouped_map
+
+    W_US = 600_000_000  # 10 min in microseconds
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        views = df[df["event_type"] == "view"]
+        clicks = df[df["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if len(clicks):
+            cum = clicks.groupby("user_id", sort=False).cumcount() + 1
+            cl = pd.DataFrame(
+                {
+                    "user_id": clicks["user_id"].to_numpy(np.int64),
+                    "t": clicks["ts"].to_numpy("datetime64[us]")
+                    .astype(np.int64),
+                    "cum": cum.to_numpy(np.int64),
+                }
+            ).drop_duplicates(["user_id", "t"], keep="last")
+            cl = cl.sort_values("t", kind="mergesort")
+        else:
+            cl = pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "t": pd.array([], dtype="int64"),
+                 "cum": pd.array([], dtype="int64")}
+            )
+        vt = views["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        base = pd.DataFrame(
+            {
+                "event_id": views["event_id"].to_numpy(np.int64),
+                "user_id": views["user_id"].to_numpy(np.int64),
+                "t": vt,
+            }
+        ).sort_values("t", kind="mergesort")
+
+        def cum_at(ts_col: np.ndarray) -> np.ndarray:
+            q = base.assign(t=ts_col).sort_values("t", kind="mergesort")
+            m = pd.merge_asof(q, cl, on="t", by="user_id",
+                              direction="backward",
+                              allow_exact_matches=True)
+            return (
+                m.set_index("event_id")["cum"]
+                .reindex(base["event_id"]).fillna(0).to_numpy(np.int64)
+            )
+
+        t0 = base["t"].to_numpy(np.int64)
+        n = cum_at(t0 + W_US) - cum_at(t0)
+        return pd.DataFrame(
+            {
+                "event_id": base["event_id"].to_numpy(np.int64),
+                "n_follow": n,
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_WINDOW_JOIN = """
+SELECT v.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_follow
+FROM events v LEFT JOIN events c
+  ON c.user_id = v.user_id AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view'
+GROUP BY 1
+"""
+
+
+def q_fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit over the star schema's four FK
+    edges: each edge is an ANTI semi-join (broadcast key set when
+    dimension-sized, bloom-gated cogroup otherwise) folded to one
+    orphan count — the data-quality gate a 100-TB ingest runs before
+    anything joins."""
+    from kgray.ops.joins import semi_join
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    names, counts = [], []
+    for name, child, ck, parent, pk in edges:
+        orphans = semi_join(
+            _read(sf_dir, child, [ck]),
+            _read(sf_dir, parent, [pk]),
+            on=ck, right_on=pk, anti=True,
+        )
+        names.append(name)
+        counts.append(orphans.count())
+    return pa.table(
+        {
+            "edge": pa.array(names, pa.string()),
+            "n_orphans": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+SQL_FK_INTEGRITY_AUDIT = """
+SELECT 'lineitem->orders' AS edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_contact_extract(sf_dir: str):
+    """Regex field extraction (named capture -> columns) over the same
+    deterministic contact header the redaction query synthesizes: the
+    schema-on-read pattern for semi-structured text.  Compiled-once
+    patterns; ASCII classes pin Python-re == RE2 group semantics;
+    no-match extracts '' in both engines."""
+    import re
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    user_re = re.compile(r"([A-Za-z0-9._]+)@")
+    dom_re = re.compile(r"@([A-Za-z0-9.]+)")
+    ph_re = re.compile(r"([0-9]{3}-[0-9]{3,4})")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        users, doms, phones = [], [], []
+        for i, t in zip(ids, texts):
+            raw = (
+                f"user{i}@mail{i % 7}.example.com tel "
+                f"555-{1000 + i % 9000} " + (t or "")
+            )
+            m = user_re.search(raw)
+            users.append(m.group(1) if m else "")
+            m = dom_re.search(raw)
+            doms.append(m.group(1) if m else "")
+            m = ph_re.search(raw)
+            phones.append(m.group(1) if m else "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "user_part": pa.array(users, pa.string()),
+                "domain": pa.array(doms, pa.string()),
+                "phone": pa.array(phones, pa.string()),
+            }
+        )
+
+    return docs.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_CONTACT_EXTRACT = """
+WITH raw AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.example.com tel 555-' ||
+         CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ' || text AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(t, '([A-Za-z0-9._]+)@', 1) AS user_part,
+       regexp_extract(t, '@([A-Za-z0-9.]+)', 1) AS domain,
+       regexp_extract(t, '([0-9]{3}-[0-9]{3,4})', 1) AS phone
+FROM raw
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7428,6 +7608,9 @@ CATALOG: dict[str, tuple] = {
     ),
     "user_value_mad": (q_user_value_mad, SQL_USER_VALUE_MAD),
     "events_session_ids": (q_events_session_ids, SQL_EVENTS_SESSION_IDS),
+    "events_window_join": (q_events_window_join, SQL_EVENTS_WINDOW_JOIN),
+    "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_INTEGRITY_AUDIT),
+    "contact_extract": (q_contact_extract, SQL_CONTACT_EXTRACT),
     "events_session_overlap": (
         q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
     ),
