@@ -77,6 +77,11 @@ SUITE = [
     # suite totals before these two entries exclude them
     "tpch_q13",
     "basket_pairs",
+    # this session: substring-level dup-span stats (Lee et al. window
+    # dedup, the LLM-curation flagship) and the bounded stream-stream
+    # window join; suite totals before these two entries exclude them
+    "dup_span_stats",
+    "events_window_join",
 ]
 
 

@@ -7414,6 +7414,82 @@ FROM raw
 """
 
 
+def q_docs_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) in ONE pass: each batch folds its
+    (lang, source) counts once, then re-emits the four grouping sets
+    with an 'ALL' sentinel — the combiner multiplies rows by the number
+    of SETS (4), not by input size, so the shuffle stays group-scale.
+    (The rollup query covers the hierarchy case; this is the full
+    lattice.)"""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df.groupby(["lang", "source"]).size().reset_index(name="n")
+        outs = []
+        for gl, gs in [(1, 1), (1, 0), (0, 1), (0, 0)]:
+            t = base.copy()
+            if not gl:
+                t["lang"] = "ALL"
+            if not gs:
+                t["source"] = "ALL"
+            outs.append(
+                t.groupby(["lang", "source"], as_index=False)["n"].sum()
+            )
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_DOCS_CUBE = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+def q_customers_all_priorities(sf_dir: str):
+    """Relational division (customers whose orders span EVERY priority
+    class): distinct (cust, priority) collapses via the combiner, the
+    per-customer distinct count is a second group-scale fold, and the
+    divisor (global distinct priorities) is a metadata-scale aggregate
+    compared driver-side — no fact row crosses the shuffle twice."""
+    from kgray.ops.agg import pre_aggregate
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    pairs = pre_aggregate(
+        orders, ["o_custkey", "o_orderpriority"], {"nn": (None, "count")}
+    )
+    per_cust = pre_aggregate(pairs, ["o_custkey"],
+                             {"n_pri": (None, "count")})
+    n_all = pre_aggregate(
+        orders, ["o_orderpriority"], {"nn": (None, "count")}
+    ).count()
+    return per_cust.map_batches(
+        lambda b, k=n_all: b.filter(pc.equal(b["n_pri"], k)).rename_columns(
+            ["c_custkey", "n_pri"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUSTOMERS_ALL_PRIORITIES = """
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_pri
+FROM orders GROUP BY 1
+HAVING COUNT(DISTINCT o_orderpriority) =
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7611,6 +7687,10 @@ CATALOG: dict[str, tuple] = {
     "events_window_join": (q_events_window_join, SQL_EVENTS_WINDOW_JOIN),
     "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_INTEGRITY_AUDIT),
     "contact_extract": (q_contact_extract, SQL_CONTACT_EXTRACT),
+    "docs_cube": (q_docs_cube, SQL_DOCS_CUBE),
+    "customers_all_priorities": (
+        q_customers_all_priorities, SQL_CUSTOMERS_ALL_PRIORITIES
+    ),
     "events_session_overlap": (
         q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
     ),
