@@ -1174,3 +1174,112 @@ def dup_span_stats(docs, window: int = 40, text_col: str = "text",
         )
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def dup_span_purge(docs, window: int = 40, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """The dup-span TRANSFORM (companion to ``dup_span_stats``): cut
+    every character covered by a length-``window`` substring that
+    appears in >= 2 distinct docs.  Returns (doc_id, clean_text,
+    n_removed) for EVERY doc (short/clean docs pass through).
+
+    Note the deliberate divergence from Lee et al. 2022 keep-one-copy
+    semantics: ALL occurrences are removed (a symmetric, order-free
+    rule — keep-one needs a global doc ordering, which a streaming
+    engine should not impose silently).
+
+    Distribution: (doc, window, position) rows cogroup ONCE on the
+    window key to mark duplicated positions; surviving (doc, position)
+    rows then cogroup with the doc texts on doc_id (texts are tagged
+    into the same stream, so it is ONE shuffle, not a join), and the
+    cut itself is a numpy diff-array coverage mask + utf-32 compress
+    per doc.  At 100 TB the window column would ship as a uint64
+    rolling hash exactly like ``dup_span_stats(use_hash=True)``; the
+    string form here is what the substr SQL oracle can check."""
+    from kgray.util import grouped_map
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        out_ids, out_i, out_w = [], [], []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            n = len(t) - window + 1
+            if n <= 0:
+                continue
+            out_ids.append(np.full(n, i, np.int64))
+            out_i.append(np.arange(n, dtype=np.int64))
+            out_w.extend(t[j:j + window] for j in range(n))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "i": pa.array(np.concatenate(out_i), pa.int64()),
+                "w": pa.array(out_w, pa.string()),
+            }
+        )
+
+    wins = docs.map_batches(emit, batch_format="pyarrow")
+
+    def mark(df):
+        import pandas as pd
+
+        nd = df.groupby("w", sort=False)["doc_id"].transform("nunique")
+        dup = df[nd >= 2]
+        return pd.DataFrame(
+            {
+                "doc_id": dup["doc_id"].to_numpy(np.int64),
+                "i": dup["i"].to_numpy(np.int64),
+                "t": np.full(len(dup), "", dtype=object),
+            }
+        )
+
+    dup_pos = grouped_map(wins, "w", mark)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch[id_col], pa.int64()),
+                "i": pa.array(np.full(len(batch), -1, np.int64)),
+                "t": pc.cast(batch[text_col], pa.string()),
+            }
+        )
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(dup_pos)
+
+    def cut(df):
+        import pandas as pd
+
+        texts = df[df["i"] < 0]
+        pos = df[df["i"] >= 0]
+        starts_of = dict(iter(pos.groupby("doc_id", sort=False)["i"])) \
+            if len(pos) else {}
+        ids, cleans, removed = [], [], []
+        for did, t in zip(texts["doc_id"].to_numpy(np.int64),
+                          texts["t"].tolist()):
+            t = t or ""
+            s = starts_of.get(did)
+            if s is None or not len(t):
+                ids.append(did); cleans.append(t); removed.append(0)
+                continue
+            sv = s.to_numpy(np.int64)
+            diff = np.zeros(len(t) + 1, np.int64)
+            np.add.at(diff, sv, 1)
+            np.add.at(diff, np.minimum(sv + window, len(t)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            cps = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+            clean = cps[~covered].tobytes().decode("utf-32-le")
+            ids.append(did); cleans.append(clean)
+            removed.append(int(covered.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(ids, np.int64),
+                "clean_text": pd.array(cleans, dtype="str"),
+                "n_removed": np.array(removed, np.int64),
+            }
+        )
+
+    return grouped_map(both, "doc_id", cut)

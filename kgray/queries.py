@@ -7490,6 +7490,50 @@ HAVING COUNT(DISTINCT o_orderpriority) =
 """
 
 
+def q_dup_span_purge(sf_dir: str):
+    """The dup-span removal TRANSFORM (all occurrences of cross-doc
+    40-char windows cut out) — see dedup.dup_span_purge.  Oracle is a
+    full string-reconstruction check: per-char explode, coverage
+    anti-join, ordered string_agg."""
+    from kgray.ops.dedup import dup_span_purge
+
+    return dup_span_purge(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=40
+    )
+
+
+SQL_DUP_SPAN_PURGE = """
+WITH docs0 AS (SELECT doc_id, text FROM documents),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INTEGER), 40) AS w
+  FROM docs0, UNNEST(range(1, length(text) - 38)) AS t(i)
+  WHERE length(text) >= 40),
+d AS (SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS nd
+                     FROM w GROUP BY 1) WHERE nd >= 2),
+dup AS (SELECT DISTINCT doc_id, i FROM w JOIN d USING (w)),
+chars AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+         substr(text, CAST(j AS INTEGER), 1) AS c
+  FROM docs0, UNNEST(range(1, length(text) + 1)) AS t(j)),
+cov AS (
+  SELECT DISTINCT c.doc_id, c.j
+  FROM chars c JOIN dup ON c.doc_id = dup.doc_id
+   AND c.j >= dup.i AND c.j < dup.i + 40),
+kept AS (
+  SELECT ch.doc_id, ch.j, ch.c
+  FROM chars ch ANTI JOIN cov
+    ON ch.doc_id = cov.doc_id AND ch.j = cov.j)
+SELECT d0.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(length(d0.text) - COALESCE(k.nk, 0) AS BIGINT) AS n_removed
+FROM docs0 d0 LEFT JOIN (
+  SELECT doc_id, string_agg(c, '' ORDER BY j) AS clean_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY 1) k USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7688,6 +7732,7 @@ CATALOG: dict[str, tuple] = {
     "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_INTEGRITY_AUDIT),
     "contact_extract": (q_contact_extract, SQL_CONTACT_EXTRACT),
     "docs_cube": (q_docs_cube, SQL_DOCS_CUBE),
+    "dup_span_purge": (q_dup_span_purge, SQL_DUP_SPAN_PURGE),
     "customers_all_priorities": (
         q_customers_all_priorities, SQL_CUSTOMERS_ALL_PRIORITIES
     ),

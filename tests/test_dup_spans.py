@@ -95,3 +95,42 @@ def test_text_normalize_nfc_and_whitespace(ray_session, tmp_path):
     # e+COMBINING ACUTE recombines to single-char é, whitespace collapses
     assert got["norm"].tolist() == ["é a b c", "é"]
     assert got["n_chars_norm"].tolist() == [7, 1]
+
+
+def test_dup_span_purge_cuts_only_shared_cover(ray_session, tmp_path):
+    from kgray.ops.dedup import dup_span_purge
+    import ray.data as rd
+
+    shared = "S" * 25 + "0123456789ABCDE"  # 40 chars
+    a = "aaa" + shared + "bbb"  # covered chars: exactly the shared span
+    b = shared  # fully covered
+    c = "c" * 60  # unique: untouched
+    d = "dd"  # under window: untouched
+    _docs(tmp_path, [a, b, c, d])
+    got = (
+        dup_span_purge(rd.read_parquet(f"{tmp_path}/documents.parquet"),
+                       window=40)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got["clean_text"].tolist() == ["aaabbb", "", c, d]
+    assert got["n_removed"].tolist() == [40, 40, 0, 0]
+
+
+def test_dup_span_purge_merges_overlapping_windows(ray_session, tmp_path):
+    from kgray.ops.dedup import dup_span_purge
+    import ray.data as rd
+
+    # two docs share a 45-char run -> 6 overlapping dup windows each;
+    # the coverage mask must merge them into ONE 45-char cut
+    run = "R" * 20 + "0123456789" + "Q" * 15  # 45 chars
+    a = "xx" + run + "yy"
+    b = run + "zzzz"
+    _docs(tmp_path, [a, b])
+    got = (
+        dup_span_purge(rd.read_parquet(f"{tmp_path}/documents.parquet"),
+                       window=40)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["clean_text"].tolist() == ["xxyy", "zzzz"]
+    assert got["n_removed"].tolist() == [45, 45]
