@@ -7534,6 +7534,317 @@ FROM docs0 d0 LEFT JOIN (
 """
 
 
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle count over the co-purchase graph — the graph-clustering
+    primitive (full SQL oracle for ops/graph.triangle_count, whose
+    kg_link_triangles entry is rows-only).  Edges = part pairs sharing
+    >= 2 distinct orders: the basket pair expansion is one
+    order-keyed cogroup (vectorized self-merge per bucket), partial
+    supports fold in a p1-keyed cogroup (every partial of a pair lands
+    in one bucket) where the HAVING >= 2 filter runs on true totals.
+    triangle_count then does the node-iterator wedge-check MR (or its
+    test-pinned in-process twin under the small-side gate)."""
+    from kgray.ops.graph import triangle_count
+    from kgray.util import grouped_map
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_basket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return out.rename(columns={"l_partkey_x": "u", "l_partkey_y": "v"})
+
+    pairs = grouped_map(line, "l_orderkey", per_basket)
+
+    def fold_edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["u", "v"], sort=False)["n"].sum().reset_index()
+        return c[c["n"] >= 2][["u", "v"]]
+
+    edges = grouped_map(pairs, "u", fold_edges)
+    return triangle_count(edges)
+
+
+SQL_COPURCHASE_TRIANGLES = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (SELECT u, v FROM p GROUP BY u, v HAVING COUNT(*) >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+"""
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-significant-digit audit over order totals — the
+    fraud/data-quality screen.  Digit extraction is pure Arrow
+    (cents -> int64 -> utf8 slice; no float log10, whose libm rounding
+    near exact powers of ten is not pinned), folded by the combiner."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digit(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = round_half_up(x * 100.0, 0).astype(np.int64)
+        s = pc.cast(pa.array(cents), pa.string())
+        return pa.table({"digit": pc.utf8_slice_codeunits(s, 0, 1)})
+
+    return pre_aggregate(
+        orders.map_batches(digit, batch_format="pyarrow"),
+        ["digit"], {"n": (None, "count")},
+    )
+
+
+SQL_ORDERS_BENFORD = """
+SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_user_mode(sf_dir: str):
+    """MODE per user with a pinned tie-break (most-frequent event type;
+    ties -> lexicographically smallest) — DuckDB's mode() tie order is
+    unspecified, so the oracle spells out the same ROW_NUMBER.  The
+    combiner shrinks the shuffle to one row per (batch, user, type);
+    the argmax is a vectorized head(1) per user in a user-keyed
+    cogroup."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = pre_aggregate(ev, ["user_id", "event_type"],
+                           {"n": (None, "count")})
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(np.int64),
+                "mode_type": top["event_type"].to_numpy(),
+                "n": top["n"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(counts, "user_id", argmax)
+
+
+SQL_EVENTS_USER_MODE = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+
+
+def q_word_window_pairs(sf_dir: str):
+    """Skip-gram co-occurrence counts (word2vec-style window, distance
+    1-2) — token pairs are emitted by numpy shift-align over the
+    flattened token stream (the bigram-fold trick, one lane per
+    distance), and partials fold in the combiner groupby.  No per-row
+    loops; pair volume is 2x token count."""
+    from kgray.ops.agg import pre_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = batch["text"].to_pandas().str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array(
+            [], dtype=object)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w1, w2, dist = [], [], []
+        for d in (1, 2):
+            if len(flat) <= d:
+                continue
+            same = doc_idx[d:] == doc_idx[:-d]
+            w1.append(flat[:-d][same])
+            w2.append(flat[d:][same])
+            dist.append(np.full(int(same.sum()), d, np.int64))
+        if not w1:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        return pa.table({"w1": pa.array(np.concatenate(w1)),
+                         "w2": pa.array(np.concatenate(w2)),
+                         "dist": pa.array(np.concatenate(dist))})
+
+    return pre_aggregate(
+        docs.map_batches(pairs, batch_format="pyarrow"),
+        ["w1", "w2", "dist"], {"n": (None, "count")},
+    )
+
+
+SQL_WORD_WINDOW_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents)
+SELECT t1.tok AS w1, t2.tok AS w2,
+       CAST(t2.pos - t1.pos AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM toks t1 JOIN toks t2
+  ON t1.doc_id = t2.doc_id AND t2.pos - t1.pos BETWEEN 1 AND 2
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_runs(sf_dir: str):
+    """Run-length encoding of per-user event-type streams (the
+    gaps-and-islands rn - rt trick, vectorized): one user-keyed
+    cogroup; run boundaries are a shift-compare, run ids a cumsum, and
+    the per-run fold a groupby over the run id.  run_start is the
+    1-based position of the run within the user's stream."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        rn = df.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        new_run = np.ones(len(df), bool)
+        if len(df) > 1:
+            new_run[1:] = (us[1:] != us[:-1]) | (et[1:] != et[:-1])
+        run_id = np.cumsum(new_run)
+        g = pd.DataFrame({"user_id": us, "event_type": et, "rn": rn,
+                          "run_id": run_id}).groupby("run_id", sort=False)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].first().to_numpy(np.int64),
+                "event_type": g["event_type"].first().to_numpy(),
+                "run_len": g.size().to_numpy(np.int64),
+                "run_start": g["rn"].min().to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_RUNS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events)
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len,
+       CAST(MIN(rn) AS BIGINT) AS run_start
+FROM s GROUP BY user_id, event_type, rn - rt
+"""
+
+
+def q_doc_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings (by n_chars and
+    by token count) — the IR result-merging primitive.  Each global
+    row_number decomposes exactly as in the NTILE query: a
+    distinct-value histogram base (combiner fold, metadata-scale,
+    broadcast by closure) plus an in-value doc_id tie rank from one
+    value-keyed cogroup; the two rank streams meet in a doc_id bucket
+    join, the fused score 1/(60+ra) + 1/(60+rb) is the identical
+    two-term double sum on both engines (rounding is belt), and only
+    the top-100 take the global sort."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join
+    from kgray.util import grouped_map, round_half_up
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ntok = pc.add(
+            pc.count_substring(batch["text"], " "), 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "n_tokens": pc.cast(ntok, pa.int64()),
+            }
+        )
+
+    m = docs.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    def rank_stream(col: str, out: str):
+        hist = (
+            pre_aggregate(m.select_columns(["doc_id", col]), [col],
+                          {"c": (None, "count")})
+            .to_pandas().sort_values(col, ascending=False)
+        )
+        base = dict(
+            zip(
+                hist[col].to_numpy(),
+                np.concatenate([[0],
+                                np.cumsum(hist["c"].to_numpy())[:-1]]),
+            )
+        )
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([col, "doc_id"], kind="mergesort")
+            tie = df.groupby(col, sort=False).cumcount().to_numpy()
+            r = df[col].map(base).to_numpy(np.int64) + tie + 1
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64), out: r}
+            )
+
+        return grouped_map(m.select_columns(["doc_id", col]), col,
+                           per_bucket)
+
+    ra = rank_stream("n_chars", "r_chars")
+    rb = rank_stream("n_tokens", "r_tokens")
+    joined = bucket_join(ra, rb, on="doc_id", how="inner")
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        a = batch["r_chars"].to_numpy(zero_copy_only=False)
+        b = batch["r_tokens"].to_numpy(zero_copy_only=False)
+        rrf = 1.0 / (60.0 + a) + 1.0 / (60.0 + b)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "r_chars": pa.array(a, pa.int64()),
+                "r_tokens": pa.array(b, pa.int64()),
+                "rrf": pa.array(round_half_up(rrf, 6), pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(fuse, batch_format="pyarrow")
+    return scored.sort(["rrf", "doc_id"], descending=[True, False]).limit(100)
+
+
+SQL_DOC_RRF = """
+WITH m AS (SELECT doc_id, n_chars,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+              AS r_chars FROM m),
+rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+              AS r_tokens FROM m)
+SELECT ra.doc_id, CAST(ra.r_chars AS BIGINT) AS r_chars,
+       CAST(rb.r_tokens AS BIGINT) AS r_tokens,
+       ROUND(1.0 / (60 + ra.r_chars) + 1.0 / (60 + rb.r_tokens), 6) AS rrf
+FROM ra JOIN rb USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -7740,4 +8051,12 @@ CATALOG: dict[str, tuple] = {
         q_events_session_overlap, SQL_EVENTS_SESSION_OVERLAP
     ),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    "copurchase_triangles": (
+        q_copurchase_triangles, SQL_COPURCHASE_TRIANGLES
+    ),
+    "orders_benford": (q_orders_benford, SQL_ORDERS_BENFORD),
+    "events_user_mode": (q_events_user_mode, SQL_EVENTS_USER_MODE),
+    "word_window_pairs": (q_word_window_pairs, SQL_WORD_WINDOW_PAIRS),
+    "events_runs": (q_events_runs, SQL_EVENTS_RUNS),
+    "doc_rrf": (q_doc_rrf, SQL_DOC_RRF),
 }
