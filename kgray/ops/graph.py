@@ -284,3 +284,229 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
     closed = grouped_map(wedge_rows.union(edge_rows), "u", close)
     total = closed.sum("n") or 0
     return pa.table({"n_triangles": pa.array([total // 3], pa.int64())})
+
+
+def _pagerank_int_kernel(src: np.ndarray, dst: np.ndarray, n: int,
+                         iters: int, scale: int) -> np.ndarray:
+    """Fixed-point integer power iteration (damping 85/100, all ops
+    int64 floor division) — bit-exact regardless of summation order,
+    which is what lets the SQL oracle unroll the same recurrence with
+    SUM/``//`` and match hash-for-hash (the Q9 integral-coefficient
+    lesson: floats drift across engines, integers cannot).  Shared by
+    the in-process gate, the distributed path and the brute test
+    oracle.  ``src``/``dst`` index the SYMMETRIC edge list."""
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, src, 1)
+    rank = np.full(n, scale // n, np.int64)
+    base = (15 * scale) // (100 * n)
+    nz = deg[src] > 0
+    snz, dnz = src[nz], dst[nz]
+    for _ in range(iters):
+        dang = int(rank[deg == 0].sum())
+        contrib = np.zeros(n, np.int64)
+        np.add.at(contrib, dnz, rank[snz] // deg[snz])
+        rank = base + (85 * (contrib + dang // n)) // 100
+    return rank
+
+
+def pagerank_int(edges, iters: int = 4, scale: int = 10**12,
+                 u_col: str = "u", v_col: str = "v",
+                 max_inprocess_edges: int = 1_000_000):
+    """Deterministic integer-arithmetic PageRank over the undirected
+    edge set: rank' = (15*S)//(100*N) + (85*(Σ rank//deg + dang//N))//100
+    with S = ``scale``.  Unlike float :func:`pagerank` (whose per-node
+    contribution sums are summation-order-sensitive), every operation
+    here is exact int64, so a DuckDB oracle that unrolls the identical
+    recurrence (integer ``//``, SUM, LEFT JOIN COALESCE 0) matches on
+    the value hash — this is the oracle-checkable face of the PageRank
+    family.  Same two-barrier round shape as :func:`pagerank`; returns
+    (node, r) with r int64."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import bucket_join
+
+    edges = edges.materialize()
+    if edges.count() <= max_inprocess_edges:
+        df = edges.to_pandas()
+        sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
+        sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)
+        nodes, inv = np.unique(
+            pd.concat([sym_u, sym_v], ignore_index=True).to_numpy(),
+            return_inverse=True,
+        )
+        if not len(nodes):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        m = len(sym_u)
+        rank = _pagerank_int_kernel(inv[:m], inv[m:], len(nodes), iters,
+                                    scale)
+        return pa.table({"node": pa.array(nodes),
+                         "r": pa.array(rank, pa.int64())})
+
+    deg = node_degrees(edges, u_col, v_col).materialize()
+    n = deg.count()
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "r": pa.array([], pa.int64())})
+    base = (15 * scale) // (100 * n)
+    init = scale // n
+
+    def with_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "r", pa.array(np.full(len(batch), init, np.int64))
+        )
+
+    state = deg.map_batches(with_rank, batch_format="pyarrow").materialize()
+    sym = _symmetric(edges, u_col, v_col).materialize()
+
+    for _ in range(iters):
+        dangling = int(
+            state.map_batches(
+                lambda b: pa.table(
+                    {"m": pc.if_else(pc.equal(b["degree"], 0), b["r"],
+                                     pa.scalar(0, pa.int64()))}
+                ),
+                batch_format="pyarrow",
+            ).sum("m") or 0
+        )
+        contrib = bucket_join(
+            sym, state, on="src", right_on="node", how="inner"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b["dst"],
+                    "c": pa.array(
+                        b["r"].to_numpy() // b["degree"].to_numpy(),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
+        uplift = dangling // n
+
+        def rebuild(batch: pa.Table, uplift=uplift) -> pa.Table:
+            c = pc.fill_null(batch["c"], pa.scalar(0, pa.int64()))
+            r = base + (
+                85 * (c.to_numpy(zero_copy_only=False) + uplift)
+            ) // 100
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "degree": batch["degree"],
+                    "r": pa.array(r, pa.int64()),
+                }
+            )
+
+        state = bucket_join(
+            deg, sums, on="node", right_on="dst", how="left"
+        ).map_batches(rebuild, batch_format="pyarrow").materialize()
+
+    return state.select_columns(["node", "r"])
+
+
+def bfs_hops(edges, seeds, max_hops: int = 4,
+             u_col: str = "u", v_col: str = "v",
+             max_inprocess_edges: int = 1_000_000):
+    """Bounded-depth BFS distances from a seed set over the undirected
+    edge list — the transitive-closure / k-hop-neighborhood primitive.
+    Exact integer min-relaxation, so the SQL oracle unrolls
+    d_{i} = MIN(d_{i-1}, 1 + d_{i-1} over neighbors) ``max_hops``
+    times and matches exactly.
+
+    Distributed path is FRONTIER BFS, not full relaxation: each round
+    bucket-joins only the newest level onto edge sources, min-folds
+    candidate distances, and anti-joins (marker cogroup) against the
+    settled set — the per-round shuffle shrinks with the frontier,
+    unlike the oracle's full re-scan.  Level-order equivalence of the
+    two is the classic BFS invariant (first discovery = shortest
+    unweighted path).  ``seeds`` is a python list of node ids (a query
+    parameter, not data-scale).  Returns (node, dist) for reached
+    nodes with dist <= max_hops."""
+    from ray.data.aggregate import Min
+
+    from kgray.ops.joins import bucket_join
+
+    edges = edges.materialize()
+    if edges.count() <= max_inprocess_edges:
+        df = edges.to_pandas()
+        sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
+        sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)
+        nodes, inv = np.unique(
+            pd.concat([sym_u, sym_v], ignore_index=True).to_numpy(),
+            return_inverse=True,
+        )
+        if not len(nodes):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        m = len(sym_u)
+        src, dst = inv[:m], inv[m:]
+        dist = np.full(len(nodes), -1, np.int64)
+        dist[np.isin(nodes, np.asarray(list(seeds)))] = 0
+        frontier = dist == 0
+        for h in range(1, max_hops + 1):
+            hit = frontier[src]
+            nxt = np.zeros(len(nodes), bool)
+            nxt[dst[hit]] = True
+            nxt &= dist < 0
+            if not nxt.any():
+                break
+            dist[nxt] = h
+            frontier = nxt
+        keep = dist >= 0
+        return pa.table({"node": pa.array(nodes[keep]),
+                         "dist": pa.array(dist[keep], pa.int64())})
+
+    sym = _symmetric(edges, u_col, v_col).materialize()
+    seed_arr = pa.array(list(seeds), pa.int64())
+    settled = (
+        sym.map_batches(
+            lambda b, s=seed_arr: pa.table(
+                {"node": pc.unique(
+                    b["src"].combine_chunks().filter(
+                        pc.is_in(b["src"].combine_chunks(),
+                                 value_set=s)
+                    )
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("node", alias_name="_"))
+        .select_columns(["node"])
+        .map_batches(
+            lambda b: b.append_column(
+                "dist", pa.array(np.zeros(len(b), np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = (
+            bucket_join(sym, frontier.select_columns(["node"]),
+                        on="src", right_on="node", how="inner")
+            .groupby("dst")
+            .aggregate(Min("dst", alias_name="_"))
+            .select_columns(["dst"])
+        )
+        from kgray.ops.joins import semi_join
+
+        fresh = semi_join(
+            cand, settled, on="dst", right_on="node", anti=True
+        ).map_batches(
+            lambda b, h=h: pa.table(
+                {
+                    "node": b["dst"],
+                    "dist": pa.array(np.full(len(b), h, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        settled = settled.union(fresh).materialize()
+        frontier = fresh
+    return settled

@@ -7845,6 +7845,496 @@ ORDER BY rrf DESC, doc_id LIMIT 100
 """
 
 
+def _part_supplier_edges(sf_dir: str):
+    """Bipartite supplier-part edge list from lineitem (distinct pairs;
+    part ids offset into a disjoint id space).  Shared by the PageRank
+    and BFS graph queries."""
+    from kgray.ops.agg import pre_aggregate
+
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(batch["l_suppkey"], pa.int64()),
+                "v": pc.cast(pc.add(batch["l_partkey"], 10_000_000),
+                             pa.int64()),
+            }
+        )
+
+    pairs = line.map_batches(proj, batch_format="pyarrow")
+    return pre_aggregate(
+        pairs, ["u", "v"], {"n": (None, "count")}
+    ).select_columns(["u", "v"])
+
+
+_GRAPH_EDGE_SQL = """e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+           CAST(l_partkey + 10000000 AS BIGINT) AS v FROM lineitem),
+sym AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1)"""
+
+
+def q_part_supplier_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (4 iterations, scale 10^12) over the
+    supplier-part bipartite graph — the oracle-checkable face of the
+    PageRank family (float kg_pagerank is rows-only because per-node
+    contribution sums are summation-order-sensitive across engines;
+    int64 floor-division arithmetic is bit-exact in any order, so the
+    DuckDB oracle unrolls the identical recurrence and value-hash
+    matches).  See ops/graph.pagerank_int for the round shape."""
+    from kgray.ops.graph import pagerank_int
+
+    return pagerank_int(_part_supplier_edges(sf_dir), iters=4)
+
+
+def _pagerank_sql(iters: int = 4, scale: int = 10**12) -> str:
+    prev = "r0"
+    ctes = [
+        f"r0 AS (SELECT node, CAST({scale} // n.n AS BIGINT) AS r\n"
+        "       FROM deg CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM deg) n)"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT d.node, CAST((15 * {scale}) // (100 * m.n)\n"
+            "         + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)"
+            " AS r\n"
+            "       FROM deg d\n"
+            "       CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM deg) m\n"
+            "       LEFT JOIN (SELECT s.dst AS node,"
+            " SUM(r.r // sd.degree) AS contrib\n"
+            f"                  FROM sym s JOIN {prev} r ON s.src = r.node\n"
+            "                  JOIN deg sd ON s.src = sd.node\n"
+            "                  GROUP BY 1) c ON d.node = c.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + _GRAPH_EDGE_SQL + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT node, r FROM {prev}"
+    )
+
+
+SQL_PART_SUPPLIER_PAGERANK = _pagerank_sql(iters=4)
+
+
+def q_graph_bfs_hops(sf_dir: str):
+    """Bounded-depth BFS distances from supplier node 1 over the same
+    bipartite graph (k-hop neighborhood / transitive-closure
+    primitive).  Exact integer min-relaxation semantics; the Ray path
+    is frontier BFS (per-round shuffle shrinks with the frontier), the
+    oracle unrolls the full min-relax — equal by the BFS level
+    invariant."""
+    from kgray.ops.graph import bfs_hops
+
+    return bfs_hops(_part_supplier_edges(sf_dir), seeds=[1], max_hops=3)
+
+
+def _bfs_sql(max_hops: int = 3) -> str:
+    prev = "d0"
+    ctes = [
+        "d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist\n"
+        "       FROM sym WHERE src IN (1))"
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"d{i} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist"
+            " FROM (\n"
+            f"         SELECT node, dist FROM {prev}\n"
+            "         UNION ALL\n"
+            "         SELECT s.dst AS node, d.dist + 1 AS dist\n"
+            f"         FROM sym s JOIN {prev} d ON s.src = d.node\n"
+            "       ) GROUP BY 1)"
+        )
+        prev = f"d{i}"
+    return (
+        "WITH " + _GRAPH_EDGE_SQL + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM {prev}"
+    )
+
+
+SQL_GRAPH_BFS_HOPS = _bfs_sql(max_hops=3)
+
+
+_BM25_TERMS = ("query", "window", "scan")
+
+
+def q_doc_bm25(sf_dir: str):
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query, top-50
+    docs — the IR scoring primitive.  Two passes: a combiner-folded
+    stats pass (N, Σdl, per-term df — metadata-scale) whose idf uses
+    C-libm ``math.log`` on the driver (the tf-idf ln-parity trick),
+    then a scoring pass with the per-term saturation formula written as
+    the IDENTICAL expression tree in numpy and SQL (elementwise ops are
+    exact-rounded, so bits match) and the 3 term scores added in fixed
+    order (the RRF lesson: never let a variable-order SUM near the
+    hash)."""
+    import math
+
+    from kgray.ops.agg import pre_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        toks = batch["text"].to_pandas().str.split(" ")
+        ex = pd.DataFrame(
+            {"i": np.repeat(np.arange(len(toks)),
+                            toks.str.len().to_numpy(np.int64)),
+             "t": np.concatenate(toks.to_numpy()) if len(toks)
+             else np.array([], object)}
+        )
+        ex = ex[ex["t"] != ""]
+        dl = np.zeros(len(toks), np.int64)
+        cnt = ex.groupby("i", sort=False).size()
+        dl[cnt.index.to_numpy()] = cnt.to_numpy()
+        cols = {"doc_id": batch["doc_id"], "dl": pa.array(dl)}
+        for term in _BM25_TERMS:
+            tf = np.zeros(len(toks), np.int64)
+            hit = ex[ex["t"] == term].groupby("i", sort=False).size()
+            tf[hit.index.to_numpy()] = hit.to_numpy()
+            cols[f"tf_{term}"] = pa.array(tf)
+        return pa.table(cols)
+
+    tfs = docs.map_batches(doc_tf, batch_format="pyarrow").materialize()
+
+    stat_aggs = {"n_docs": (None, "count"), "sum_dl": ("dl", "sum")}
+    for term in _BM25_TERMS:
+        stat_aggs[f"df_{term}"] = (f"has_{term}", "sum")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        cols = {"g": pa.array(np.zeros(len(batch), np.int64)),
+                "dl": batch["dl"]}
+        for term in _BM25_TERMS:
+            cols[f"has_{term}"] = pc.cast(
+                pc.greater(batch[f"tf_{term}"], 0), pa.int64()
+            )
+        return pa.table(cols)
+
+    stats = (
+        pre_aggregate(
+            tfs.map_batches(flags, batch_format="pyarrow"), ["g"], stat_aggs
+        )
+        .to_pandas().iloc[0]
+    )
+    n = int(stats["n_docs"])
+    avgdl = int(stats["sum_dl"]) / n
+    idf = {
+        t: math.log((n - int(stats[f"df_{t}"]) + 0.5)
+                    / (int(stats[f"df_{t}"]) + 0.5) + 1.0)
+        for t in _BM25_TERMS
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        from kgray.util import round_half_up
+
+        dl = batch["dl"].to_numpy().astype(np.float64)
+        denom_dl = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        total = np.zeros(len(batch), np.float64)
+        for term in _BM25_TERMS:
+            tf = batch[f"tf_{term}"].to_numpy().astype(np.float64)
+            total = total + idf[term] * (tf * 2.2) / (tf + denom_dl)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(round_half_up(total, 6), pa.float64()),
+            }
+        )
+
+    return (
+        tfs.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(50)
+    )
+
+
+SQL_DOC_BM25 = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+             FROM documents),
+tf AS (SELECT d.doc_id,
+              COALESCE(x.dl, 0) AS dl,
+              COALESCE(x.tf_query, 0) AS tf_query,
+              COALESCE(x.tf_window, 0) AS tf_window,
+              COALESCE(x.tf_scan, 0) AS tf_scan
+       FROM documents d LEFT JOIN (
+         SELECT doc_id, COUNT(*) AS dl,
+                COUNT(*) FILTER (t = 'query') AS tf_query,
+                COUNT(*) FILTER (t = 'window') AS tf_window,
+                COUNT(*) FILTER (t = 'scan') AS tf_scan
+         FROM tok WHERE t <> '' GROUP BY 1) x ON d.doc_id = x.doc_id),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_query,
+             CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_window,
+             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_scan
+      FROM tf)
+SELECT tf.doc_id,
+       ROUND(
+         ln((g.n - g.df_query + 0.5) / (g.df_query + 0.5) + 1.0)
+           * (tf_query * 2.2)
+           / (tf_query + 1.2 * (0.25 + 0.75 * dl / g.avgdl))
+       + ln((g.n - g.df_window + 0.5) / (g.df_window + 0.5) + 1.0)
+           * (tf_window * 2.2)
+           / (tf_window + 1.2 * (0.25 + 0.75 * dl / g.avgdl))
+       + ln((g.n - g.df_scan + 0.5) / (g.df_scan + 0.5) + 1.0)
+           * (tf_scan * 2.2)
+           / (tf_scan + 1.2 * (0.25 + 0.75 * dl / g.avgdl)), 6) AS score
+FROM tf CROSS JOIN g
+ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+def q_events_kl_daily(sf_dir: str):
+    """Per-day KL divergence of the event-type distribution against the
+    corpus-wide distribution — the drift-monitoring primitive.  The
+    shuffle moves (day, type) count partials only; the divergence is
+    computed on the folded metadata-scale table with ``math.log``
+    memoized over distinct (n_dt, n_d, n_t, n) tuples (libm parity, the
+    doc_entropy pattern)."""
+    import math
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_type(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    c = (
+        pre_aggregate(
+            ev.map_batches(day_type, batch_format="pyarrow"),
+            ["day", "event_type"], {"n": (None, "count")},
+        )
+        .to_pandas()
+    )
+    nd = c.groupby("day")["n"].transform("sum").to_numpy(np.int64)
+    ct = c.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    n = int(c["n"].sum())
+    cn = c["n"].to_numpy(np.int64)
+    memo: dict[tuple[int, int, int], float] = {}
+    terms = np.empty(len(c), np.float64)
+    for i, (a, b, t) in enumerate(zip(cn.tolist(), nd.tolist(),
+                                      ct.tolist())):
+        key = (a, b, t)
+        v = memo.get(key)
+        if v is None:
+            p = a / b
+            q = t / n
+            v = p * math.log(p / q)
+            memo[key] = v
+        terms[i] = v
+    kl = (
+        pd.DataFrame({"day": c["day"], "term": terms})
+        .groupby("day", sort=True)["term"].sum().reset_index(name="kl")
+    )
+    return pa.table(
+        {
+            "day": pa.array(kl["day"]),
+            "kl": pa.array(round_half_up(kl["kl"].to_numpy(np.float64), 4),
+                           pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_KL_DAILY = """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+nd AS (SELECT day, CAST(SUM(n) AS BIGINT) AS nd FROM c GROUP BY 1),
+g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS ct FROM c GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT c.day,
+       ROUND(SUM((CAST(c.n AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                 * ln((CAST(c.n AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                      / (CAST(g.ct AS DOUBLE) / CAST(t.n AS DOUBLE)))), 4)
+         AS kl
+FROM c JOIN nd ON c.day = nd.day
+JOIN g ON c.event_type = g.event_type
+CROSS JOIN t
+GROUP BY c.day
+"""
+
+
+def q_events_welch_t(sf_dir: str):
+    """Welch's t-statistic of events.value per type vs the rest of the
+    corpus (the A/B drift screen).  Both engines derive variance from
+    the SAME raw-moment formula ((Σx² - (Σx)²/n)/(n-1)) so the only
+    divergence is ulp-level float-sum order, absorbed by ROUND 4 (the
+    events_value_corr precedent); the rest-group stats are total-minus-
+    group arithmetic on the folded 5-row table, never a second scan."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": batch["value"],
+                "vv": pa.array(v * v, pa.float64()),
+            }
+        )
+
+    s = (
+        pre_aggregate(
+            ev.map_batches(moments, batch_format="pyarrow"),
+            ["event_type"],
+            {"n": (None, "count"), "s": ("v", "sum"), "ss": ("vv", "sum")},
+        )
+        .to_pandas()
+    )
+    tn, ts_, tss = int(s["n"].sum()), float(s["s"].sum()), float(
+        s["ss"].sum())
+    n1 = s["n"].to_numpy(np.float64)
+    s1 = s["s"].to_numpy(np.float64)
+    ss1 = s["ss"].to_numpy(np.float64)
+    n2, s2, ss2 = tn - n1, ts_ - s1, tss - ss1
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    t = (s1 / n1 - s2 / n2) / np.sqrt(v1 / n1 + v2 / n2)
+    return pa.table(
+        {
+            "event_type": pa.array(s["event_type"]),
+            "t": pa.array(round_half_up(t, 4), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_WELCH_T = """
+WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(value) AS s, SUM(value * value) AS ss
+           FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts_, SUM(ss) AS tss FROM s)
+SELECT event_type,
+       ROUND((s.s / s.n - (tot.ts_ - s.s) / (tot.tn - s.n))
+             / sqrt(((s.ss - s.s * s.s / s.n) / (s.n - 1)) / s.n
+                    + (((tot.tss - s.ss)
+                        - (tot.ts_ - s.s) * (tot.ts_ - s.s)
+                          / (tot.tn - s.n))
+                       / (tot.tn - s.n - 1)) / (tot.tn - s.n)), 4) AS t
+FROM s CROSS JOIN tot
+"""
+
+
+def q_user_scd2(sf_dir: str):
+    """Type-2 slowly-changing-dimension history from the event stream:
+    each per-user run of a repeated event_type becomes one version row
+    with [valid_from, valid_to) bounds (valid_to = next version's start,
+    open versions pinned to TIMESTAMP 9999-12-31) and a version number.
+    ONE user cogroup: islands via the events_runs shift-compare, bounds
+    via a shifted gather — all exact integer-microsecond timestamps."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    sentinel = np.datetime64("9999-12-31T00:00:00", "us")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy()
+        new_run = np.ones(len(df), bool)
+        if len(df) > 1:
+            new_run[1:] = (us[1:] != us[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        r_user = us[starts]
+        valid_from = ts[starts]
+        valid_to = np.empty(len(starts), ts.dtype)
+        if len(starts) > 1:
+            nxt = valid_from[1:]
+            same_user = r_user[1:] == r_user[:-1]
+            valid_to[:-1] = np.where(same_user, nxt, sentinel)
+        if len(starts):
+            valid_to[-1] = sentinel
+        version = np.arange(len(starts), dtype=np.int64) + 1
+        if len(starts):
+            first_of_user = np.ones(len(starts), bool)
+            first_of_user[1:] = r_user[1:] != r_user[:-1]
+            version = version - np.maximum.accumulate(
+                np.where(first_of_user, version - 1, 0)
+            )
+        return pd.DataFrame(
+            {
+                "user_id": r_user,
+                "event_type": et[starts],
+                "valid_from": valid_from,
+                "valid_to": valid_to,
+                "version": version,
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_USER_SCD2 = """
+WITH s AS (SELECT user_id, event_type, ts,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rt
+           FROM events),
+runs AS (SELECT user_id, event_type, MIN(ts) AS valid_from
+         FROM s GROUP BY user_id, event_type, rn - rt)
+SELECT user_id, event_type, valid_from,
+       COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from),
+                TIMESTAMP '9999-12-31') AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY valid_from) AS BIGINT) AS version
+FROM runs
+"""
+
+
+def q_doc_dense_rank(sf_dir: str):
+    """Global DENSE_RANK of documents by length — the distinct-value
+    half of the NTILE/row_number decomposition on its own: the rank of
+    a row is the rank of its VALUE, so the combiner folds a distinct-
+    value histogram (metadata-scale), the driver sorts it once, and the
+    per-row attach is a broadcast dict lookup inside map_batches — no
+    row-scale shuffle at all (vs row_number's extra tie-rank cogroup)."""
+    from kgray.ops.agg import pre_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = (
+        pre_aggregate(docs.select_columns(["n_chars"]), ["n_chars"],
+                      {"c": (None, "count")})
+        .to_pandas().sort_values("n_chars", ascending=False)
+    )
+    rank = dict(
+        zip(hist["n_chars"].to_numpy().tolist(),
+            range(1, len(hist) + 1))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals = batch["n_chars"].to_numpy()
+        dr = np.fromiter((rank[v] for v in vals.tolist()), np.int64,
+                         len(vals))
+        return pa.table({"doc_id": batch["doc_id"], "dr": pa.array(dr)})
+
+    return docs.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_DOC_DENSE_RANK = """
+SELECT doc_id,
+       CAST(DENSE_RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS dr
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8059,4 +8549,13 @@ CATALOG: dict[str, tuple] = {
     "word_window_pairs": (q_word_window_pairs, SQL_WORD_WINDOW_PAIRS),
     "events_runs": (q_events_runs, SQL_EVENTS_RUNS),
     "doc_rrf": (q_doc_rrf, SQL_DOC_RRF),
+    "part_supplier_pagerank": (
+        q_part_supplier_pagerank, SQL_PART_SUPPLIER_PAGERANK
+    ),
+    "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
+    "doc_bm25": (q_doc_bm25, SQL_DOC_BM25),
+    "events_kl_daily": (q_events_kl_daily, SQL_EVENTS_KL_DAILY),
+    "events_welch_t": (q_events_welch_t, SQL_EVENTS_WELCH_T),
+    "user_scd2": (q_user_scd2, SQL_USER_SCD2),
+    "doc_dense_rank": (q_doc_dense_rank, SQL_DOC_DENSE_RANK),
 }
