@@ -8341,6 +8341,301 @@ FROM documents
 """
 
 
+def q_brand_weighted_median(sf_dir: str):
+    """Per-brand weighted (lower) median of line price, weighted by
+    quantity — the robust-center primitive the plain median family
+    can't express.  All arithmetic is exact: prices collapse to int64
+    cents, quantities are integral, and the median is the smallest
+    value whose doubled inclusive cumulative weight reaches the total
+    (no interpolation), so both engines agree bit-for-bit.  Shape: a
+    broadcast part->brand attach, a per-batch (brand, value) Arrow
+    partial (near-unique values barely compress — acceptable, the rows
+    are 3 int64s), then ONE brand cogroup whose per-brand work is a
+    vectorized sort + cumsum.  NB brand cardinality (25) caps the
+    cogroup's parallelism — for a high-cardinality value domain under a
+    tiny group count, the Gini-style range partition would spread
+    better."""
+    from kgray.ops.joins import broadcast_join
+    from kgray.util import grouped_map, round_half_up
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_quantity"])
+    joined = broadcast_join(line, part, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "v": pa.array(cents),
+                "w": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+        return t.group_by(["p_brand", "v"]).aggregate([("w", "sum")]) \
+            .rename_columns(["p_brand", "v", "w"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def per_brand(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["p_brand", "v"], sort=False)["w"].sum().reset_index()
+        c = c.sort_values(["p_brand", "v"], kind="mergesort")
+        cw = c.groupby("p_brand", sort=False)["w"].cumsum().to_numpy()
+        tw = c.groupby("p_brand", sort=False)["w"].transform(
+            "sum").to_numpy()
+        hit = c[2 * cw >= tw]
+        first = hit.groupby("p_brand", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "p_brand": first["p_brand"].to_numpy(),
+                "wmedian_cents": first["v"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_map(partials, "p_brand", per_brand)
+
+
+SQL_BRAND_WEIGHTED_MEDIAN = """
+WITH j AS (SELECT p.p_brand,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(l.l_quantity AS BIGINT) AS w
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+c AS (SELECT p_brand, v, SUM(w) AS w FROM j GROUP BY 1, 2),
+a AS (SELECT p_brand, v,
+             SUM(w) OVER (PARTITION BY p_brand ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY p_brand) AS tw
+      FROM c)
+SELECT p_brand, CAST(MIN(v) AS BIGINT) AS wmedian_cents
+FROM a WHERE 2 * cw >= tw GROUP BY 1
+"""
+
+
+def q_events_trigrams(sf_dir: str):
+    """Top-20 length-3 event-type paths (sequence mining one order up
+    from events_transitions): ONE user cogroup emits trigram partials
+    by double shift-align (user-boundary masked), the tiny
+    (t1,t2,t3)-combo fold compresses hard (|types|^3 keys), and only
+    the 20 survivors take the global sort.  Tie-break pinned
+    lexicographically in both engines."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        if len(df) < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": []})
+        same = (us[2:] == us[:-2])
+        return pd.DataFrame(
+            {"t1": et[:-2][same], "t2": et[1:-1][same],
+             "t3": et[2:][same]}
+        )
+
+    tri = grouped_map(ev, "user_id", per_bucket)
+    counts = pre_aggregate(tri, ["t1", "t2", "t3"],
+                           {"n": (None, "count")})
+    return counts.sort(["n", "t1", "t2", "t3"],
+                       descending=[True, False, False, False]).limit(20)
+
+
+SQL_EVENTS_TRIGRAMS = """
+WITH s AS (SELECT user_id, event_type AS t1,
+                  LEAD(event_type, 1) OVER w AS t2,
+                  LEAD(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+
+def q_users_click_and_purchase(sf_dir: str):
+    """INTERSECT set semantics (users present in BOTH event cohorts):
+    pushed-down type filter, per-batch distinct (user, type) Arrow
+    partial, ONE user cogroup keeping users whose distinct-type count
+    is 2.  The EXCEPT twin is bigram_diff; together they pin the SQL
+    set-operator family."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'"
+    )
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = ev.map_batches(distinct, batch_format="pyarrow")
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df.drop_duplicates(["user_id", "event_type"]) \
+            .groupby("user_id", sort=False).size()
+        keep = nt[nt == 2].index.to_numpy(np.int64)
+        return pd.DataFrame({"user_id": keep})
+
+    return grouped_map(pairs, "user_id", both)
+
+
+SQL_USERS_CLICK_AND_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_revenue_gini(sf_dir: str):
+    """Gini coefficient of customer revenue concentration — exact, via
+    the distributed sorted-rank decomposition (the pack/stream_offsets
+    range-partition pattern, NOT a driver sort): revenues collapse to
+    int64 cents per customer (combiner groupby), value-range partials
+    give each range its global rank offset (a metadata-scale driver
+    fold over num_buckets rows), and each range bucket sorts
+    (rev, custkey) locally to assign exact global ranks and fold
+    Σ rank·x / Σ x / n partials.  All sums integral (python-int driver
+    fold, immune to int64 overflow at scale); the single-row final
+    expression is written identically in both engines."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import (default_num_buckets, grouped_map,
+                            round_half_up)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "x": pa.array(c)})
+
+    rev = pre_aggregate(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_custkey"], {"x": ("x", "sum")},
+    ).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = rev.aggregate(Min("x"), Max("x"))
+    lo, hi = int(bounds["min(x)"]), int(bounds["max(x)"])
+    n_ranges = default_num_buckets()
+    width = max((hi - lo) // n_ranges + 1, 1)
+
+    def range_counts(batch: pa.Table) -> pa.Table:
+        rng = np.minimum(
+            (batch["x"].to_numpy() - lo) // width, n_ranges - 1
+        ).astype(np.int64)
+        cnt = np.bincount(rng, minlength=n_ranges)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"rng": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    hist = (
+        pre_aggregate(
+            rev.map_batches(range_counts, batch_format="pyarrow"),
+            ["rng"], {"c": ("c", "sum")},
+        )
+        .to_pandas().sort_values("rng")
+    )
+    offsets = np.zeros(n_ranges, np.int64)
+    idx = hist["rng"].to_numpy(np.int64)
+    counts = hist["c"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offsets[idx] = csum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rng = np.minimum(
+            (batch["x"].to_numpy() - lo) // width, n_ranges - 1
+        ).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng))
+
+    tagged = rev.map_batches(tag, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r, grp in df.groupby("rng", sort=False):
+            g = grp.sort_values(["x", "o_custkey"], kind="mergesort")
+            x = g["x"].to_numpy(np.int64)
+            rank = offsets[int(r)] + np.arange(1, len(g) + 1,
+                                               dtype=np.int64)
+            # python ints: Σ rank·x can exceed int64 at scale
+            s1 = sum(int(a) * int(b) for a, b in
+                     zip(rank.tolist(), x.tolist()))
+            out.append((str(s1), int(x.sum()), len(g)))
+        return pd.DataFrame(out, columns=["s1", "sx", "n"])
+
+    parts = grouped_map(tagged, "rng", fold).to_pandas()
+    s1 = sum(int(v) for v in parts["s1"])
+    sx = int(parts["sx"].sum())
+    n = int(parts["n"].sum())
+    gini = 2.0 * s1 / (n * sx) - (n + 1.0) / n
+    return pa.table({"gini": pa.array([round_half_up(
+        np.array([gini]), 6)[0]], pa.float64())})
+
+
+SQL_REVENUE_GINI = """
+WITH rev AS (SELECT o_custkey,
+                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS x
+             FROM orders GROUP BY 1),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev)
+SELECT ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r
+"""
+
+
+def q_top_suppliers_with_ties(sf_dir: str):
+    """Per-nation top-3 suppliers by account balance WITH TIES (RANK,
+    not ROW_NUMBER: equal balances share a rank and all tied rows
+    survive the cut) — the tie-preserving leaderboard shape.  One
+    nation cogroup; ranks via vectorized min-rank on untouched float
+    values (exact-equality grouping, the argmax lesson)."""
+    from kgray.ops.joins import broadcast_join
+    from kgray.util import grouped_map, round_half_up
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_nationkey", "s_name", "s_acctbal"])
+    rows = broadcast_join(
+        supp, nation, on="s_nationkey", right_on="n_nationkey",
+        how="inner"
+    ).select_columns(["n_name", "s_name", "s_acctbal"])
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        rnk = df.groupby("n_name", sort=False)["s_acctbal"].rank(
+            method="min", ascending=False
+        ).astype(np.int64)
+        keep = df[rnk <= 3].copy()
+        keep["rnk"] = rnk[rnk <= 3]
+        keep["s_acctbal"] = round_half_up(
+            keep["s_acctbal"].to_numpy(np.float64), 2
+        )
+        return keep[["n_name", "s_name", "s_acctbal", "rnk"]]
+
+    return grouped_map(rows, "n_name", per_nation)
+
+
+SQL_TOP_SUPPLIERS_WITH_TIES = """
+WITH r AS (SELECT n.n_name, s.s_name, s.s_acctbal,
+                  RANK() OVER (PARTITION BY n.n_name
+                               ORDER BY s.s_acctbal DESC) AS rnk
+           FROM supplier s JOIN nation n
+             ON s.s_nationkey = n.n_nationkey)
+SELECT n_name, s_name, ROUND(s_acctbal, 2) AS s_acctbal,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8564,4 +8859,15 @@ CATALOG: dict[str, tuple] = {
     "events_welch_t": (q_events_welch_t, SQL_EVENTS_WELCH_T),
     "user_scd2": (q_user_scd2, SQL_USER_SCD2),
     "doc_dense_rank": (q_doc_dense_rank, SQL_DOC_DENSE_RANK),
+    "brand_weighted_median": (
+        q_brand_weighted_median, SQL_BRAND_WEIGHTED_MEDIAN
+    ),
+    "events_trigrams": (q_events_trigrams, SQL_EVENTS_TRIGRAMS),
+    "users_click_and_purchase": (
+        q_users_click_and_purchase, SQL_USERS_CLICK_AND_PURCHASE
+    ),
+    "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
+    "top_suppliers_with_ties": (
+        q_top_suppliers_with_ties, SQL_TOP_SUPPLIERS_WITH_TIES
+    ),
 }
