@@ -8636,6 +8636,190 @@ FROM r WHERE rnk <= 3
 """
 
 
+def q_events_value_deciles(sf_dir: str):
+    """EXACT global deciles of events.value at scale — distributed
+    order-statistic selection, no driver sort: a value-range histogram
+    (combiner fold, metadata-scale) gives every range its global rank
+    offset, target ranks r_q = ceil(q·n/10) land in known ranges, and
+    only those ranges sort locally (value, event_id tie-break) to
+    recover the exact element.  Selected values are returned UNTOUCHED
+    (float equality is exact on untouched values — the argmax lesson);
+    the oracle pins the same ranks with ROW_NUMBER, not quantile_disc,
+    so the semantics are spelled out, not inherited."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import default_num_buckets, grouped_map
+
+    ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
+    n = ev.count()
+    targets = {((q * n) + 9) // 10: q for q in range(1, 10)}
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = ev.aggregate(Min("value"), Max("value"))
+    lo, hi = float(bounds["min(value)"]), float(bounds["max(value)"])
+    n_ranges = default_num_buckets()
+    width = (hi - lo) / n_ranges or 1.0
+
+    def rng_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0,
+                       n_ranges - 1)
+
+    def range_counts(batch: pa.Table) -> pa.Table:
+        r = rng_of(batch["value"].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(r, minlength=n_ranges)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"rng": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    hist = (
+        pre_aggregate(
+            ev.map_batches(range_counts, batch_format="pyarrow"),
+            ["rng"], {"c": ("c", "sum")},
+        )
+        .to_pandas().sort_values("rng")
+    )
+    offsets = np.zeros(n_ranges, np.int64)
+    idx = hist["rng"].to_numpy(np.int64)
+    csum = np.concatenate([[0],
+                           np.cumsum(hist["c"].to_numpy(np.int64))[:-1]])
+    offsets[idx] = csum
+    ends = np.zeros(n_ranges, np.int64)
+    ends[idx] = csum + hist["c"].to_numpy(np.int64)
+    # ranges that contain a target rank — only these pay the local sort
+    hot = set(
+        int(r) for r in idx
+        if any(offsets[r] < t <= ends[r] for t in targets)
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        r = rng_of(v)
+        keep = np.isin(r, np.fromiter(hot, np.int64, len(hot)))
+        return pa.table(
+            {
+                "rng": pa.array(r[keep]),
+                "value": pa.array(v[keep], pa.float64()),
+                "event_id": batch["event_id"].filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r, grp in df.groupby("rng", sort=False):
+            g = grp.sort_values(["value", "event_id"], kind="mergesort")
+            base = offsets[int(r)]
+            for pos in range(len(g)):
+                t = base + pos + 1
+                q = targets.get(t)
+                if q is not None:
+                    out.append((q, g["value"].iloc[pos]))
+        return pd.DataFrame(out, columns=["decile", "value"])
+
+    res = grouped_map(tagged, "rng", pick).to_pandas()
+    res = res.sort_values("decile").reset_index(drop=True)
+    return pa.table(
+        {
+            "decile": pa.array(res["decile"].to_numpy(np.int64)),
+            "value": pa.array(res["value"].to_numpy(np.float64),
+                              pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_VALUE_DECILES = """
+WITH r AS (SELECT value,
+                  ROW_NUMBER() OVER (ORDER BY value, event_id) AS i
+           FROM events),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+t AS (SELECT q.q AS decile, ((q.q * n.n) + 9) // 10 AS target
+      FROM (SELECT UNNEST(range(1, 10)) AS q) q CROSS JOIN n)
+SELECT t.decile, r.value
+FROM t JOIN r ON r.i = t.target
+"""
+
+
+def q_events_day_overlap(sf_dir: str):
+    """Day-over-day user-set Jaccard (audience churn/overlap monitor):
+    ONE user cogroup dedups each user's day set and — because
+    consecutive calendar days are a sorted diff==1 check — emits both
+    the per-day presence partial and the present-tomorrow-too partial
+    in the same pass; a tiny day-level fold (≤366 rows) computes
+    |A∩B| / (|A| + |B| - |A∩B|) as the pinned int-ratio division.
+    Days with an empty intersection drop on both engines (the oracle's
+    inner join)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.cast(
+                    pc.floor_temporal(batch["ts"], unit="day"),
+                    pa.date32(),
+                ),
+            }
+        ).group_by(["user_id", "day"]).aggregate([])
+
+    du = ev.map_batches(day_user, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        us = df["user_id"].to_numpy(np.int64)
+        days = df["day"].to_numpy("datetime64[D]").astype(np.int64)
+        nxt = np.zeros(len(df), np.int64)
+        if len(df) > 1:
+            nxt[:-1] = ((us[1:] == us[:-1])
+                        & (days[1:] == days[:-1] + 1)).astype(np.int64)
+        return pd.DataFrame({"day": days, "present": 1, "both": nxt})
+
+    folded = (
+        pre_aggregate(
+            grouped_map(du, "user_id", per_user), ["day"],
+            {"n": ("present", "sum"), "i": ("both", "sum")},
+        )
+        .to_pandas().sort_values("day")
+    )
+    sizes = dict(zip(folded["day"].to_numpy(np.int64).tolist(),
+                     folded["n"].to_numpy(np.int64).tolist()))
+    keep = folded[folded["i"] > 0]
+    days = keep["day"].to_numpy(np.int64)
+    i = keep["i"].to_numpy(np.int64)
+    a = keep["n"].to_numpy(np.int64)
+    b = np.array([sizes[d + 1] for d in days.tolist()], np.int64)
+    jac = i / (a + b - i)
+    day_str = np.array(
+        [str(np.datetime64(int(d), "D")) for d in days.tolist()]
+    )
+    return pa.table(
+        {
+            "day": pa.array(day_str),
+            "jaccard": pa.array(round_half_up(jac, 6), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_DAY_OVERLAP = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+inter AS (SELECT a.d, CAST(COUNT(*) AS BIGINT) AS i
+          FROM du a JOIN du b
+            ON a.user_id = b.user_id AND b.d = a.d + 1
+          GROUP BY 1),
+sz AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1)
+SELECT strftime(i.d, '%Y-%m-%d') AS day,
+       ROUND(CAST(i.i AS DOUBLE) / (a.n + b.n - i.i), 6) AS jaccard
+FROM inter i JOIN sz a ON i.d = a.d JOIN sz b ON b.d = i.d + 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8870,4 +9054,8 @@ CATALOG: dict[str, tuple] = {
     "top_suppliers_with_ties": (
         q_top_suppliers_with_ties, SQL_TOP_SUPPLIERS_WITH_TIES
     ),
+    "events_value_deciles": (
+        q_events_value_deciles, SQL_EVENTS_VALUE_DECILES
+    ),
+    "events_day_overlap": (q_events_day_overlap, SQL_EVENTS_DAY_OVERLAP),
 }
