@@ -7964,136 +7964,6 @@ def _bfs_sql(max_hops: int = 3) -> str:
 SQL_GRAPH_BFS_HOPS = _bfs_sql(max_hops=3)
 
 
-_BM25_TERMS = ("query", "window", "scan")
-
-
-def q_doc_bm25(sf_dir: str):
-    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query, top-50
-    docs — the IR scoring primitive.  Two passes: a combiner-folded
-    stats pass (N, Σdl, per-term df — metadata-scale) whose idf uses
-    C-libm ``math.log`` on the driver (the tf-idf ln-parity trick),
-    then a scoring pass with the per-term saturation formula written as
-    the IDENTICAL expression tree in numpy and SQL (elementwise ops are
-    exact-rounded, so bits match) and the 3 term scores added in fixed
-    order (the RRF lesson: never let a variable-order SUM near the
-    hash)."""
-    import math
-
-    from kgray.ops.agg import pre_aggregate
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def doc_tf(batch: pa.Table) -> pa.Table:
-        toks = batch["text"].to_pandas().str.split(" ")
-        ex = pd.DataFrame(
-            {"i": np.repeat(np.arange(len(toks)),
-                            toks.str.len().to_numpy(np.int64)),
-             "t": np.concatenate(toks.to_numpy()) if len(toks)
-             else np.array([], object)}
-        )
-        ex = ex[ex["t"] != ""]
-        dl = np.zeros(len(toks), np.int64)
-        cnt = ex.groupby("i", sort=False).size()
-        dl[cnt.index.to_numpy()] = cnt.to_numpy()
-        cols = {"doc_id": batch["doc_id"], "dl": pa.array(dl)}
-        for term in _BM25_TERMS:
-            tf = np.zeros(len(toks), np.int64)
-            hit = ex[ex["t"] == term].groupby("i", sort=False).size()
-            tf[hit.index.to_numpy()] = hit.to_numpy()
-            cols[f"tf_{term}"] = pa.array(tf)
-        return pa.table(cols)
-
-    tfs = docs.map_batches(doc_tf, batch_format="pyarrow").materialize()
-
-    stat_aggs = {"n_docs": (None, "count"), "sum_dl": ("dl", "sum")}
-    for term in _BM25_TERMS:
-        stat_aggs[f"df_{term}"] = (f"has_{term}", "sum")
-
-    def flags(batch: pa.Table) -> pa.Table:
-        cols = {"g": pa.array(np.zeros(len(batch), np.int64)),
-                "dl": batch["dl"]}
-        for term in _BM25_TERMS:
-            cols[f"has_{term}"] = pc.cast(
-                pc.greater(batch[f"tf_{term}"], 0), pa.int64()
-            )
-        return pa.table(cols)
-
-    stats = (
-        pre_aggregate(
-            tfs.map_batches(flags, batch_format="pyarrow"), ["g"], stat_aggs
-        )
-        .to_pandas().iloc[0]
-    )
-    n = int(stats["n_docs"])
-    avgdl = int(stats["sum_dl"]) / n
-    idf = {
-        t: math.log((n - int(stats[f"df_{t}"]) + 0.5)
-                    / (int(stats[f"df_{t}"]) + 0.5) + 1.0)
-        for t in _BM25_TERMS
-    }
-
-    def score(batch: pa.Table) -> pa.Table:
-        from kgray.util import round_half_up
-
-        dl = batch["dl"].to_numpy().astype(np.float64)
-        denom_dl = 1.2 * (0.25 + 0.75 * dl / avgdl)
-        total = np.zeros(len(batch), np.float64)
-        for term in _BM25_TERMS:
-            tf = batch[f"tf_{term}"].to_numpy().astype(np.float64)
-            total = total + idf[term] * (tf * 2.2) / (tf + denom_dl)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "score": pa.array(round_half_up(total, 6), pa.float64()),
-            }
-        )
-
-    return (
-        tfs.map_batches(score, batch_format="pyarrow")
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(50)
-    )
-
-
-SQL_DOC_BM25 = """
-WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
-             FROM documents),
-tf AS (SELECT d.doc_id,
-              COALESCE(x.dl, 0) AS dl,
-              COALESCE(x.tf_query, 0) AS tf_query,
-              COALESCE(x.tf_window, 0) AS tf_window,
-              COALESCE(x.tf_scan, 0) AS tf_scan
-       FROM documents d LEFT JOIN (
-         SELECT doc_id, COUNT(*) AS dl,
-                COUNT(*) FILTER (t = 'query') AS tf_query,
-                COUNT(*) FILTER (t = 'window') AS tf_window,
-                COUNT(*) FILTER (t = 'scan') AS tf_scan
-         FROM tok WHERE t <> '' GROUP BY 1) x ON d.doc_id = x.doc_id),
-g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
-             CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df_query,
-             CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df_window,
-             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df_scan
-      FROM tf)
-SELECT tf.doc_id,
-       ROUND(
-         ln((g.n - g.df_query + 0.5) / (g.df_query + 0.5) + 1.0)
-           * (tf_query * 2.2)
-           / (tf_query + 1.2 * (0.25 + 0.75 * dl / g.avgdl))
-       + ln((g.n - g.df_window + 0.5) / (g.df_window + 0.5) + 1.0)
-           * (tf_window * 2.2)
-           / (tf_window + 1.2 * (0.25 + 0.75 * dl / g.avgdl))
-       + ln((g.n - g.df_scan + 0.5) / (g.df_scan + 0.5) + 1.0)
-           * (tf_scan * 2.2)
-           / (tf_scan + 1.2 * (0.25 + 0.75 * dl / g.avgdl)), 6) AS score
-FROM tf CROSS JOIN g
-ORDER BY score DESC, doc_id LIMIT 50
-"""
-
-
 def q_events_kl_daily(sf_dir: str):
     """Per-day KL divergence of the event-type distribution against the
     corpus-wide distribution — the drift-monitoring primitive.  The
@@ -8411,51 +8281,6 @@ a AS (SELECT p_brand, v,
       FROM c)
 SELECT p_brand, CAST(MIN(v) AS BIGINT) AS wmedian_cents
 FROM a WHERE 2 * cw >= tw GROUP BY 1
-"""
-
-
-def q_events_trigrams(sf_dir: str):
-    """Top-20 length-3 event-type paths (sequence mining one order up
-    from events_transitions): ONE user cogroup emits trigram partials
-    by double shift-align (user-boundary masked), the tiny
-    (t1,t2,t3)-combo fold compresses hard (|types|^3 keys), and only
-    the 20 survivors take the global sort.  Tie-break pinned
-    lexicographically in both engines."""
-    from kgray.ops.agg import pre_aggregate
-    from kgray.util import grouped_map
-
-    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
-                                  "event_type"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"],
-                            kind="mergesort")
-        us = df["user_id"].to_numpy(np.int64)
-        et = df["event_type"].to_numpy()
-        if len(df) < 3:
-            return pd.DataFrame({"t1": [], "t2": [], "t3": []})
-        same = (us[2:] == us[:-2])
-        return pd.DataFrame(
-            {"t1": et[:-2][same], "t2": et[1:-1][same],
-             "t3": et[2:][same]}
-        )
-
-    tri = grouped_map(ev, "user_id", per_bucket)
-    counts = pre_aggregate(tri, ["t1", "t2", "t3"],
-                           {"n": (None, "count")})
-    return counts.sort(["n", "t1", "t2", "t3"],
-                       descending=[True, False, False, False]).limit(20)
-
-
-SQL_EVENTS_TRIGRAMS = """
-WITH s AS (SELECT user_id, event_type AS t1,
-                  LEAD(event_type, 1) OVER w AS t2,
-                  LEAD(event_type, 2) OVER w AS t3
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
-FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
-ORDER BY n DESC, t1, t2, t3 LIMIT 20
 """
 
 
@@ -9038,7 +8863,6 @@ CATALOG: dict[str, tuple] = {
         q_part_supplier_pagerank, SQL_PART_SUPPLIER_PAGERANK
     ),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
-    "doc_bm25": (q_doc_bm25, SQL_DOC_BM25),
     "events_kl_daily": (q_events_kl_daily, SQL_EVENTS_KL_DAILY),
     "events_welch_t": (q_events_welch_t, SQL_EVENTS_WELCH_T),
     "user_scd2": (q_user_scd2, SQL_USER_SCD2),
@@ -9046,7 +8870,6 @@ CATALOG: dict[str, tuple] = {
     "brand_weighted_median": (
         q_brand_weighted_median, SQL_BRAND_WEIGHTED_MEDIAN
     ),
-    "events_trigrams": (q_events_trigrams, SQL_EVENTS_TRIGRAMS),
     "users_click_and_purchase": (
         q_users_click_and_purchase, SQL_USERS_CLICK_AND_PURCHASE
     ),

@@ -1,4 +1,4 @@
-"""Session-6 operator batch (integer PageRank, bounded BFS, BM25, daily
+"""Session-6 operator batch (integer PageRank, bounded BFS, daily
 KL divergence, Welch t, SCD-2 history, dense rank) — DuckDB-oracle
 parity on edge-case fixtures PLUS paths-agree pins for the graph ops'
 distributed rounds (the in-process gate hides them at fixture scale, so
@@ -182,23 +182,6 @@ def test_bfs_hops_distributed_path_agrees(ray_session, tmp_path):
     dist = bfs_hops(edges, seeds=[1], max_hops=3, max_inprocess_edges=0)
     dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
     _cmp(dist, gate, ["node"])
-
-
-# ----------------------------------------------------------------- text
-
-
-def test_doc_bm25(ray_session, tmp_path):
-    _documents(tmp_path)
-    got, sql = _run("doc_bm25", tmp_path)
-    exp = _oracle(tmp_path, sql, ["documents"])
-    _cmp(got, exp, ["doc_id"])
-    s = got.set_index("doc_id")["score"]
-    assert s.loc[3] == 0.0 and s.loc[4] == 0.0  # no query terms
-    # doc 0 hits all three terms once in a 4-token doc: top score
-    assert got.iloc[0]["doc_id"] == 0
-    # saturation: tripled tf must NOT triple the score
-    one_hit = s.loc[2]  # 'window' once, dl 3
-    assert s.loc[1] < 3 * one_hit * 3
 
 
 # --------------------------------------------------------------- events

@@ -1,8 +1,7 @@
-"""Session-7 operator batch (weighted median, trigram paths, INTERSECT,
+"""Session-7 operator batch (weighted median, INTERSECT,
 exact Gini via distributed sorted ranks, RANK-with-ties top-k) — oracle
 parity over fixtures forcing the boundary semantics: the exact
-2·cum == total weighted-median boundary, cross-user trigram masking,
-ties at the rank-3 cut, and a uniform distribution whose Gini must be
+2·cum == total weighted-median boundary, ties at the rank-3 cut, and a uniform distribution whose Gini must be
 exactly the closed-form (n-1)-free value."""
 
 import duckdb
@@ -65,30 +64,6 @@ def test_brand_weighted_median(ray_session, tmp_path):
     g = got.set_index("p_brand")["wmedian_cents"]
     assert g.loc["A"] == 200  # exact boundary -> lower median
     assert g.loc["B"] == 900
-
-
-def test_events_trigrams(ray_session, tmp_path):
-    rows = []
-    t0 = pd.Timestamp("2025-01-01")
-    eid = 0
-    for uid, seq in [(1, list("ABCA")), (2, list("AB")),  # u2: too short
-                     (3, list("BCA"))]:
-        for i, et in enumerate(seq):
-            rows.append((eid, t0 + pd.Timedelta(minutes=i), uid, et))
-            eid += 1
-    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
-                                     "event_type"])
-    df["event_id"] = df["event_id"].astype(np.int64)
-    df["user_id"] = df["user_id"].astype(np.int64)
-    df["ts"] = df["ts"].astype("datetime64[us]")
-    _write(tmp_path, "events", df)
-    got, sql = _run("events_trigrams", tmp_path)
-    exp = _oracle(tmp_path, sql, ["events"])
-    _cmp(got, exp, ["t1", "t2", "t3"])
-    key = got.set_index(["t1", "t2", "t3"])["n"]
-    assert key.loc[("B", "C", "A")] == 2  # users 1 and 3
-    # never a cross-user trigram: u2's AB + u3's B can't combine
-    assert ("A", "B", "B") not in key.index
 
 
 def test_users_click_and_purchase(ray_session, tmp_path):
