@@ -5274,78 +5274,21 @@ WHERE r <= 3
 
 
 def q_users_bfs(sf_dir: str):
-    """Multi-source-free BFS (single-source shortest hops <= 3) over
-    the co-purchase graph: each round, the frontier bucket-joins the
-    symmetric edge table and an anti semi-join drops already-visited
-    nodes — the CC-loop shape with per-round distances.  The seed is
-    the smallest node with an edge (deterministic on both engines)."""
-    from kgray.ops.joins import bucket_join, semi_join
+    """Single-source shortest hops <= 3 over the co-purchase graph via
+    the shared :func:`kgray.ops.graph.bfs_hops` kernel (frontier BFS
+    distributed rounds + the in-process small-side gate; see
+    graph_bfs_hops for the paths-agree pins).  The seed is the smallest
+    node with an edge — u1 < u2 by pair construction, so min(u1) is the
+    global min — deterministic on both engines."""
+    from kgray.ops.graph import bfs_hops
 
     pairs = _copurchase_pairs(sf_dir).materialize()
-
-    def sym(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": pa.concat_arrays(
-                    [batch["u1"].combine_chunks().cast(pa.int64()),
-                     batch["u2"].combine_chunks().cast(pa.int64())]
-                ),
-                "b": pa.concat_arrays(
-                    [batch["u2"].combine_chunks().cast(pa.int64()),
-                     batch["u1"].combine_chunks().cast(pa.int64())]
-                ),
-            }
-        )
-
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-    seed = int(edges.min("a"))
-
-    import ray.data as rd
-
-    dist = rd.from_arrow(
-        pa.table({"node": pa.array([seed], pa.int64()),
-                  "dist": pa.array([0], pa.int64())})
-    ).materialize()
-    frontier = dist
-    for k in (1, 2, 3):
-        hop = bucket_join(
-            edges, frontier.select_columns(["node"]), on="a",
-            right_on="node", how="inner",
-        ).map_batches(
-            lambda t: pa.table({"node": pc_unique_sorted(t["b"])}),
-            batch_format="pyarrow",
-        )
-        new = semi_join(hop, dist, on="node", anti=True).map_batches(
-            lambda t, d=k: pa.table(
-                {
-                    "node": pc_unique_sorted(t["node"]),
-                    "dist": pa.array(
-                        np.full(len(pc_unique_sorted(t["node"])), d,
-                                np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        # per-batch unique is not global: dedup across blocks
-        from kgray.ops.agg import pre_aggregate
-
-        new = pre_aggregate(
-            new, ["node"], {"dist": ("dist", "min")}
-        ).materialize()
-        if new.count() == 0:
-            break
-        dist = dist.union(new).materialize()
-        frontier = new
-    return dist
-
-
-def pc_unique_sorted(col):
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    import pyarrow.compute as _pc
-
-    return _pc.unique(col)
+    if pairs.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    seed = int(pairs.min("u1"))
+    return bfs_hops(pairs, seeds=[seed], max_hops=3,
+                    u_col="u1", v_col="u2")
 
 
 SQL_USERS_BFS = """
@@ -8327,7 +8270,10 @@ def q_revenue_gini(sf_dir: str):
     (rev, custkey) locally to assign exact global ranks and fold
     Σ rank·x / Σ x / n partials.  All sums integral (python-int driver
     fold, immune to int64 overflow at scale); the single-row final
-    expression is written identically in both engines."""
+    expression is written identically in both engines.  Scale twin of
+    q_user_activity_gini, whose driver-side float fold is the right
+    call at key-scale cardinality — this one never materializes the
+    per-key table anywhere."""
     from kgray.ops.agg import pre_aggregate
     from kgray.util import (default_num_buckets, grouped_map,
                             round_half_up)
