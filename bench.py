@@ -82,6 +82,10 @@ SUITE = [
     # window join; suite totals before these two entries exclude them
     "dup_span_stats",
     "events_window_join",
+    # session 5/6: fixed-point integer PageRank over the supplier-part
+    # bipartite graph (the oracle-checked graph-analytics flagship);
+    # suite totals before this entry exclude it
+    "part_supplier_pagerank",
 ]
 
 

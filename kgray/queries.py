@@ -3906,24 +3906,52 @@ def q_tpch_q13(sf_dir: str):
     customer keys preserves zero-order customers, and the distribution
     is a second tiny fold over at-most-|customer| rows."""
     from kgray.ops.agg import pre_aggregate
-    from kgray.ops.joins import bucket_join
+    from kgray.util import grouped_map
 
-    counts = pre_aggregate(
-        _read(sf_dir, "orders", ["o_custkey"]),
-        ["o_custkey"],
-        {"c_count": (None, "count")},
+    def order_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "key": g["o_custkey"],
+                "c": g["count_all"].cast(pa.int64()),
+                "is_cust": pa.array(np.zeros(len(g), np.int8)),
+            }
+        )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["c_custkey"],
+                "c": pa.array(np.zeros(len(batch), np.int64)),
+                "is_cust": pa.array(np.ones(len(batch), np.int8)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        order_partial, batch_format="pyarrow"
     )
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    joined = bucket_join(
-        cust, counts, on="c_custkey", right_on="o_custkey", how="left"
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_partial, batch_format="pyarrow"
     )
 
-    def fill(batch: pa.Table) -> pa.Table:
-        cc = pc.cast(pc.fill_null(batch["c_count"], 0), pa.int64())
-        return pa.table({"c_count": cc})
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # sum order-count partials per key, left-attach onto the
+        # customer marker rows (zero-order customers keep c_count 0),
+        # and fold straight to distribution partials — the whole LEFT
+        # JOIN + both GROUP BYs in one pass over the bucket
+        oc = df[df["is_cust"] == 0]
+        sums = oc.groupby("key", sort=False)["c"].sum()
+        keys = df.loc[df["is_cust"] == 1, "key"]
+        cc = keys.map(sums).fillna(0).astype(np.int64)
+        dist = cc.value_counts()
+        return pd.DataFrame(
+            {"c_count": dist.index.to_numpy(np.int64),
+             "custdist": dist.to_numpy(np.int64)}
+        )
 
-    filled = joined.map_batches(fill, batch_format="pyarrow")
-    return pre_aggregate(filled, ["c_count"], {"custdist": (None, "count")})
+    partials = grouped_map(orders.union(cust), "key", per_bucket)
+    return pre_aggregate(partials, ["c_count"],
+                         {"custdist": ("custdist", "sum")})
 
 
 SQL_TPCH_Q13 = """
@@ -7003,12 +7031,16 @@ def q_dup_span_stats(sf_dir: str):
     """Per-doc duplicated-substring statistics (40-char windows, stride
     1, shared across >= 2 docs) — see kgray/ops/dedup.py:dup_span_stats
     for the distribution story.  The oracle is the literal substr
-    self-join; the Ray scale path (use_hash=True) is pinned equal to
-    this string path by test."""
+    self-join; the Ray side runs the SCALE path (use_hash=True: the
+    shuffle moves 8-byte rolling hashes, 5x less volume than the window
+    strings) — its per-doc stats OUTPUT equals the string path exactly
+    absent collisions (~n²/2^64; test-pinned equal), so it still
+    value-hash-matches the string oracle."""
     from kgray.ops.dedup import dup_span_stats
 
     return dup_span_stats(
-        _read(sf_dir, "documents", ["doc_id", "text"]), window=40
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=40,
+        use_hash=True,
     )
 
 
@@ -7811,7 +7843,12 @@ def _part_supplier_edges(sf_dir: str):
         )
         return t.group_by(["u", "v"]).aggregate([])
 
-    pairs = line.map_batches(proj, batch_format="pyarrow")
+    # materialize between the two stages: the consumers (pagerank_int /
+    # bfs_hops) materialize the edge list immediately anyway, and the
+    # lazily-fused read->dedup->shuffle plan re-executes the map side
+    # inside the sort shuffle (measured 7.3 s fused vs 3.0 s staged at
+    # sf0.1 / 32 cpus)
+    pairs = line.map_batches(proj, batch_format="pyarrow").materialize()
     return grouped_map(
         pairs, "u", lambda df: df.drop_duplicates(["u", "v"])
     )
