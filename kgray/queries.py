@@ -8628,6 +8628,279 @@ FROM inter i JOIN sz a ON i.d = a.d JOIN sz b ON b.d = i.d + 1
 """
 
 
+def q_events_cusum(sf_dir: str):
+    """Per-user CUSUM change-point score: the running sum of deviations
+    from the corpus mean, reported as max |cusum| per user.  The global
+    mean is a one-row fold; the per-user accumulation is a sequential
+    numpy cumsum in (ts, event_id) order — matching DuckDB's running
+    windowed SUM in frame order (the moving-average precedent pins this
+    agreement at 4 digits; the mean's summation-order ulp enters every
+    deviation but amplifies only linearly in stream length, far inside
+    the round)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def gpartial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "s": pa.array([float(v.sum())], pa.float64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    tot = (
+        pre_aggregate(
+            ev.map_batches(gpartial, batch_format="pyarrow"), ["g"],
+            {"s": ("s", "sum"), "n": ("n", "sum")},
+        )
+        .to_pandas().iloc[0]
+    )
+    mean = float(tot["s"]) / float(tot["n"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        dev = df["value"].to_numpy(np.float64) - mean
+        # per-user cumsum via pandas groupby: sequential within group,
+        # same accumulation order as the window engine (a single global
+        # cumsum would cross user boundaries — the late-data lesson)
+        cs = (
+            pd.Series(dev).groupby(pd.Series(us), sort=False).cumsum()
+            .to_numpy(np.float64)
+        )
+        m = (
+            pd.DataFrame({"u": us, "a": np.abs(cs)})
+            .groupby("u", sort=False)["a"].max()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": m.index.to_numpy(np.int64),
+                "max_cusum": round_half_up(m.to_numpy(np.float64), 4),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+SQL_EVENTS_CUSUM = """
+WITH g AS (SELECT SUM(value) / COUNT(*) AS m FROM events),
+c AS (SELECT user_id,
+             SUM(value - g.m) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS cs
+      FROM events CROSS JOIN g)
+SELECT user_id, ROUND(MAX(ABS(cs)), 4) AS max_cusum
+FROM c GROUP BY 1
+"""
+
+
+def q_events_lead_lag(sf_dir: str):
+    """Lead-lag cross-correlation of the click and purchase daily count
+    series (lags -3..+3) — does one stream anticipate the other?  The
+    corpus-scale pass is one (day, x, y) count fold; the seven
+    correlations run on the metadata-scale series with the
+    grouped_corr sufficient-statistics formula (algebraically identical
+    to SQL CORR, ulp drift absorbed by ROUND 4)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'"
+    )
+
+    def day_type(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(
+                    pc.floor_temporal(batch["ts"], unit="day"),
+                    pa.date32(),
+                ),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    c = (
+        pre_aggregate(
+            ev.map_batches(day_type, batch_format="pyarrow"),
+            ["day", "event_type"], {"n": (None, "count")},
+        )
+        .to_pandas()
+    )
+    piv = c.pivot_table(index="day", columns="event_type", values="n",
+                        fill_value=0, aggfunc="sum").reset_index()
+    for col in ("click", "purchase"):
+        if col not in piv:
+            piv[col] = 0
+    days = pd.to_datetime(piv["day"]).to_numpy("datetime64[D]") \
+        .astype(np.int64)
+    x = piv["click"].to_numpy(np.float64)
+    y = piv["purchase"].to_numpy(np.float64)
+    by_day = dict(zip(days.tolist(), range(len(days))))
+    out_lag, out_r = [], []
+    for lag in range(-3, 4):
+        xi, yi = [], []
+        for d, i in by_day.items():
+            j = by_day.get(d + lag)
+            if j is not None:
+                xi.append(x[i])
+                yi.append(y[j])
+        xa, ya = np.array(xi), np.array(yi)
+        n = float(len(xa))
+        cov = n * float((xa * ya).sum()) - float(xa.sum()) * float(
+            ya.sum())
+        vx = n * float((xa * xa).sum()) - float(xa.sum()) ** 2
+        vy = n * float((ya * ya).sum()) - float(ya.sum()) ** 2
+        denom = (vx * vy) ** 0.5
+        out_lag.append(lag)
+        out_r.append(cov / denom)
+    return pa.table(
+        {
+            "lag": pa.array(out_lag, pa.int64()),
+            "r": pa.array(round_half_up(np.array(out_r), 4),
+                          pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_LEAD_LAG = """
+WITH c AS (SELECT CAST(ts AS DATE) AS d,
+                  CAST(COUNT(*) FILTER (event_type = 'click')
+                       AS DOUBLE) AS x,
+                  CAST(COUNT(*) FILTER (event_type = 'purchase')
+                       AS DOUBLE) AS y
+           FROM events
+           WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+l AS (SELECT CAST(UNNEST(range(-3, 4)) AS INTEGER) AS lag)
+SELECT CAST(l.lag AS BIGINT) AS lag, ROUND(corr(a.x, b.y), 4) AS r
+FROM l JOIN c a ON TRUE JOIN c b ON b.d = a.d + l.lag
+GROUP BY 1
+"""
+
+
+def q_user_value_interp(sf_dir: str):
+    """Per-user daily-value series with interior gaps LINEARLY
+    INTERPOLATED (timeseries repair; the zero-fill twin is
+    user_daily_dense): observed days carry their daily value sum,
+    missing days get vp + (vn - vp) * Δprev / Δspan on exact integer
+    day deltas — the identical expression tree in numpy and SQL.  One
+    user cogroup; the spine expands with the repeat/cumsum arithmetic
+    and prev/next observed indices are searchsorted lookups, no
+    per-day python."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.cast(
+                    pc.cast(
+                        pc.floor_temporal(batch["ts"], unit="day"),
+                        pa.date32(),
+                    ),
+                    pa.int32(),
+                ),
+                "v": batch["value"],
+            }
+        )
+        return t.group_by(["user_id", "day"]).aggregate([("v", "sum")]) \
+            .rename_columns(["user_id", "day", "v"])
+
+    daily = ev.map_batches(day_partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        obs = (
+            df.groupby(["user_id", "day"], sort=False)["v"].sum()
+            .reset_index().sort_values(["user_id", "day"],
+                                       kind="mergesort")
+        )
+        us = obs["user_id"].to_numpy(np.int64)
+        od = obs["day"].to_numpy(np.int64)
+        ov = obs["v"].to_numpy(np.float64)
+        first = np.ones(len(obs), bool)
+        first[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:], [len(obs)]])
+        span = od[ends - 1] - od[starts] + 1
+        # spine: for each user, days start..end via repeat/cumsum
+        spine_user = np.repeat(us[starts], span)
+        base = np.repeat(od[starts], span)
+        step = np.arange(len(spine_user)) - np.repeat(
+            np.concatenate([[0], np.cumsum(span)[:-1]]), span
+        )
+        spine_day = base + step
+        # prev/next observed index per spine row (within the global
+        # sorted (user, day) obs array — user blocks are contiguous and
+        # spine days never leave their user's [min, max] range)
+        prev_i = np.searchsorted(od + us * (10 ** 6), spine_day
+                                 + spine_user * (10 ** 6), "right") - 1
+        next_i = np.searchsorted(od + us * (10 ** 6), spine_day
+                                 + spine_user * (10 ** 6), "left")
+        vp, dp = ov[prev_i], od[prev_i]
+        vn, dn = ov[next_i], od[next_i]
+        observed = spine_day == dp
+        ddp = (spine_day - dp).astype(np.float64)
+        ddn = (dn - dp).astype(np.float64)
+        filled = np.where(
+            observed, vp,
+            vp + (vn - vp) * ddp / np.where(ddn == 0, 1.0, ddn),
+        )
+        day_str = np.array(
+            [str(np.datetime64(int(d), "D")) for d in spine_day.tolist()]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": spine_user,
+                "day": day_str,
+                "v_filled": round_half_up(filled, 4),
+                "interpolated": (~observed).astype(np.int64),
+            }
+        )
+
+    return grouped_map(daily, "user_id", per_bucket)
+
+
+SQL_USER_VALUE_INTERP = """
+WITH o AS (SELECT user_id, CAST(ts AS DATE) AS d, SUM(value) AS v
+           FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM o GROUP BY 1),
+spine AS (SELECT s.user_id,
+                 CAST(UNNEST(generate_series(s.d0, s.d1,
+                                             INTERVAL 1 DAY)) AS DATE)
+                   AS d
+          FROM span s),
+j AS (SELECT sp.user_id, sp.d, o.v
+      FROM spine sp LEFT JOIN o
+        ON sp.user_id = o.user_id AND sp.d = o.d),
+f AS (SELECT user_id, d, v,
+             LAST_VALUE(v IGNORE NULLS) OVER w AS vp,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w AS dp,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS vn,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS dn
+      FROM j
+      WINDOW w AS (PARTITION BY user_id ORDER BY d),
+             wf AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+             ELSE vp + (vn - vp)
+                  * CAST(date_diff('day', dp, d) AS DOUBLE)
+                  / CAST(date_diff('day', dp, dn) AS DOUBLE) END,
+             4) AS v_filled,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS interpolated
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -8864,4 +9137,7 @@ CATALOG: dict[str, tuple] = {
         q_events_value_deciles, SQL_EVENTS_VALUE_DECILES
     ),
     "events_day_overlap": (q_events_day_overlap, SQL_EVENTS_DAY_OVERLAP),
+    "events_cusum": (q_events_cusum, SQL_EVENTS_CUSUM),
+    "events_lead_lag": (q_events_lead_lag, SQL_EVENTS_LEAD_LAG),
+    "user_value_interp": (q_user_value_interp, SQL_USER_VALUE_INTERP),
 }
