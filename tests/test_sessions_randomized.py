@@ -1,0 +1,169 @@
+"""Randomized differential tests for the session-5..9 operator family:
+seeded random tables (duplicates, ties, singleton users, empty docs,
+skewed days baked into the generators) run through the SAME DuckDB
+oracles the driver uses — hand fixtures pin known answers, this pins
+behavior over inputs nobody hand-picked."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgray.queries import CATALOG
+
+
+def _oracle(tmp_path, sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _cmp(qname, got, exp):
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    cols = sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(exp), (qname, len(got), len(exp))
+    for c in cols:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert np.allclose(g.to_numpy(np.float64),
+                               e.to_numpy(np.float64),
+                               rtol=0, atol=1e-9, equal_nan=True), (
+                qname, c)
+        else:
+            assert g.tolist() == e.tolist(), (qname, c)
+
+
+def _gen(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+
+    # events: ~400 rows, 12 users (some with 1 event), 4 types, 10 days,
+    # duplicate timestamps allowed
+    n = 400
+    ts0 = pd.Timestamp("2025-04-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": (ts0 + pd.to_timedelta(
+                rng.integers(0, 10 * 86400, n), unit="s"
+            )).astype("datetime64[us]"),
+            "user_id": rng.choice(
+                np.concatenate([np.arange(1, 11),
+                                np.array([97, 98])]), n
+            ).astype(np.int64),
+            "event_type": rng.choice(
+                ["click", "purchase", "view", "error"], n,
+                p=[0.4, 0.2, 0.3, 0.1]
+            ),
+            # full-precision doubles like the driver testdata: 2-decimal
+            # quantization makes CUSUM land EXACTLY on ROUND-4 half
+            # boundaries (mean = S/n is a small-denominator rational),
+            # where half-up-vs-bit-pattern flips are guaranteed noise
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+    # singleton users at the end
+    ev.loc[n - 1, "user_id"] = np.int64(99)
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    # documents: short/empty/duplicated-token texts
+    vocab = ["query", "window", "scan", "merge", "key", "sort", "a"]
+    texts = [""]
+    for _ in range(120):
+        k = int(rng.integers(1, 12))
+        texts.append(" ".join(rng.choice(vocab, k)))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "n_chars": np.array([len(t) for t in texts], np.int64),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    # lineitem/part/orders/supplier/nation: small TPC-H-ish slices
+    m = 300
+    line = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(1, 60, m).astype(np.int64),
+            "l_partkey": rng.integers(1, 25, m).astype(np.int64),
+            "l_suppkey": rng.integers(1, 9, m).astype(np.int64),
+            "l_extendedprice": np.round(rng.uniform(1, 5000, m), 2),
+            "l_quantity": rng.integers(1, 50, m).astype(np.float64),
+        }
+    )
+    line.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, 25, dtype=np.int64),
+            "p_brand": rng.choice(["B1", "B2", "B3"], 24),
+        }
+    )
+    part.to_parquet(tmp_path / "part.parquet", index=False)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(200, dtype=np.int64),
+            "o_custkey": rng.integers(1, 40, 200).astype(np.int64),
+            "o_totalprice": np.round(rng.uniform(0.01, 99999, 200), 2),
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    nation = pd.DataFrame(
+        {"n_nationkey": np.arange(4, dtype=np.int64),
+         "n_name": ["N0", "N1", "N2", "N3"]}
+    )
+    nation.to_parquet(tmp_path / "nation.parquet", index=False)
+    supp = pd.DataFrame(
+        {
+            "s_nationkey": rng.integers(0, 4, 30).astype(np.int64),
+            "s_name": [f"s{i}" for i in range(30)],
+            # quantized balances force rank ties
+            "s_acctbal": np.round(rng.integers(0, 8, 30) * 12.5, 2),
+        }
+    )
+    supp.to_parquet(tmp_path / "supplier.parquet", index=False)
+
+
+QUERIES = {
+    "orders_benford": ["orders"],
+    "events_user_mode": ["events"],
+    "word_window_pairs": ["documents"],
+    "events_runs": ["events"],
+    "doc_rrf": ["documents"],
+    "copurchase_triangles": ["lineitem"],
+    "part_supplier_pagerank": ["lineitem"],
+    "graph_bfs_hops": ["lineitem"],
+    "events_kl_daily": ["events"],
+    "events_welch_t": ["events"],
+    "user_scd2": ["events"],
+    "doc_dense_rank": ["documents"],
+    "brand_weighted_median": ["lineitem", "part"],
+    "users_click_and_purchase": ["events"],
+    "revenue_gini": ["orders"],
+    "top_suppliers_with_ties": ["nation", "supplier"],
+    "events_value_deciles": ["events"],
+    "events_day_overlap": ["events"],
+    "events_cusum": ["events"],
+    "events_lead_lag": ["events"],
+    "user_value_interp": ["events"],
+}
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_randomized_differential(ray_session, tmp_path, seed):
+    _gen(tmp_path, seed)
+    failures = []
+    for qname, tables in QUERIES.items():
+        fn, sql = CATALOG[qname]
+        try:
+            got = fn(str(tmp_path))
+            exp = _oracle(tmp_path, sql, tables)
+            _cmp(qname, got, exp)
+        except AssertionError as e:
+            failures.append((qname, str(e)[:200]))
+    assert not failures, failures
