@@ -8901,6 +8901,270 @@ FROM f
 """
 
 
+def q_events_geomean(sf_dir: str):
+    """Per-type geometric mean of events.value (exp of the mean log —
+    the multiplicative-scale center): ln is C-libm ``math.log`` memoized
+    over DISTINCT values (the tf-idf parity trick; a python loop over
+    distinct floats is ms-scale because the memo, not the loop, does
+    the work), partial (Σln, n) pairs fold through the combiner, and
+    the final exp(Σ/n) is the identical two-op expression both
+    engines.  Domain-restricted to value > 0 on BOTH sides (the
+    geometric mean is undefined at zero; DuckDB ln(0) raises)."""
+    import math
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="value > 0"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        memo: dict[float, float] = {}
+        logs = np.empty(len(df), np.float64)
+        for i, v in enumerate(df["value"].tolist()):
+            lv = memo.get(v)
+            if lv is None:
+                lv = math.log(v)
+                memo[v] = lv
+            logs[i] = lv
+        df = df.assign(__l=logs)
+        g = df.groupby("event_type", sort=False)["__l"]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"event_type": g.sum().index, "s": g.sum(),
+                          "n": g.size()}),
+            preserve_index=False,
+        )
+
+    folded = (
+        pre_aggregate(
+            ev.map_batches(partial, batch_format="pyarrow"),
+            ["event_type"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        )
+        .to_pandas()
+    )
+    gm = np.array(
+        [math.exp(s / n) for s, n in zip(folded["s"], folded["n"])]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(folded["event_type"]),
+            "geomean": pa.array(round_half_up(gm, 4), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_GEOMEAN = """
+SELECT event_type, ROUND(exp(SUM(ln(value)) / COUNT(*)), 4) AS geomean
+FROM events WHERE value > 0 GROUP BY 1
+"""
+
+
+def q_events_minmax_norm(sf_dir: str):
+    """Per-type min-max feature scaling (x - min)/(max - min) — the
+    classic normalization stage: a tiny (type, min, max) fold broadcast
+    by closure, then a stateless row-scale pass with the pinned
+    two-op expression (single-value types emit 0 by convention, both
+    engines)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    mm = (
+        pre_aggregate(
+            ev.select_columns(["event_type", "value"]), ["event_type"],
+            {"lo": ("value", "min"), "hi": ("value", "max")},
+        )
+        .to_pandas()
+    )
+    lo = dict(zip(mm["event_type"], mm["lo"]))
+    hi = dict(zip(mm["event_type"], mm["hi"]))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        l = df["event_type"].map(lo).to_numpy(np.float64)
+        h = df["event_type"].map(hi).to_numpy(np.float64)
+        x = df["value"].to_numpy(np.float64)
+        span = h - l
+        scaled = np.where(span == 0, 0.0,
+                          (x - l) / np.where(span == 0, 1.0, span))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "scaled": pa.array(round_half_up(scaled, 6),
+                                   pa.float64()),
+            }
+        )
+
+    return ev.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_EVENTS_MINMAX_NORM = """
+WITH m AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+           FROM events GROUP BY 1)
+SELECT e.event_id,
+       ROUND(CASE WHEN m.hi - m.lo = 0 THEN 0.0
+             ELSE (e.value - m.lo) / (m.hi - m.lo) END, 6) AS scaled
+FROM events e JOIN m ON e.event_type = m.event_type
+"""
+
+
+def q_events_fano(sf_dir: str):
+    """Fano factor (variance/mean of daily counts) per event type — the
+    burstiness screen.  Counts are INTEGERS, so Σc and Σc² fold exactly
+    and the (n·Σc² - (Σc)²) / (n·(n-1)) / (Σc/n) expression involves no
+    order-sensitive float sums at all — the only float ops are the
+    final pinned divisions.  n is the number of ACTIVE days (days with
+    ≥1 event of the type), spelled out in both engines."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_type(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    c = (
+        pre_aggregate(
+            ev.map_batches(day_type, batch_format="pyarrow"),
+            ["day", "event_type"], {"c": (None, "count")},
+        )
+        .to_pandas()
+    )
+    g = c.groupby("event_type", sort=True)
+    n = g.size().to_numpy(np.int64)
+    s = g["c"].sum().to_numpy(np.int64)
+    ss = c.assign(cc=c["c"] * c["c"]).groupby("event_type",
+                                              sort=True)["cc"].sum() \
+        .to_numpy(np.int64)
+    var = (n * ss - s * s).astype(np.float64) / (n * (n - 1)).astype(
+        np.float64)
+    mean = s.astype(np.float64) / n.astype(np.float64)
+    fano = var / mean
+    return pa.table(
+        {
+            "event_type": pa.array(g.size().index.to_numpy()),
+            "fano": pa.array(round_half_up(fano, 6), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_FANO = """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT event_type,
+       ROUND((CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+              / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE))
+             / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+             6) AS fano
+FROM c GROUP BY 1
+"""
+
+
+def q_events_cuped(sf_dir: str):
+    """CUPED variance-reduced A/B read-out (the experiment-analytics
+    staple): units are users, the deterministic arm is user_id % 2, the
+    pre-period covariate x is each user's value sum in the first half
+    of the date range and the outcome y the second half.
+    θ = cov(x, y)/var(x) over ALL units, y_cuped = y - θ·(x - x̄), and
+    the output is one row per arm (n, mean_y, mean_y_cuped).  Fully
+    distributed: ONE user cogroup folds per-unit (x, y) and emits
+    per-arm moment partials (n, Σx, Σy, Σx², Σxy) — two rows per
+    bucket — so no unit-scale table ever reaches the driver; θ/x̄ come
+    from the summed-over-arms row and the per-arm adjusted mean is the
+    linear identity (Σy - θ·(Σx - n·x̄))/n.  ROUND 4 absorbs the
+    summation-order ulp (the corr/Welch precedent)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map, round_half_up
+
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    b = _read(sf_dir, "events", ["ts"]).aggregate(Min("ts"), Max("ts"))
+    t0 = pd.Timestamp(b["min(ts)"]).value // 1000
+    t1 = pd.Timestamp(b["max(ts)"]).value // 1000
+    mid = t0 + (t1 - t0) // 2
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        pre = ts < mid
+        d = pd.DataFrame({"u": us, "x": np.where(pre, v, 0.0),
+                          "y": np.where(pre, 0.0, v)})
+        g = d.groupby("u", sort=False)[["x", "y"]].sum()
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        arm = (g.index.to_numpy(np.int64) % 2).astype(np.int64)
+        p = pd.DataFrame(
+            {"arm": arm, "n": 1, "sx": x, "sy": y, "sxx": x * x,
+             "sxy": x * y}
+        ).groupby("arm", sort=False).sum().reset_index()
+        return p
+
+    arms = (
+        pre_aggregate(
+            grouped_map(ev, "user_id", per_bucket), ["arm"],
+            {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+             "sxx": ("sxx", "sum"), "sxy": ("sxy", "sum")},
+        )
+        .to_pandas().sort_values("arm")
+    )
+    n = float(arms["n"].sum())
+    sx, sy = float(arms["sx"].sum()), float(arms["sy"].sum())
+    sxx, sxy = float(arms["sxx"].sum()), float(arms["sxy"].sum())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    na = arms["n"].to_numpy(np.float64)
+    mean_y = arms["sy"].to_numpy(np.float64) / na
+    mean_yc = (
+        arms["sy"].to_numpy(np.float64)
+        - theta * (arms["sx"].to_numpy(np.float64) - na * xbar)
+    ) / na
+    return pa.table(
+        {
+            "arm": pa.array(arms["arm"].to_numpy(np.int64)),
+            "n": pa.array(arms["n"].to_numpy(np.int64)),
+            "mean_y": pa.array(round_half_up(mean_y, 4), pa.float64()),
+            "mean_y_cuped": pa.array(round_half_up(mean_yc, 4),
+                                     pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_CUPED = """
+WITH b AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+           FROM events),
+u AS (SELECT user_id,
+             SUM(CASE WHEN epoch_us(ts) < b.t0 + (b.t1 - b.t0) // 2
+                      THEN value ELSE 0.0 END) AS x,
+             SUM(CASE WHEN epoch_us(ts) < b.t0 + (b.t1 - b.t0) // 2
+                      THEN 0.0 ELSE value END) AS y
+      FROM events CROSS JOIN b GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM u),
+t AS (SELECT (m.n * m.sxy - m.sx * m.sy)
+             / (m.n * m.sxx - m.sx * m.sx) AS theta,
+             m.sx / m.n AS xbar
+      FROM m)
+SELECT CAST(u.user_id % 2 AS BIGINT) AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(y) / COUNT(*), 4) AS mean_y,
+       ROUND(SUM(y - t.theta * (x - t.xbar)) / COUNT(*), 4)
+         AS mean_y_cuped
+FROM u CROSS JOIN t
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9140,4 +9404,8 @@ CATALOG: dict[str, tuple] = {
     "events_cusum": (q_events_cusum, SQL_EVENTS_CUSUM),
     "events_lead_lag": (q_events_lead_lag, SQL_EVENTS_LEAD_LAG),
     "user_value_interp": (q_user_value_interp, SQL_USER_VALUE_INTERP),
+    "events_geomean": (q_events_geomean, SQL_EVENTS_GEOMEAN),
+    "events_minmax_norm": (q_events_minmax_norm, SQL_EVENTS_MINMAX_NORM),
+    "events_fano": (q_events_fano, SQL_EVENTS_FANO),
+    "events_cuped": (q_events_cuped, SQL_EVENTS_CUPED),
 }

@@ -151,6 +151,10 @@ QUERIES = {
     "events_cusum": ["events"],
     "events_lead_lag": ["events"],
     "user_value_interp": ["events"],
+    "events_geomean": ["events"],
+    "events_minmax_norm": ["events"],
+    "events_fano": ["events"],
+    "events_cuped": ["events"],
 }
 
 
