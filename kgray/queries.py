@@ -8630,13 +8630,17 @@ FROM inter i JOIN sz a ON i.d = a.d JOIN sz b ON b.d = i.d + 1
 
 def q_events_cusum(sf_dir: str):
     """Per-user CUSUM change-point score: the running sum of deviations
-    from the corpus mean, reported as max |cusum| per user.  The global
-    mean is a one-row fold; the per-user accumulation is a sequential
-    numpy cumsum in (ts, event_id) order — matching DuckDB's running
-    windowed SUM in frame order (the moving-average precedent pins this
-    agreement at 4 digits; the mean's summation-order ulp enters every
-    deviation but amplifies only linearly in stream length, far inside
-    the round)."""
+    from the corpus mean, reported as max |cusum| per user — in EXACT
+    integer arithmetic.  Values quantize to int64 cents (the testdata
+    is 2-decimal; general inputs are cent-quantized by definition), and
+    the deviation is scaled by n: dev·n = v_cents·n - Σcents, so the
+    per-user running sum is an exact integer in ANY association order —
+    float cusums proved unfixable here, landing exactly on ROUND-4 half
+    boundaries (quantized inputs) where numpy's sequential cumsum and
+    DuckDB's windowed-sum tree disagree by one ulp.  The single final
+    division /(100·n) is pinned in both engines.  NB v_cents·n needs
+    int128 beyond ~1e5-value · 1e13-row corpora — shard the mean or
+    drop the n-scaling (accepting one rational division) there."""
     from kgray.ops.agg import pre_aggregate
     from kgray.util import grouped_map, round_half_up
 
@@ -8644,10 +8648,11 @@ def q_events_cusum(sf_dir: str):
 
     def gpartial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = round_half_up(v * 100.0, 0).astype(np.int64)
         return pa.table(
             {
                 "g": pa.array([0], pa.int64()),
-                "s": pa.array([float(v.sum())], pa.float64()),
+                "s": pa.array([int(cents.sum())], pa.int64()),
                 "n": pa.array([len(v)], pa.int64()),
             }
         )
@@ -8659,19 +8664,19 @@ def q_events_cusum(sf_dir: str):
         )
         .to_pandas().iloc[0]
     )
-    mean = float(tot["s"]) / float(tot["n"])
+    s_cents, n = int(tot["s"]), int(tot["n"])
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"],
                             kind="mergesort")
         us = df["user_id"].to_numpy(np.int64)
-        dev = df["value"].to_numpy(np.float64) - mean
-        # per-user cumsum via pandas groupby: sequential within group,
-        # same accumulation order as the window engine (a single global
-        # cumsum would cross user boundaries — the late-data lesson)
+        cents = round_half_up(
+            df["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        dev = cents * np.int64(n) - np.int64(s_cents)
         cs = (
             pd.Series(dev).groupby(pd.Series(us), sort=False).cumsum()
-            .to_numpy(np.float64)
+            .to_numpy(np.int64)
         )
         m = (
             pd.DataFrame({"u": us, "a": np.abs(cs)})
@@ -8680,7 +8685,9 @@ def q_events_cusum(sf_dir: str):
         return pd.DataFrame(
             {
                 "user_id": m.index.to_numpy(np.int64),
-                "max_cusum": round_half_up(m.to_numpy(np.float64), 4),
+                "max_cusum": round_half_up(
+                    m.to_numpy(np.float64) / (100.0 * n), 4
+                ),
             }
         )
 
@@ -8688,12 +8695,17 @@ def q_events_cusum(sf_dir: str):
 
 
 SQL_EVENTS_CUSUM = """
-WITH g AS (SELECT SUM(value) / COUNT(*) AS m FROM events),
-c AS (SELECT user_id,
-             SUM(value - g.m) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS cs
+WITH g AS (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events),
+c AS (SELECT user_id, g.n,
+             SUM(CAST(round(value * 100) AS BIGINT) * g.n - g.s)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cs
       FROM events CROSS JOIN g)
-SELECT user_id, ROUND(MAX(ABS(cs)), 4) AS max_cusum
+SELECT user_id,
+       ROUND(CAST(MAX(ABS(cs)) AS DOUBLE) / (100.0 * MAX(n)), 4)
+         AS max_cusum
 FROM c GROUP BY 1
 """
 

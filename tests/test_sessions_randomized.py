@@ -60,11 +60,11 @@ def _gen(tmp_path, seed):
                 ["click", "purchase", "view", "error"], n,
                 p=[0.4, 0.2, 0.3, 0.1]
             ),
-            # full-precision doubles like the driver testdata: 2-decimal
-            # quantization makes CUSUM land EXACTLY on ROUND-4 half
-            # boundaries (mean = S/n is a small-denominator rational),
-            # where half-up-vs-bit-pattern flips are guaranteed noise
-            "value": rng.uniform(0, 100, n),
+            # 2-decimal quantized like the driver testdata — the hard
+            # case: CUSUM terms land EXACTLY on ROUND-4 half boundaries,
+            # so parity holds only because the global mean is
+            # decimal-pinned on both engines (queries.q_events_cusum)
+            "value": np.round(rng.uniform(0, 100, n), 2),
         }
     )
     # singleton users at the end
