@@ -9177,6 +9177,163 @@ GROUP BY 1
 """
 
 
+def q_events_winsorized(sf_dir: str):
+    """Per-type winsorized mean (clip at the exact p05/p95 order
+    statistics; the clip twin of doclen_trimmed's drop) — EXACT: values
+    quantize to cents, one (type, cents) histogram fold is the only
+    corpus-scale pass, thresholds are integer-rank selections
+    (rank = (n+19)//20 / (19n+19)//20 — never ceil(0.05·n), whose float
+    product overshoots on exact multiples), and the winsorized mean
+    folds from the histogram itself as Σ clipped-cents / (100·n)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "v": pa.array(c)})
+
+    h = (
+        pre_aggregate(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            ["event_type", "v"], {"c": (None, "count")},
+        )
+        .to_pandas().sort_values(["event_type", "v"], kind="mergesort")
+    )
+    out = []
+    for et, g in h.groupby("event_type", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = v[np.searchsorted(cum, (n + 19) // 20)]
+        hi = v[np.searchsorted(cum, (19 * n + 19) // 20)]
+        clipped = np.clip(v, lo, hi)
+        total = int((clipped * c).sum())
+        n_lo = int(c[v < lo].sum())
+        n_hi = int(c[v > hi].sum())
+        out.append((et, n_lo, n_hi, total / (100.0 * n)))
+    df = pd.DataFrame(out, columns=["event_type", "n_lo", "n_hi",
+                                    "mean_winsor"])
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"]),
+            "n_lo": pa.array(df["n_lo"].to_numpy(np.int64)),
+            "n_hi": pa.array(df["n_hi"].to_numpy(np.int64)),
+            "mean_winsor": pa.array(
+                round_half_up(df["mean_winsor"].to_numpy(np.float64), 4),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH b AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2),
+w AS (SELECT event_type, v, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h),
+lo AS (SELECT event_type, MIN(v) AS v FROM w
+       WHERE cum >= (n + 19) // 20 GROUP BY 1),
+hi AS (SELECT event_type, MIN(v) AS v FROM w
+       WHERE cum >= (19 * n + 19) // 20 GROUP BY 1)
+SELECT w.event_type,
+       CAST(COALESCE(SUM(w.c) FILTER (w.v < lo.v), 0) AS BIGINT)
+         AS n_lo,
+       CAST(COALESCE(SUM(w.c) FILTER (w.v > hi.v), 0) AS BIGINT)
+         AS n_hi,
+       ROUND(CAST(SUM(CASE WHEN w.v < lo.v THEN lo.v
+                           WHEN w.v > hi.v THEN hi.v
+                           ELSE w.v END * w.c) AS DOUBLE)
+             / (100.0 * MAX(w.n)), 4) AS mean_winsor
+FROM w JOIN lo ON w.event_type = lo.event_type
+JOIN hi ON w.event_type = hi.event_type
+GROUP BY 1
+"""
+
+
+def q_events_mannwhitney(sf_dir: str):
+    """Mann-Whitney U (rank-sum) comparing click vs purchase values —
+    the nonparametric A/B test, computed EXACTLY from the shared
+    (value, group) histogram: tie-averaged ranks are half-integers
+    (cumBefore + (count+1)/2 — exact binary doubles), so R1 and U1 are
+    association-order-proof; no row-scale ranking shuffle exists at
+    all.  Metadata-scale driver fold over distinct cents values (the
+    quantized-domain trade; a continuous domain would use the DDSketch
+    histogram instead)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'"
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        g = pc.cast(pc.equal(batch["event_type"], "click"), pa.int64())
+        return pa.table({"v": pa.array(c), "g": g})
+
+    h = (
+        pre_aggregate(
+            ev.map_batches(cents, batch_format="pyarrow"), ["v"],
+            {"c": (None, "count"), "c1": ("g", "sum")},
+        )
+        .to_pandas().sort_values("v", kind="mergesort")
+    )
+    c = h["c"].to_numpy(np.int64)
+    c1 = h["c1"].to_numpy(np.int64)
+    cb = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.float64)
+    avg_rank = cb + (c.astype(np.float64) + 1.0) / 2.0
+    r1 = float((c1.astype(np.float64) * avg_rank).sum())
+    n1 = int(c1.sum())
+    n2 = int(c.sum()) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "r1": pa.array(round_half_up(np.array([r1]), 1),
+                           pa.float64()),
+            "u1": pa.array(round_half_up(np.array([u1]), 1),
+                           pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_MANNWHITNEY = """
+WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+           FROM events
+           WHERE event_type IN ('click', 'purchase')),
+h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(g) AS BIGINT) AS c1
+      FROM b GROUP BY 1),
+w AS (SELECT v, c, c1,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS DOUBLE) AS cb
+      FROM h),
+m AS (SELECT SUM(c1 * (cb + (CAST(c AS DOUBLE) + 1.0) / 2.0)) AS r1,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2
+      FROM w)
+SELECT n1, n2, ROUND(r1, 1) AS r1,
+       ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9420,4 +9577,8 @@ CATALOG: dict[str, tuple] = {
     "events_minmax_norm": (q_events_minmax_norm, SQL_EVENTS_MINMAX_NORM),
     "events_fano": (q_events_fano, SQL_EVENTS_FANO),
     "events_cuped": (q_events_cuped, SQL_EVENTS_CUPED),
+    "events_winsorized": (q_events_winsorized, SQL_EVENTS_WINSORIZED),
+    "events_mannwhitney": (
+        q_events_mannwhitney, SQL_EVENTS_MANNWHITNEY
+    ),
 }

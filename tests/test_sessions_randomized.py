@@ -155,6 +155,8 @@ QUERIES = {
     "events_minmax_norm": ["events"],
     "events_fano": ["events"],
     "events_cuped": ["events"],
+    "events_winsorized": ["events"],
+    "events_mannwhitney": ["events"],
 }
 
 
