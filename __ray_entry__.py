@@ -636,6 +636,21 @@ def _media_resize(sf_dir: str):
     return resized.map_batches(project, batch_format="pyarrow")
 
 
+def _media_dup(sf_dir: str):
+    """Near-duplicate media pairs over the snapshot: actor-pool feature
+    decode composed with the embedding-cosine dedup machinery
+    (media.media_dup_refs).  The snapshot's 64 sha-random unit vectors
+    have no true near-dups, so the demo threshold (0.35) selects the
+    deterministic high-similarity tail — non-empty, stable, rows-only
+    (the feature space has no SQL expression)."""
+    import ray.data as rd
+
+    from kgray.ops.media import media_dup_refs
+
+    media = rd.read_parquet(_KG_MEDIA_PARQUET)
+    return media_dup_refs(media, tau=0.35)
+
+
 def _media_features(sf_dir: str):
     """Actor-pool decode over the media snapshot; the SQL-checkable
     projection is (ref, kind, feature dim) — every row must come back
@@ -702,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_ivf": _knn_ivf,
             "embed_dup_bucketed": _embed_dup_bucketed,
             "media_features": _media_features,
+            "media_dup": _media_dup,
             "media_frames": _media_frames,
             "media_resize": _media_resize,
             "kg_eval_alias": _kg_eval_alias,

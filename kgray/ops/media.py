@@ -225,3 +225,71 @@ def resize_media(media_ds, max_w: int = 256, max_h: int = 256,
         concurrency=concurrency,
         fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
     )
+
+
+def media_dup_refs(media_ds, tau: float = 0.999,
+                   decoder_cls=DeterministicFakeDecoder):
+    """Near-duplicate media detection: decode/feature-extract through the
+    actor pool, then reuse the embedding-cosine dedup machinery
+    (``dedup.embedding_dup_pairs`` — brute broadcast under 100k rows,
+    multi-probe IVF blocking above) over the feature vectors.  Media
+    identity keys are ``media_ref`` strings; they ride through the
+    dedup as int64 fingerprints (`text.fingerprint64`) and map back at
+    the end, so the pair shuffle moves 8-byte ids, not refs.  Returns
+    (ref_u, ref_v, cos) with cos >= tau."""
+    import pyarrow.compute as pc
+
+    from kgray.ops.dedup import embedding_dup_pairs
+    from kgray.ops.text import fingerprint64
+
+    feats = extract_media_features(media_ds, decoder_cls=decoder_cls)
+
+    def _fp(r: str) -> int:
+        # fingerprint64 is uint64-range; wrap to signed for Arrow int64
+        v = fingerprint64(r)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    ref_of: dict[int, str] = {}
+
+    def to_vec(batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        ids = [_fp(r) for r in refs]
+        f = batch["features"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": f.cast(
+                    pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    vecs = feats.map_batches(to_vec, batch_format="pyarrow").materialize()
+    # ref map: media tables are span-scale (rows ≈ media per corpus);
+    # the id->ref attach is a broadcast dict — at larger scale this
+    # becomes a bucket join on the fingerprint
+    for b in media_ds.select_columns(["media_ref"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b["media_ref"].to_pylist():
+            ref_of[_fp(r)] = r
+
+    pairs = embedding_dup_pairs(vecs, tau=tau)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        u = [ref_of.get(i) for i in batch["u"].to_pylist()]
+        v = [ref_of.get(i) for i in batch["v"].to_pylist()]
+        return pa.table(
+            {
+                "ref_u": pa.array(u, pa.string()),
+                "ref_v": pa.array(v, pa.string()),
+                "cos": batch["cos"],
+            }
+        )
+
+    res = pairs
+    if hasattr(res, "map_batches"):
+        return res.map_batches(attach, batch_format="pyarrow")
+    return attach(res)
