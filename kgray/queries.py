@@ -9334,6 +9334,152 @@ FROM m
 """
 
 
+def q_events_bounce_rate(sf_dir: str):
+    """Per-day session bounce rate (sessions of exactly one event /
+    sessions started that day; 30-min idle gap) — ONE user cogroup does
+    the whole gaps-and-islands pass vectorized (shift-compare on exact
+    integer microseconds), emits per-(day) session/bounce count
+    partials, and a ≤366-row fold computes the pinned ratio."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new_s = np.ones(len(df), bool)
+        if len(df) > 1:
+            new_s[1:] = (us[1:] != us[:-1]) | (
+                ts[1:] - ts[:-1] > 1_800_000_000
+            )
+        sid = np.cumsum(new_s)
+        g = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid",
+                                                         sort=False)
+        start = g["ts"].min().to_numpy(np.int64)
+        size = g.size().to_numpy(np.int64)
+        day = (start // 86_400_000_000).astype(np.int64)
+        out = pd.DataFrame({"day": day, "n": 1,
+                            "b": (size == 1).astype(np.int64)})
+        return out.groupby("day", sort=False).sum().reset_index()
+
+    folded = (
+        pre_aggregate(
+            grouped_map(ev, "user_id", per_bucket), ["day"],
+            {"n_sessions": ("n", "sum"), "n_bounce": ("b", "sum")},
+        )
+        .to_pandas().sort_values("day")
+    )
+    day_str = np.array(
+        [str(np.datetime64(int(d), "D"))
+         for d in folded["day"].to_numpy(np.int64).tolist()]
+    )
+    ns = folded["n_sessions"].to_numpy(np.int64)
+    nb = folded["n_bounce"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(day_str),
+            "n_sessions": pa.array(ns),
+            "n_bounce": pa.array(nb),
+            "bounce_rate": pa.array(
+                round_half_up(nb / ns, 4), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_EVENTS_BOUNCE_RATE = """
+WITH s AS (SELECT user_id, ts, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                               > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sid
+      FROM s),
+g AS (SELECT user_id, sid, MIN(ts) AS start_ts,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2)
+SELECT strftime(start_ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS bounce_rate
+FROM g GROUP BY 1
+"""
+
+
+def q_events_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: users grouped by first-activity
+    week, revenue (value, cents-exact) folded per (cohort_week,
+    age_weeks) with the active-user count — the retention matrix's
+    revenue twin.  ONE user cogroup computes each user's cohort week
+    and per-age partials (one row per user per active week), so the
+    (cohort, age) fold is exact integers end-to-end."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map, round_half_up
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        wk = ts // 86_400_000_000 // 7
+        cents = round_half_up(
+            df["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        d = pd.DataFrame({"u": us, "wk": wk, "cents": cents})
+        cwk = d.groupby("u", sort=False)["wk"].transform("min")
+        d = d.assign(cohort_wk=cwk, age_wk=d["wk"] - cwk)
+        g = d.groupby(["cohort_wk", "age_wk", "u"], sort=False)["cents"] \
+            .sum().reset_index()
+        out = g.groupby(["cohort_wk", "age_wk"], sort=False).agg(
+            n_users=("u", "size"), cents=("cents", "sum")
+        ).reset_index()
+        return out
+
+    folded = pre_aggregate(
+        grouped_map(ev, "user_id", per_bucket), ["cohort_wk", "age_wk"],
+        {"n_users": ("n_users", "sum"), "cents": ("cents", "sum")},
+    ).to_pandas()
+
+    return pa.table(
+        {
+            "cohort_wk": pa.array(
+                folded["cohort_wk"].to_numpy(np.int64)),
+            "age_wk": pa.array(folded["age_wk"].to_numpy(np.int64)),
+            "n_users": pa.array(folded["n_users"].to_numpy(np.int64)),
+            "revenue": pa.array(
+                round_half_up(
+                    folded["cents"].to_numpy(np.float64) / 100.0, 2
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_EVENTS_COHORT_LTV = """
+WITH d AS (SELECT user_id,
+                  epoch_us(ts) // 86400000000 // 7 AS wk,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+c AS (SELECT user_id, MIN(wk) AS cwk FROM d GROUP BY 1)
+SELECT CAST(c.cwk AS BIGINT) AS cohort_wk,
+       CAST(d.wk - c.cwk AS BIGINT) AS age_wk,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(d.cents) AS DOUBLE) / 100.0, 2) AS revenue
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9581,4 +9727,6 @@ CATALOG: dict[str, tuple] = {
     "events_mannwhitney": (
         q_events_mannwhitney, SQL_EVENTS_MANNWHITNEY
     ),
+    "events_bounce_rate": (q_events_bounce_rate, SQL_EVENTS_BOUNCE_RATE),
+    "events_cohort_ltv": (q_events_cohort_ltv, SQL_EVENTS_COHORT_LTV),
 }

@@ -157,6 +157,8 @@ QUERIES = {
     "events_cuped": ["events"],
     "events_winsorized": ["events"],
     "events_mannwhitney": ["events"],
+    "events_bounce_rate": ["events"],
+    "events_cohort_ltv": ["events"],
 }
 
 
