@@ -9480,6 +9480,195 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_simpson(sf_dir: str):
+    """Per-doc Simpson diversity index of the token distribution
+    (Σc(c-1) / n(n-1)) — the ORACLE-EXACT twin of doc_entropy: no logs,
+    all counts integral, the single final division pinned.  A doc is a
+    row, so the whole computation is stateless per batch — no shuffle.
+    Restricted to n >= 2 in both engines (the index is undefined on
+    singleton docs)."""
+    from kgray.util import round_half_up
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def simpson(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        e = df[["doc_id"]].join(
+            df["text"].str.split(" ").rename("t")
+        ).explode("t")
+        e = e[e["t"] != ""]
+        tc = e.groupby(["doc_id", "t"], sort=False).size().reset_index(
+            name="c")
+        c = tc["c"].to_numpy(np.int64)
+        agg = pd.DataFrame(
+            {"doc_id": tc["doc_id"], "s": c * (c - 1), "n": c}
+        ).groupby("doc_id", sort=False).sum().reset_index()
+        agg = agg[agg["n"] >= 2]
+        n = agg["n"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "simpson": pa.array(
+                    round_half_up(
+                        s.astype(np.float64)
+                        / (n * (n - 1)).astype(np.float64), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(simpson, batch_format="pyarrow")
+
+
+SQL_DOC_SIMPSON = """
+WITH tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> '' GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(c) AS n, SUM(c * (c - 1)) AS s
+      FROM tc GROUP BY 1)
+SELECT doc_id,
+       ROUND(CAST(s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         AS simpson
+FROM n WHERE n >= 2
+"""
+
+
+def q_parts_abc(sf_dir: str):
+    """ABC (Pareto) classification of parts by revenue: class A covers
+    the first 80% of cumulative revenue in descending order, B to 95%,
+    C the tail — EXACT, via the Gini-style value-range decomposition
+    run DESCENDING with per-range revenue-sum offsets (ints), so each
+    range resolves its rows' cumulative totals without any global sort;
+    the class compares are integer cross-products (cum·100 <= 80·total),
+    never float shares.  Ties broken by (revenue desc, partkey)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import default_num_buckets, grouped_map, round_half_up
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"p": batch["l_partkey"], "c": pa.array(c)})
+
+    rev = pre_aggregate(
+        line.map_batches(cents, batch_format="pyarrow"), ["p"],
+        {"c": ("c", "sum")},
+    ).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = rev.aggregate(Min("c"), Max("c"))
+    lo, hi = int(bounds["min(c)"]), int(bounds["max(c)"])
+    n_ranges = default_num_buckets()
+    width = max((hi - lo) // n_ranges + 1, 1)
+
+    def rng_of(c: np.ndarray) -> np.ndarray:
+        # descending: range 0 holds the LARGEST revenues
+        return (n_ranges - 1
+                - np.minimum((c - lo) // width, n_ranges - 1)).astype(
+                    np.int64)
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        r = rng_of(batch["c"].to_numpy())
+        s = np.bincount(r, weights=batch["c"].to_numpy(),
+                        minlength=n_ranges).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        return pa.table({"rng": pa.array(nz, pa.int64()),
+                         "s": pa.array(s[nz])})
+
+    hist = (
+        pre_aggregate(
+            rev.map_batches(range_sums, batch_format="pyarrow"),
+            ["rng"], {"s": ("s", "sum")},
+        )
+        .to_pandas().sort_values("rng")
+    )
+    offsets = np.zeros(n_ranges, np.int64)
+    idx = hist["rng"].to_numpy(np.int64)
+    csum = np.concatenate([[0],
+                           np.cumsum(hist["s"].to_numpy(np.int64))[:-1]])
+    offsets[idx] = csum
+    total = int(hist["s"].sum())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rng", pa.array(rng_of(batch["c"].to_numpy()))
+        )
+
+    tagged = rev.map_batches(tag, batch_format="pyarrow")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r, grp in df.groupby("rng", sort=False):
+            g = grp.sort_values(["c", "p"], ascending=[False, True],
+                                kind="mergesort")
+            cum = offsets[int(r)] + np.cumsum(g["c"].to_numpy(np.int64))
+            abc = np.where(
+                cum * 100 <= 80 * total, "A",
+                np.where(cum * 100 <= 95 * total, "B", "C"),
+            )
+            out.append(pd.DataFrame(
+                {"p_partkey": g["p"].to_numpy(np.int64), "abc": abc}
+            ))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"p_partkey": [], "abc": []})
+
+    return grouped_map(tagged, "rng", classify)
+
+
+SQL_PARTS_ABC = """
+WITH r AS (SELECT l_partkey AS p,
+                  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+w AS (SELECT p, c,
+             SUM(c) OVER (ORDER BY c DESC, p) AS cum,
+             SUM(c) OVER () AS tot
+      FROM r)
+SELECT p AS p_partkey,
+       CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+            WHEN cum * 100 <= 95 * tot THEN 'B'
+            ELSE 'C' END AS abc
+FROM w
+"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (predicted vs labeled lang, counts)
+    — the eval composition over the langid heuristic: the predictor is
+    the SAME add_langid kernel langid uses, the label is the documents
+    table's lang column, and the matrix folds through the combiner
+    (|langs|² keys).  The oracle embeds langid's own SQL as a
+    subquery — query composition, not a new rule."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.text import add_langid
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        t = add_langid(batch)
+        return pa.table({"lang": batch["lang"],
+                         "lang_pred": t["lang_pred"]})
+
+    return pre_aggregate(
+        docs.map_batches(pred, batch_format="pyarrow"),
+        ["lang", "lang_pred"], {"n": (None, "count")},
+    )
+
+
+SQL_LANGID_CONFUSION = """
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN (""" + SQL_LANGID + """) p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9729,4 +9918,7 @@ CATALOG: dict[str, tuple] = {
     ),
     "events_bounce_rate": (q_events_bounce_rate, SQL_EVENTS_BOUNCE_RATE),
     "events_cohort_ltv": (q_events_cohort_ltv, SQL_EVENTS_COHORT_LTV),
+    "doc_simpson": (q_doc_simpson, SQL_DOC_SIMPSON),
+    "parts_abc": (q_parts_abc, SQL_PARTS_ABC),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
 }

@@ -159,6 +159,8 @@ QUERIES = {
     "events_mannwhitney": ["events"],
     "events_bounce_rate": ["events"],
     "events_cohort_ltv": ["events"],
+    "doc_simpson": ["documents"],
+    "parts_abc": ["lineitem"],
 }
 
 
