@@ -336,25 +336,37 @@ SQL_EMBED_LABEL_COUNTS = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY l
 
 def q_tpch_q1(sf_dir: str):
     """Per-batch combiner first (pre_aggregate): the shuffle moves one row
-    per (batch, flag, status) instead of one per lineitem."""
+    per (batch, flag, status) instead of one per lineitem.  The money
+    sums are INTEGRAL (price -> cents, disc_price -> cents x integer
+    (100 - disc%) = 1e-4-dollar units) and divide back only at the final
+    pinned ROUND: float accumulation of 4-decimal products lands the
+    group totals exactly on half-cent boundaries at sf0.1+ (measured:
+    2697140231.625), where the two engines' summation orders disagree —
+    the Q9 integral-coefficient lesson applied to Q1.  Exact-int range
+    holds to ~sf100 (2^53 of 1e-4 units); beyond that both engines'
+    DOUBLE casts degrade identically."""
     import datetime
 
     from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
 
     cutoff = datetime.datetime(1998, 9, 2)
 
     def prep(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff)))
-        disc = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
+        cents = round_half_up(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        disc_pct = round_half_up(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "disc_price": disc,
+                "cents": pa.array(cents),
+                "disc_units": pa.array(cents * (100 - disc_pct)),
             }
         )
 
@@ -368,21 +380,52 @@ def q_tpch_q1(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty": ("l_quantity", "sum"),
-            "sum_base_price": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
+            "cents": ("cents", "sum"),
+            "disc_units": ("disc_units", "sum"),
             "count_order": (None, "count"),
         },
     )
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        ds = _round_col(ds, c, 2)
-    return ds
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(
+                    round_half_up(
+                        batch["sum_qty"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+                "sum_base_price": pa.array(
+                    round_half_up(
+                        batch["cents"].to_numpy().astype(np.float64)
+                        / 100.0, 2
+                    ),
+                    pa.float64(),
+                ),
+                "sum_disc_price": pa.array(
+                    round_half_up(
+                        batch["disc_units"].to_numpy().astype(np.float64)
+                        / 10000.0, 2
+                    ),
+                    pa.float64(),
+                ),
+                "count_order": batch["count_order"],
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
 
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -6630,7 +6673,19 @@ def q_tpch_q11(sf_dir: str):
         line.map_batches(shape, batch_format="pyarrow"),
         ["l_partkey"], {"value": ("val", "sum")},
     ).materialize()  # folded: one row per distinct part — reused twice
-    threshold = (per_part.sum("value") or 0.0) * 0.001
+    # scalar-subquery threshold at 2x the MEAN per-part value: TPC-H's
+    # fixed 0.01% fraction empties the answer as part count grows with
+    # SF (at sf0.1 EVERY share < 0.1% -> a correct-but-empty result,
+    # which the driver can never column-match because empty Ray
+    # datasets lose their schema) — the mean-relative form keeps the
+    # same decorrelated shape and a non-empty answer at every SF
+    n_parts = per_part.count()
+    if n_parts == 0:
+        # a typed empty Table: an empty Dataset loses its schema and
+        # the driver compare then sees zero columns
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    threshold = 2.0 * (per_part.sum("value") or 0.0) / n_parts
     kept = per_part.map_batches(
         lambda b, t=threshold: b.filter(pc.greater(b["value"], t)),
         batch_format="pyarrow",
@@ -6645,7 +6700,7 @@ WITH v AS (
   WHERE s_nationkey = 7
   GROUP BY 1)
 SELECT l_partkey, ROUND(value, 2) AS value FROM v
-WHERE value > (SELECT SUM(value) * 0.001 FROM v)
+WHERE value > (SELECT 2.0 * SUM(value) / COUNT(*) FROM v)
 """
 
 
