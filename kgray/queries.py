@@ -9724,6 +9724,149 @@ GROUP BY 1, 2
 """
 
 
+def q_events_churn_labels(sf_dir: str):
+    """Training-label generation for churn prediction: one row per
+    (user, active day) labeled 1 iff the user has NO activity in the
+    next 7 calendar days — the canonical supervised-dataset builder.
+    ONE user cogroup: distinct sorted day ints, next-day shift, exact
+    integer compare (the last active day is churned by definition)."""
+    from kgray.util import grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.cast(
+                    pc.cast(
+                        pc.floor_temporal(batch["ts"], unit="day"),
+                        pa.date32(),
+                    ),
+                    pa.int32(),
+                ),
+            }
+        ).group_by(["user_id", "day"]).aggregate([])
+
+    du = ev.map_batches(day_user, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        us = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        churned = np.ones(len(df), np.int64)
+        if len(df) > 1:
+            returned = (us[1:] == us[:-1]) & (d[1:] - d[:-1] <= 7)
+            churned[:-1] = (~returned).astype(np.int64)
+        day_str = np.array(
+            [str(np.datetime64(int(x), "D")) for x in d.tolist()]
+        )
+        return pd.DataFrame(
+            {"user_id": us, "day": day_str, "churned": churned}
+        )
+
+    return grouped_map(du, "user_id", per_bucket)
+
+
+SQL_EVENTS_CHURN_LABELS = """
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT a.user_id, strftime(a.d, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN EXISTS (
+              SELECT 1 FROM du b
+              WHERE b.user_id = a.user_id
+                AND b.d > a.d AND b.d <= a.d + 7)
+            THEN 0 ELSE 1 END AS BIGINT) AS churned
+FROM du a
+"""
+
+
+def q_part_sorted_neighbor_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    candidate generator the LSH/token-block family lacks): candidate
+    pairs are rows within window 2 of each other in the GLOBAL
+    (p_name, p_partkey) sort order — without a global sort: the
+    distinct-name histogram (metadata-scale: the name vocabulary, not
+    the part count) gives every name its rank offset, a name cogroup
+    emits in-name window pairs from tie ranks, and only each name's
+    head-2/tail-2 rows (≤ 4·|names|) return to the driver to close the
+    cross-name boundary pairs.  Exactly equals the oracle's ROW_NUMBER
+    self-join."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import grouped_map
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    hist = (
+        pre_aggregate(part.select_columns(["p_name"]), ["p_name"],
+                      {"c": (None, "count")})
+        .to_pandas().sort_values("p_name")
+    )
+    names = hist["p_name"].to_numpy()
+    counts = hist["c"].to_numpy(np.int64)
+    offsets = dict(
+        zip(names.tolist(),
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist())
+    )
+    cnt_of = dict(zip(names.tolist(), counts.tolist()))
+
+    def per_name(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for name, grp in df.groupby("p_name", sort=False):
+            g = grp.sort_values("p_partkey", kind="mergesort")
+            keys = g["p_partkey"].to_numpy(np.int64)
+            base = offsets[name]
+            n = len(g)
+            for w in (1, 2):
+                if n > w:
+                    out.append(pd.DataFrame(
+                        {"k1": keys[:-w], "k2": keys[w:],
+                         "is_pair": 1, "rank": -1, "name": ""}
+                    ))
+            # boundary rows: global head-2 / tail-2 of this name block
+            sel = np.zeros(n, bool)
+            sel[:2] = True
+            sel[max(n - 2, 0):] = True
+            ranks = base + np.flatnonzero(sel) + 1
+            out.append(pd.DataFrame(
+                {"k1": keys[sel], "k2": -1, "is_pair": 0,
+                 "rank": ranks, "name": name}
+            ))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"k1": [], "k2": [], "is_pair": [], "rank": [], "name": []}
+        )
+
+    rows = grouped_map(part, "p_name", per_name).to_pandas()
+    pairs = rows[rows["is_pair"] == 1][["k1", "k2"]]
+    b = rows[rows["is_pair"] == 0].sort_values("rank")
+    br = b["rank"].to_numpy(np.int64)
+    bk = b["k1"].to_numpy(np.int64)
+    bn = b["name"].to_numpy()
+    cross = []
+    for w in (1, 2):
+        if len(b) > w:
+            close = (br[w:] - br[:-w] <= 2) & (bn[w:] != bn[:-w])
+            cross.append(pd.DataFrame(
+                {"k1": bk[:-w][close], "k2": bk[w:][close]}
+            ))
+    allp = pd.concat([pairs] + cross, ignore_index=True)
+    return pa.table(
+        {
+            "k1": pa.array(allp["k1"].to_numpy(np.int64)),
+            "k2": pa.array(allp["k2"].to_numpy(np.int64)),
+        }
+    )
+
+
+SQL_PART_SORTED_NEIGHBOR_PAIRS = """
+WITH r AS (SELECT p_partkey, p_name,
+                  ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+           FROM part)
+SELECT a.p_partkey AS k1, b.p_partkey AS k2
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9976,4 +10119,10 @@ CATALOG: dict[str, tuple] = {
     "doc_simpson": (q_doc_simpson, SQL_DOC_SIMPSON),
     "parts_abc": (q_parts_abc, SQL_PARTS_ABC),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "events_churn_labels": (
+        q_events_churn_labels, SQL_EVENTS_CHURN_LABELS
+    ),
+    "part_sorted_neighbor_pairs": (
+        q_part_sorted_neighbor_pairs, SQL_PART_SORTED_NEIGHBOR_PAIRS
+    ),
 }

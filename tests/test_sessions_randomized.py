@@ -82,6 +82,7 @@ def _gen(tmp_path, seed):
             "doc_id": np.arange(len(texts), dtype=np.int64),
             "text": texts,
             "n_chars": np.array([len(t) for t in texts], np.int64),
+            "lang": rng.choice(["en", "de", "fr"], len(texts)),
         }
     )
     docs.to_parquet(tmp_path / "documents.parquet", index=False)
@@ -161,6 +162,8 @@ QUERIES = {
     "events_cohort_ltv": ["events"],
     "doc_simpson": ["documents"],
     "parts_abc": ["lineitem"],
+    "events_churn_labels": ["events"],
+    "langid_confusion": ["documents"],
 }
 
 
