@@ -99,14 +99,20 @@ class _WriteSlices:
     cluster).  For object-store deployments route the writes through
     ``pyarrow.fs`` URIs instead — the stat-row contract is unchanged."""
 
-    def __init__(self, data_dir: str):
+    def __init__(self, data_dir: str, stats_cols: tuple[str, ...] = ()):
         self.data_dir = data_dir
+        self.stats_cols = tuple(stats_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         if len(batch) == 0:
-            return _STAT_SCHEMA.empty_table()
+            empty = _STAT_SCHEMA.empty_table()
+            for c in self.stats_cols:
+                empty = empty.append_column(
+                    f"zmin_{c}", pa.array([], pa.string())
+                ).append_column(f"zmax_{c}", pa.array([], pa.string()))
+            return empty
         df = batch.to_pandas()
         parts = df.pop(PART_COL).to_numpy(np.int64)
         h = _row_hashes(df)
@@ -115,6 +121,8 @@ class _WriteSlices:
         sp = parts[order]
         bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1], True])
         out = {k: [] for k in ("part", "rows", "bytes", "content", "file")}
+        zmins: dict[str, list] = {c: [] for c in self.stats_cols}
+        zmaxs: dict[str, list] = {c: [] for c in self.stats_cols}
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             p = int(sp[lo])
@@ -123,21 +131,32 @@ class _WriteSlices:
             os.makedirs(pdir, exist_ok=True)
             fname = f"{uuid.uuid4().hex}.parquet"
             fpath = os.path.join(pdir, fname)
-            pq.write_table(tbl.take(pa.array(idx)), fpath)
+            slice_tbl = tbl.take(pa.array(idx))
+            pq.write_table(slice_tbl, fpath)
             out["part"].append(p)
             out["rows"].append(hi - lo)
             out["bytes"].append(os.path.getsize(fpath))
             out["content"].append(int(h[idx].sum(dtype=np.uint64)))
             out["file"].append(f"{PART_COL}={p}/{fname}")
-        return pa.table(
-            {
-                "part": pa.array(out["part"], pa.int64()),
-                "rows": pa.array(out["rows"], pa.int64()),
-                "bytes": pa.array(out["bytes"], pa.int64()),
-                "content": pa.array(out["content"], pa.uint64()),
-                "file": pa.array(out["file"], pa.string()),
-            }
-        )
+            for c in self.stats_cols:
+                col = slice_tbl[c]
+                import pyarrow.compute as _pc
+
+                # JSON-encoded so the stat stream's schema is fixed
+                # across value types (and empty batches)
+                zmins[c].append(json.dumps(_pc.min(col).as_py()))
+                zmaxs[c].append(json.dumps(_pc.max(col).as_py()))
+        cols = {
+            "part": pa.array(out["part"], pa.int64()),
+            "rows": pa.array(out["rows"], pa.int64()),
+            "bytes": pa.array(out["bytes"], pa.int64()),
+            "content": pa.array(out["content"], pa.uint64()),
+            "file": pa.array(out["file"], pa.string()),
+        }
+        for c in self.stats_cols:
+            cols[f"zmin_{c}"] = pa.array(zmins[c], pa.string())
+            cols[f"zmax_{c}"] = pa.array(zmaxs[c], pa.string())
+        return pa.table(cols)
 
 
 def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int]) -> None:
@@ -188,6 +207,7 @@ def write_partitioned(
     stage: str = "",
     input_fingerprint: str = "",
     keep_partitions: set[int] | None = None,
+    stats_cols: tuple[str, ...] | list[str] = (),
 ) -> dict:
     """Write ds hash-partitioned by key_col; return the lineage manifest.
 
@@ -197,7 +217,14 @@ def write_partitioned(
     manifest-attested files and entries; everything else on disk is
     deleted first, so only manifest-attested bytes ever survive a crash.
     The stat stream is metadata-scale (one row per task×partition) and is
-    reduced on the driver."""
+    reduced on the driver.
+
+    ``stats_cols``: column names to zone-map — each partition's manifest
+    entry gains ``zones[col] = [min, max]`` folded from the same write
+    tasks (no extra pass), and ``read_table(..., zone_filter=...)``
+    prunes partitions whose range misses the predicate before any file
+    opens (the lakehouse file-skipping move; effective when the write
+    key clusters the column)."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     keep = set(keep_partitions or ())
@@ -205,7 +232,9 @@ def write_partitioned(
     _hygiene(data_dir, old, keep)
 
     tagged = add_partition_column(ds, key_col, num_partitions)
-    raw = tagged.map_batches(_WriteSlices(data_dir), batch_format="pyarrow").to_pandas()
+    raw = tagged.map_batches(
+        _WriteSlices(data_dir, tuple(stats_cols)), batch_format="pyarrow"
+    ).to_pandas()
 
     partitions: dict[str, dict] = {}
     if old is not None:
@@ -226,6 +255,21 @@ def write_partitioned(
                 % np.uint64(_MOD)
             )
             e["files"] = sorted(set(e["files"]) | set(g["file"]))
+            for c in stats_cols:
+                mins = [json.loads(v) for v in g[f"zmin_{c}"]]
+                maxs = [json.loads(v) for v in g[f"zmax_{c}"]]
+                zones = e.setdefault("zones", {})
+                prev = zones.get(c)
+                lo = min(m for m in mins if m is not None) if any(
+                    m is not None for m in mins) else None
+                hi = max(m for m in maxs if m is not None) if any(
+                    m is not None for m in maxs) else None
+                if prev is not None:
+                    lo = prev[0] if lo is None else (
+                        min(prev[0], lo) if prev[0] is not None else lo)
+                    hi = prev[1] if hi is None else (
+                        max(prev[1], hi) if prev[1] is not None else hi)
+                zones[c] = [lo, hi]
     manifest = {
         "stage": stage,
         "key_col": key_col,
@@ -309,7 +353,37 @@ def write_jsonl(ds, path: str, **kwargs):
     return path
 
 
-def read_table(path: str, columns: list[str] | None = None):
+def zone_partitions(path: str, zone_filter: dict) -> set[str] | None:
+    """Partition keys (manifest strings) whose zone ranges intersect every
+    ``col: (lo, hi)`` interval in ``zone_filter`` (closed intervals; pass
+    None for an open end).  Returns None when the manifest carries no
+    zones for a requested column — the caller must then read everything
+    (never silently prune on absent stats)."""
+    m = read_manifest(path)
+    if m is None:
+        return None
+    keep: set[str] = set()
+    for pstr, meta in m.get("partitions", {}).items():
+        zones = meta.get("zones", {})
+        ok = True
+        for col, (lo, hi) in zone_filter.items():
+            z = zones.get(col)
+            if z is None:
+                return None
+            zlo, zhi = z
+            if zlo is None or zhi is None:
+                continue  # all-null partition: cannot exclude
+            if (hi is not None and zlo > hi) or (
+                    lo is not None and zhi < lo):
+                ok = False
+                break
+        if ok:
+            keep.add(pstr)
+    return keep
+
+
+def read_table(path: str, columns: list[str] | None = None,
+               zone_filter: dict | None = None):
     """Read back a table written by write_partitioned (data lives under
     ``<path>/data``, the manifest beside it).
 
@@ -322,15 +396,21 @@ def read_table(path: str, columns: list[str] | None = None):
     data_dir = os.path.join(path, "data")
     target = data_dir if os.path.isdir(data_dir) else path
     m = read_manifest(path)
+    keep = None
+    if zone_filter:
+        keep = zone_partitions(path, zone_filter)
     paths = None
     if m is not None and m.get("partitions"):
         files = [
             os.path.join(data_dir, f)
-            for meta in m["partitions"].values()
+            for pstr, meta in m["partitions"].items()
+            if keep is None or pstr in keep
             for f in meta.get("files", ())
         ]
         if files:
             paths = files
+        elif keep is not None:
+            return None  # every partition zone-pruned: empty result
     if paths is None:
         if not any(files for _, _, files in os.walk(target)):
             return None  # empty table (write_partitioned of an empty Dataset)
