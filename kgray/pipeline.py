@@ -183,10 +183,14 @@ def kg_construct(
     # NOTE: per-partition resume appends only missing partitions; the
     # written layout is the checkpoint (io.py docstring).
     triples = extract_triples(pending_docs, cfg)
+    # doc_id zone maps: doc ids arrive clustered (corpus order), so the
+    # hash partitions carry tight ranges and a downstream doc-range read
+    # (re-extraction audits, span lookups) prunes partitions before any
+    # file opens
     manifests["triples"] = io.write_partitioned(
         triples, triples_dir, "doc_id", num_partitions,
         stage="extract", input_fingerprint=input_fingerprint,
-        keep_partitions=done,
+        keep_partitions=done, stats_cols=("doc_id",),
     )
 
     # Downstream stages carry LINEAGE fingerprints: each stage's
@@ -221,6 +225,7 @@ def kg_construct(
         manifests["triples_canonical"] = io.write_partitioned(
             canon, canon_dir, "doc_id",
             num_partitions, stage="materialize", input_fingerprint=canon_fp,
+            stats_cols=("doc_id",),
         )
     return manifests
 
