@@ -9867,6 +9867,70 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
 """
 
 
+def q_part_name_clusters(sf_dir: str):
+    """Entity-resolution END-TO-END with a full SQL oracle: the blocked
+    fuzzy pair graph (q_part_name_fuzzy_pairs — distinct-name
+    vocabulary, trailing-token blocking, vectorized Levenshtein <= 2)
+    feeds :func:`canonical.connected_components` (min-label closure,
+    driver union-find under the gate / MapReduce-CC above it) and every
+    name maps to its cluster representative (isolated names map to
+    themselves).  The oracle runs the identical edge SQL through a
+    recursive-CTE closure — the dedup_purge pattern applied to the ER
+    chain, proving candidate-generation + clustering + canonical-pick
+    as ONE checked unit."""
+    from kgray.ops.canonical import connected_components
+
+    edges = q_part_name_fuzzy_pairs(sf_dir).map_batches(
+        lambda b: pa.table({"u": b["name_a"], "v": b["name_b"]}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges)
+    comp_df = (
+        comp.to_pandas() if hasattr(comp, "to_pandas")
+        else comp
+    )
+    rep_of = dict(zip(comp_df["node"], comp_df["component"]))
+
+    from kgray.ops.agg import pre_aggregate
+
+    names = pre_aggregate(
+        _read(sf_dir, "part", ["p_name"]), ["p_name"],
+        {"c": (None, "count")},
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nm = batch["p_name"].to_pylist()
+        return pa.table(
+            {
+                "p_name": batch["p_name"],
+                "cluster_rep": pa.array(
+                    [rep_of.get(n, n) for n in nm], pa.string()
+                ),
+            }
+        )
+
+    return names.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_PART_NAME_CLUSTERS = """
+WITH RECURSIVE
+n AS (SELECT DISTINCT p_name FROM part),
+p AS (SELECT a.p_name AS u, b.p_name AS v
+      FROM n a JOIN n b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+sym AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+cc AS (SELECT src AS node, src AS label FROM sym
+       UNION
+       SELECT s.dst AS node, cc.label FROM cc JOIN sym s
+         ON s.src = cc.node),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+SELECT n.p_name, COALESCE(comp.component, n.p_name) AS cluster_rep
+FROM n LEFT JOIN comp ON n.p_name = comp.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10125,4 +10189,5 @@ CATALOG: dict[str, tuple] = {
     "part_sorted_neighbor_pairs": (
         q_part_sorted_neighbor_pairs, SQL_PART_SORTED_NEIGHBOR_PAIRS
     ),
+    "part_name_clusters": (q_part_name_clusters, SQL_PART_NAME_CLUSTERS),
 }

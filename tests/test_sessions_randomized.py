@@ -99,10 +99,16 @@ def _gen(tmp_path, seed):
         }
     )
     line.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    adjectives = ["red", "rad", "blue", "small", "smoll", "hot"]
+    nouns = ["widget", "gear", "bolt"]
     part = pd.DataFrame(
         {
             "p_partkey": np.arange(1, 25, dtype=np.int64),
             "p_brand": rng.choice(["B1", "B2", "B3"], 24),
+            # fuzzy-adjacent name vocabulary (lev<=2 neighbors within
+            # a shared trailing-token block) for the ER chain
+            "p_name": [f"{a} {n}" for a, n in zip(
+                rng.choice(adjectives, 24), rng.choice(nouns, 24))],
         }
     )
     part.to_parquet(tmp_path / "part.parquet", index=False)
@@ -164,6 +170,8 @@ QUERIES = {
     "parts_abc": ["lineitem"],
     "events_churn_labels": ["events"],
     "langid_confusion": ["documents"],
+    "part_name_clusters": ["part"],
+    "part_sorted_neighbor_pairs": ["part"],
 }
 
 
