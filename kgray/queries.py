@@ -9931,6 +9931,62 @@ FROM n LEFT JOIN comp ON n.p_name = comp.node
 """
 
 
+def q_events_weekday_adjusted(sf_dir: str):
+    """Seasonal (weekday-effect) adjustment of the daily event series:
+    residual = day count − that weekday's cross-corpus mean — the
+    classic decomposition step before anomaly detection.  Counts fold
+    through the combiner (integers), the 7-row weekday baseline is
+    exact-rational (Σ/n of ints) with the identical expression both
+    engines, and only the final subtraction is float (ROUND 4).
+    Weekday convention pinned to ISO (Mon=1..Sun=7) in both engines."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import round_half_up
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                            pa.date32())}
+        )
+
+    daily = (
+        pre_aggregate(
+            ev.map_batches(day, batch_format="pyarrow"), ["day"],
+            {"n": (None, "count")},
+        )
+        .to_pandas().sort_values("day")
+    )
+    days = daily["day"].to_numpy("datetime64[D]").astype(np.int64)
+    # 1970-01-01 was a Thursday: ISO weekday = ((epoch_days + 3) % 7) + 1
+    wd = ((days + 3) % 7 + 1).astype(np.int64)
+    n = daily["n"].to_numpy(np.int64)
+    base = pd.DataFrame({"wd": wd, "n": n}).groupby("wd")["n"]
+    mean_of = (base.sum() / base.count()).to_dict()
+    resid = n - np.array([mean_of[w] for w in wd.tolist()])
+    day_str = np.array([str(np.datetime64(int(d), "D"))
+                        for d in days.tolist()])
+    return pa.table(
+        {
+            "day": pa.array(day_str),
+            "n": pa.array(n),
+            "resid": pa.array(round_half_up(resid, 4), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_WEEKDAY_ADJUSTED = """
+WITH c AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+b AS (SELECT isodow(d) AS wd,
+             CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM c GROUP BY 1)
+SELECT strftime(c.d, '%Y-%m-%d') AS day, c.n,
+       ROUND(c.n - b.m, 4) AS resid
+FROM c JOIN b ON isodow(c.d) = b.wd
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10190,4 +10246,7 @@ CATALOG: dict[str, tuple] = {
         q_part_sorted_neighbor_pairs, SQL_PART_SORTED_NEIGHBOR_PAIRS
     ),
     "part_name_clusters": (q_part_name_clusters, SQL_PART_NAME_CLUSTERS),
+    "events_weekday_adjusted": (
+        q_events_weekday_adjusted, SQL_EVENTS_WEEKDAY_ADJUSTED
+    ),
 }

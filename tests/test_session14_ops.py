@@ -86,3 +86,27 @@ def test_part_sorted_neighbor_pairs(ray_session, tmp_path):
     assert (20, 30) in pairs and (20, 31) in pairs  # beta (1 row) bridges
     assert (11, 20) in pairs                        # distance 2 across names
     assert (10, 20) not in pairs                    # distance 3
+
+
+def test_events_weekday_adjusted(ray_session, tmp_path):
+    # two Mondays (3 and 5 events) + one Tuesday (4): Monday mean 4 ->
+    # residuals -1/+1; Tuesday residual exactly 0
+    t0 = pd.Timestamp("2025-06-02")  # a Monday
+    rows = []
+    for d, k in [(0, 3), (7, 5), (1, 4)]:
+        for i in range(k):
+            rows.append((len(rows), t0 + pd.Timedelta(days=d, hours=i),
+                         1, "x", 1.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    _write(tmp_path, "events", df)
+    got, sql = _run("events_weekday_adjusted", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["day"])
+    g = got.set_index("day")["resid"]
+    assert g.loc["2025-06-02"] == -1.0
+    assert g.loc["2025-06-09"] == 1.0
+    assert g.loc["2025-06-03"] == 0.0

@@ -172,6 +172,7 @@ QUERIES = {
     "langid_confusion": ["documents"],
     "part_name_clusters": ["part"],
     "part_sorted_neighbor_pairs": ["part"],
+    "events_weekday_adjusted": ["events"],
 }
 
 
