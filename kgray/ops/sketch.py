@@ -19,6 +19,7 @@ p=14).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -68,13 +69,23 @@ def _registers(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hll_estimate(registers: np.ndarray) -> float:
-    """Bias-corrected HLL estimate from the dense register array."""
+    """Bias-corrected HLL estimate from the dense register array.
+
+    The harmonic sum is computed EXACTLY in integer space
+    (sum of 2^(64-r) as a python int) so the estimate is a pure
+    deterministic function of the register multiset — bit-identical to
+    the DuckDB SQL twin in ``queries._HLL_USERS_SQL`` regardless of
+    summation order (the float sum of 2^-r spans >53 bits of exponent
+    and is order-sensitive; the integer sum is not).  ``math.log`` is
+    C libm, bit-parity with DuckDB ``ln`` (same trick as tf-idf)."""
     m = len(registers)
+    counts = np.bincount(registers.astype(np.int64), minlength=1)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
     alpha = 0.7213 / (1 + 1.079 / m)
-    e = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
-    zeros = int((registers == 0).sum())
+    e = alpha * m * m * 2.0**64 / float(s_int)
+    zeros = int(counts[0])
     if e <= 2.5 * m and zeros:
-        e = m * np.log(m / zeros)  # linear counting for the small range
+        e = m * math.log(m / zeros)  # linear counting for the small range
     return float(e)
 
 
@@ -102,7 +113,9 @@ def hll_distinct(ds, col: str, p: int = 14):
     )
     regs = np.zeros(m, np.int64)
     regs[merged["idx"].to_numpy()] = merged["rho"].to_numpy()
-    return pa.table({"est": pa.array([int(round(hll_estimate(regs)))],
+    # floor(e + 0.5): explicit half-up, matching the SQL twin's
+    # FLOOR(e + 0.5) (python round() is half-even).
+    return pa.table({"est": pa.array([int(math.floor(hll_estimate(regs) + 0.5))],
                                      pa.int64())})
 
 
@@ -290,7 +303,7 @@ def hll_distinct_by(ds, key_col: str, col: str, p: int = 12):
         regs = np.zeros(m, np.int64)
         regs[g["idx"].to_numpy(np.int64)] = g["rho"].to_numpy(np.int64)
         keys.append(key)
-        ests.append(int(round(hll_estimate(regs))))
+        ests.append(int(math.floor(hll_estimate(regs) + 0.5)))
     return pa.table(
         {
             "key": pa.array(keys),

@@ -2183,12 +2183,78 @@ SELECT doc_id, ROUND(AVG(lp), 4) AS lm_score FROM lp GROUP BY doc_id
 def q_events_distinct_users_approx(sf_dir: str):
     """HyperLogLog distinct-user estimate: register-space shuffle
     (<= 2^14 rows per batch) instead of the exact path's distinct-key
-    shuffle.  Rows-only: sketches are not SQL-expressible; accuracy
-    (~0.8% s.e. at p=14) and determinism are test-pinned
-    (tests/test_sketch.py)."""
+    shuffle.  Oracle-checked: the estimate is a pure deterministic
+    function of the distinct-value set (splitmix64 hash -> max-rho
+    registers -> exact-integer harmonic sum -> libm ln), so the DuckDB
+    oracle replays the identical recurrence with 32-bit-half HUGEINT
+    arithmetic and matches bit-for-bit (same family as the
+    pagerank_int unrolled-recurrence oracle).  Accuracy (~0.8% s.e.
+    at p=14) stays test-pinned in tests/test_sketch.py."""
     from kgray.ops.sketch import hll_distinct
 
     return hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+# HLL twin: replays splitmix64 over DISTINCT user_id with 32-bit-half
+# HUGEINT arithmetic (DuckDB BIGINT mul overflows are errors, so 64-bit
+# wraparound is emulated as hi/lo halves; xor/bin operate on the
+# BIGINT-sized halves).  rho = leading zeros via length(bin(x)) —
+# exact integer logic, no float log.  The harmonic sum is an exact
+# HUGEINT (2^(64-rho) per occupied register + zeros * 2^64), and the
+# final float expression mirrors kgray.ops.sketch.hll_estimate
+# token-for-token so both engines round identically.
+_HLL_USERS_SQL = """
+WITH u AS (SELECT DISTINCT user_id AS x FROM events),
+a0 AS (SELECT CAST(x % 4294967296 + 2135587861 AS HUGEINT) AS lo0,
+              CAST(x // 4294967296 + 2654435769 AS HUGEINT) AS hi0 FROM u),
+a1 AS (SELECT lo0 % 4294967296 AS lo,
+              (hi0 + lo0 // 4294967296) % 4294967296 AS hi FROM a0),
+b1 AS (SELECT CAST(xor(CAST(lo AS BIGINT),
+                CAST((hi % 1073741824) * 4 + lo // 1073741824 AS BIGINT))
+               AS HUGEINT) AS lo,
+              CAST(xor(CAST(hi AS BIGINT), CAST(hi // 1073741824 AS BIGINT))
+               AS HUGEINT) AS hi FROM a1),
+b2 AS (SELECT lo * 484763065 +
+              ((lo * 3210233709 + hi * 484763065) % 4294967296) * 4294967296
+              AS t FROM b1),
+b3 AS (SELECT t % 4294967296 AS lo, (t // 4294967296) % 4294967296 AS hi
+       FROM b2),
+x1 AS (SELECT CAST(xor(CAST(lo AS BIGINT),
+                CAST((hi % 134217728) * 32 + lo // 134217728 AS BIGINT))
+               AS HUGEINT) AS lo,
+              CAST(xor(CAST(hi AS BIGINT), CAST(hi // 134217728 AS BIGINT))
+               AS HUGEINT) AS hi FROM b3),
+x2 AS (SELECT lo * 321982955 +
+              ((lo * 2496678331 + hi * 321982955) % 4294967296) * 4294967296
+              AS t FROM x1),
+x3 AS (SELECT t % 4294967296 AS lo, (t // 4294967296) % 4294967296 AS hi
+       FROM x2),
+z AS (SELECT CAST(xor(CAST(lo AS BIGINT),
+               CAST((hi % 2147483648) * 2 + lo // 2147483648 AS BIGINT))
+              AS BIGINT) AS lo,
+             CAST(xor(CAST(hi AS BIGINT), CAST(hi // 2147483648 AS BIGINT))
+              AS BIGINT) AS hi FROM x3),
+rr AS (SELECT hi // 262144 AS idx,
+              (hi * 16384 + lo // 262144) % 4294967296 AS shi,
+              (lo % 262144) * 16384 + 16383 AS slo FROM z),
+rho0 AS (SELECT idx,
+        CASE WHEN shi != 0 THEN 33 - length(bin(CAST(shi AS BIGINT)))
+             ELSE 65 - length(bin(CAST(slo AS BIGINT))) END AS rho FROM rr),
+regs AS (SELECT idx, MAX(rho) AS rho FROM rho0 GROUP BY idx),
+agg AS (SELECT SUM(CAST(1 AS HUGEINT) << (64 - rho)) AS s_occ,
+               16384 - COUNT(*) AS zeros FROM regs),
+est0 AS (SELECT (CAST(0.7213 AS DOUBLE)
+                 / (CAST(1.0 AS DOUBLE)
+                    + CAST(1.079 AS DOUBLE) / CAST(16384.0 AS DOUBLE)))
+                * 16384.0 * 16384.0 * 18446744073709551616.0
+                / CAST(s_occ + CAST(zeros AS HUGEINT) * 18446744073709551616
+                       AS DOUBLE) AS e,
+                zeros FROM agg)
+SELECT CAST(FLOOR(CASE WHEN e <= 2.5 * 16384.0 AND zeros > 0
+                       THEN 16384.0 * ln(16384.0 / CAST(zeros AS DOUBLE))
+                       ELSE e END + 0.5) AS BIGINT) AS est
+FROM est0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -10048,7 +10114,9 @@ CATALOG: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
     "dedup_purge": (q_dedup_purge, SQL_DEDUP_PURGE),
-    "events_distinct_users_approx": (q_events_distinct_users_approx, None),
+    "events_distinct_users_approx": (
+        q_events_distinct_users_approx, _HLL_USERS_SQL,
+    ),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "events_user_cumsum": (q_events_user_cumsum, SQL_EVENTS_USER_CUMSUM),
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
