@@ -42,6 +42,13 @@ SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
 )
 
+# BASELINE.md's recorded healthy-host suite run (round-3 close-out,
+# commit a28be24): the yardstick every fresh suite run is normalized
+# against.  Calibration scales wall time ~linearly on this VM, so
+# vs_baseline_calib_norm = (total / sec) / (calib / calib_ref); ~1.0
+# means parity with the recorded run after host-speed correction.
+BASELINE_SUITE = {"sec": 48.0, "calib": 1.06, "entries": 30}
+
 # queries() entries that form the representative suite (beyond the headline)
 SUITE = [
     "tpch_q1",
@@ -251,6 +258,17 @@ def main() -> int:
             print(f"# bench error {name}: {e}", file=sys.stderr)
 
     total = time.time() - t0
+    calib = _host_calibration()
+    # Round-2 verdict item 8 (literal form): a suite JSON without a
+    # usable host calibration is uninterpretable on this VM — refuse.
+    assert calib and calib > 0, "host calibration missing/zero; no suite JSON"
+    norm = (total / BASELINE_SUITE["sec"]) / (calib / BASELINE_SUITE["calib"])
+    print(
+        f"# calib-normalized vs BASELINE.md recorded run "
+        f"({BASELINE_SUITE['sec']}s @ calib {BASELINE_SUITE['calib']}, "
+        f"{BASELINE_SUITE['entries']} entries): {norm:.2f}x",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": "kg-construction e2e + query suite wall time",
         "value": round(total, 3),
@@ -260,7 +278,8 @@ def main() -> int:
         "num_cpus": NUM_CPUS,
         "triples": triples,
         "triples_per_sec": round(triples / kg_sec, 1),
-        "host_calib_matmul_s": _host_calibration(),
+        "host_calib_matmul_s": calib,
+        "vs_baseline_calib_norm": round(norm, 3),
     }))
     import ray
 

@@ -72,6 +72,32 @@ def _row_hashes(df: pd.DataFrame) -> np.ndarray:
         )
 
 
+def _zone_min_max(col, name: str):
+    """(min, max) of a stats column as JSON-encodable scalars.
+
+    Supported zone-map types: string / integer / float / bool, plus
+    temporals (timestamp/date/time), which are cast to their underlying
+    epoch integers — ``zone_filter`` bounds for temporal columns must
+    therefore be given as integers in the column's own unit (e.g. epoch
+    microseconds for ``timestamp[us]``).  Anything else (decimal,
+    binary, nested) raises up front instead of failing with an opaque
+    ``json.dumps`` TypeError inside the write task."""
+    import pyarrow.compute as _pc
+
+    t = col.type
+    if (pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t)):
+        col = col.cast(pa.int64())
+    elif not (pa.types.is_integer(t) or pa.types.is_floating(t)
+              or pa.types.is_boolean(t) or pa.types.is_string(t)
+              or pa.types.is_large_string(t)):
+        raise TypeError(
+            f"stats_cols[{name!r}]: unsupported zone-map type {t} "
+            "(supported: string/int/float/bool/temporal)"
+        )
+    return _pc.min(col).as_py(), _pc.max(col).as_py()
+
+
 _STAT_SCHEMA = pa.schema(
     [
         ("part", pa.int64()),
@@ -139,13 +165,11 @@ class _WriteSlices:
             out["content"].append(int(h[idx].sum(dtype=np.uint64)))
             out["file"].append(f"{PART_COL}={p}/{fname}")
             for c in self.stats_cols:
-                col = slice_tbl[c]
-                import pyarrow.compute as _pc
-
+                lo_v, hi_v = _zone_min_max(slice_tbl[c], c)
                 # JSON-encoded so the stat stream's schema is fixed
                 # across value types (and empty batches)
-                zmins[c].append(json.dumps(_pc.min(col).as_py()))
-                zmaxs[c].append(json.dumps(_pc.max(col).as_py()))
+                zmins[c].append(json.dumps(lo_v))
+                zmaxs[c].append(json.dumps(hi_v))
         cols = {
             "part": pa.array(out["part"], pa.int64()),
             "rows": pa.array(out["rows"], pa.int64()),
@@ -224,7 +248,10 @@ def write_partitioned(
     tasks (no extra pass), and ``read_table(..., zone_filter=...)``
     prunes partitions whose range misses the predicate before any file
     opens (the lakehouse file-skipping move; effective when the write
-    key clusters the column)."""
+    key clusters the column).  Supported stats_cols types:
+    string/int/float/bool; temporal columns are zone-mapped as their
+    epoch integers (pass integer bounds in zone_filter); other types
+    raise TypeError up front (see ``_zone_min_max``)."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     keep = set(keep_partitions or ())

@@ -270,11 +270,20 @@ def media_dup_refs(media_ds, tau: float = 0.999,
     # ref map: media tables are span-scale (rows ≈ media per corpus);
     # the id->ref attach is a broadcast dict — at larger scale this
     # becomes a bucket join on the fingerprint
+    distinct_refs: set[str] = set()
     for b in media_ds.select_columns(["media_ref"]).iter_batches(
         batch_format="pyarrow"
     ):
         for r in b["media_ref"].to_pylist():
             ref_of[_fp(r)] = r
+            distinct_refs.add(r)
+    # a 64-bit fingerprint collision (~n^2/2^64) would silently merge
+    # two media identities and mislabel dup pairs — fail loudly instead
+    if len(ref_of) != len(distinct_refs):
+        raise RuntimeError(
+            "media_ref fingerprint collision: "
+            f"{len(distinct_refs)} refs -> {len(ref_of)} fingerprints"
+        )
 
     pairs = embedding_dup_pairs(vecs, tau=tau)
 

@@ -183,10 +183,13 @@ def kg_construct(
     # NOTE: per-partition resume appends only missing partitions; the
     # written layout is the checkpoint (io.py docstring).
     triples = extract_triples(pending_docs, cfg)
-    # doc_id zone maps: doc ids arrive clustered (corpus order), so the
-    # hash partitions carry tight ranges and a downstream doc-range read
-    # (re-extraction audits, span lookups) prunes partitions before any
-    # file opens
+    # doc_id zone maps: partitions are assigned by crc32(doc_id), which
+    # scatters ids uniformly, so each partition's zone spans ~the whole
+    # doc_id range and range pruning here is best-effort only (it never
+    # wrongly prunes; it mostly helps a reader probing a range narrower
+    # than the corpus, or a corpus whose id space is sparse/segmented).
+    # The zones' primary value on this table is the audit trail: min/max
+    # per partition attests which id universe each partition covers.
     manifests["triples"] = io.write_partitioned(
         triples, triples_dir, "doc_id", num_partitions,
         stage="extract", input_fingerprint=input_fingerprint,

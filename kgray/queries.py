@@ -8580,7 +8580,12 @@ def q_events_value_deciles(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
     n = ev.count()
-    targets = {((q * n) + 9) // 10: q for q in range(1, 10)}
+    # rank -> [deciles]: on tiny inputs (n < 10) two deciles share
+    # ceil(q*n/10); a plain rank->decile dict would collapse them and
+    # emit fewer rows than the oracle's one-row-per-decile join
+    targets: dict[int, list[int]] = {}
+    for q in range(1, 10):
+        targets.setdefault(((q * n) + 9) // 10, []).append(q)
 
     from ray.data.aggregate import Max, Min
 
@@ -8643,8 +8648,7 @@ def q_events_value_deciles(sf_dir: str):
             base = offsets[int(r)]
             for pos in range(len(g)):
                 t = base + pos + 1
-                q = targets.get(t)
-                if q is not None:
+                for q in targets.get(t, ()):
                     out.append((q, g["value"].iloc[pos]))
         return pd.DataFrame(out, columns=["decile", "value"])
 
@@ -8881,6 +8885,8 @@ def q_events_lead_lag(sf_dir: str):
             if j is not None:
                 xi.append(x[i])
                 yi.append(y[j])
+        if not xi:
+            continue  # empty shifted overlap: the SQL join emits no row
         xa, ya = np.array(xi), np.array(yi)
         n = float(len(xa))
         cov = n * float((xa * ya).sum()) - float(xa.sum()) * float(
@@ -8889,12 +8895,15 @@ def q_events_lead_lag(sf_dir: str):
         vy = n * float((ya * ya).sum()) - float(ya.sum()) ** 2
         denom = (vx * vy) ** 0.5
         out_lag.append(lag)
-        out_r.append(cov / denom)
+        # constant series: CORR is NULL in SQL, not nan/inf
+        out_r.append(
+            float(round_half_up(np.array([cov / denom]), 4)[0])
+            if denom > 0 else None
+        )
     return pa.table(
         {
             "lag": pa.array(out_lag, pa.int64()),
-            "r": pa.array(round_half_up(np.array(out_r), 4),
-                          pa.float64()),
+            "r": pa.array(out_r, pa.float64()),
         }
     )
 

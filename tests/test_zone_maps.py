@@ -98,3 +98,46 @@ def test_zone_maps_survive_resume(ray_session, tmp_path):
                            stats_cols=["d"], keep_partitions=keep)
     for pstr, meta in m2["partitions"].items():
         assert meta["zones"]["d"] == m1["partitions"][pstr]["zones"]["d"]
+
+
+def test_zone_maps_temporal_encoded_as_epoch_ints(ray_session, tmp_path):
+    """Timestamp stats_cols are zone-mapped as epoch integers (JSON-safe)
+    and prune with integer bounds in the column's own unit."""
+    import ray.data as rd
+
+    from kgray.io import read_table, write_partitioned, zone_partitions
+
+    # key k carries one distinct day: partitions get tight ts zones
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.repeat(np.arange(8), 25), unit="D"
+    )
+    df = pd.DataFrame({"key": [f"k{k}" for k in np.repeat(np.arange(8), 25)],
+                       "ts": ts})
+    out = str(tmp_path / "t")
+    m = write_partitioned(rd.from_pandas(df), out, key_col="key",
+                          num_partitions=4, stats_cols=["ts"])
+    for meta in m["partitions"].values():
+        lo, hi = meta["zones"]["ts"]
+        assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
+
+    day3 = int(pd.Timestamp("2024-01-04").value)  # epoch ns (ts is [ns])
+    keep = zone_partitions(out, {"ts": (day3, day3)})
+    assert keep is not None and 0 < len(keep) < 4
+    got = read_table(out, zone_filter={"ts": (day3, day3)}).to_pandas()
+    assert (got["ts"] == pd.Timestamp("2024-01-04")).sum() == 25
+
+
+def test_zone_maps_unsupported_type_raises(ray_session, tmp_path):
+    """Binary stats_cols raise a clear TypeError instead of an opaque
+    json.dumps failure inside the write task."""
+    import ray.data as rd
+
+    from kgray.io import write_partitioned
+
+    df = pd.DataFrame({"key": ["a", "b"] * 10,
+                       "blob": [b"\x00\x01"] * 20})
+    with pytest.raises(Exception) as ei:
+        write_partitioned(rd.from_pandas(df), str(tmp_path / "t"),
+                          key_col="key", num_partitions=2,
+                          stats_cols=["blob"])
+    assert "zone-map" in str(ei.value) or "TypeError" in str(ei.value)
