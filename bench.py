@@ -93,6 +93,10 @@ SUITE = [
     # bipartite graph (the oracle-checked graph-analytics flagship);
     # suite totals before this entry exclude it
     "part_supplier_pagerank",
+    # round 4: adversarial-skew resilience probe (chaos fixture — capped
+    # LSH blocks + salted hot-key join); suite totals before this entry
+    # exclude it
+    "skew_chaos",
 ]
 
 

@@ -347,3 +347,46 @@ def golden_triples_table(doc_ids: list[str], seed: int = 42) -> pa.Table:
             ]
         ),
     )
+
+
+def adversarial_docs(n_docs: int, seed: int = 13) -> "pa.Table":
+    """Adversarial SKEW corpus (chaos fixture for the capped-block and
+    salted-join paths; VERDICT r3 item 5):
+
+    * Zipf(1.2) vocabulary — hot words dominate shingle space;
+    * one head entity token prepended to 30% of docs — a hot mention /
+      join key;
+    * a 15%-of-corpus near-clique: identical text except the trailing
+      token — nearly every LSH band of those docs collapses into ONE
+      bucket ~10x+ the median (the degenerate-block case the
+      ``max_block`` caps must bound).
+
+    Deterministic in (seed, n_docs).  Returns (doc_id:int64,
+    text:string, head:bool)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = ranks ** -1.2
+    p /= p.sum()
+    picks = rng.choice(len(vocab), size=(n_docs, 30), p=p)
+    clique = int(n_docs * 0.15)
+    clique_body = " ".join(f"dup{i:02d}" for i in range(29))
+    texts = []
+    for i in range(n_docs):
+        if i < clique:
+            # identical but for the trailing token: ~all shingles shared
+            t = f"{clique_body} tail{i % 7}"
+        else:
+            t = " ".join(vocab[picks[i]])
+        if i % 10 < 3:
+            t = "megacorp " + t
+        texts.append(t)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "head": pa.array((np.arange(n_docs) % 10 < 3)),
+        }
+    )

@@ -45,9 +45,12 @@ def _edges_symmetric(edges):
     return edges.map_batches(both, batch_format="pyarrow")
 
 
-_COGROUP_SCHEMA = pa.schema(
-    [("node", pa.string()), ("nbr", pa.string()), ("label", pa.string())]
-)
+# Cogroup rows carry (node, val, is_edge) with NO nulls: edge rows hold
+# val=dst, label rows hold val=label.  The node dtype flows through
+# untouched (string mention keys AND int64 doc ids both work — a
+# null-padded string schema here silently cast int ids to strings,
+# flipping min-label to LEXICOGRAPHIC and breaking every downstream
+# int-keyed join; caught by the forced-distributed gate).
 
 
 def _edge_rows(batch: pa.Table) -> pa.Table:
@@ -55,10 +58,9 @@ def _edge_rows(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "node": batch["src"],
-            "nbr": batch["dst"],
-            "label": pa.nulls(n, pa.string()),
-        },
-        schema=_COGROUP_SCHEMA,
+            "val": batch["dst"],
+            "is_edge": pa.array(np.ones(n, bool)),
+        }
     )
 
 
@@ -67,33 +69,38 @@ def _label_rows(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "node": batch["node"],
-            "nbr": pa.nulls(n, pa.string()),
-            "label": batch["label"],
-        },
-        schema=_COGROUP_SCHEMA,
+            "val": batch["label"],
+            "is_edge": pa.array(np.zeros(n, bool)),
+        }
     )
 
 
 def _propagate_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """One hash-bucket of nodes (all rows of a node co-located): emit
     min(own labels, node id) to self + neighbors — per-node grouping
-    vectorized inside the bucket (kgray.util.grouped_map rationale)."""
+    vectorized inside the bucket (kgray.util.grouped_map rationale).
+    Dtype-generic: min is numeric for int nodes, lexicographic for
+    string nodes, matching the driver union-find per dtype."""
+    is_edge = df["is_edge"].to_numpy(bool)
     nodes = df["node"].unique()
-    lab = df.loc[df["label"].notna()].groupby("node", sort=False)["label"].min()
-    own = lab.reindex(nodes)
-    own = own.fillna(pd.Series(nodes, index=nodes))
-    own = pd.Series(np.minimum(own.to_numpy(), nodes), index=nodes)  # min(label, id)
-    edges = df.loc[df["nbr"].notna(), ["node", "nbr"]].drop_duplicates()
-    out_nodes = np.concatenate([nodes, edges["nbr"].to_numpy()])
+    lab = df.loc[~is_edge].groupby("node", sort=False)["val"].min()
+    # min(own label, node id) WITHOUT a reindex NaN round-trip (reindex
+    # with missing keys coerces int64 -> float64, losing exactness past
+    # 2^53 doc ids)
+    pos = pd.Index(lab.index).get_indexer(nodes)
+    own_np = nodes.copy()
+    has = pos >= 0
+    lv = lab.to_numpy()
+    own_np[has] = np.minimum(lv[pos[has]], nodes[has])
+    edges = df.loc[is_edge, ["node", "val"]].drop_duplicates()
+    own_s = pd.Series(own_np, index=nodes)
+    out_nodes = np.concatenate([nodes, edges["val"].to_numpy()])
     out_labels = np.concatenate(
-        [own.to_numpy(), own.reindex(edges["node"].to_numpy()).to_numpy()]
+        # edge rows are keyed by node, so every edge node is in this
+        # bucket: reindex has no misses and keeps the dtype exact
+        [own_np, own_s.reindex(edges["node"].to_numpy()).to_numpy()]
     )
-    return pd.DataFrame(
-        {
-            "node": pd.array(out_nodes, dtype="string"),
-            "label": pd.array(out_labels, dtype="string"),
-        }
-    )
+    return pd.DataFrame({"node": out_nodes, "label": out_labels})
 
 
 def _cc_driver_unionfind(edges_mat):
@@ -166,7 +173,9 @@ def connected_components(edges, max_rounds: int = 10,
     it the min-label-propagation rounds below are the 100-TB path.
     """
     edges_mat = edges.materialize()
-    if edges_mat.count() <= max_driver_edges:
+    from kgray.util import gate
+
+    if edges_mat.count() <= gate(max_driver_edges):
         return _cc_driver_unionfind(edges_mat)
     sym = _edges_symmetric(edges_mat).materialize()
     edge_part = sym.map_batches(_edge_rows, batch_format="pyarrow")
@@ -309,7 +318,9 @@ def canonicalize_triples(triples, entity_map, num_partitions: int = 16,
 
         return keyed.map_batches(identity, batch_format="pyarrow")
 
-    if map_rows <= broadcast_limit:
+    from kgray.util import gate
+
+    if map_rows <= gate(broadcast_limit):
         # Broadcast path in ONE map-only stage: the map is collected once,
         # ray.put once, and each batch resolves BOTH sides with vectorized
         # Arrow index_in + take + coalesce — no per-stage block rebuilds,

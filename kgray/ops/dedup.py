@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from kgray.util import gate
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -170,7 +172,9 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
     # ONCE and broadcast to both joins; above it (10^9-doc territory) the
     # attach switches to partitioned bucket joins — never an unbounded
     # driver collect.
-    if docs.count() <= max_broadcast_count_rows:
+    from kgray.util import gate
+
+    if docs.count() <= gate(max_broadcast_count_rows):
         import ray
 
         from kgray.ops.joins import broadcast_join
@@ -355,7 +359,7 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
 
     if broadcast_texts is None:
         est0 = docs.size_bytes()
-        if est0 is not None and est0 <= max_driver_bytes:
+        if est0 is not None and est0 <= gate(max_driver_bytes):
             # Small-side gate: signatures/banding stay DISTRIBUTED (they
             # fuse with the read); only the tiny band rows (n_docs x bands
             # x 16B) and the gated texts are collected, and the pair-gen +
@@ -395,7 +399,7 @@ def minhash_dup_pairs(docs, tau: float = 0.7, text_col: str = "text",
     )
     if broadcast_texts is None:
         est = docs.size_bytes()
-        broadcast_texts = est is not None and est <= max_broadcast_bytes
+        broadcast_texts = est is not None and est <= gate(max_broadcast_bytes)
     if broadcast_texts:
         # Fused path: pair-gen + in-bucket dedup + exact-Jaccard verify all
         # inside the ONE band-bucket cogroup (texts reach workers as a
@@ -668,7 +672,7 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
 
     est = docs.size_bytes()
-    if est is not None and est <= max_driver_bytes:
+    if est is not None and est <= gate(max_driver_bytes):
         # Small-side gate: signatures stay DISTRIBUTED (fused with the
         # read); only the tiny block rows (n_docs x 4 x 24B) are collected
         # and the two shuffle barriers become one in-process call.
@@ -714,6 +718,86 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, text_col: str = "text",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _embedding_dup_pairs_blocked(embeddings, tau, id_col, vec_col, digits,
+                                 num_blocks: int = 8):
+    """EXACT distributed all-pairs: rows hash into ``num_blocks`` blocks,
+    each row replicates to every unordered block pair it belongs to
+    (B copies), and a block-pair cogroup computes the cross (or
+    upper-triangle intra) cosine matrix — every unordered vector pair
+    lands in EXACTLY one bucket, so no cross-bucket dedup pass is
+    needed.  O(n*B) shuffle rows, O(n^2) total flops spread over
+    B(B+1)/2 buckets: the exact-anywhere path the forced-distributed
+    gate checks.  (IVF stays the sub-quadratic 100-TB route; its
+    blocking is approximate by construction.)"""
+    from kgray.ops.similarity import _matrix, _normalize
+    from kgray.util import grouped_map, round_half_up
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = (ids % num_blocks + num_blocks) % num_blocks
+        reps = np.repeat(np.arange(len(ids)), num_blocks)
+        other = np.tile(np.arange(num_blocks), len(ids))
+        b = blk[reps]
+        # each row lands in its intra bucket (b, b) once plus every
+        # cross bucket (min(b,x), max(b,x)) once: B copies per row
+        lo = np.minimum(b, other)
+        hi = np.maximum(b, other)
+        return pa.table(
+            {
+                "bucket": pa.array(lo * num_blocks + hi, pa.int64()),
+                "blk": pa.array(b, pa.int64()),
+                "vid": pa.array(ids[reps]),
+                "vec": pa.array(list(m[reps])),
+            }
+        )
+
+    fanned = embeddings.map_batches(fan_out, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bkey, grp in df.groupby("bucket", sort=False):
+            i, j = divmod(int(bkey), num_blocks)
+            ids_g = grp["vid"].to_numpy(np.int64)
+            mat = np.vstack([np.asarray(x, np.float64) for x in grp["vec"]])
+            blk_g = grp["blk"].to_numpy(np.int64)
+            if i == j:
+                sims = mat @ mat.T
+                ui, vi = np.nonzero(np.triu(sims >= tau, k=1))
+                cos = sims[ui, vi]
+            else:
+                ai = np.flatnonzero(blk_g == i)
+                bi = np.flatnonzero(blk_g == j)
+                if not len(ai) or not len(bi):
+                    continue
+                sims_ab = mat[ai] @ mat[bi].T
+                uu, vv = np.nonzero(sims_ab >= tau)
+                ui, vi = ai[uu], bi[vv]
+                cos = sims_ab[uu, vv]
+            if not len(ui):
+                continue
+            u, v = ids_g[ui], ids_g[vi]
+            swap = u > v
+            outs.append(pd.DataFrame(
+                {
+                    "u": np.where(swap, v, u),
+                    "v": np.where(swap, u, v),
+                    "cos": round_half_up(cos, digits),
+                }
+            ))
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "u": pd.array([], dtype="int64"),
+                "v": pd.array([], dtype="int64"),
+                "cos": pd.array([], dtype="float64"),
+            }
+        )
+
+    return grouped_map(fanned, "bucket", bucket_pairs)
+
+
 def embedding_dup_pairs(embeddings, tau: float = 0.95, id_col: str = "vec_id",
                         vec_col: str = "embedding", digits: int = 4,
                         strategy: str = "auto",
@@ -737,11 +821,26 @@ def embedding_dup_pairs(embeddings, tau: float = 0.95, id_col: str = "vec_id",
       buckets with a Max-aggregate.  Near-dup vectors (cos >= 0.95) land
       in the same nearest bucket with overwhelming probability; the
       multi-probe assignment covers centroid-boundary pairs.
+    * ``"blocked"`` (exact, distributed): block-pair cogroup all-pairs —
+      O(n*B) shuffle, O(n^2) flops spread over B(B+1)/2 buckets.  Under
+      ``KGRAY_FORCE_DISTRIBUTED`` the ``auto`` fallback is this (the
+      forced gate oracle-checks EXACT distributed paths; IVF's blocking
+      is approximate by construction and stays the explicit sub-
+      quadratic 100-TB route).
     """
     import ray
 
     if strategy == "auto":
-        strategy = "brute" if embeddings.count() <= max_brute_rows else "ivf"
+        from kgray.util import force_distributed
+
+        if embeddings.count() <= gate(max_brute_rows):
+            strategy = "brute"
+        else:
+            strategy = "blocked" if force_distributed() else "ivf"
+    if strategy == "blocked":
+        return _embedding_dup_pairs_blocked(
+            embeddings, tau, id_col, vec_col, digits,
+        )
     if strategy == "ivf":
         return _embedding_dup_pairs_ivf(
             embeddings, tau, id_col, vec_col, digits, num_centroids, probes,
@@ -966,6 +1065,78 @@ def ngram_contamination(docs, is_test, n: int = 5,
     return docs.map_batches(count_shared, batch_format="pyarrow")
 
 
+def _dup_ngram_stats_distributed(docs, dup_ds, n, text_col, id_col, digits):
+    """dup_ngram_stats above the broadcast gate: no driver-resident dup
+    set.  (doc, shingle, count) occurrence rows semi-join (bloom +
+    bucket cogroup under the forced/scale path) against the df>=2
+    shingle Dataset, per-doc sums fold with combiners, and a left
+    bucket_join re-attaches docs whose shingles are all unique
+    (n_dup = 0).  Same output contract as the broadcast path."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join, semi_join
+    from kgray.util import round_half_up
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        did, grams = [], []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            if len(toks) < n:
+                continue
+            gs = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            grams.extend(gs)
+            did.extend([int(ids[i])] * len(gs))
+        if not grams:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        ser = pd.Series(grams, dtype=object)
+        cnt = (
+            pd.DataFrame({"doc_id": np.asarray(did, np.int64), "g": ser})
+            .groupby(["doc_id", "g"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(cnt["doc_id"].to_numpy(np.int64)),
+                "g": pa.array(cnt["g"].astype(str), pa.string()),
+                "c": pa.array(cnt["c"].to_numpy(np.int64)),
+            }
+        )
+
+    occ = docs.map_batches(occ_rows, batch_format="pyarrow").materialize()
+    totals = pre_aggregate(occ, ["doc_id"], {"n_total": ("c", "sum")})
+    hits = semi_join(occ, dup_ds, on="g")
+    dups = pre_aggregate(hits, ["doc_id"], {"n_dup": ("c", "sum")})
+    joined = bucket_join(totals, dups, on="doc_id", how="left")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n_tot = batch["n_total"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_dup = np.nan_to_num(
+            batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_dup": pa.array(n_dup, pa.int64()),
+                "n_total": pa.array(n_tot, pa.int64()),
+                "dup_frac": pa.array(
+                    round_half_up(n_dup / n_tot.astype(np.float64), digits),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def dup_ngram_stats(docs, n: int = 5, text_col: str = "text",
                     id_col: str = "doc_id", digits: int = 4,
                     max_broadcast: int = 50_000_000):
@@ -1008,13 +1179,12 @@ def dup_ngram_stats(docs, n: int = 5, text_col: str = "text",
         .groupby("g")
         .aggregate(Sum("df", alias_name="df"))
     )
-    dup = df_tbl.filter(expr="df >= 2").to_pandas()  # shingle-vocab scale
-    if len(dup) > max_broadcast:
-        raise NotImplementedError(
-            "dup shingle set exceeds the broadcast gate; use the "
-            "semi-join fallback (joins.semi_join on the exploded "
-            "shingle column)"
+    dup_ds = df_tbl.filter(expr="df >= 2").materialize()  # shingle-vocab
+    if dup_ds.count() > gate(max_broadcast):
+        return _dup_ngram_stats_distributed(
+            docs, dup_ds, n, text_col, id_col, digits
         )
+    dup = dup_ds.to_pandas()
     dup_set = pa.array(dup["g"].astype(str), pa.string())
     dup_ref = ray.put(dup_set)
 

@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from kgray.util import gate
+
 
 def _symmetric(edges, u_col: str = "u", v_col: str = "v"):
     def sym(batch: pa.Table) -> pa.Table:
@@ -103,7 +105,7 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
     from kgray.util import round_half_up
 
     edges = edges.materialize()
-    if edges.count() <= max_inprocess_edges:
+    if edges.count() <= gate(max_inprocess_edges):
         # in-process small-side gate (the CC/minhash pattern: shuffle
         # barriers cost seconds even for dozens of edges; under the gate
         # the SAME power-iteration math runs once on the driver —
@@ -241,7 +243,7 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
     from kgray.util import grouped_map, pairs_within_groups
 
     edges = edges.materialize()
-    if edges.count() <= max_inprocess_edges:
+    if edges.count() <= gate(max_inprocess_edges):
         # in-process small-side gate (see pagerank): same kernel, zero
         # shuffle barriers; paths-agree pinned in tests/test_graph.py
         n = _triangle_kernel(edges.to_pandas(), u_col, v_col, max_degree)
@@ -326,7 +328,7 @@ def pagerank_int(edges, iters: int = 4, scale: int = 10**12,
     from kgray.ops.joins import bucket_join
 
     edges = edges.materialize()
-    if edges.count() <= max_inprocess_edges:
+    if edges.count() <= gate(max_inprocess_edges):
         df = edges.to_pandas()
         sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
         sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)
@@ -429,7 +431,7 @@ def bfs_hops(edges, seeds, max_hops: int = 4,
     from kgray.ops.joins import bucket_join
 
     edges = edges.materialize()
-    if edges.count() <= max_inprocess_edges:
+    if edges.count() <= gate(max_inprocess_edges):
         df = edges.to_pandas()
         sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
         sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)

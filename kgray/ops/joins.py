@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from kgray.util import gate
+
 
 def broadcast_lookup(
     ds,
@@ -324,7 +326,7 @@ def semi_join(left, right, on: str, right_on: str | None = None,
         batch_format="pyarrow",
     )
     est = right.size_bytes()
-    if est is not None and est <= max_broadcast_bytes:
+    if est is not None and est <= gate(max_broadcast_bytes):
         import ray
 
         parts = [ray.get(r) for r in keys_ds.to_arrow_refs()]

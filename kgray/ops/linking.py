@@ -29,6 +29,8 @@ import pyarrow as pa
 
 from kgray.ops.tagging import normalize_entity
 
+from kgray.util import gate
+
 _SEP = "\x1f"
 
 
@@ -356,7 +358,7 @@ def link_mentions(
     from ray.data.aggregate import Sum
 
     partials = _mention_partials(triples).materialize()
-    if partials.count() <= max_driver_mentions:
+    if partials.count() <= gate(max_driver_mentions):
         parts = [ray.get(r) for r in partials.to_arrow_refs()]
         parts = [p for p in parts if p.num_rows]
         keys = []

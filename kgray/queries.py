@@ -1437,6 +1437,56 @@ SELECT doc_id, n_tokens, start, start // 512 AS bin FROM s
 """
 
 
+def q_skew_chaos(sf_dir: str):
+    """Adversarial-skew resilience probe (the chaos fixture as a bench
+    entry): a Zipf-vocab corpus with a hot head entity and a degenerate
+    LSH clique (corpus.adversarial_docs) runs the capped-block minhash
+    near-dup path end-to-end, and a 30%-hot-key table runs
+    salted_bucket_join.  Returns one summary row (docs, pairs,
+    joined).  Rows-only: the fixture is synthesized, not an sf table;
+    the cap accounting identity and salted==unsalted equality are
+    test-pinned in tests/test_skew_chaos.py."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgray.corpus import adversarial_docs
+    from kgray.ops.dedup import minhash_dup_pairs
+    from kgray.ops.joins import salted_bucket_join
+
+    n_docs = max(
+        2000, pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")).num_rows * 2,
+    )
+    docs = rd.from_arrow(adversarial_docs(n_docs)).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    n_pairs = minhash_dup_pairs(docs, tau=0.7).count()
+
+    rng = np.random.default_rng(11)
+    n = n_docs * 4
+    keys = np.where(rng.random(n) < 0.3, 0,
+                    rng.integers(1, 500, n)).astype(np.int64)
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array(keys),
+         "x": pa.array(rng.integers(0, 1 << 30, n).astype(np.int64))}
+    ))
+    right = rd.from_arrow(pa.table(
+        {"k": pa.array(np.arange(500, dtype=np.int64)),
+         "y": pa.array(np.arange(500, dtype=np.int64))}
+    ))
+    joined = salted_bucket_join(left, right, on="k", salt_col="x",
+                                salt=8, how="left").count()
+    return pa.table(
+        {
+            "docs": pa.array([n_docs], pa.int64()),
+            "dup_pairs": pa.array([n_pairs], pa.int64()),
+            "joined": pa.array([joined], pa.int64()),
+        }
+    )
+
+
 def q_dedup_purge(sf_dir: str):
     """End-to-end near-dup purge (the Dolma/RedPajama-style corpus
     cleaning step): MinHash-LSH pairs -> connected components -> keep the
@@ -10123,6 +10173,7 @@ CATALOG: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
     "dedup_purge": (q_dedup_purge, SQL_DEDUP_PURGE),
+    "skew_chaos": (q_skew_chaos, None),
     "events_distinct_users_approx": (
         q_events_distinct_users_approx, _HLL_USERS_SQL,
     ),

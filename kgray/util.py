@@ -6,6 +6,26 @@ import numpy as np
 import pyarrow as pa
 
 
+def force_distributed() -> bool:
+    """True when ``KGRAY_FORCE_DISTRIBUTED`` is set (and not "0"): every
+    small-side gate in the engine collapses to 0 so the DISTRIBUTED
+    fallback path always runs — the CI mode that oracle-checks the
+    100-TB code paths end-to-end instead of only via paths-agree unit
+    tests (``scripts/check_correctness.py --forced``)."""
+    import os
+
+    return os.environ.get("KGRAY_FORCE_DISTRIBUTED", "") not in ("", "0")
+
+
+def gate(threshold):
+    """Resolve a small-side gate threshold: under KGRAY_FORCE_DISTRIBUTED
+    every gate collapses to 0 (the in-process/broadcast shortcut never
+    fires and the partitioned path runs), otherwise the given threshold
+    stands.  Call it INSIDE the op on the resolved parameter so the env
+    knob also overrides explicitly-passed values."""
+    return 0 if force_distributed() else threshold
+
+
 def round_half_up(x, digits: int = 4):
     """Round half-away-from-zero, matching SQL ROUND (numpy/python round
     is half-even and flips x.xxx5 boundary values vs DuckDB)."""

@@ -2,11 +2,18 @@
 entry at sf0.01, run its oracle_sql() in DuckDB over the same parquet,
 compare row count + order-insensitive values.  Usage:
 
-    python scripts/check_correctness.py [sf_dir] [query ...]
+    python scripts/check_correctness.py [--forced] [sf_dir] [query ...]
+
+``--forced`` sets KGRAY_FORCE_DISTRIBUTED=1: every small-side gate in
+the engine (driver union-find, broadcast joins/sets, in-process LSH,
+brute-force ANN, ...) collapses to 0 so the DISTRIBUTED fallback path
+of every operator is what gets oracle-checked end-to-end — the CI mode
+that proves the 100-TB code paths, not just the tiny-input shortcuts.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -15,8 +22,13 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+FORCED = "--forced" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--forced"]
+if FORCED:
+    os.environ["KGRAY_FORCE_DISTRIBUTED"] = "1"
+
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
+ONLY = set(args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -46,6 +58,12 @@ def main() -> int:
     ray.init(
         address="local", num_cpus=8, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
+        # gates resolve on the driver, but ship the knob to workers too
+        # in case a future gate is evaluated inside a task
+        runtime_env=(
+            {"env_vars": {"KGRAY_FORCE_DISTRIBUTED": "1"}} if FORCED
+            else None
+        ),
     )
     from ray.data import DataContext
 
