@@ -58,8 +58,9 @@ def _cmd_construct(args: argparse.Namespace) -> int:
     if args.synthetic:
         from kgray.corpus import interleaved_dataset
 
-        docs = interleaved_dataset(args.synthetic, seed=args.seed)
-        fp = f"synthetic-{args.synthetic}-{args.seed}"
+        docs = interleaved_dataset(args.synthetic, seed=args.seed,
+                                   start=args.synthetic_start)
+        fp = f"synthetic-{args.synthetic}-{args.seed}-{args.synthetic_start}"
     else:
         docs = io.read_table(args.input)
         fp = _path_fingerprint(args.input)
@@ -73,6 +74,7 @@ def _cmd_construct(args: argparse.Namespace) -> int:
         tau=args.tau,
         input_fingerprint=fp,
         resume=not args.no_resume,
+        append=args.append,
     )
     wall = round(time.time() - t0, 3)
     metrics = {
@@ -108,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="generate an N-doc deterministic corpus instead")
     c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--synthetic-start", type=int, default=0,
+                   help="doc-id offset for --synthetic (append batches "
+                        "need ids disjoint from the base corpus)")
     c.add_argument("--output", required=True, help="output directory "
                    "(triples/ entities/ triples_canonical/ + manifests)")
     c.add_argument("--partitions", type=int, default=16)
@@ -115,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--execution", choices=("tasks", "actors"), default="tasks")
     c.add_argument("--no-resume", action="store_true",
                    help="ignore existing manifests and rewrite everything")
+    c.add_argument("--append", action="store_true",
+                   help="incremental mode: treat --input/--synthetic as a "
+                        "NEW batch of docs (disjoint doc_ids) appended to "
+                        "an existing output; only new-batch work runs at "
+                        "corpus scale (idempotent per batch fingerprint)")
     c.set_defaults(fn=_cmd_construct)
 
     args = ap.parse_args(argv)

@@ -310,16 +310,18 @@ def doc_ids_for_range(start: int, stop: int) -> list[str]:
     return [f"doc-{i:08d}" for i in range(start, stop)]
 
 
-def interleaved_dataset(n_docs: int, seed: int = 42, *, parallelism: int = -1):
+def interleaved_dataset(n_docs: int, seed: int = 42, *, start: int = 0,
+                        parallelism: int = -1):
     """Distributed generation: ray.data.range -> map_batches(gen).
 
     Each batch generates its own rows from its id range — deterministic
     regardless of block layout, no driver-side materialization.
-    """
+    ``start`` offsets the doc-id range (append-mode batches need ids
+    disjoint from the base corpus)."""
     import ray.data as rd
 
     def gen(batch: dict) -> pa.Table:
-        ids = [f"doc-{int(i):08d}" for i in batch["id"]]
+        ids = [f"doc-{int(i) + start:08d}" for i in batch["id"]]
         return interleaved_table(ids, seed)
 
     return rd.range(n_docs, override_num_blocks=parallelism if parallelism > 0 else None).map_batches(

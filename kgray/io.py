@@ -311,12 +311,13 @@ def write_partitioned(
     return manifest
 
 
-def manifest_fingerprint(manifest: dict) -> str:
-    """Stable content fingerprint of a manifest's attested data: the
-    per-partition (rows, content_hash) pairs plus the stage's own input
-    fingerprint.  Used as the DOWNSTREAM stage's input_fingerprint, so
-    lineage checks compose (unchanged upstream bytes -> equal fingerprint
-    -> stage skip on resume)."""
+def manifest_content_hash(manifest: dict) -> str:
+    """Content-ONLY fingerprint of a manifest's attested data: the fold
+    of per-partition (rows, content_hash) pairs, independent of the
+    stage's own input-fingerprint chain.  This is the right DOWNSTREAM
+    stage key: identical bytes -> identical key -> stage skip, even when
+    the upstream's provenance chain grew (append mode re-attests the
+    same edge rows with a longer chain; CC must still skip)."""
     h = 0
     for pstr in sorted(manifest.get("partitions", {})):
         meta = manifest["partitions"][pstr]
@@ -324,7 +325,15 @@ def manifest_fingerprint(manifest: dict) -> str:
              + zlib.crc32(
                  f"{pstr}:{meta['rows']}:{meta['content_hash']}".encode()
              )) & 0xFFFFFFFFFFFFFFFF
-    return f"{manifest.get('input_fingerprint', '')}:{h:016x}"
+    return f"{h:016x}"
+
+
+def manifest_fingerprint(manifest: dict) -> str:
+    """Provenance fingerprint: the content hash PLUS the stage's own
+    input fingerprint (the full lineage chain).  Use
+    ``manifest_content_hash`` for downstream stage-skip keys."""
+    return (f"{manifest.get('input_fingerprint', '')}:"
+            f"{manifest_content_hash(manifest)}")
 
 
 def read_manifest(path: str) -> dict | None:

@@ -241,11 +241,17 @@ def link_mentions_embedding(
 
 
 def _bucket_verify_df(df: pd.DataFrame, tau: float,
-                      max_block: int = 256) -> pd.DataFrame:
+                      max_block: int = 256,
+                      only_involving: frozenset | None = None) -> pd.DataFrame:
     """Pair-gen + in-bucket dedup + same-type gate + exact-Jaccard verify
     over (band_key, mention_key) rows.  The shared kernel of BOTH linking
     execution paths (distributed cogroup buckets and the driver-gate
-    single call), so the two can never drift semantically."""
+    single call), so the two can never drift semantically.
+
+    ``only_involving``: when set (append-mode incremental linking), only
+    pairs with >= 1 endpoint in the set are verified — old-old pairs are
+    already persisted by the previous run and the Jaccard work (the
+    expensive part) is skipped for them."""
     from kgray.util import pairs_within_groups
 
     pairs = pairs_within_groups(
@@ -253,6 +259,10 @@ def _bucket_verify_df(df: pd.DataFrame, tau: float,
     )
     if len(pairs):
         pairs = pairs.drop_duplicates(ignore_index=True)
+    if only_involving is not None and len(pairs):
+        keep = pairs["u"].isin(only_involving) | pairs["v"].isin(
+            only_involving)
+        pairs = pairs[keep]
     cache: dict[str, set] = {}
 
     def sh(key: str) -> set:
@@ -282,17 +292,24 @@ def _bucket_verify_df(df: pd.DataFrame, tau: float,
     )
 
 
-def _verified_pairs_fused(banded, tau: float, max_block: int = 256):
+def _verified_pairs_fused(banded, tau: float, max_block: int = 256,
+                          only_involving: frozenset | None = None):
     """Fused distributed path: ONE band-bucket cogroup runs
     ``_bucket_verify_df`` where the block lives; cross-bucket duplicate
     candidates verify redundantly (deterministic, tiny) and collapse in a
-    final Max-aggregate.  2 shuffles total."""
+    final Max-aggregate.  2 shuffles total.  ``only_involving`` ships via
+    the object store once (ray.put) for the append-mode restriction."""
+    import ray
     from ray.data.aggregate import Max
 
     from kgray.util import grouped_map
 
+    ref = ray.put(only_involving) if only_involving is not None else None
+
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_verify_df(df, tau, max_block)
+        new_set = ray.get(ref) if ref is not None else None
+        return _bucket_verify_df(df, tau, max_block,
+                                 only_involving=new_set)
 
     return (
         grouped_map(banded, "band_key", bucket_verify)
@@ -302,7 +319,8 @@ def _verified_pairs_fused(banded, tau: float, max_block: int = 256):
 
 
 def _driver_link(mention_keys: list[str], num_hashes: int, bands: int,
-                 tau: float, max_block: int = 256) -> pa.Table:
+                 tau: float, max_block: int = 256,
+                 only_involving: frozenset | None = None) -> pa.Table:
     """Small-side linking: signatures + banding + verify in one in-process
     call (same kernels — ``batch_signatures``/``band_keys``/
     ``_bucket_verify_df`` — as the distributed path)."""
@@ -318,7 +336,8 @@ def _driver_link(mention_keys: list[str], num_hashes: int, bands: int,
             "mention_key": np.repeat(np.asarray(mention_keys, object), bands),
         }
     )
-    edges = _bucket_verify_df(df, tau, max_block)
+    edges = _bucket_verify_df(df, tau, max_block,
+                              only_involving=only_involving)
     if len(edges):
         edges = (
             edges.groupby(["u", "v"], sort=False)["sim"].max().reset_index()
@@ -379,3 +398,48 @@ def link_mentions(
             fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
         )
     return _verified_pairs_fused(banded, tau=tau)
+
+
+def link_from_mentions(
+    ments,
+    new_keys: frozenset | None = None,
+    num_hashes: int = 64,
+    bands: int = 32,
+    tau: float = 0.6,
+    max_driver_mentions: int = 200_000,
+):
+    """Linking over a persisted (mention_key, n) table.
+
+    ``new_keys=None``: full linking (every verified pair), the stage
+    kg_construct runs from its ``mentions/`` checkpoint.
+
+    ``new_keys`` set (append mode): only edges with >= 1 endpoint in the
+    set.  ``ments`` is the FULL cumulative mention table (mention scale,
+    not corpus scale); ``new_keys`` is the set of mention keys first seen
+    in the appended batch (batch scale — it broadcasts).  Band rows are
+    emitted for every mention (a mention-scale map, no pair work), but
+    pair generation + Jaccard verify inside each band bucket keeps only
+    pairs touching a new key: old-old edges are already persisted by the
+    previous run and are UNIONED by the caller, never recomputed.  Same
+    signature/banding/verify kernels as ``link_mentions`` (both paths
+    share ``_bucket_verify_df``)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if ments.count() <= gate(max_driver_mentions):
+        parts = [ray.get(r) for r in ments.to_arrow_refs()]
+        parts = [p for p in parts if p.num_rows]
+        keys = []
+        if parts:
+            tbl = pa.concat_tables(parts, promote_options="default")
+            keys = pc.unique(tbl["mention_key"]).to_pylist()
+        return rd.from_arrow(
+            _driver_link(keys, num_hashes, bands, tau,
+                         only_involving=new_keys)
+        )
+    banded = ments.map_batches(
+        BandEmitter(num_hashes=num_hashes, bands=bands),
+        batch_format="pyarrow",
+    )
+    return _verified_pairs_fused(banded, tau=tau, only_involving=new_keys)

@@ -152,6 +152,50 @@ def golden_triples(sentences):
     return sentences.map_batches(explode, batch_format="pyarrow")
 
 
+def _edges_or_empty(edges_ds):
+    """read_table returns None for an empty persisted table (a corpus
+    with zero link edges is legal); CC needs a typed empty Dataset."""
+    if edges_ds is not None:
+        return edges_ds
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {"u": pa.array([], pa.string()), "v": pa.array([], pa.string()),
+         "sim": pa.array([], pa.float64())}
+    ))
+
+
+def _entities_changed(old_entities, entity_map, max_driver_rows: int = 1_000_000) -> bool:
+    """Did any OLD node's component change under the new entity map?
+
+    Appends only ADD edges, so components only merge and nodes never
+    disappear; a changed old component is the one case that invalidates
+    previously-canonicalized partitions.  Entity maps are alias-graph
+    scale (nodes with >= 1 edge): under the gate the diff is one pandas
+    merge; above it a partitioned bucket join."""
+    from kgray.util import gate
+
+    old_mat = old_entities.materialize()
+    if old_mat.count() <= gate(max_driver_rows):
+        old_df = old_mat.to_pandas()
+        new_df = entity_map.to_pandas()
+        j = old_df.merge(new_df, on="node", how="left",
+                         suffixes=("_old", "_new"))
+        return bool((j["component_old"] != j["component_new"]).any())
+    from kgray.ops.joins import bucket_join
+
+    j = bucket_join(old_mat, entity_map, on="node", how="left",
+                    right_suffix="_new")
+    return (
+        j.map_batches(
+            lambda b: pa.table(
+                {"diff": pc.not_equal(b["component"], b["component_new"])}
+            ),
+            batch_format="pyarrow",
+        ).filter(expr="diff == True").count() > 0
+    )
+
+
 def kg_construct(
     docs,
     out_dir: str,
@@ -160,69 +204,205 @@ def kg_construct(
     tau: float = 0.6,
     input_fingerprint: str = "",
     resume: bool = True,
+    append: bool = False,
 ):
     """Full KG construction: extract -> link -> canonicalize -> materialize.
 
-    Writes three partitioned, manifested tables under ``out_dir``:
-    ``triples/`` (hash(doc_id) layout, resumable), ``entities/`` (the
-    mention -> canonical component map) and ``triples_canonical/``.
-    Returns the manifests dict.
+    Writes five partitioned, manifested tables under ``out_dir``:
+    ``triples/`` (hash(doc_id) layout, resumable), ``mentions/`` (the
+    cumulative distinct-mention checkpoint), ``edges/`` (verified link
+    edges), ``entities/`` (the mention -> canonical component map) and
+    ``triples_canonical/``.  Returns the manifests dict.
+
+    ``append=True`` (incremental / standing-pipeline mode): ``docs`` is
+    an INCREMENTAL batch of new documents (doc_ids disjoint from prior
+    runs).  Only new-batch work runs at corpus scale:
+
+    * extraction runs over the new docs only; their triple slices append
+      additively into the existing hash partitions (``write_partitioned``
+      keeps every attested old file and merges the manifest entries);
+    * the persisted ``mentions/`` table unions with the new batch's
+      partials (mention scale); linking verifies ONLY pairs touching a
+      first-seen mention key (``link_from_mentions(new_keys=...)``) and
+      unions with the persisted ``edges/`` — old-old edges are never
+      recomputed;
+    * connected components rerun over the unioned edge set (edge scale);
+    * canonicalization: if NO old node's component changed (the common
+      case — appends only merge components), only the new triples are
+      canonicalized and appended; otherwise the canonical table is
+      rebuilt in full (correctness over cleverness, and the condition is
+      detected, not assumed).
     """
     import os
 
     from kgray import io
     from kgray.ops.canonical import canonicalize_triples, connected_components
-    from kgray.ops.linking import link_mentions
+    from kgray.ops.linking import link_from_mentions, mentions_from_triples
 
     cfg = cfg or PipelineConfig()
     manifests = {}
 
     triples_dir = os.path.join(out_dir, "triples")
-    done = io.completed_partitions(triples_dir, input_fingerprint) if resume else set()
-    pending_docs = io.filter_pending(docs, "doc_id", num_partitions, done)
-    # NOTE: per-partition resume appends only missing partitions; the
-    # written layout is the checkpoint (io.py docstring).
-    triples = extract_triples(pending_docs, cfg)
-    # doc_id zone maps: partitions are assigned by crc32(doc_id), which
-    # scatters ids uniformly, so each partition's zone spans ~the whole
-    # doc_id range and range pruning here is best-effort only (it never
-    # wrongly prunes; it mostly helps a reader probing a range narrower
-    # than the corpus, or a corpus whose id space is sparse/segmented).
-    # The zones' primary value on this table is the audit trail: min/max
-    # per partition attests which id universe each partition covers.
-    manifests["triples"] = io.write_partitioned(
-        triples, triples_dir, "doc_id", num_partitions,
-        stage="extract", input_fingerprint=input_fingerprint,
-        keep_partitions=done, stats_cols=("doc_id",),
-    )
+    new_triples = None  # materialized new-batch triples (append mode)
+    if append:
+        old_tr_m = io.read_manifest(triples_dir)
+        if old_tr_m is None:
+            raise ValueError(
+                "append=True requires an existing kg_construct output "
+                f"(no manifest under {triples_dir})"
+            )
+        num_partitions = int(old_tr_m.get("num_partitions", num_partitions))
+        # idempotence: the manifest's fingerprint chain records every
+        # applied batch; re-running the same append (driver retry) is a
+        # no-op resume, NOT a duplicate write
+        applied = old_tr_m.get("input_fingerprint", "").split("+")
+        if input_fingerprint and input_fingerprint in applied:
+            manifests["triples"] = old_tr_m
+            append = False  # downstream falls to fingerprint-skip paths
+        else:
+            keep = {int(p) for p in old_tr_m.get("partitions", {})}
+            combined_fp = (
+                f"{old_tr_m.get('input_fingerprint', '')}+{input_fingerprint}"
+            )
+            # materialized: reused below for mentions + canonical append
+            # without re-reading mixed old/new partition files
+            new_triples = extract_triples(docs, cfg).materialize()
+            manifests["triples"] = io.write_partitioned(
+                new_triples, triples_dir, "doc_id", num_partitions,
+                stage="extract", input_fingerprint=combined_fp,
+                keep_partitions=keep, stats_cols=("doc_id",),
+            )
+    if not append and "triples" not in manifests:
+        done = io.completed_partitions(triples_dir, input_fingerprint) if resume else set()
+        pending_docs = io.filter_pending(docs, "doc_id", num_partitions, done)
+        # NOTE: per-partition resume appends only missing partitions; the
+        # written layout is the checkpoint (io.py docstring).
+        triples = extract_triples(pending_docs, cfg)
+        # doc_id zone maps: partitions are assigned by crc32(doc_id), which
+        # scatters ids uniformly, so each partition's zone spans ~the whole
+        # doc_id range and range pruning here is best-effort only (it never
+        # wrongly prunes; it mostly helps a reader probing a range narrower
+        # than the corpus, or a corpus whose id space is sparse/segmented).
+        # The zones' primary value on this table is the audit trail: min/max
+        # per partition attests which id universe each partition covers.
+        manifests["triples"] = io.write_partitioned(
+            triples, triples_dir, "doc_id", num_partitions,
+            stage="extract", input_fingerprint=input_fingerprint,
+            keep_partitions=done, stats_cols=("doc_id",),
+        )
 
     # Downstream stages carry LINEAGE fingerprints: each stage's
     # input_fingerprint is the content fingerprint of its upstream
-    # manifest(s), so a resume in which the triples did not change skips
-    # link+CC and canonicalize entirely (incremental recompute — the
-    # manifest attests both the bytes and the derivation).
-    tr_fp = io.manifest_fingerprint(manifests["triples"])
-    ent_dir = os.path.join(out_dir, "entities")
-    ent_m = io.read_manifest(ent_dir) if resume else None
-    all_triples = io.read_table(triples_dir)
-    if ent_m is not None and ent_m.get("input_fingerprint") == tr_fp:
-        manifests["entities"] = ent_m  # unchanged upstream: stage skipped
+    # manifest(s), so a resume in which the upstream did not change skips
+    # the stage entirely (incremental recompute — the manifest attests
+    # both the bytes and the derivation).
+    tr_fp = io.manifest_content_hash(manifests["triples"])
+    ments_dir = os.path.join(out_dir, "mentions")
+    edges_dir = os.path.join(out_dir, "edges")
+    ments_m = io.read_manifest(ments_dir) if resume else None
+    new_keys: frozenset | None = None
+    old_ments = io.read_table(ments_dir) if append else None
+    if append and old_ments is not None:
+        from ray.data.aggregate import Sum
+
+        from kgray.ops.joins import semi_join
+
+        new_partials = mentions_from_triples(new_triples).materialize()
+        # first-seen keys: batch scale (they broadcast into the verify)
+        new_only = semi_join(new_partials, old_ments, on="mention_key",
+                             anti=True)
+        new_keys = frozenset(
+            new_only.to_pandas()["mention_key"].tolist()
+        )
+        # union + re-aggregate, MATERIALIZED before the rewrite (the
+        # lazy union reads the very files the write hygiene deletes)
+        ments = (
+            old_ments.union(new_partials)
+            .groupby("mention_key")
+            .aggregate(Sum("n", alias_name="n"))
+            .materialize()
+        )
+        manifests["mentions"] = io.write_partitioned(
+            ments, ments_dir, "mention_key", num_partitions,
+            stage="mentions", input_fingerprint=tr_fp,
+        )
+    elif ments_m is not None and ments_m.get("input_fingerprint") == tr_fp:
+        manifests["mentions"] = ments_m  # unchanged upstream: skipped
     else:
-        edges = link_mentions(all_triples, tau=tau)
-        entity_map = connected_components(edges)
-        manifests["entities"] = io.write_partitioned(
-            entity_map, ent_dir, "node", num_partitions,
-            stage="link+canonicalize", input_fingerprint=tr_fp,
+        ments = mentions_from_triples(io.read_table(triples_dir))
+        manifests["mentions"] = io.write_partitioned(
+            ments, ments_dir, "mention_key", num_partitions,
+            stage="mentions", input_fingerprint=tr_fp,
         )
 
-    canon_fp = f"{tr_fp}+{io.manifest_fingerprint(manifests['entities'])}"
+    ments_fp = io.manifest_content_hash(manifests["mentions"])
+    edges_m = io.read_manifest(edges_dir) if resume else None
+    stored_edges = io.read_table(edges_dir) if append else None
+    if append and stored_edges is not None and new_keys is not None:
+        if new_keys:
+            new_edges = link_from_mentions(
+                io.read_table(ments_dir), new_keys=new_keys, tau=tau,
+            )
+            edges_all = stored_edges.union(new_edges).materialize()
+        else:
+            edges_all = stored_edges.materialize()
+        manifests["edges"] = io.write_partitioned(
+            edges_all, edges_dir, "u", num_partitions,
+            stage="link", input_fingerprint=ments_fp,
+        )
+    elif edges_m is not None and edges_m.get("input_fingerprint") == ments_fp:
+        manifests["edges"] = edges_m
+    else:
+        ments_ds = io.read_table(ments_dir)
+        edges = (
+            link_from_mentions(ments_ds, tau=tau) if ments_ds is not None
+            else _edges_or_empty(None)
+        )
+        manifests["edges"] = io.write_partitioned(
+            edges, edges_dir, "u", num_partitions,
+            stage="link", input_fingerprint=ments_fp,
+        )
+
+    edges_fp = io.manifest_content_hash(manifests["edges"])
+    ent_dir = os.path.join(out_dir, "entities")
+    ent_m = io.read_manifest(ent_dir) if resume else None
+    old_entities = io.read_table(ent_dir) if append else None
+    entities_changed = False
+    if ent_m is not None and ent_m.get("input_fingerprint") == edges_fp:
+        manifests["entities"] = ent_m  # unchanged edges: stage skipped
+    else:
+        entity_map = connected_components(
+            _edges_or_empty(io.read_table(edges_dir))
+        ).materialize()
+        if append and old_entities is not None:
+            entities_changed = _entities_changed(old_entities, entity_map)
+        manifests["entities"] = io.write_partitioned(
+            entity_map, ent_dir, "node", num_partitions,
+            stage="link+canonicalize", input_fingerprint=edges_fp,
+        )
+
+    canon_fp = f"{tr_fp}+{io.manifest_content_hash(manifests['entities'])}"
     canon_dir = os.path.join(out_dir, "triples_canonical")
     canon_m = io.read_manifest(canon_dir) if resume else None
     if canon_m is not None and canon_m.get("input_fingerprint") == canon_fp:
         manifests["triples_canonical"] = canon_m
+    elif (append and not entities_changed and canon_m is not None
+          and new_triples is not None):
+        # no old component changed: old canonical partitions are still
+        # valid verbatim — canonicalize ONLY the new batch and append
+        canon_new = canonicalize_triples(
+            new_triples, io.read_table(ent_dir),
+            num_partitions=num_partitions,
+        )
+        manifests["triples_canonical"] = io.write_partitioned(
+            canon_new, canon_dir, "doc_id", num_partitions,
+            stage="materialize", input_fingerprint=canon_fp,
+            keep_partitions={int(p) for p in canon_m.get("partitions", {})},
+            stats_cols=("doc_id",),
+        )
     else:
         canon = canonicalize_triples(
-            all_triples, io.read_table(ent_dir),
+            io.read_table(triples_dir), io.read_table(ent_dir),
             num_partitions=num_partitions,
         )
         manifests["triples_canonical"] = io.write_partitioned(

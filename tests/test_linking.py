@@ -257,7 +257,8 @@ def test_kg_construct_end_to_end(tmp_path):
     cfg = PipelineConfig(classifier_concurrency=(1, 2), labeler_concurrency=(1, 2))
     out = str(tmp_path / "kg")
     manifests = kg_construct(docs, out, cfg, num_partitions=4)
-    assert set(manifests) == {"triples", "entities", "triples_canonical"}
+    assert set(manifests) == {"triples", "mentions", "edges",
+                          "entities", "triples_canonical"}
     n_triples = sum(p["rows"] for p in manifests["triples"]["partitions"].values())
     n_canon = sum(
         p["rows"] for p in manifests["triples_canonical"]["partitions"].values()
@@ -329,11 +330,17 @@ def test_kg_construct_skips_downstream_on_unchanged_triples(tmp_path):
     assert files(m2["triples_canonical"]) == files(m1["triples_canonical"])
     assert files(m2["triples"]) == files(m1["triples"])
 
-    # a CHANGED input fingerprint invalidates the whole chain
+    # a CHANGED input fingerprint forces re-extraction (triples files are
+    # uuid-fresh), but downstream stage keys are CONTENT hashes (round-4
+    # append-mode change): identical re-extracted bytes -> entities and
+    # canonical still skip.  Downstream derivations depend on upstream
+    # bytes, not on the provenance chain's spelling.
     docs3 = rd.from_arrow(interleaved_table(doc_ids_for_range(0, 150), seed=42))
     m3 = kg_construct(docs3, out, cfg, num_partitions=4, tau=0.5,
                       input_fingerprint="fp-other")
-    assert files(m3["entities"]) != files(m1["entities"])
+    assert files(m3["triples"]) != files(m1["triples"])
+    assert files(m3["entities"]) == files(m1["entities"])
+    assert files(m3["triples_canonical"]) == files(m1["triples_canonical"])
 
 
 def test_write_partitioned_sigkill_midwrite_resume_exactly_once(

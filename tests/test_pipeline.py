@@ -285,8 +285,8 @@ def test_cli_construct_and_resume(ray_session, tmp_path):
         return json.loads(buf.getvalue().strip().splitlines()[-1])
 
     first = run()
-    assert set(first["tables"]) == {"triples", "entities",
-                                    "triples_canonical"}
+    assert set(first["tables"]) == {"triples", "mentions", "edges",
+                                    "entities", "triples_canonical"}
     assert first["tables"]["triples"]["rows"] > 0
     second = run()
     assert second["tables"] == first["tables"]
@@ -351,7 +351,8 @@ def test_cli_crash_between_stages_resumes_to_identical_tables(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
 
-    for table in ("triples", "entities", "triples_canonical"):
+    for table in ("triples", "mentions", "edges", "entities",
+                  "triples_canonical"):
         got = read_manifest(os.path.join(crash_dir, table))
         want = read_manifest(os.path.join(control_dir, table))
         assert got is not None and want is not None, table
