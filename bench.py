@@ -212,6 +212,8 @@ def run_headline(sf_dir: str, num_cpus: int, n_docs: int | None = None) -> tuple
 def main() -> int:
     if "--scaling" in sys.argv:
         return scaling()
+    if "--scale10" in sys.argv:
+        return scale10()
 
     _init_ray(NUM_CPUS)
     if "--headline-only" in sys.argv:
@@ -284,6 +286,132 @@ def main() -> int:
         "triples_per_sec": round(triples / kg_sec, 1),
         "host_calib_matmul_s": calib,
         "vs_baseline_calib_norm": round(norm, 3),
+    }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+# the 10x-tier entry list: the most expensive suite members spanning
+# every workload family (TPC-H folds, LSH dedup, dup-span shuffle, LM
+# scoring, as-of join, retention cogroup, prefix-sum packing)
+SCALE10 = [
+    "tpch_q1",
+    "orders_large_baskets",
+    "tpch_q13",
+    "basket_pairs",
+    "minhash_dup_docs",
+    "dup_span_stats",
+    "lm_score",
+    "events_asof",
+    "events_retention",
+    "pack_offsets",
+]
+
+
+class _MemSampler:
+    """Peak system memory-in-use sampler (/proc/meminfo, 100 ms): Ray
+    workers hold the real footprint, so driver ru_maxrss alone is
+    blind — sample MemTotal-MemAvailable across the whole box."""
+
+    def __init__(self):
+        import threading
+
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _used_mb() -> float:
+        info = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                info[k] = int(v.strip().split()[0])
+        return (info["MemTotal"] - info["MemAvailable"]) / 1024.0
+
+    def _run(self):
+        while not self._stop.is_set():
+            self.peak = max(self.peak, self._used_mb())
+            self._stop.wait(0.1)
+
+    def __enter__(self):
+        self.base = self._used_mb()
+        self.peak = self.base
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+
+def scale10() -> int:
+    """10x scale tier: run the SCALE10 entries at sf0.1 and at the
+    deterministic 10x replica dir (kgray.scale.build_scale_dir) in the
+    SAME session, report per-entry wall at both tiers + growth ratio +
+    peak memory — a >12x ratio at 10x data flags a super-linear stage
+    (VERDICT r3 item 2); the tier build keeps output sizes ~linear by
+    construction (per-replica token salting)."""
+    from kgray.scale import build_scale_dir
+
+    _init_ray(NUM_CPUS)
+    big_dir = build_scale_dir(SF_DIR, "/tmp/kgray_sf1", 10)
+
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    entries: dict[str, dict] = {}
+    worst = 0.0
+    for name in SCALE10:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        sec_1x = time.time() - t0
+        with _MemSampler() as mem:
+            t0 = time.time()
+            rows_10x = _consume(qs[name](big_dir))
+            sec_10x = time.time() - t0
+        ratio = sec_10x / sec_1x if sec_1x > 0 else float("inf")
+        worst = max(worst, ratio)
+        entries[name] = {
+            "sec_1x": round(sec_1x, 3),
+            "sec_10x": round(sec_10x, 3),
+            "ratio": round(ratio, 2),
+            "rows_10x": rows_10x,
+            "peak_used_mb": round(mem.peak, 0),
+            "base_used_mb": round(mem.base, 0),
+        }
+        print(f"# scale10 {name}: {sec_1x:.2f}s -> {sec_10x:.2f}s "
+              f"(x{ratio:.1f}), peak {mem.peak:.0f} MB", file=sys.stderr)
+
+    # headline extraction at 10x the default corpus (200k -> 2M docs)
+    n1 = _headline_n_docs(SF_DIR)
+    sec_1x, t1 = run_headline(SF_DIR, NUM_CPUS, n1)
+    with _MemSampler() as mem:
+        sec_10x, t10 = run_headline(SF_DIR, NUM_CPUS, n1 * 10)
+    entries["kg_extract"] = {
+        "sec_1x": round(sec_1x, 3), "sec_10x": round(sec_10x, 3),
+        "ratio": round(sec_10x / sec_1x, 2),
+        "triples_1x": t1, "triples_10x": t10,
+        "peak_used_mb": round(mem.peak, 0),
+        "base_used_mb": round(mem.base, 0),
+    }
+    worst = max(worst, sec_10x / sec_1x)
+
+    calib = _host_calibration()
+    assert calib and calib > 0, "host calibration missing/zero"
+    print(json.dumps({
+        "metric": "10x scale tier wall-time growth (worst entry ratio)",
+        "value": round(worst, 2),
+        "unit": "x per 10x data",
+        "entries": entries,
+        "sf": SF_DIR,
+        "scale_dir": big_dir,
+        "num_cpus": NUM_CPUS,
+        "host_calib_matmul_s": calib,
     }))
     import ray
 

@@ -140,18 +140,27 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
         from kgray.util import pairs_within_groups
 
         out = pairs_within_groups(df, "shingle", "doc", max_block)
-        out["one"] = pd.array(np.ones(len(out), np.int64), dtype="int64")
-        return out
+        # combiner: pre-sum (u, v) INSIDE the bucket — the same pair
+        # repeats for every shared shingle hashed here, and near-unique
+        # pair keys must never reach a groupby.aggregate (measured 30 s
+        # for 1.1M pairs at sf0.1; the cogroup fold below is <2 s)
+        if not len(out):
+            return pd.DataFrame(
+                {"u": pd.array([], dtype="int64"),
+                 "v": pd.array([], dtype="int64"),
+                 "shared": pd.array([], dtype="int64")}
+            )
+        return (
+            out.groupby(["u", "v"], sort=False).size().reset_index(
+                name="shared")
+        )
 
     # coarse-bucket cogroup (ONE fn call per bucket, per-shingle grouping
     # vectorized inside) — per-tiny-group map_groups overhead is 100x
-    from kgray.util import grouped_map
+    from kgray.util import gate, grouped_map, round_half_up
 
-    shared = (
-        grouped_map(exploded, "shingle", bucket_pairs, num_buckets=num_buckets)
-        .groupby(["u", "v"])
-        .aggregate(Sum("one", alias_name="shared"))
-    )
+    partials = grouped_map(exploded, "shingle", bucket_pairs,
+                           num_buckets=num_buckets)
 
     def count_shingles(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -167,54 +176,119 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
     counts = docs.map_batches(count_shingles, batch_format="pyarrow")
 
+    def _jac_finish(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["shared"].to_numpy(np.float64)
+        na = df["nsh_u"].to_numpy(np.float64)
+        nb = df["nsh_v"].to_numpy(np.float64)
+        jac = sh / (na + nb - sh)
+        keep = jac >= tau
+        return pd.DataFrame(
+            {
+                "u": pd.array(df["u"].to_numpy(np.int64)[keep],
+                              dtype="int64"),
+                "v": pd.array(df["v"].to_numpy(np.int64)[keep],
+                              dtype="int64"),
+                "jac": pd.array(round_half_up(jac[keep], digits),
+                                dtype="float64"),
+            }
+        )
+
     # per-doc shingle counts are one small int row per doc.  Under
     # ``max_broadcast_count_rows`` (16 bytes x 50M = 800 MB) they collect
-    # ONCE and broadcast to both joins; above it (10^9-doc territory) the
-    # attach switches to partitioned bucket joins — never an unbounded
-    # driver collect.
-    from kgray.util import gate
-
+    # ONCE and broadcast into the fold cogroup; above it (10^9-doc
+    # territory, or the forced-distributed gate) counts attach via two
+    # keyed union-cogroups — pair rows NEVER pay a groupby.aggregate or
+    # a join stage in either path (the tpch_q13 union-cogroup shape).
     if docs.count() <= gate(max_broadcast_count_rows):
         import ray
-
-        from kgray.ops.joins import broadcast_join
 
         parts = [ray.get(r) for r in counts.to_arrow_refs()]
         counts_tbl = pa.concat_tables(
             [p for p in parts if p.num_rows] or parts[:1]
         )
-        j1 = broadcast_join(shared, counts_tbl, on="u", right_on="doc",
-                            how="left", right_suffix="_u")
-        j2 = broadcast_join(j1, counts_tbl, on="v", right_on="doc",
-                            how="left", right_suffix="_v")
-    else:
-        j1 = bucket_join(shared, counts, on="u", right_on="doc", how="left",
-                         right_suffix="_u")
-        j2 = bucket_join(j1, counts, on="v", right_on="doc", how="left",
-                         right_suffix="_v")
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        cols = batch.column_names
-        na = batch[[c for c in cols if c.startswith("nsh")][0]].to_numpy(
-            zero_copy_only=False
-        ).astype(np.float64)
-        nb = batch[[c for c in cols if c.startswith("nsh")][1]].to_numpy(
-            zero_copy_only=False
-        ).astype(np.float64)
-        sh = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
-        from kgray.util import round_half_up
-
-        jac = sh / (na + nb - sh)
-        keep = jac >= tau
-        return pa.table(
-            {
-                "u": batch["u"].filter(pa.array(keep)),
-                "v": batch["v"].filter(pa.array(keep)),
-                "jac": pa.array(round_half_up(jac[keep], digits)),
-            }
+        nsh_of = pd.Series(
+            counts_tbl["nsh"].to_numpy(zero_copy_only=False),
+            index=counts_tbl["doc"].to_numpy(zero_copy_only=False),
         )
+        nsh_ref = ray.put(nsh_of)
 
-    return j2.map_batches(finalize, batch_format="pyarrow")
+        def fold_and_finish(df: pd.DataFrame) -> pd.DataFrame:
+            nsh = ray.get(nsh_ref)
+            g = df.groupby(["u", "v"], sort=False)["shared"].sum() \
+                .reset_index()
+            g["nsh_u"] = nsh.reindex(g["u"].to_numpy()).to_numpy()
+            g["nsh_v"] = nsh.reindex(g["v"].to_numpy()).to_numpy()
+            return _jac_finish(g)
+
+        return grouped_map(partials, "u", fold_and_finish)
+
+    # forced/scale path: union the count rows into the cogroup itself
+    cnt_u = counts.map_batches(
+        lambda b: pa.table(
+            {"u": b["doc"], "v": pa.nulls(len(b), pa.int64()),
+             "shared": pa.nulls(len(b), pa.int64()), "nsh": b["nsh"]}
+        ),
+        batch_format="pyarrow",
+    )
+    pair_u = partials.map_batches(
+        lambda b: pa.table(
+            {"u": b["u"], "v": b["v"], "shared": b["shared"],
+             "nsh": pa.nulls(len(b), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fold_attach_u(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df[df["nsh"].notna()]
+        nsh = pd.Series(cnt["nsh"].to_numpy(np.int64),
+                        index=cnt["u"].to_numpy(np.int64))
+        pr = df[df["nsh"].isna()]
+        if not len(pr):
+            return pd.DataFrame(
+                {"v": pd.array([], dtype="int64"),
+                 "u": pd.array([], dtype="int64"),
+                 "shared": pd.array([], dtype="int64"),
+                 "nsh_u": pd.array([], dtype="int64")}
+            )
+        g = pr.groupby(["u", "v"], sort=False)["shared"].sum().reset_index()
+        g["shared"] = g["shared"].astype(np.int64)
+        g["nsh_u"] = nsh.reindex(g["u"].to_numpy(np.int64)).to_numpy(
+            np.int64)
+        g["v"] = g["v"].astype(np.int64)
+        return g[["v", "u", "shared", "nsh_u"]]
+
+    stage_u = grouped_map(pair_u.union(cnt_u), "u", fold_attach_u)
+
+    cnt_v = counts.map_batches(
+        lambda b: pa.table(
+            {"v": b["doc"], "u": pa.nulls(len(b), pa.int64()),
+             "shared": pa.nulls(len(b), pa.int64()),
+             "nsh_u": pa.nulls(len(b), pa.int64()), "nsh": b["nsh"]}
+        ),
+        batch_format="pyarrow",
+    )
+    stage_u2 = stage_u.map_batches(
+        lambda b: b.append_column("nsh", pa.nulls(len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    def attach_v_finish(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df[df["nsh"].notna()]
+        nsh = pd.Series(cnt["nsh"].to_numpy(np.int64),
+                        index=cnt["v"].to_numpy(np.int64))
+        pr = df[df["nsh"].isna()].copy()
+        if not len(pr):
+            return pd.DataFrame(
+                {"u": pd.array([], dtype="int64"),
+                 "v": pd.array([], dtype="int64"),
+                 "jac": pd.array([], dtype="float64")}
+            )
+        pr["nsh_v"] = nsh.reindex(pr["v"].to_numpy(np.int64)).to_numpy(
+            np.int64)
+        pr["u"] = pr["u"].astype(np.int64)
+        return _jac_finish(pr)
+
+    return grouped_map(stage_u2.union(cnt_v), "v", attach_v_finish)
 
 
 # ---------------------------------------------------------------------------
