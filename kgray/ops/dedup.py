@@ -113,10 +113,6 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
     oracle (which has no cap); it only bites when a single shingle is
     shared by >64 docs, which the oracle-checked corpora never hit.
     """
-    from ray.data.aggregate import Sum
-
-    from kgray.ops.joins import bucket_join
-
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
@@ -134,7 +130,40 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
 
     exploded = docs.map_batches(emit, batch_format="pyarrow")
 
-    max_block = 64
+    def count_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        return pa.table(
+            {
+                "doc": pa.array([int(i) for i in ids], pa.int64()),
+                "nsh": pa.array(
+                    [len(word_shingles(t, n)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    counts = docs.map_batches(count_shingles, batch_format="pyarrow")
+    return set_jaccard_pairs(
+        exploded, counts, n_items=docs.count(), tau=tau, digits=digits,
+        num_buckets=num_buckets,
+        max_broadcast_count_rows=max_broadcast_count_rows,
+    )
+
+
+def set_jaccard_pairs(exploded, counts, n_items: int, tau: float,
+                      digits: int = 4, num_buckets: int = 16,
+                      max_block: int = 64,
+                      max_broadcast_count_rows: int = 50_000_000):
+    """Generic exact set-similarity self-join: all item pairs (u < v)
+    with Jaccard(token sets) >= tau, from an inverted-index explode.
+
+    ``exploded``: (shingle, doc) rows — one row per (token, item);
+    ``counts``: (doc, nsh) — per-item DISTINCT token count;
+    ``n_items``: item count (drives the broadcast-vs-distributed gate).
+    Shared by word-n-gram near-dup (ngram_jaccard_pairs) and graph
+    adjacency link prediction (common-neighbor Jaccard), which is the
+    same computation with (item=node, token=neighbor)."""
+    from kgray.ops.joins import bucket_join
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         from kgray.util import pairs_within_groups
@@ -162,20 +191,6 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
     partials = grouped_map(exploded, "shingle", bucket_pairs,
                            num_buckets=num_buckets)
 
-    def count_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        return pa.table(
-            {
-                "doc": pa.array([int(i) for i in ids], pa.int64()),
-                "nsh": pa.array(
-                    [len(word_shingles(t, n)) for t in texts], pa.int64()
-                ),
-            }
-        )
-
-    counts = docs.map_batches(count_shingles, batch_format="pyarrow")
-
     def _jac_finish(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["shared"].to_numpy(np.float64)
         na = df["nsh_u"].to_numpy(np.float64)
@@ -199,7 +214,7 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
     # territory, or the forced-distributed gate) counts attach via two
     # keyed union-cogroups — pair rows NEVER pay a groupby.aggregate or
     # a join stage in either path (the tpch_q13 union-cogroup shape).
-    if docs.count() <= gate(max_broadcast_count_rows):
+    if n_items <= gate(max_broadcast_count_rows):
         import ray
 
         parts = [ray.get(r) for r in counts.to_arrow_refs()]

@@ -512,3 +512,100 @@ def bfs_hops(edges, seeds, max_hops: int = 4,
         settled = settled.union(fresh).materialize()
         frontier = fresh
     return settled
+
+
+def kcore(edges, k: int, rounds: int = 3,
+          u_col: str = "u", v_col: str = "v",
+          max_inprocess_edges: int = 1_000_000):
+    """Fixed-round k-core peeling over the undirected edge list: each
+    round recomputes degrees and drops nodes with degree < ``k`` plus
+    their incident edges.  Returns (node, deg) over the edge set left
+    after ``rounds`` peels — degrees are exact integers, so running the
+    SAME fixed round count on both engines makes the unrolled-CTE DuckDB
+    oracle match by construction (the pagerank_int/bfs_hops pattern);
+    at convergence (edge set stable, detected and short-circuited) the
+    result is the true k-core.
+
+    Distributed path per round: ONE symmetric-explode count-combiner
+    groupby for degrees + TWO semi-joins to drop incident edges —
+    edge-scale shuffles that shrink as peeling proceeds, no node-scale
+    driver state.  In-process gate (``max_inprocess_edges``, collapsed
+    by KGRAY_FORCE_DISTRIBUTED) runs the identical recurrence in numpy.
+    """
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import semi_join
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= gate(max_inprocess_edges):
+        df = edges.to_pandas()
+        u = df[u_col].to_numpy()
+        v = df[v_col].to_numpy()
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        src, dst = inv[: len(u)], inv[len(u):]
+        alive_e = np.ones(len(u), bool)
+        for _ in range(rounds):
+            deg = np.bincount(src[alive_e], minlength=len(nodes)) \
+                + np.bincount(dst[alive_e], minlength=len(nodes))
+            keep = deg >= k
+            nxt = alive_e & keep[src] & keep[dst]
+            if nxt.sum() == alive_e.sum():
+                break
+            alive_e = nxt
+        deg = np.bincount(src[alive_e], minlength=len(nodes)) \
+            + np.bincount(dst[alive_e], minlength=len(nodes))
+        nz = deg > 0
+        return pa.table({"node": pa.array(nodes[nz]),
+                         "deg": pa.array(deg[nz], pa.int64())})
+
+    cur = edges
+    prev_count = n_edges
+    for _ in range(rounds):
+        def deg_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [batch[u_col].combine_chunks(),
+                         batch[v_col].combine_chunks()]
+                    )
+                }
+            )
+            g = t.group_by("node").aggregate([("node", "count")])
+            return g.rename_columns(["node", "dn"])
+
+        keep = (
+            cur.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("dn", alias_name="deg"))
+            .filter(expr=f"deg >= {int(k)}")
+            .select_columns(["node"])
+            .materialize()
+        )
+        nxt = semi_join(
+            semi_join(cur, keep, on=u_col, right_on="node"),
+            keep, on=v_col, right_on="node",
+        ).materialize()
+        n = nxt.count()
+        cur = nxt
+        if n == prev_count:
+            break
+        prev_count = n
+
+    def final_deg(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch[u_col].combine_chunks(),
+                     batch[v_col].combine_chunks()]
+                )
+            }
+        )
+        g = t.group_by("node").aggregate([("node", "count")])
+        return g.rename_columns(["node", "dn"])
+
+    return (
+        cur.map_batches(final_deg, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("dn", alias_name="deg"))
+    )

@@ -7,7 +7,9 @@ SQL; ``CATALOG`` is built automatically from the ``q_<name>`` /
 from kgray.queries import _common  # noqa: F401  (shared prelude)
 from kgray.queries._common import _query_vec, _read, _round_col  # noqa: F401
 
-_SUBMODULES = ["docs", "embeds", "tpch", "events", "curation", "analytics1", "analytics2", "analytics3", "analytics4", "analytics5"]
+_SUBMODULES = ["docs", "embeds", "tpch", "events", "curation", "analytics1",
+               "analytics2", "analytics3", "analytics4", "analytics5",
+               "llmdata"]
 
 _PRELUDE = set(_common.__all__) | {"np", "pd", "pa", "pc"}
 
