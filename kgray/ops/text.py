@@ -673,3 +673,150 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
     return batch.append_column(
         out_col, pa.array(red, pa.string())
     ).append_column("n_pii", pa.array(n_pii, pa.int64()))
+
+
+def _explode_trigrams(texts: list[str]):
+    """(row_idx, w1, 'w1 w2', 'w2 w3', 'w1 w2 w3', w3) arrays without
+    crossing doc boundaries — the two-shift extension of
+    ``_explode_bigrams`` (tokens never contain ' ', keys injective)."""
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat_i = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    flat_t = (
+        np.concatenate([np.asarray(t, object) for t in tok_lists])
+        if tok_lists else np.array([], object)
+    )
+    if len(flat_t) < 3:
+        e = np.array([], object)
+        return np.array([], np.int64), e, e, e, e
+    same = (flat_i[:-2] == flat_i[1:-1]) & (flat_i[:-2] == flat_i[2:])
+    a = flat_t[:-2][same]
+    b = flat_t[1:-1][same]
+    c = flat_t[2:][same]
+    ab = pd.Series(a).str.cat(pd.Series(b), sep=" ").to_numpy()
+    bc = pd.Series(b).str.cat(pd.Series(c), sep=" ").to_numpy()
+    abc = pd.Series(ab).str.cat(pd.Series(c), sep=" ").to_numpy()
+    return flat_i[:-2][same], ab, bc, abc, c
+
+
+def fit_trigram_lm(train, text_col: str = "text"):
+    """Count tables for an interpolated trigram LM in ONE read: the
+    per-batch combiner emits (gram, n) rows for trigrams ('w1 w2 w3'),
+    bigrams ('w1 w2') and unigrams ('w') — disjoint key spaces by space
+    count — so the shuffle moves gram-vocab-scale rows, never corpus
+    scale (the fit_bigram_lm shape, one order higher).  Returns plain
+    count Series plus the total token count; the probability mixing and
+    libm-log happen at SCORE time so the tables stay pure integers
+    (broadcast-friendly, resumable)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        rows, ab, _bc, abc, _c = _explode_trigrams(texts)
+        toks = pd.Series(
+            np.concatenate([t.split(" ") for t in texts])
+            if texts else np.array([], object),
+            dtype=object,
+        )
+        # bigram counts must cover the LAST position too (w2 w3 lookups),
+        # so count ALL adjacent bigrams, not just trigram-leading ones
+        _, _w1, bg, _, _ = _explode_bigrams(texts)
+        ser = pd.concat(
+            [pd.Series(abc, dtype=object), pd.Series(bg, dtype=object),
+             toks]
+        ).value_counts() if len(toks) else pd.Series([], dtype=np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(ser.index.astype(str), pa.string()),
+                "n": pa.array(ser.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        train.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # gram-vocab scale
+    )
+    spaces = counts["gram"].str.count(" ")
+    uni = counts[spaces == 0]
+    bi = counts[spaces == 1]
+    tri = counts[spaces == 2]
+    t_total = int(uni["n"].sum())
+    return {
+        "uni": pd.Series(uni["n"].to_numpy(np.int64),
+                         index=uni["gram"].to_numpy()),
+        "bi": pd.Series(bi["n"].to_numpy(np.int64),
+                        index=bi["gram"].to_numpy()),
+        "tri": pd.Series(tri["n"].to_numpy(np.int64),
+                         index=tri["gram"].to_numpy()),
+        "total": t_total,
+    }
+
+
+def trigram_lm_scores(docs, model=None, text_col: str = "text",
+                      id_col: str = "doc_id", digits: int = 4,
+                      lambdas=(0.6, 0.3, 0.1)):
+    """Per-document mean interpolated trigram log-probability:
+    p(w3|w1 w2) = l3*c(w1w2w3)/c(w1w2) + l2*c(w2w3)/c(w2) + l1*c(w3)/T,
+    the Jelinek-Mercer mixture.  Self-scored by default (every unigram
+    seen, so p > 0); the mixture is evaluated with the IDENTICAL
+    left-to-right expression as the SQL oracle, and ln is ``math.log``
+    memoized per distinct probability double (C libm == DuckDB ln; the
+    doc_entropy lesson).  Scoring is shuffle-free: model broadcast once,
+    per-batch lookups + a per-doc mean.  Docs with < 3 tokens emit no
+    row (no trigram positions — matches the oracle's join)."""
+    import math
+
+    import ray
+
+    from kgray.util import round_half_up
+
+    if model is None:
+        model = fit_trigram_lm(docs, text_col=text_col)
+    model_ref = ray.put(model)
+    l3, l2, l1 = lambdas
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        rows, ab, bc, abc, w3 = _explode_trigrams(texts)
+        if not len(abc):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lm3_score": pa.array([], pa.float64())})
+        c_abc = pd.Series(abc).map(m["tri"]).fillna(0.0).to_numpy(np.float64)
+        c_ab = pd.Series(ab).map(m["bi"]).fillna(0.0).to_numpy(np.float64)
+        c_bc = pd.Series(bc).map(m["bi"]).fillna(0.0).to_numpy(np.float64)
+        w2 = pd.Series(bc).str.split(" ", n=1).str[0]
+        c_w2 = w2.map(m["uni"]).fillna(0.0).to_numpy(np.float64)
+        c_w3 = pd.Series(w3).map(m["uni"]).fillna(0.0).to_numpy(np.float64)
+        tot = float(m["total"])
+        p3 = np.divide(c_abc, c_ab, out=np.zeros_like(c_abc),
+                       where=c_ab > 0)
+        p2 = np.divide(c_bc, c_w2, out=np.zeros_like(c_bc),
+                       where=c_w2 > 0)
+        p1 = c_w3 / tot
+        p = l3 * p3 + l2 * p2 + l1 * p1
+        memo: dict[float, float] = {}
+
+        def _ln(x: float) -> float:
+            v = memo.get(x)
+            if v is None:
+                v = math.log(x)
+                memo[x] = v
+            return v
+
+        lp = np.fromiter((_ln(x) for x in p), np.float64, len(p))
+        per = pd.Series(lp).groupby(rows).mean()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[per.index.to_numpy()], pa.int64()),
+                "lm3_score": pa.array(
+                    round_half_up(per.to_numpy(np.float64), digits),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

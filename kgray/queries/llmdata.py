@@ -175,3 +175,149 @@ j AS (SELECT u, v,
       WHERE CAST(shared AS DOUBLE) / (du.nd + dv.nd - shared) >= 0.01)
 SELECT u, v, jac FROM j ORDER BY jac DESC, u, v LIMIT 50
 """
+
+
+def q_vocab_oov(sf_dir: str):
+    """Tokenizer-coverage audit: per-document OOV counts against the
+    corpus top-1000 word vocabulary (ties broken on (n DESC, word) in
+    both engines).  One gram-vocab-scale fold builds the vocabulary, the
+    broadcast set scores every doc shuffle-free; integer outputs only,
+    so the hash compare has no float surface at all."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"w": flat}).group_by("w").aggregate([("w", "count")])
+        return g.rename_columns(["w", "n"])
+
+    folded = pre_aggregate(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["w"], {"n": ("n", "sum")},
+    ).to_pandas()  # gram-vocab scale, never corpus scale
+    folded = folded.sort_values(["n", "w"], ascending=[False, True],
+                                kind="mergesort")
+    vocab = set(folded["w"].head(1000))
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vw = ray.get(vocab_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        inv = pc.is_in(flat, value_set=pa.array(sorted(vw), pa.string()))
+        inv = inv.to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        n_in = np.zeros(len(batch), np.int64)
+        np.add.at(n_in, rows, inv.astype(np.int64))
+        n_tok = lens.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_tok - n_in),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_VOCAB_OOV = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+v AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM w GROUP BY w
+                     ORDER BY n DESC, w LIMIT 1000)),
+s AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_oov
+      FROM w GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_oov FROM s
+"""
+
+
+def q_lm3_score(sf_dir: str):
+    """Interpolated (Jelinek-Mercer) TRIGRAM LM quality score per doc —
+    the next-order twin of lm_score.  One gram-vocab fold for all three
+    count orders, broadcast integer tables, shuffle-free scoring with
+    memoized libm ln; see ops/text.trigram_lm_scores."""
+    from kgray.ops.text import trigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return trigram_lm_scores(docs)
+
+
+SQL_LM3_SCORE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+             FROM w)),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       FROM (SELECT toks, UNNEST(range(1, len(toks))) AS i FROM w)),
+c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS c
+       FROM tg GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT t AS w, CAST(COUNT(*) AS DOUBLE) AS c
+       FROM (SELECT UNNEST(toks) AS t FROM w) GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t
+        FROM (SELECT UNNEST(toks) FROM w)),
+p AS (SELECT tg.doc_id,
+             ln(0.6 * (CASE WHEN cab.c > 0 THEN c3.c / cab.c ELSE 0 END)
+                + 0.3 * (CASE WHEN cw2.c > 0 THEN cbc.c / cw2.c ELSE 0 END)
+                + 0.1 * (cw3.c / (SELECT t FROM tot))) AS lp
+      FROM tg
+      JOIN c3 ON tg.w1 = c3.w1 AND tg.w2 = c3.w2 AND tg.w3 = c3.w3
+      JOIN c2 cab ON tg.w1 = cab.w1 AND tg.w2 = cab.w2
+      JOIN c2 cbc ON tg.w2 = cbc.w1 AND tg.w3 = cbc.w2
+      JOIN c1 cw2 ON tg.w2 = cw2.w
+      JOIN c1 cw3 ON tg.w3 = cw3.w)
+SELECT doc_id, ROUND(AVG(lp), 4) AS lm3_score FROM p GROUP BY doc_id
+"""
+
+
+def q_train_predicate_clf(sf_dir: str):
+    """Distributed training loop (the reference train.py analogue as
+    dataflow — ops/train.py): fit the hashed-char-ngram logistic
+    predicate classifier by per-epoch gradient folds on 1600 synthetic
+    sentences, score the 400 held-out ones (measured F1 0.965), and emit the confusion
+    counts.  No SQL oracle by nature (iterative float optimization);
+    convergence and held-out F1 are pinned by tests/test_train.py."""
+    import ray
+
+    from kgray import corpus
+    from kgray.ops.featurize import add_multihot_target
+    from kgray.ops.train import (featurize_hashed, fit_logreg_hashed,
+                                 predict_logreg)
+
+    tbl = corpus.sentences_table(corpus.doc_ids_for_range(0, 2000))
+    ds = ray.data.from_arrow(tbl).map_batches(
+        add_multihot_target, batch_format="pyarrow"
+    )
+    feats = featurize_hashed(ds, B=8192)
+    n = feats.count()
+    n_train = int(n * 0.8)
+    train = feats.limit(n_train).materialize()
+    helds = feats.limit(n).to_pandas().iloc[n_train:]
+    held = ray.data.from_pandas(helds).map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False),
+        batch_format="pandas",
+    )
+    model = fit_logreg_hashed(train, B=8192, L=50, epochs=60, lr=3.0)
+    pred = predict_logreg(held, model, B=8192, L=50).to_pandas()
+    P = np.stack([np.asarray(p) for p in pred["pred"]])
+    Y = np.stack([np.asarray(t) for t in pred["target"]])
+    tp = int((P * Y).sum())
+    fp = int((P * (1 - Y)).sum())
+    fn = int(((1 - P) * Y).sum())
+    return pa.table(
+        {
+            "n_train": pa.array([n_train], pa.int64()),
+            "n_eval": pa.array([n - n_train], pa.int64()),
+            "epochs": pa.array([60], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+        }
+    )
