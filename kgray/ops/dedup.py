@@ -1542,3 +1542,41 @@ def dup_span_purge(docs, window: int = 40, text_col: str = "text",
         )
 
     return grouped_map(both, "doc_id", cut)
+
+
+def minhash_cross_pairs(left, right, tau: float = 0.7,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        offset: int = 1 << 40, **kw):
+    """Near-dup pairs BETWEEN two corpora — the train-vs-heldout
+    contamination audit at LSH cost (the n-gram ``ngram_contamination``
+    is exact-shingle; this variant catches paraphrase-level J >= tau
+    overlap and scales to huge held-out sets because neither side is
+    broadcast).
+
+    Right-side ids are shifted into a disjoint id space, ONE banded
+    minhash pass (``minhash_dup_pairs`` — same auto-gated execution
+    plans) runs over the union, and the verified pair stream is filtered
+    to cross-side rows (``u`` left, ``v`` right, offset removed).
+    Because pair orientation is always u < v and every right id exceeds
+    every left id, cross pairs land exactly on (left, right)."""
+
+    def project(side, shift):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch[id_col], pa.int64())
+            if shift:
+                ids = pc.add(ids, offset)
+            return pa.table({id_col: ids, text_col: batch[text_col]})
+
+        return side.map_batches(f, batch_format="pyarrow")
+
+    union = project(left, False).union(project(right, True))
+    pairs = minhash_dup_pairs(union, tau=tau, text_col=text_col,
+                              id_col=id_col, **kw)
+    cross = pairs.filter(expr=f"u < {offset} and v >= {offset}")
+    return cross.map_batches(
+        lambda b: pa.table(
+            {"u": b["u"], "v": pc.subtract(b["v"], offset),
+             "jac": b["jac"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -321,3 +321,47 @@ def q_train_predicate_clf(sf_dir: str):
             "fn": pa.array([fn], pa.int64()),
         }
     )
+
+
+def q_cross_dup_docs(sf_dir: str):
+    """Cross-corpus contamination audit: near-dup pairs (word-3-gram
+    Jaccard >= 0.7 via banded MinHash) BETWEEN the short-name sources
+    (src0-src9, the 'train' slice) and the long-name sources
+    (src10-src19, the 'held-out' slice).  The oracle is the exact
+    Jaccard cross join — with 32 bands x 2 rows the LSH miss probability
+    at J>=0.7 is 0.51^32 ~ 4e-10, so the sketch is exact here (the
+    minhash_dup_docs relationship)."""
+    from kgray.ops.dedup import minhash_cross_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def side(n):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.utf8_length(batch["source"]), n)
+            t = batch.filter(keep)
+            return pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return minhash_cross_pairs(side(4), side(5), tau=0.7)
+
+
+SQL_CROSS_DUP_DOCS = """
+WITH sh AS (
+  SELECT doc_id, length(source) AS sl,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' '
+                || string_split(text, ' ')[i + 1] || ' '
+                || string_split(text, ' ')[i + 2])) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 4) AS jac
+FROM sh a JOIN sh b ON a.sl = 4 AND b.sl = 5
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+"""

@@ -162,3 +162,37 @@ def test_kanon_flags_small_groups(ray_session):
     out = q_kanon_audit("/root/testdata/sf0.001").to_pandas()
     assert ((out["n"] < 5) == (out["at_risk"] == 1)).all()
     assert out["n"].sum() == 500  # sf0.001 documents row count
+
+
+def test_minhash_cross_pairs_planted(ray_session):
+    """Planted near-dup across corpora is found; within-corpus dups and
+    cross non-dups are not reported."""
+    from kgray.ops.dedup import minhash_cross_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                # 1 is the planted dup of right-side 10; 2 is its
+                # WITHIN-left dup (must not appear in cross output)
+                "text": pa.array([base, base + "mu"], pa.string()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "text": pa.array(
+                    [base + "nu", "totally different words here " * 8],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = minhash_cross_pairs(left, right, tau=0.7).to_pandas()
+    got = set(zip(out["u"], out["v"]))
+    assert (1, 10) in got and (2, 10) in got
+    assert all(v in (10, 11) and u in (1, 2) for u, v in got)
+    assert not any(v == 11 for _, v in got)
