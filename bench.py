@@ -97,6 +97,11 @@ SUITE = [
     # LSH blocks + salted hot-key join); suite totals before this entry
     # exclude it
     "skew_chaos",
+    # round 4: LLM-data curation additions (DSIR importance weights,
+    # interpolated trigram LM scoring, cross-corpus minhash contamination)
+    "dsir_weights",
+    "lm3_score",
+    "cross_dup_docs",
 ]
 
 
