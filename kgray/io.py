@@ -463,3 +463,79 @@ def read_table(path: str, columns: list[str] | None = None,
         return batch
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def compact_partitioned(path: str, target_bytes: int = 128 << 20) -> dict:
+    """Merge each partition's small manifest-attested parquet files into
+    ~``target_bytes`` files — the small-files compaction a standing
+    append-mode pipeline needs (every append batch adds one file per
+    touched partition; reads then pay per-file open cost forever).
+
+    Crash-safe ordering: compacted files are written and row-count
+    verified against the manifest BEFORE the manifest atomically swaps
+    to them, and the old files are deleted only after the swap — at any
+    crash point the on-disk manifest references only complete files
+    (``read_table`` reads manifest-attested files only; orphans are
+    swept by the next write's hygiene pass).  Partition ``rows`` /
+    ``content_hash`` / ``zones`` are content-preserving by construction
+    (the hash is a commutative fold over unchanged rows) and stay
+    untouched, so downstream ``manifest_content_hash`` stage-skip keys
+    survive compaction.  One Ray task per multi-file partition."""
+    import ray
+
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    data_dir = os.path.join(path, "data")
+
+    @ray.remote
+    def compact_one(pstr: str, files: list[str], want_rows: int):
+        import pyarrow.parquet as _pq
+
+        tbl = pa.concat_tables(
+            [_pq.read_table(os.path.join(data_dir, f)) for f in files]
+        )
+        if tbl.num_rows != want_rows:
+            raise RuntimeError(
+                f"partition {pstr}: {tbl.num_rows} rows on disk vs "
+                f"{want_rows} attested — refusing to compact"
+            )
+        n_out = max(1, int(np.ceil(tbl.nbytes / target_bytes)))
+        rows_per = int(np.ceil(tbl.num_rows / n_out))
+        pdir = os.path.join(data_dir, f"{PART_COL}={pstr}")
+        new_files, new_bytes = [], 0
+        for i in range(n_out):
+            s = tbl.slice(i * rows_per, rows_per)
+            if s.num_rows == 0:
+                continue
+            fname = f"compact-{uuid.uuid4().hex}.parquet"
+            fpath = os.path.join(pdir, fname)
+            _pq.write_table(s, fpath)
+            new_files.append(f"{PART_COL}={pstr}/{fname}")
+            new_bytes += os.path.getsize(fpath)
+        return pstr, new_files, new_bytes
+
+    todo = [
+        (pstr, meta) for pstr, meta in manifest["partitions"].items()
+        if len(meta.get("files", [])) > 1
+    ]
+    results = ray.get([
+        compact_one.remote(pstr, meta["files"], int(meta["rows"]))
+        for pstr, meta in todo
+    ])
+    old_files = []
+    for pstr, new_files, new_bytes in results:
+        meta = manifest["partitions"][pstr]
+        old_files.extend(meta["files"])
+        meta["files"] = sorted(new_files)
+        meta["bytes"] = int(new_bytes)
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    for f in old_files:  # only after the manifest swap
+        try:
+            os.remove(os.path.join(data_dir, f))
+        except FileNotFoundError:
+            pass
+    return manifest

@@ -365,3 +365,90 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       (len(a.shingles) + len(b.shingles)
        - len(list_intersect(a.shingles, b.shingles))) >= 0.7
 """
+
+
+def q_knn_trunc_recall(sf_dir: str):
+    """Matryoshka-style truncation audit: for the first 5 vectors as
+    queries, how many of the full-64-dim cosine top-10 survive in the
+    32-dim-truncated top-10 (recall@10 numerator, exact integer).  One
+    shuffle-free pass: queries broadcast, each batch emits its local
+    top-10 per (query, metric) — the global top-10 is contained in the
+    union of per-batch top-10s, folded at aggregate scale on the driver
+    (the stratified-sample combiner argument)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    Q = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    qid = qdf["vec_id"].to_numpy(np.int64)
+    Qf = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qt = Q[:, :32] / np.linalg.norm(Q[:, :32], axis=1, keepdims=True)
+    q_ref = ray.put((qid, Qf, Qt))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qf_, Qt_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        E = np.stack(
+            [np.asarray(v, np.float64) for v in
+             batch["embedding"].to_pylist()]
+        )
+        Ef = E / np.linalg.norm(E, axis=1, keepdims=True)
+        Et = E[:, :32] / np.linalg.norm(E[:, :32], axis=1, keepdims=True)
+        out_q, out_id, out_sf, out_st = [], [], [], []
+        sim_f = Ef @ Qf_.T
+        sim_t = Et @ Qt_.T
+        for j in range(len(qids)):
+            for sims in (sim_f[:, j], sim_t[:, j]):
+                top = np.lexsort((ids, -sims))[:10]
+                out_q.extend([qids[j]] * len(top))
+                out_id.extend(ids[top])
+                out_sf.extend(sim_f[top, j])
+                out_st.extend(sim_t[top, j])
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sf": pa.array(out_sf, pa.float64()),
+                "st": pa.array(out_st, pa.float64()),
+            }
+        )
+
+    cand = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.drop_duplicates(["q", "vec_id"])
+    rows = []
+    for q, g in cand.groupby("q"):
+        top_f = set(
+            g.sort_values(["sf", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(10)["vec_id"]
+        )
+        top_t = set(
+            g.sort_values(["st", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(10)["vec_id"]
+        )
+        rows.append((int(q), len(top_f & top_t)))
+    return pa.table(
+        {
+            "q_vec": pa.array([r[0] for r in rows], pa.int64()),
+            "n_common": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_KNN_TRUNC_RECALL = """
+WITH qs AS (SELECT vec_id AS q, embedding AS ev FROM embeddings
+            WHERE vec_id < 5),
+f10 AS (SELECT q, vec_id FROM (
+  SELECT qs.q, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY
+           list_cosine_similarity(e.embedding, qs.ev) DESC, e.vec_id) AS r
+  FROM embeddings e CROSS JOIN qs) WHERE r <= 10),
+t10 AS (SELECT q, vec_id FROM (
+  SELECT qs.q, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY
+           list_cosine_similarity(e.embedding[1:32], qs.ev[1:32]) DESC,
+           e.vec_id) AS r
+  FROM embeddings e CROSS JOIN qs) WHERE r <= 10)
+SELECT f.q AS q_vec, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM f10 f JOIN t10 t ON f.q = t.q AND f.vec_id = t.vec_id
+GROUP BY 1
+"""
