@@ -127,8 +127,41 @@ def main(argv: list[str] | None = None) -> int:
                         "corpus scale (idempotent per batch fingerprint)")
     c.set_defaults(fn=_cmd_construct)
 
+    k = sub.add_parser(
+        "compact",
+        help="merge small manifest-attested parquet files (post-append "
+             "small-files cleanup; content and stage-skip keys preserved)",
+    )
+    k.add_argument("tables", nargs="+",
+                   help="manifested table dirs (e.g. OUT/triples_canonical)")
+    k.add_argument("--target-mb", type=int, default=128)
+    k.set_defaults(fn=_cmd_compact)
+
     args = ap.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_compact(args) -> int:
+    import json as _json
+
+    import ray
+
+    from kgray.io import compact_partitioned
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False)
+    out = {}
+    for path in args.tables:
+        m = compact_partitioned(path, target_bytes=args.target_mb << 20)
+        out[path] = {
+            "partitions": len(m["partitions"]),
+            "files": sum(len(p["files"]) for p in m["partitions"].values()),
+        }
+    print(_json.dumps({"compacted": out}))
+    if owns_session:
+        ray.shutdown()
+    return 0
 
 
 if __name__ == "__main__":
