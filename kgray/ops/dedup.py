@@ -1580,3 +1580,137 @@ def minhash_cross_pairs(left, right, tau: float = 0.7,
         ),
         batch_format="pyarrow",
     )
+
+
+def set_jaccard_pairs_prefix(exploded, tau: float, digits: int = 4,
+                             num_buckets: int = 16,
+                             max_broadcast_vocab: int = 50_000_000):
+    """PPJoin-style prefix-filtered exact set-similarity self-join — the
+    alternative scale path to ``set_jaccard_pairs``, after Vernica,
+    Carey & Li, "Efficient Parallel Set-Similarity Joins Using
+    MapReduce" (SIGMOD 2010; public method).
+
+    Why it scales differently: the inverted-index path explodes EVERY
+    (token, item) row and pays a pair-count shuffle; this path indexes
+    only each item's PREFIX — its ``L - floor(tau*L) + 1`` globally
+    RAREST tokens (any J >= tau pair must share a prefix token) — with
+    the item's full sorted token-rank array carried on the posting, so
+    the verify happens INSIDE the token reducer from the carried arrays
+    (no count-attach stage, no max_block cap needed for hot tokens:
+    hot tokens land at the back of the frequency order and rarely enter
+    a prefix).  Posting volume ~~ (1-tau) of the full explode.
+
+    Each surviving pair is emitted at exactly ONE token — the lowest-
+    rank token common to both prefixes — so no cross-bucket dedup pass
+    is needed.  Token frequency ranks are a vocab-scale fold broadcast
+    once (``max_broadcast_vocab`` gate; the fit_bigram_lm memory
+    argument).  Output (u, v, jac) is identical to set_jaccard_pairs
+    (paths-agree tests pin it)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgray.util import gate, grouped_map, round_half_up
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["shingle"])
+            .group_by("shingle")
+            .aggregate([("shingle", "count")])
+        )
+        return g.rename_columns(["shingle", "n"])
+
+    freq = (
+        exploded.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # token-vocab scale, never corpus scale
+    )
+    if len(freq) > gate(max_broadcast_vocab) and len(freq) > 0:
+        raise NotImplementedError(
+            "token vocab exceeds the broadcast gate; fall back to "
+            "set_jaccard_pairs (inverted-index path) for this input"
+        )
+    # rare-first total order; ties broken on the token value
+    freq = freq.sort_values(["n", "shingle"], kind="mergesort")
+    rank_of = pd.Series(np.arange(len(freq), dtype=np.int64),
+                        index=freq["shingle"].to_numpy())
+    rank_ref = ray.put(rank_of)
+
+    def to_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        ranks = ray.get(rank_ref)
+        r = ranks.reindex(df["shingle"].to_numpy()).to_numpy(np.int64)
+        items, arrays = [], []
+        for doc, g in pd.DataFrame(
+            {"doc": df["doc"].to_numpy(), "r": r}
+        ).groupby("doc", sort=False):
+            items.append(doc)
+            arrays.append(np.sort(pd.unique(g["r"].to_numpy())))
+        return pd.DataFrame({"doc": pd.array(items, dtype="int64"),
+                             "ranks": arrays})
+
+    items = grouped_map(exploded, "doc", to_ranks)
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        docs = batch["doc"].to_numpy(zero_copy_only=False)
+        rank_lists = batch["ranks"].to_pylist()
+        out_t, out_d, out_r = [], [], []
+        for d, ra in zip(docs, rank_lists):
+            L = len(ra)
+            if L == 0:
+                continue
+            pfx = L - int(tau * L) + 1
+            for t in ra[:pfx]:
+                out_t.append(t)
+                out_d.append(d)
+                out_r.append(ra)
+        return pa.table(
+            {
+                "tok": pa.array(out_t, pa.int64()),
+                "doc": pa.array(out_d, pa.int64()),
+                "ranks": pa.array(out_r, pa.list_(pa.int64())),
+            }
+        )
+
+    postings = items.map_batches(prefix_explode, batch_format="pyarrow")
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        us, vs, js = [], [], []
+        for tok, g in df.groupby("tok", sort=False):
+            docs = g["doc"].to_numpy(np.int64)
+            arrs = [np.asarray(a, np.int64) for a in g["ranks"]]
+            n = len(docs)
+            for i in range(n):
+                ra = arrs[i]
+                for j in range(i + 1, n):
+                    if docs[i] == docs[j]:
+                        continue
+                    rb = arrs[j]
+                    common = np.intersect1d(ra, rb, assume_unique=True)
+                    la, lb = len(ra), len(rb)
+                    # lowest-rank token common to BOTH prefixes decides
+                    # which bucket owns the pair (exactly-once emission);
+                    # prefix end index = pfx-1 = L - floor(tau*L), capped
+                    bound_a = ra[min(la - int(tau * la), la - 1)]
+                    bound_b = rb[min(lb - int(tau * lb), lb - 1)]
+                    inpfx = common[(common <= bound_a)
+                                   & (common <= bound_b)]
+                    if not len(inpfx) or inpfx[0] != tok:
+                        continue
+                    sh = len(common)
+                    jac = sh / (la + lb - sh)
+                    if jac >= tau:
+                        u, v = sorted((int(docs[i]), int(docs[j])))
+                        us.append(u)
+                        vs.append(v)
+                        js.append(jac)
+        return pd.DataFrame(
+            {
+                "u": pd.array(us, dtype="int64"),
+                "v": pd.array(vs, dtype="int64"),
+                "jac": pd.array(round_half_up(np.asarray(js, np.float64),
+                                              digits), dtype="float64"),
+            }
+        )
+
+    return grouped_map(postings, "tok", verify_bucket,
+                       num_buckets=num_buckets)

@@ -196,3 +196,72 @@ def test_minhash_cross_pairs_planted(ray_session):
     assert (1, 10) in got and (2, 10) in got
     assert all(v in (10, 11) and u in (1, 2) for u, v in got)
     assert not any(v == 11 for _, v in got)
+
+
+def _random_sets(seed, n_items=60, universe=120, lo=3, hi=25):
+    import random
+
+    rng = random.Random(seed)
+    sets = {}
+    for i in range(n_items):
+        k = rng.randint(lo, hi)
+        sets[i] = set(rng.sample(range(universe), k))
+    # plant near-dup clusters so tau-survivors exist
+    for b in (0, 1, 2):
+        base = sets[b]
+        sets[100 + b] = set(base)
+        dup = set(base)
+        if len(dup) > 2:
+            dup.discard(next(iter(dup)))
+        sets[200 + b] = dup
+    return sets
+
+
+def _exploded_of(sets):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "shingle": pa.array(
+                    [f"t{t}" for s, ts in sorted(sets.items())
+                     for t in sorted(ts)], pa.string()
+                ),
+                "doc": pa.array(
+                    [s for s, ts in sorted(sets.items())
+                     for _ in ts], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8])
+@pytest.mark.parametrize("seed", [7, 11])
+def test_prefix_join_paths_agree(ray_session, tau, seed):
+    """PPJoin prefix path == inverted-index path == brute force."""
+    from kgray.ops.dedup import set_jaccard_pairs, set_jaccard_pairs_prefix
+
+    sets = _random_sets(seed)
+    exploded = _exploded_of(sets)
+    counts = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc": pa.array(sorted(sets), pa.int64()),
+                "nsh": pa.array(
+                    [len(sets[s]) for s in sorted(sets)], pa.int64()
+                ),
+            }
+        )
+    )
+    got_p = set_jaccard_pairs_prefix(exploded, tau=tau).to_pandas()
+    got_i = set_jaccard_pairs(exploded, counts, n_items=len(sets),
+                              tau=tau).to_pandas()
+    key = lambda df: sorted(zip(df["u"], df["v"], df["jac"]))
+    brute = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= tau:
+                brute.append((a, b, round(j, 4)))
+    assert key(got_p) == sorted(brute)
+    assert key(got_i) == sorted(brute)
