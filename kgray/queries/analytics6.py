@@ -1,0 +1,401 @@
+"""Session-15 operator batch: Markov stationary distribution (integer
+fixed-point power iteration with an unrolled-CTE oracle), degree
+assortativity (integer-moment Pearson over co-purchase edges),
+gazetteer phrase tagging (broadcast dictionary, replace-trick oracle),
+and pairwise source Jensen-Shannon divergence over word distributions.
+"""
+
+from ._common import *  # noqa: F401,F403
+
+from kgray.queries.analytics2 import _copurchase_pairs
+
+# ---------------------------------------------------------------------------
+# Markov-chain stationary distribution over event-type transitions
+# ---------------------------------------------------------------------------
+
+_MARKOV_SCALE = 10**12
+_MARKOV_ITERS = 6
+
+
+def q_events_markov_stationary(sf_dir: str):
+    """Stationary distribution of the first-order event-type Markov
+    chain (user-journey steady state): transition counts fold
+    distributed exactly like ``events_transitions`` (shift-pair inside a
+    user cogroup, tiny Sum merge), then a fixed-round INTEGER
+    fixed-point power iteration runs on the K x K count matrix (K =
+    distinct event types, aggregate-scale).  The recurrence
+    ``pi'(j) = sum_i (pi(i) * c(i,j)) // out(i)`` is int64 floor
+    arithmetic — bit-exact in ANY summation order — so the DuckDB
+    oracle UNROLLS the identical recurrence (the pagerank_int pattern).
+    Dangling states (no outgoing transitions) keep their mass as a
+    self-loop in both engines.  Overflow headroom: pi <= 1e12 and
+    c <= ~1e6 keeps pi*c < 2^63 up to ~1e6 transitions per cell."""
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        same = us[1:] == us[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        return (
+            pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    trans = (
+        pre_aggregate(
+            grouped_map(ev, "user_id", per_bucket),
+            ["prev_type", "next_type"], {"n": ("n", "sum")},
+        )
+        .to_pandas()  # K x K matrix: aggregate-scale (types, not rows)
+    )
+    states = sorted(
+        s
+        for s in pre_aggregate(
+            ev.select_columns(["event_type"]), ["event_type"],
+            {"c": (None, "count")},
+        )
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    c: dict[str, dict[str, int]] = {}
+    out: dict[str, int] = {}
+    for p, nx, n in zip(trans["prev_type"], trans["next_type"],
+                        trans["n"]):
+        c.setdefault(p, {})[nx] = int(n)
+        out[p] = out.get(p, 0) + int(n)
+
+    pi = {s: _MARKOV_SCALE // len(states) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for i, m in pi.items():
+            o = out.get(i)
+            if not o:
+                nxt[i] += m  # dangling: self-loop keeps the mass
+                continue
+            for j, cij in c[i].items():
+                nxt[j] += (m * cij) // o
+        pi = nxt
+    return pa.table(
+        {
+            "event_type": pa.array(states, pa.string()),
+            "pi": pa.array([pi[s] for s in states], pa.int64()),
+        }
+    )
+
+
+def _markov_sql() -> str:
+    head = f"""
+WITH t AS (
+  SELECT prev AS prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events)
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+outd AS (SELECT prev_type AS i, CAST(SUM(n) AS BIGINT) AS o
+         FROM t GROUP BY 1),
+s AS (SELECT DISTINCT event_type AS i FROM events),
+p0 AS (SELECT i, CAST({_MARKOV_SCALE} AS BIGINT)
+                 // (SELECT COUNT(*) FROM s) AS m FROM s)"""
+    body = []
+    for k in range(1, _MARKOV_ITERS + 1):
+        body.append(f""",
+p{k} AS (
+  SELECT i, CAST(SUM(m) AS BIGINT) AS m FROM (
+    SELECT t.next_type AS i, (p.m * t.n) // o.o AS m
+    FROM p{k - 1} p JOIN outd o ON p.i = o.i
+    JOIN t ON t.prev_type = p.i
+    UNION ALL
+    SELECT p.i, p.m FROM p{k - 1} p
+    LEFT JOIN outd o ON p.i = o.i WHERE o.i IS NULL
+  ) GROUP BY i)""")
+    tail = f"""
+SELECT s.i AS event_type, COALESCE(p.m, 0) AS pi
+FROM s LEFT JOIN p{_MARKOV_ITERS} p ON s.i = p.i ORDER BY 1"""
+    return head + "".join(body) + tail
+
+
+SQL_EVENTS_MARKOV_STATIONARY = _markov_sql()
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree assortativity coefficient of the co-purchase graph
+    (Newman 2002): Pearson correlation of endpoint degrees over BOTH
+    edge orientations.  Degrees fold from the pairs dataset (flat_map
+    ends -> count); the node->degree map is user-cardinality-scale and
+    ships by closure (scale path: bucket_join the degree table onto
+    each endpoint).  Every moment (n, Σx, Σxy, Σx²) is an INTEGER sum —
+    exact in any fold order — and only the final pinned Pearson
+    expression touches floats, so the oracle matches bit-for-bit."""
+
+    pairs = _copurchase_pairs(sf_dir).materialize()
+
+    def ends(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": pa.concat_arrays(
+                [batch["u1"].combine_chunks().cast(pa.int64()),
+                 batch["u2"].combine_chunks().cast(pa.int64())]
+            )}
+        )
+
+    deg_df = (
+        pre_aggregate(
+            pairs.map_batches(ends, batch_format="pyarrow"),
+            ["u"], {"deg": (None, "count")},
+        )
+        .to_pandas()
+    )
+    deg = dict(zip(deg_df["u"].astype(np.int64),
+                   deg_df["deg"].astype(np.int64)))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        u1 = pd.Series(batch["u1"].to_numpy(zero_copy_only=False))
+        u2 = pd.Series(batch["u2"].to_numpy(zero_copy_only=False))
+        dx = u1.map(deg).to_numpy(np.int64)
+        dy = u2.map(deg).to_numpy(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(dx)], pa.int64()),
+                "sx": pa.array([int((dx + dy).sum())], pa.int64()),
+                "sxy": pa.array([2 * int((dx * dy).sum())], pa.int64()),
+                "sxx": pa.array([int((dx * dx).sum())
+                                 + int((dy * dy).sum())], pa.int64()),
+            }
+        )
+
+    m = (
+        pairs.map_batches(moments, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+    )
+    n = int(m["n"][0]) if len(m) else 0
+    if n == 0:
+        return pa.table({"n_ends": pa.array([], pa.int64()),
+                         "assortativity": pa.array([], pa.float64())})
+    sx, sxy, sxx = int(m["sx"][0]), int(m["sxy"][0]), int(m["sxx"][0])
+    var = float(n) * sxx - float(sx) * sx  # symmetric: sy=sx, syy=sxx
+    if var == 0:
+        r = None
+    else:
+        r = round_half_up(
+            np.array([(float(n) * sxy - float(sx) * sx) / var]), 6
+        )[0]
+    return pa.table(
+        {
+            "n_ends": pa.array([n], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+SQL_GRAPH_ASSORTATIVITY = """
+WITH p AS (
+  SELECT a.user_id AS u1, b.user_id AS u2
+  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS hr, user_id
+        FROM events WHERE event_type = 'purchase') a
+  JOIN (SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS hr, user_id
+        FROM events WHERE event_type = 'purchase') b
+    ON a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+d AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u1 AS u FROM p UNION ALL SELECT u2 FROM p)
+      GROUP BY 1),
+e AS (SELECT da.deg AS x, db.deg AS y
+      FROM p JOIN d da ON p.u1 = da.u JOIN d db ON p.u2 = db.u
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM p JOIN d da ON p.u1 = da.u JOIN d db ON p.u2 = db.u),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM e)
+SELECT n AS n_ends,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+            THEN NULL
+            ELSE ROUND((CAST(n AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sx)
+                       / (CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx), 6)
+       END AS assortativity
+FROM m WHERE n > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# gazetteer phrase tagging (broadcast dictionary match)
+# ---------------------------------------------------------------------------
+
+# fixed two-word gazetteer over the corpus vocabulary; non-overlapping
+# substring occurrence semantics (python str.count == SQL replace trick)
+_GAZETTEER = [
+    "row scan", "fast table", "hash join", "sort merge",
+    "table scan", "value part", "data stream", "the line",
+]
+
+
+def q_gazetteer_counts(sf_dir: str):
+    """Dictionary/gazetteer phrase tagging (the entity-lexicon matching
+    stage of a KG pipeline): the phrase list broadcasts by closure
+    (ray.put for big lexicons), each batch counts NON-OVERLAPPING
+    substring occurrences vectorized per phrase, and integer (n_occ,
+    n_docs) partials fold through the combiner — exact, zero shuffle of
+    document text.  The oracle reproduces the count with the
+    length(replace()) trick, which shares python str.count's greedy
+    left-to-right non-overlapping semantics."""
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        rows = []
+        for ph in _GAZETTEER:
+            cnt = s.str.count(re.escape(ph))
+            rows.append((ph, int(cnt.sum()), int((cnt > 0).sum())))
+        return pa.table(
+            {
+                "phrase": pa.array([r[0] for r in rows], pa.string()),
+                "n_occ": pa.array([r[1] for r in rows], pa.int64()),
+                "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    return pre_aggregate(
+        docs.map_batches(count_batch, batch_format="pyarrow"),
+        ["phrase"],
+        {"n_occ": ("n_occ", "sum"), "n_docs": ("n_docs", "sum")},
+    )
+
+
+SQL_GAZETTEER_COUNTS = """
+WITH g(phrase) AS (VALUES {values}),
+per AS (SELECT g.phrase,
+               (length(d.text) - length(replace(d.text, g.phrase, '')))
+               // length(g.phrase) AS c
+        FROM documents d CROSS JOIN g)
+SELECT phrase, CAST(SUM(c) AS BIGINT) AS n_occ,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+FROM per GROUP BY 1
+""".replace("{values}", ", ".join(f"('{p}')" for p in _GAZETTEER))
+
+
+# ---------------------------------------------------------------------------
+# pairwise source Jensen-Shannon divergence over word distributions
+# ---------------------------------------------------------------------------
+
+def q_source_js_divergence(sf_dir: str):
+    """Corpus-mixture drift audit: Jensen-Shannon divergence between
+    every pair of sources' unigram distributions.  The distributed work
+    is the (source, word) count fold (combiner before the tiny
+    groupby); the pairwise compute runs driver-side on the folded
+    sources x vocab table (vocab-scale, noted).  Log terms keep the
+    ratio 2*cp*Nq/(cp*Nq+cq*Np) in exact INTEGER numerator/denominator
+    form before one float division + C-libm ln (the tf-idf parity
+    trick); the remaining float sums are order-sensitive, absorbed by
+    ROUND 4 on irrational values."""
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df.set_index("source")["text"].str.split(" ").explode()
+        s = s[s != ""]
+        return pa.table(
+            {"source": pa.array(s.index, pa.string()),
+             "word": pa.array(s.to_numpy(), pa.string())}
+        )
+
+    counts = (
+        pre_aggregate(
+            docs.map_batches(words, batch_format="pyarrow"),
+            ["source", "word"], {"c": (None, "count")},
+        )
+        .to_pandas()  # sources x vocab — aggregate-scale
+    )
+    piv = counts.pivot_table(index="word", columns="source", values="c",
+                             aggfunc="sum", fill_value=0)
+    totals = {s: int(piv[s].sum()) for s in piv.columns}
+    srcs = sorted(piv.columns)
+    memo: dict[tuple[int, int], float] = {}
+
+    def _term(cp: int, denom: int) -> float:
+        # cp * ln(2*cp*n_other / denom) with the int ratio memoized
+        key = (cp, denom)
+        v = memo.get(key)
+        if v is None:
+            v = math.log(key[0] / denom)
+            memo[key] = v
+        return v
+
+    out_s1, out_s2, out_js = [], [], []
+    mat = {s: piv[s].to_numpy(np.int64) for s in srcs}
+    for ai in range(len(srcs)):
+        for bi in range(ai + 1, len(srcs)):
+            s1, s2 = srcs[ai], srcs[bi]
+            n1, n2 = totals[s1], totals[s2]
+            cps, cqs = mat[s1], mat[s2]
+            sa = 0.0
+            sb = 0.0
+            for cp, cq in zip(cps.tolist(), cqs.tolist()):
+                denom = cp * n2 + cq * n1
+                if cp > 0:
+                    sa += cp * _term(2 * cp * n2, denom)
+                if cq > 0:
+                    sb += cq * _term(2 * cq * n1, denom)
+            js = 0.5 * sa / n1 + 0.5 * sb / n2
+            out_s1.append(s1)
+            out_s2.append(s2)
+            out_js.append(js)
+    return pa.table(
+        {
+            "s1": pa.array(out_s1, pa.string()),
+            "s2": pa.array(out_s2, pa.string()),
+            "js": pa.array(
+                round_half_up(np.array(out_js, np.float64), 4),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_SOURCE_JS_DIVERGENCE = """
+WITH w AS (SELECT source, t AS word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source, UNNEST(string_split(text, ' ')) AS t
+                 FROM documents)
+           WHERE t <> '' GROUP BY 1, 2),
+n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM w GROUP BY 1),
+v AS (SELECT DISTINCT word FROM w),
+pairs AS (SELECT a.source AS s1, b.source AS s2, a.nt AS n1, b.nt AS n2
+          FROM n a JOIN n b ON a.source < b.source),
+terms AS (SELECT p.s1, p.s2, p.n1, p.n2,
+                 COALESCE(wa.c, 0) AS cp, COALESCE(wb.c, 0) AS cq
+          FROM pairs p CROSS JOIN v
+          LEFT JOIN w wa ON wa.source = p.s1 AND wa.word = v.word
+          LEFT JOIN w wb ON wb.source = p.s2 AND wb.word = v.word)
+SELECT s1, s2,
+       ROUND(0.5 * SUM(CASE WHEN cp > 0 THEN
+                 cp * ln(CAST(2 * cp * n2 AS DOUBLE)
+                         / (cp * n2 + cq * n1)) ELSE 0 END)
+             / ANY_VALUE(n1)
+           + 0.5 * SUM(CASE WHEN cq > 0 THEN
+                 cq * ln(CAST(2 * cq * n1 AS DOUBLE)
+                         / (cp * n2 + cq * n1)) ELSE 0 END)
+             / ANY_VALUE(n2), 4) AS js
+FROM terms GROUP BY 1, 2
+"""
