@@ -374,6 +374,236 @@ def q_source_js_divergence(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-dup clusters over embeddings (keep-one purge)
+# ---------------------------------------------------------------------------
+
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023 shape): cosine near-dup pairs over
+    the embedding table (the oracle-green ``embed_dup_pairs`` generator
+    — size-gated brute/IVF blocking, never N x N), connected components
+    over the similarity graph, keep the min vec_id per component.
+    Output is the dedup decision: one row per semantic cluster with its
+    representative and member count.  Oracle: the same cosine pair SQL
+    under a recursive-CTE CC (the ``dedup_purge`` pattern)."""
+    from kgray.ops.canonical import connected_components
+    from kgray.ops.dedup import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(emb, tau=0.45)
+    cc = connected_components(pairs.select_columns(["u", "v"]))
+    return (
+        cc.groupby("component")
+        .aggregate(Count(alias_name="n_members"))
+        .map_batches(
+            lambda b: pa.table(
+                {"kept": b["component"].cast(pa.int64()),
+                 "n_members": b["n_members"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_EMBED_SEMDEDUP = """
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+sym AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+cc AS (
+  SELECT src AS node, src AS label FROM sym
+  UNION
+  SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+SELECT component AS kept, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps' law audit): cumulative token and
+    distinct-word counts at 10 doc_id-prefix checkpoints.  Two folds,
+    both integer-exact in any order: per-checkpoint token partials
+    (each batch emits 10 counter rows) and the per-word FIRST
+    OCCURRENCE (min doc_id) — the distinct-so-far count at checkpoint k
+    is then just |{w : first(w) < k}| over the vocab-scale fold, no
+    re-scan per checkpoint.  Checkpoints use integer ceil
+    ``(N*q+9)//10`` in both engines."""
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = int(docs.max("doc_id")) + 1
+    ks = [(n_docs * q + 9) // 10 for q in range(1, 11)]
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ntok = (
+            df["text"].str.split(" ").map(
+                lambda ws: sum(1 for w in ws if w != "")
+            ).to_numpy(np.int64)
+        )
+        did = df["doc_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "q": pa.array(np.arange(1, 11), pa.int64()),
+                "n_tokens": pa.array(
+                    [int(ntok[did < k].sum()) for k in ks], pa.int64()
+                ),
+            }
+        )
+
+    toks = pre_aggregate(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        ["q"], {"n_tokens": ("n_tokens", "sum")},
+    ).to_pandas().set_index("q")["n_tokens"]
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df.set_index("doc_id")["text"].str.split(" ").explode()
+        s = s[s != ""]
+        return pa.table(
+            {"w": pa.array(s.to_numpy(), pa.string()),
+             "fd": pa.array(s.index.to_numpy(np.int64), pa.int64())}
+        )
+
+    fo = (
+        pre_aggregate(
+            docs.map_batches(first_seen, batch_format="pyarrow"),
+            ["w"], {"fd": ("fd", "min")},
+        )
+        .to_pandas()  # vocab-scale
+    )
+    fd = fo["fd"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "q": pa.array(np.arange(1, 11), pa.int64()),
+            "k_docs": pa.array(ks, pa.int64()),
+            "n_tokens": pa.array(
+                [int(toks[q]) for q in range(1, 11)], pa.int64()
+            ),
+            "n_vocab": pa.array(
+                [int((fd < k).sum()) for k in ks], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_VOCAB_GROWTH = """
+WITH ck AS (
+  SELECT q, ((SELECT MAX(doc_id) + 1 FROM documents) * q + 9) // 10 AS k
+  FROM range(1, 11) t(q)),
+tok AS (SELECT doc_id, t AS w
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+fo AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY 1)
+SELECT ck.q AS q, ck.k AS k_docs,
+       CAST((SELECT COUNT(*) FROM tok WHERE tok.doc_id < ck.k)
+            AS BIGINT) AS n_tokens,
+       CAST((SELECT COUNT(*) FROM fo WHERE fo.fd < ck.k)
+            AS BIGINT) AS n_vocab
+FROM ck
+"""
+
+
+# ---------------------------------------------------------------------------
+# join cardinality (exact, without materializing the join)
+# ---------------------------------------------------------------------------
+
+def q_join_cardinality(sf_dir: str):
+    """Join-size computation for planning: |events ⋈ orders| on
+    user_id = o_custkey as Σ_k c_left(k)·c_right(k) — both sides
+    collapse to (key, count) folds BEFORE the one key-scale cogroup, so
+    the exact join cardinality costs two combiner passes + a tiny join
+    instead of materializing 10^5+ joined rows (at 100 TB this is the
+    difference between a stats pass and the join itself)."""
+
+    ev = pre_aggregate(
+        _read(sf_dir, "events", ["user_id"]),
+        ["user_id"], {"c1": (None, "count")},
+    )
+    od = pre_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"], {"c2": (None, "count")},
+    )
+    j = bucket_join(ev, od, on="user_id", right_on="o_custkey",
+                    how="inner", num_buckets=8)
+
+    def prod(batch: pa.Table) -> pa.Table:
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_match_keys": pa.array([len(c1)], pa.int64()),
+                "n_pairs": pa.array([int((c1 * c2).sum())], pa.int64()),
+            }
+        )
+
+    m = (
+        j.map_batches(prod, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_match_keys", alias_name="n_match_keys"),
+                   Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_match_keys": pa.array(
+                [int(m["n_match_keys"][0]) if len(m) else 0], pa.int64()
+            ),
+            "n_pairs": pa.array(
+                [int(m["n_pairs"][0]) if len(m) else 0], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_JOIN_CARDINALITY = """
+SELECT CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_match_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events e JOIN orders o ON e.user_id = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (rows-only: SQL has no deflate)
+# ---------------------------------------------------------------------------
+
+def q_doc_zlib_ratio(sf_dir: str):
+    """Compression-ratio quality signal (the RefinedWeb/Gopher
+    repetition heuristic): per-doc zlib level-6 deflate size next to
+    the raw byte size — highly repetitive text compresses far below
+    the corpus norm.  Deterministic pure function of the bytes
+    (rows-only: SQL has no deflate; exactness is test-pinned against
+    zlib directly).  Integer outputs only."""
+    import zlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = np.fromiter((len(t.encode()) for t in texts), np.int64,
+                          len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode(), 6)) for t in texts),
+            np.int64, len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(raw, pa.int64()),
+                "z_bytes": pa.array(comp, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(ratio, batch_format="pyarrow")
+
+
 SQL_SOURCE_JS_DIVERGENCE = """
 WITH w AS (SELECT source, t AS word, CAST(COUNT(*) AS BIGINT) AS c
            FROM (SELECT source, UNNEST(string_split(text, ' ')) AS t

@@ -3,6 +3,8 @@ degree assortativity (constant-degree NULL case), gazetteer phrase
 counts (overlap-free repeat semantics), source JS divergence
 (disjoint-vocab pair hits the closed-form ln 2)."""
 
+import datetime
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -120,6 +122,99 @@ def test_gazetteer_repeats_and_absent(ray_session, tmp_path):
     assert d["row scan"] == 2 and d["fast table"] == 4
     nd = dict(zip(got["phrase"], got["n_docs"]))
     assert nd["fast table"] == 2 and nd["hash join"] == 0
+
+
+def test_semdedup_planted_clusters(ray_session, tmp_path):
+    # two planted near-dup clusters + isolated vectors; components keep
+    # the min vec_id and singletons don't appear
+    rng = np.random.default_rng(7)
+    base1 = rng.normal(size=8)
+    base2 = rng.normal(size=8)
+    vecs = [
+        base1, base1 + 0.01, base1 - 0.01,          # cluster kept=0
+        base2, base2 + 0.01,                        # cluster kept=3
+        rng.normal(size=8), rng.normal(size=8),     # isolated
+    ]
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [np.asarray(v, np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), np.int32),
+        }
+    )
+    _write(tmp_path, "embeddings", df)
+    got, sql = _run("embed_semdedup", tmp_path)
+    exp = _oracle(tmp_path, sql, ["embeddings"])
+    _cmp(got, exp, ["kept"])
+    d = dict(zip(got["kept"], got["n_members"]))
+    assert d[0] == 3 and d[3] == 2
+
+
+def test_vocab_growth_sparse_doc_ids(ray_session, tmp_path):
+    # non-dense doc_ids: checkpoints derive from max(doc_id)+1, not
+    # count; words recur so first-occurrence matters
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 5, 19], np.int64),
+            "text": ["a b a", "b c", "c d e"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": np.array([1, 1, 1], np.int64),
+        }
+    )
+    _write(tmp_path, "documents", df)
+    got, sql = _run("vocab_growth", tmp_path)
+    exp = _oracle(tmp_path, sql, ["documents"])
+    _cmp(got, exp, ["q"])
+    last = got.sort_values("q").iloc[-1]
+    assert last["n_tokens"] == 8 and last["n_vocab"] == 5
+    assert got["n_vocab"].is_monotonic_increasing
+
+
+def test_join_cardinality_no_overlap(ray_session, tmp_path):
+    t0 = pd.Timestamp("2025-07-01")
+    ev = _events([(0, t0, 1, "x", 1.0), (1, t0, 1, "x", 1.0),
+                  (2, t0, 2, "x", 1.0)])
+    _write(tmp_path, "events", ev)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(3, dtype=np.int64),
+            "o_custkey": np.array([1, 1, 99], np.int64),
+            "o_totalprice": np.ones(3),
+            "o_orderstatus": ["F"] * 3,
+            "o_orderpriority": ["1-URGENT"] * 3,
+            "o_orderdate": [datetime.date(2025, 7, 1)] * 3,
+        }
+    )
+    _write(tmp_path, "orders", orders)
+    got, sql = _run("join_cardinality", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events", "orders"])
+    _cmp(got, exp, ["n_pairs"])
+    # user 1 (2 events x 2 orders) = 4; users 2/99 unmatched
+    assert got["n_pairs"][0] == 4 and got["n_match_keys"][0] == 1
+
+
+def test_zlib_ratio_pins_zlib(ray_session, tmp_path):
+    import zlib
+
+    texts = ["abc " * 50, "the quick brown fox", "zz", ""]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": np.array([len(t) for t in texts], np.int64),
+        }
+    )
+    _write(tmp_path, "documents", df)
+    got, _ = _run("doc_zlib_ratio", tmp_path)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        assert got["n_bytes"][i] == len(t.encode())
+        assert got["z_bytes"][i] == len(zlib.compress(t.encode(), 6))
+    # the repetitive doc compresses below half; the empty doc doesn't
+    assert got["z_bytes"][0] < got["n_bytes"][0] / 10
 
 
 def test_js_divergence_disjoint_vocab(ray_session, tmp_path):
