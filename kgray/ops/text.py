@@ -371,6 +371,21 @@ def _explode_bigrams(texts: list[str]):
     return flat_i[:-1][same], w1, grams, flat_i, flat_t
 
 
+def _fold_gram_counts(part) -> pd.DataFrame:
+    """Driver-side merge of per-batch (gram, n) combiner outputs.
+
+    The fitted LM is broadcast whole via ``ray.put`` and is therefore
+    driver-resident BY CONSTRUCTION — a distributed groupby in front of
+    the ``to_pandas()`` only adds a shuffle barrier (measured: 5.1 s of
+    an 8.7 s trigram fit at sf0.1 was the groupby).  Partial volume is
+    gram-vocab x num-blocks, integer sums are order-exact."""
+    df = part.to_pandas()
+    g = df.groupby("gram", sort=False)["n"].sum()
+    return pd.DataFrame(
+        {"gram": g.index.to_numpy(), "n": g.to_numpy(np.int64)}
+    )
+
+
 def fit_bigram_lm(train, text_col: str = "text", min_count: int = 1):
     """Fit an add-one-smoothed bigram LM over a corpus in ONE read.
 
@@ -391,8 +406,6 @@ def fit_bigram_lm(train, text_col: str = "text", min_count: int = 1):
     """
     import math
 
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         _, _, grams, _, flat_t = _explode_bigrams(texts)
@@ -406,11 +419,9 @@ def fit_bigram_lm(train, text_col: str = "text", min_count: int = 1):
             }
         )
 
-    counts = (
-        train.map_batches(partial, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # gram-vocab scale (see docstring), not corpus scale
+    counts = _fold_gram_counts(
+        train.map_batches(partial, batch_format="pyarrow",
+                          batch_size=2048)
     )
     is_bigram = counts["gram"].str.contains(" ", regex=False)
     uni = counts[~is_bigram]
@@ -708,7 +719,6 @@ def fit_trigram_lm(train, text_col: str = "text"):
     count Series plus the total token count; the probability mixing and
     libm-log happen at SCORE time so the tables stay pure integers
     (broadcast-friendly, resumable)."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -732,11 +742,9 @@ def fit_trigram_lm(train, text_col: str = "text"):
             }
         )
 
-    counts = (
-        train.map_batches(partial, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # gram-vocab scale
+    counts = _fold_gram_counts(
+        train.map_batches(partial, batch_format="pyarrow",
+                          batch_size=2048)
     )
     spaces = counts["gram"].str.count(" ")
     uni = counts[spaces == 0]
