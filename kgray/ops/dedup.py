@@ -1569,7 +1569,13 @@ def minhash_cross_pairs(left, right, tau: float = 0.7,
 
         return side.map_batches(f, batch_format="pyarrow")
 
-    union = project(left, False).union(project(right, True))
+    # materialize the union: (a) it is consumed TWICE inside
+    # minhash_dup_pairs (banding pass + text side), so a lazy union
+    # re-executes both projections per consumer; (b) a lazy union has
+    # no size estimate, which silently pushed the auto-gate onto the
+    # heaviest bucket-join plan at every scale (measured 10.4 s -> 2.5 s
+    # at sf0.1).  The copy is the projected 2-column table only.
+    union = project(left, False).union(project(right, True)).materialize()
     pairs = minhash_dup_pairs(union, tau=tau, text_col=text_col,
                               id_col=id_col, **kw)
     cross = pairs.filter(expr=f"u < {offset} and v >= {offset}")
