@@ -609,3 +609,311 @@ def kcore(edges, k: int, rounds: int = 3,
         .groupby("node")
         .aggregate(Sum("dn", alias_name="deg"))
     )
+
+
+def _hits_int_kernel(src: np.ndarray, dst: np.ndarray, nu: int, nv: int,
+                     iters: int, scale: int):
+    """Fixed-point integer HITS (Kleinberg mutual reinforcement) over a
+    DIRECTED edge list indexed hub-side/auth-side separately: per round
+    a = Σ_{u→v} h(u) then a ← a*S // max(a), symmetric for h — all int64
+    floor arithmetic, bit-exact in any summation order (the pagerank_int
+    trick), so the SQL oracle unrolls the identical recurrence.
+    Normalization is by MAX (not sum) to keep every intermediate within
+    deg_max·S² < 2^63 (S = 10^6 leaves headroom to deg_max ~ 9e6).
+    Shared by the in-process gate and the distributed path."""
+    h = np.full(nu, scale, np.int64)
+    a = np.zeros(nv, np.int64)
+    for _ in range(iters):
+        a = np.zeros(nv, np.int64)
+        np.add.at(a, dst, h[src])
+        a = a * scale // max(1, int(a.max()) if len(a) else 1)
+        h = np.zeros(nu, np.int64)
+        np.add.at(h, src, a[dst])
+        h = h * scale // max(1, int(h.max()) if len(h) else 1)
+    return h, a
+
+
+def hits_int(edges, iters: int = 2, scale: int = 10**6,
+             u_col: str = "u", v_col: str = "v",
+             max_inprocess_edges: int = 1_000_000):
+    """HITS hubs & authorities over the DIRECTED (u → v) edge set —
+    natural on bipartite graphs (suppliers = hubs, parts = authorities).
+    Integer fixed point: h₀ = S on every source node; per round
+    a(v) = Σ h(u) over in-edges, max-normalized to S by floor division,
+    then h(u) = Σ a(v) over out-edges, max-normalized — deterministic
+    int64, so the DuckDB oracle unrolls the same recurrence and matches
+    hash-for-hash (the pagerank_int pattern).
+
+    Distributed round = 2 bucket joins (scores onto edge endpoints) +
+    2 count-combiner groupbys + 2 scalar MAX folds; driver state is two
+    scalars per round.  In-process gate below ``max_inprocess_edges``
+    (collapsed by KGRAY_FORCE_DISTRIBUTED) runs the same kernel.
+    Returns (node, score, side) rows, side ∈ {'hub', 'auth'}."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import bucket_join
+
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64()),
+                         "side": pa.array([], pa.string())})
+    if edges.count() <= gate(max_inprocess_edges):
+        df = edges.to_pandas()
+        hubs, hi = np.unique(df[u_col].to_numpy(), return_inverse=True)
+        auths, ai = np.unique(df[v_col].to_numpy(), return_inverse=True)
+        h, a = _hits_int_kernel(hi, ai, len(hubs), len(auths), iters,
+                                scale)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([hubs, auths])),
+                "score": pa.array(np.concatenate([h, a]), pa.int64()),
+                "side": pa.array(["hub"] * len(hubs) + ["auth"] * len(auths)),
+            }
+        )
+
+    def distinct_side(col: str):
+        def part(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": pc.unique(batch[col].combine_chunks())})
+
+        from ray.data.aggregate import Min
+
+        return (
+            edges.map_batches(part, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("node", alias_name="_"))
+            .select_columns(["node"])
+        )
+
+    def with_score(ds, value: int):
+        return ds.map_batches(
+            lambda b, value=value: b.append_column(
+                "score", pa.array(np.full(len(b), value, np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def propagate(score_ds, join_col: str, out_col: str):
+        """Σ score over edges joined on ``join_col``, grouped by
+        ``out_col``, then max-normalized to ``scale``."""
+        raw = (
+            bucket_join(edges, score_ds, on=join_col, right_on="node",
+                        how="inner")
+            .map_batches(
+                lambda b: pa.table({"node": b[out_col], "s": b["score"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("s", alias_name="s"))
+            .materialize()
+        )
+        mx = raw.max("s") or 1
+
+        def norm(batch: pa.Table, mx=int(mx)) -> pa.Table:
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": batch["node"],
+                 "score": pa.array(s * scale // mx, pa.int64())}
+            )
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    h = with_score(distinct_side(u_col), scale)
+    a = None
+    for _ in range(iters):
+        a = propagate(h, u_col, v_col)
+        h = propagate(a, v_col, u_col)
+
+    tag = lambda side: (  # noqa: E731
+        lambda b, side=side: b.append_column(
+            "side", pa.array([side] * len(b), pa.string())
+        )
+    )
+    return h.map_batches(tag("hub"), batch_format="pyarrow").union(
+        a.map_batches(tag("auth"), batch_format="pyarrow")
+    )
+
+
+def _node_triangle_kernel(df: pd.DataFrame, u_col: str, v_col: str,
+                          max_degree: int) -> pa.Table:
+    """Per-node triangle counts via wedge closure — each triangle
+    {a,b,c} closes exactly ONE wedge per center, so counting closed
+    wedges BY CENTER is the per-node count directly (no //3)."""
+    from kgray.util import pairs_within_groups
+
+    u = df[u_col].to_numpy()
+    v = df[v_col].to_numpy()
+    sym = pd.DataFrame(
+        {"center": np.concatenate([u, v]), "nbr": np.concatenate([v, u])}
+    )
+    dtype = df[u_col].dtype.name if df[u_col].dtype.kind in "iu" else "object"
+    w = pairs_within_groups(sym, "center", "nbr", max_block=max_degree,
+                            dtype=dtype, key_out="center")
+    canon = pd.DataFrame(
+        {"u": pd.array(np.minimum(u, v), dtype=dtype),
+         "v": pd.array(np.maximum(u, v), dtype=dtype)}
+    ).drop_duplicates()
+    closed = w.merge(canon, on=["u", "v"])
+    cnt = closed.groupby("center", sort=False).size()
+    return pa.table(
+        {"node": pa.array(cnt.index.to_numpy()),
+         "tri": pa.array(cnt.to_numpy(np.int64), pa.int64())}
+    )
+
+
+def node_triangles(edges, u_col: str = "u", v_col: str = "v",
+                   max_degree: int = 4096,
+                   max_inprocess_edges: int = 1_000_000):
+    """Per-node triangle participation counts over the undirected edge
+    set (the local-clustering-coefficient numerator).  Same wedge-check
+    MR as :func:`triangle_count` but wedges CARRY their center node:
+    stage 1 (center cogroup) emits (u, v, center) wedges, stage 2 (pair
+    cogroup) closes them against canonical edges and folds partial
+    counts per center; a final Sum groupby merges partials.  A triangle
+    closes exactly one wedge per corner, so counts are per-node exact
+    (nodes on no triangle are absent — join degrees downstream).  Nodes
+    above ``max_degree`` are skipped, bounding wedge volume (documented
+    cap, same as triangle_count)."""
+    from ray.data.aggregate import Sum
+
+    from kgray.util import grouped_map, pairs_within_groups
+
+    edges = edges.materialize()
+    if edges.count() <= gate(max_inprocess_edges):
+        return _node_triangle_kernel(edges.to_pandas(), u_col, v_col,
+                                     max_degree)
+
+    sym = _symmetric(edges, u_col, v_col)
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pairs_within_groups(
+            df.rename(columns={"src": "center", "dst": "nbr"}),
+            "center", "nbr", max_block=max_degree,
+            dtype=df["dst"].dtype.name if df["dst"].dtype.kind in "iu"
+            else "object",
+            key_out="center",
+        )
+        out["is_edge"] = pd.array(np.zeros(len(out), np.int8), dtype="int8")
+        return out
+
+    wedge_rows = grouped_map(sym, "src", wedges)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch[u_col], batch[v_col]
+        return pa.table(
+            {
+                "u": pc.min_element_wise(u, v),
+                "v": pc.max_element_wise(u, v),
+                "center": pc.min_element_wise(u, v),  # unused on edge rows
+                "is_edge": pa.array(np.ones(len(batch), np.int8)),
+            }
+        )
+
+    edge_rows = edges.map_batches(canon, batch_format="pyarrow")
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["is_edge"] == 0]
+        e = df[df["is_edge"] == 1]
+        if not len(w) or not len(e):
+            return pd.DataFrame(
+                {"node": pd.array([], dtype=df["center"].dtype.name),
+                 "tri": pd.array([], dtype="int64")}
+            )
+        merged = w.merge(e[["u", "v"]].drop_duplicates(), on=["u", "v"])
+        cnt = merged.groupby("center", sort=False).size()
+        return pd.DataFrame(
+            {"node": cnt.index.to_numpy(),
+             "tri": cnt.to_numpy(np.int64)}
+        )
+
+    partial = grouped_map(wedge_rows.union(edge_rows), "u", close)
+    return partial.groupby("node").aggregate(Sum("tri", alias_name="tri"))
+
+
+def _lpa_kernel(src: np.ndarray, dst: np.ndarray, n: int,
+                rounds: int) -> np.ndarray:
+    """Synchronous label propagation over factorized SYMMETRIC edges:
+    per round each node takes the most frequent label among its
+    neighbors, ties broken by MIN label.  Labels are node indices
+    (np.unique sorts, so index order == id order and min-index ==
+    min-id).  Deterministic by construction — the SQL oracle unrolls
+    the identical (max count, min label) choice with a window MAX."""
+    lbl = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        # count (dst, lbl[src]) pairs; pick per dst: max count, min lbl
+        key = dst.astype(np.int64) * n + lbl[src]
+        uk, cnt = np.unique(key, return_counts=True)
+        node = uk // n
+        cand = uk % n
+        # sort by (node, -count, cand) and take the first row per node
+        order = np.lexsort((cand, -cnt, node))
+        node_s = node[order]
+        first = np.ones(len(node_s), bool)
+        first[1:] = node_s[1:] != node_s[:-1]
+        nxt = lbl.copy()
+        nxt[node_s[first]] = cand[order][first]
+        lbl = nxt
+    return lbl
+
+
+def lpa_labels(edges, rounds: int = 3,
+               u_col: str = "u", v_col: str = "v",
+               max_inprocess_edges: int = 1_000_000):
+    """Community detection by fixed-round synchronous label propagation
+    (Raghavan et al. 2007) over the undirected edge set: label(v) ←
+    most-frequent neighbor label, ties → MIN label, ``rounds`` rounds.
+    Integer label ids + a deterministic tie-break make the recurrence
+    engine-exact, so the DuckDB oracle unrolls it (counts CTE + window
+    MAX + MIN label filter per round — the pagerank_int pattern).
+
+    Distributed round = ONE bucket join (labels onto edge sources) +
+    ONE dst cogroup (vectorized per-dst mode with the same tie-break);
+    state is the (node, lbl) table, materialized per round (CC-loop
+    shape).  Returns (node, lbl)."""
+    from kgray.ops.joins import bucket_join
+    from kgray.util import grouped_map
+
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64())})
+    if edges.count() <= gate(max_inprocess_edges):
+        df = edges.to_pandas()
+        u = df[u_col].to_numpy()
+        v = df[v_col].to_numpy()
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        m = len(u)
+        src = np.concatenate([inv[:m], inv[m:]])
+        dst = np.concatenate([inv[m:], inv[:m]])
+        lbl = _lpa_kernel(src, dst, len(nodes), rounds)
+        return pa.table({"node": pa.array(nodes),
+                         "lbl": pa.array(nodes[lbl], pa.int64())})
+
+    sym = _symmetric(edges, u_col, v_col).materialize()
+    state = node_degrees(edges, u_col, v_col).map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "lbl": pc.cast(b["node"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def mode_per_dst(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby(["dst", "lbl"], sort=False).size().rename("c")
+            .reset_index()
+        )
+        c = c.sort_values(["dst", "c", "lbl"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.drop_duplicates("dst")
+        return pd.DataFrame(
+            {"node": top["dst"].to_numpy(),
+             "lbl": top["lbl"].to_numpy(np.int64)}
+        )
+
+    for _ in range(rounds):
+        joined = bucket_join(
+            sym, state, on="src", right_on="node", how="inner"
+        ).map_batches(
+            lambda b: pa.table({"dst": b["dst"], "lbl": b["lbl"]}),
+            batch_format="pyarrow",
+        )
+        state = grouped_map(joined, "dst", mode_per_dst).materialize()
+    return state

@@ -595,17 +595,11 @@ FROM docs0 d0 LEFT JOIN (
 """
 
 
-def q_copurchase_triangles(sf_dir: str):
-    """Triangle count over the co-purchase graph — the graph-clustering
-    primitive (full SQL oracle for ops/graph.triangle_count, whose
-    kg_link_triangles entry is rows-only).  Edges = part pairs sharing
-    >= 2 distinct orders: the basket pair expansion is one
-    order-keyed cogroup (vectorized self-merge per bucket), partial
-    supports fold in a p1-keyed cogroup (every partial of a pair lands
-    in one bucket) where the HAVING >= 2 filter runs on true totals.
-    triangle_count then does the node-iterator wedge-check MR (or its
-    test-pinned in-process twin under the small-side gate)."""
-    from kgray.ops.graph import triangle_count
+def _copurchase_edges(sf_dir: str):
+    """Co-purchase part graph: part pairs sharing >= 2 distinct orders
+    (basket-pair expansion in an order cogroup, support fold + HAVING in
+    a p1 cogroup).  Shared by the triangle / clustering-coefficient /
+    community queries."""
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -625,8 +619,27 @@ def q_copurchase_triangles(sf_dir: str):
         c = df.groupby(["u", "v"], sort=False)["n"].sum().reset_index()
         return c[c["n"] >= 2][["u", "v"]]
 
-    edges = grouped_map(pairs, "u", fold_edges)
-    return triangle_count(edges)
+    return grouped_map(pairs, "u", fold_edges)
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle count over the co-purchase graph — the graph-clustering
+    primitive (full SQL oracle for ops/graph.triangle_count, whose
+    kg_link_triangles entry is rows-only).  Edges = part pairs sharing
+    >= 2 distinct orders (see :func:`_copurchase_edges`); triangle_count
+    then does the node-iterator wedge-check MR (or its test-pinned
+    in-process twin under the small-side gate)."""
+    from kgray.ops.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(sf_dir))
+
+
+# edge CTEs shared by every co-purchase-graph oracle
+_COPURCHASE_EDGE_SQL = """d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (SELECT u, v FROM p GROUP BY u, v HAVING COUNT(*) >= 2)"""
 
 
 SQL_COPURCHASE_TRIANGLES = """

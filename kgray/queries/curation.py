@@ -331,8 +331,7 @@ def q_dedup_purge(sf_dir: str):
 # same oracle relationship as minhash_dup_docs: with 32 bands x 2 rows,
 # P(LSH misses a j>=0.7 pair) ~ 4e-10, so the sketch is exact here);
 # components via the recursive-CTE min-label closure.
-SQL_DEDUP_PURGE = """
-WITH RECURSIVE
+_NEARDUP_CC_SQL = """WITH RECURSIVE
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -351,7 +350,9 @@ cc AS (
   SELECT src AS node, src AS label FROM sym
   UNION
   SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
-comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)"""
+
+SQL_DEDUP_PURGE = _NEARDUP_CC_SQL + """,
 dropped AS (SELECT node FROM comp WHERE node <> component)
 SELECT doc_id, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT node FROM dropped)

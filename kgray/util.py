@@ -162,11 +162,13 @@ def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
 
 
 def pairs_within_groups(df, key: str, val: str, max_block: int,
-                        dtype: str = "int64"):
+                        dtype: str = "int64", key_out: str | None = None):
     """All unordered pairs (u < v) of distinct ``val`` within each ``key``
     group of ``df`` — the inner kernel for LSH-block / shingle-block pair
     generation.  Groups larger than ``max_block`` are skipped (degenerate
-    blocks).  Returns a DataFrame (u, v) with ``dtype`` columns.
+    blocks).  Returns a DataFrame (u, v) with ``dtype`` columns; when
+    ``key_out`` is set a third column carries each pair's group key (the
+    wedge CENTER for per-node triangle counting).
     Python loops only over groups with >= 2 members; members drive numpy
     repeat, so cost tracks emitted pairs, not input rows.
     """
@@ -175,24 +177,32 @@ def pairs_within_groups(df, key: str, val: str, max_block: int,
     sub = df[[key, val]].drop_duplicates()
     sizes = sub.groupby(key, sort=False)[val].transform("size")
     sub = sub[(sizes >= 2) & (sizes <= max_block)]
-    us, vs = [], []
-    for _, g in sub.groupby(key, sort=False):
+    us, vs, ks = [], [], []
+    for k, g in sub.groupby(key, sort=False):
         members = np.sort(g[val].to_numpy())
         n = len(members)
         iu = np.repeat(np.arange(n), n - np.arange(n) - 1)
         jv = np.concatenate([np.arange(i + 1, n) for i in range(n)])
         us.append(members[iu])
         vs.append(members[jv])
+        if key_out is not None:
+            ks.append(np.full(len(iu), k))
     if us:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "u": pd.array(np.concatenate(us), dtype=dtype),
                 "v": pd.array(np.concatenate(vs), dtype=dtype),
             }
         )
-    return pd.DataFrame(
+        if key_out is not None:
+            out[key_out] = np.concatenate(ks)
+        return out
+    out = pd.DataFrame(
         {"u": pd.array([], dtype=dtype), "v": pd.array([], dtype=dtype)}
     )
+    if key_out is not None:
+        out[key_out] = np.array([], dtype=df[key].dtype)
+    return out
 
 
 def rename_cols(ds, mapping: dict[str, str]):
