@@ -917,3 +917,107 @@ def lpa_labels(edges, rounds: int = 3,
         )
         state = grouped_map(joined, "dst", mode_per_dst).materialize()
     return state
+
+
+def bellman_ford(edges, seeds, rounds: int = 3,
+                 u_col: str = "u", v_col: str = "v", w_col: str = "w",
+                 max_inprocess_edges: int = 1_000_000):
+    """Bounded-round single-source shortest paths over the undirected
+    WEIGHTED edge list (integer weights) — Bellman-Ford relaxation:
+    d_i(node) = MIN(d_{i-1}(node), MIN over edges d_{i-1}(src) + w).
+    All-integer arithmetic is order-exact, so the DuckDB oracle unrolls
+    the identical ``rounds`` relaxations and matches hash-for-hash (the
+    bfs_hops pattern, but distances CAN improve after first discovery,
+    so every round re-relaxes the full reached set — no settled-set
+    shortcut).  Returns (node, dist) for nodes reached within
+    ``rounds`` relaxations; unreached nodes are absent (≡ +inf) in both
+    engines."""
+    from ray.data.aggregate import Min
+
+    from kgray.ops.joins import bucket_join
+
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    if edges.count() <= gate(max_inprocess_edges):
+        df = edges.to_pandas()
+        u = df[u_col].to_numpy()
+        v = df[v_col].to_numpy()
+        w = np.concatenate([df[w_col].to_numpy(np.int64)] * 2)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        m = len(u)
+        src = np.concatenate([inv[:m], inv[m:]])
+        dst = np.concatenate([inv[m:], inv[:m]])
+        big = np.iinfo(np.int64).max // 4
+        dist = np.full(len(nodes), big, np.int64)
+        dist[np.isin(nodes, np.asarray(list(seeds)))] = 0
+        for _ in range(rounds):
+            nxt = dist.copy()
+            cand = dist[src] + w
+            np.minimum.at(nxt, dst, cand)
+            dist = nxt
+        keep = dist < big
+        return pa.table({"node": pa.array(nodes[keep]),
+                         "dist": pa.array(dist[keep], pa.int64())})
+
+    def sym_w(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [batch[u_col].combine_chunks(),
+                     batch[v_col].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [batch[v_col].combine_chunks(),
+                     batch[u_col].combine_chunks()]
+                ),
+                "w": pa.concat_arrays(
+                    [pc.cast(batch[w_col], pa.int64()).combine_chunks()] * 2
+                ),
+            }
+        )
+
+    sym = edges.map_batches(sym_w, batch_format="pyarrow").materialize()
+    # seed init mirrors bfs_hops: only seeds PRESENT in the graph get
+    # dist 0 (the in-process kernel and the SQL oracle drop absent ones)
+    seed_arr = pa.array(list(seeds), pa.int64())
+    state = (
+        sym.map_batches(
+            lambda b, s=seed_arr: pa.table(
+                {"node": pc.unique(
+                    b["src"].combine_chunks().filter(
+                        pc.is_in(b["src"].combine_chunks(), value_set=s)
+                    )
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("node", alias_name="_"))
+        .select_columns(["node"])
+        .map_batches(
+            lambda b: b.append_column(
+                "dist", pa.array(np.zeros(len(b), np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(rounds):
+        cand = bucket_join(
+            sym, state, on="src", right_on="node", how="inner"
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b["dst"],
+                 "dist": pc.add(b["dist"], b["w"])}
+            ),
+            batch_format="pyarrow",
+        )
+        state = (
+            state.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+    return state

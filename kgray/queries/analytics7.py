@@ -227,3 +227,202 @@ sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size
           FROM comp GROUP BY 1)
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
 """
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths (bounded Bellman-Ford) over supplier-part edges
+# ---------------------------------------------------------------------------
+
+_BF_ROUNDS = 3
+
+
+def _weighted_edges(sf_dir: str):
+    """Supplier-part edges weighted by link strength: w = 8 - min(n, 7)
+    where n = lineitem rows for the pair (stronger link = shorter).
+    Near-unique (u, v) keys -> per-batch Arrow count partials + ONE
+    u-keyed cogroup fold (the _part_supplier_edges lesson; a row-level
+    groupby.aggregate can't compress these keys)."""
+
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": pc.cast(batch["l_suppkey"], pa.int64()),
+                "v": pc.cast(pc.add(batch["l_partkey"], 10_000_000),
+                             pa.int64()),
+            }
+        )
+        g = t.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return pa.table({"u": g["u"], "v": g["v"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    pairs = line.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["u", "v"], sort=False)["n"].sum().reset_index()
+        c["w"] = 8 - np.minimum(c["n"].to_numpy(np.int64), 7)
+        return c[["u", "v", "w"]]
+
+    return grouped_map(pairs, "u", fold)
+
+
+def q_supplier_part_shortest(sf_dir: str):
+    """Single-source weighted shortest paths from supplier 1 over the
+    supplier-part graph, 3 Bellman-Ford relaxation rounds — the weighted
+    upgrade of graph_bfs_hops.  Integer weights (8 - min(lineitem rows,
+    7)) keep every relaxation order-exact, so the oracle unrolls the
+    identical d_i = MIN(d_{i-1}, MIN(d_{i-1}(src) + w)) recurrence."""
+    from kgray.ops.graph import bellman_ford
+
+    return bellman_ford(_weighted_edges(sf_dir), seeds=[1],
+                        rounds=_BF_ROUNDS)
+
+
+def _bf_sql(rounds: int = _BF_ROUNDS) -> str:
+    ctes = [
+        """ew AS (SELECT CAST(l_suppkey AS BIGINT) AS u,
+             CAST(l_partkey + 10000000 AS BIGINT) AS v,
+             CAST(8 - LEAST(COUNT(*), 7) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2)""",
+        "symw AS (SELECT u AS src, v AS dst, w FROM ew"
+        " UNION ALL SELECT v, u, w FROM ew)",
+        "b0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist"
+        " FROM symw WHERE src IN (1))",
+    ]
+    prev = "b0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"b{i} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist"
+            " FROM (\n"
+            f"         SELECT node, dist FROM {prev}\n"
+            "         UNION ALL\n"
+            "         SELECT s.dst AS node, d.dist + s.w AS dist\n"
+            f"         FROM symw s JOIN {prev} d ON s.src = d.node\n"
+            "       ) GROUP BY 1)"
+        )
+        prev = f"b{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM {prev}"
+    )
+
+
+SQL_SUPPLIER_PART_SHORTEST = _bf_sql()
+
+
+# ---------------------------------------------------------------------------
+# complex-event-processing pattern match over per-user event sequences
+# ---------------------------------------------------------------------------
+
+_CEP_PATTERN = "v[^p]*p"  # view ... purchase with no purchase in between
+
+
+def q_events_cep_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-style pattern matching: encode each user's
+    time-ordered event-type sequence as a string (first letters are
+    distinct across the 5 types) and count non-overlapping matches of
+    the regex ``v[^p]*p`` (a view followed by the next purchase).  One
+    user cogroup builds the ordered sequence exactly like the SQL
+    ``string_agg(... ORDER BY ts, event_id)`` frame; the regex runs
+    compiled per bucket (ASCII-pinned re == RE2, the pii_redact
+    precedent), and leftmost non-overlapping ``findall`` semantics equal
+    DuckDB ``regexp_extract_all``."""
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    pat = re.compile(_CEP_PATTERN)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        df["ch"] = df["event_type"].str[0]
+        g = df.groupby("user_id", sort=False)["ch"]
+        seqs = g.agg("".join)
+        n_events = g.size()
+        n_matches = np.fromiter(
+            (len(pat.findall(s)) for s in seqs.to_numpy()),
+            np.int64, len(seqs),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": seqs.index.to_numpy(np.int64),
+                "n_events": n_events.to_numpy(np.int64),
+                "n_matches": n_matches,
+                "matched": (n_matches > 0).astype(np.int64),
+            }
+        )
+
+    return grouped_map(ev, "user_id", per_user)
+
+
+SQL_EVENTS_CEP_PATTERN = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS BIGINT)
+         AS n_matches,
+       CAST(regexp_matches(seq, '{_CEP_PATTERN}') AS BIGINT) AS matched
+FROM seqs
+"""
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to kanon_audit)
+# ---------------------------------------------------------------------------
+
+def q_ldiv_audit(sf_dir: str):
+    """l-diversity audit: for each quasi-identifier group (lang,
+    source) count DISTINCT sensitive values (the 500-char length band)
+    — k-anonymity alone leaks when a group's sensitive attribute is
+    constant.  Two-level fold: distinct (QI, band) partials per batch,
+    then a count per QI; flags groups with l < 3."""
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "chars_band": pc.cast(
+                    pc.floor(pc.divide(
+                        pc.cast(batch["n_chars"], pa.float64()), 500.0
+                    )),
+                    pa.int64(),
+                ),
+            }
+        )
+        return t.group_by(["lang", "source", "chars_band"]).aggregate([])
+
+    distinct = pre_aggregate(
+        docs.map_batches(band, batch_format="pyarrow"),
+        ["lang", "source", "chars_band"], {"_n": (None, "count")},
+    )
+    l = pre_aggregate(distinct, ["lang", "source"],
+                      {"l": (None, "count")})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "l": pc.cast(batch["l"], pa.int64()),
+                "at_risk": pc.cast(pc.less(batch["l"], 3), pa.int32()),
+            }
+        )
+
+    return l.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_LDIV_AUDIT = """
+SELECT lang, source,
+       CAST(COUNT(DISTINCT CAST(floor(CAST(n_chars AS DOUBLE) / 500.0)
+                                AS BIGINT)) AS BIGINT) AS l,
+       CAST(COUNT(DISTINCT CAST(floor(CAST(n_chars AS DOUBLE) / 500.0)
+                                AS BIGINT)) < 3 AS INT) AS at_risk
+FROM documents
+GROUP BY 1, 2
+"""

@@ -97,3 +97,47 @@ def test_hits_empty_edges(ray_session):
     )
     t = hits_int(ds)
     assert t.num_rows == 0
+
+
+def test_bellman_ford_two_hop_beats_direct(ray_session):
+    from kgray.ops.graph import bellman_ford
+
+    # direct 1-3 costs 10; 1-2-3 costs 2+3=5; node 4 reachable in 3 hops
+    df = pd.DataFrame(
+        {"u": [1, 2, 1, 3], "v": [2, 3, 3, 4], "w": [2, 3, 10, 1]}
+    )
+    t = bellman_ford(rd.from_pandas(df), seeds=[1], rounds=3)
+    got = dict(zip(t["node"].to_pylist(), t["dist"].to_pylist()))
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+
+
+def test_bellman_ford_paths_agree(ray_session):
+    from kgray.ops.graph import bellman_ford
+
+    df = _rand_edges(seed=23)
+    rng = np.random.default_rng(5)
+    df["w"] = rng.integers(1, 9, len(df)).astype(np.int64)
+    inproc = bellman_ford(rd.from_pandas(df), seeds=[0, 5], rounds=3)
+    inproc = dict(zip(inproc["node"].to_pylist(),
+                      inproc["dist"].to_pylist()))
+    dist_t = bellman_ford(
+        rd.from_pandas(df, override_num_blocks=3), seeds=[0, 5],
+        rounds=3, max_inprocess_edges=0,
+    ).to_pandas()
+    dist = dict(zip(dist_t["node"], dist_t["dist"]))
+    assert inproc == dist
+
+
+def test_bellman_ford_absent_seed_dropped(ray_session):
+    from kgray.ops.graph import bellman_ford
+
+    df = pd.DataFrame({"u": [1], "v": [2], "w": [4]})
+    for kw in ({}, {"max_inprocess_edges": 0}):
+        t = bellman_ford(rd.from_pandas(df), seeds=[1, 99], rounds=2, **kw)
+        got = dict(zip(
+            (t["node"].to_pylist() if isinstance(t, pa.Table)
+             else t.to_pandas()["node"].tolist()),
+            (t["dist"].to_pylist() if isinstance(t, pa.Table)
+             else t.to_pandas()["dist"].tolist()),
+        ))
+        assert got == {1: 0, 2: 4}
