@@ -426,3 +426,200 @@ SELECT lang, source,
 FROM documents
 GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (probabilistic ER)
+# ---------------------------------------------------------------------------
+
+# integer micro-unit log-weights (the dsir trick): the constants are
+# computed ONCE here and embedded as literals into the SQL, so no
+# cross-engine log evaluation exists at query time.
+_FS_M_U = {"name": (0.95, 0.001), "phone": (0.9, 0.0005),
+           "band": (0.8, 0.1)}
+_FS_W = {
+    f: (int(round(1e6 * math.log(m / u))),
+        int(round(1e6 * math.log((1 - m) / (1 - u)))))
+    for f, (m, u) in _FS_M_U.items()
+}
+_FS_REVIEW = 5_000_000   # emit pairs above this (review queue)
+_FS_MATCH = 10_000_000   # classify as match above this
+
+
+def q_customer_linkage_scores(sf_dir: str):
+    """Fellegi-Sunter probabilistic record linkage: score candidate
+    pairs between the customer table and a deterministically perturbed
+    snapshot (keys +1e6; phone corrupted for key%3, name for key%5,
+    balance band shifted for key%2 — the contact_extract
+    synthesize-in-both-engines trick).  Candidates block on
+    (nationkey, mktsegment); each pair scores Σ over fields of the
+    agree/disagree log-likelihood weight, pre-scaled to INTEGER
+    micro-units so summation is order-exact.  One nationkey cogroup
+    does everything — the perturbed side derives from the same bucket
+    rows, so there is NO join shuffle at all.  Emits pairs above the
+    review threshold with the match classification."""
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey",
+                  "c_acctbal", "c_mktsegment"])
+    (wn_a, wn_d) = _FS_W["name"]
+    (wp_a, wp_d) = _FS_W["phone"]
+    (wb_a, wb_d) = _FS_W["band"]
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        # the table has no phone column: synthesize one deterministically
+        # from the key in BOTH engines (the contact_extract trick)
+        phone = ("555-" + pd.Series(1000 + k % 9000).astype(str)) \
+            .to_numpy(object)
+        cents = round_half_up(
+            df["c_acctbal"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        band = cents // 100_000
+        base = pd.DataFrame(
+            {
+                "nk": df["c_nationkey"].to_numpy(np.int64),
+                "seg": df["c_mktsegment"].to_numpy(object),
+            }
+        )
+        a = base.assign(
+            k=k, name=df["c_name"].to_numpy(object),
+            phone=phone, band=band,
+        )
+        b = base.assign(
+            k=k + 1_000_000,
+            name=np.where(k % 5 == 0, df["c_name"] + "~", df["c_name"]),
+            phone=np.where(k % 3 == 0, phone + "X", phone),
+            band=band + (k % 2 == 0).astype(np.int64),
+        )
+        m = a.merge(b, on=["nk", "seg"], suffixes=("_a", "_b"))
+        score = (
+            np.where(m["name_a"] == m["name_b"], wn_a, wn_d)
+            + np.where(m["phone_a"] == m["phone_b"], wp_a, wp_d)
+            + np.where(m["band_a"] == m["band_b"], wb_a, wb_d)
+        ).astype(np.int64)
+        keep = score >= _FS_REVIEW
+        return pd.DataFrame(
+            {
+                "u": m["k_a"].to_numpy(np.int64)[keep],
+                "v": m["k_b"].to_numpy(np.int64)[keep],
+                "score": score[keep],
+                "is_match": (score[keep] >= _FS_MATCH).astype(np.int32),
+            }
+        )
+
+    return grouped_map(cust, "c_nationkey", per_block)
+
+
+SQL_CUSTOMER_LINKAGE_SCORES = f"""
+WITH ph AS (
+  SELECT *, '555-' || CAST(1000 + c_custkey % 9000 AS VARCHAR) AS c_phone
+  FROM customer),
+a AS (
+  SELECT c_custkey AS k, c_name AS name, c_phone AS phone,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+         c_nationkey, c_mktsegment
+  FROM ph),
+b AS (
+  SELECT c_custkey + 1000000 AS k,
+         CASE WHEN c_custkey % 5 = 0 THEN c_name || '~' ELSE c_name END
+           AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN c_phone || 'X' ELSE c_phone END
+           AS phone,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+           + CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS band,
+         c_nationkey, c_mktsegment
+  FROM ph),
+p AS (
+  SELECT a.k AS u, b.k AS v,
+         (CASE WHEN a.name = b.name THEN {_FS_W['name'][0]}
+               ELSE {_FS_W['name'][1]} END
+          + CASE WHEN a.phone = b.phone THEN {_FS_W['phone'][0]}
+                 ELSE {_FS_W['phone'][1]} END
+          + CASE WHEN a.band = b.band THEN {_FS_W['band'][0]}
+                 ELSE {_FS_W['band'][1]} END) AS score
+  FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+               AND a.c_mktsegment = b.c_mktsegment)
+SELECT u, v, CAST(score AS BIGINT) AS score,
+       CAST(score >= {_FS_MATCH} AS INT) AS is_match
+FROM p WHERE score >= {_FS_REVIEW}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sampled-splits range partitioner audit
+# ---------------------------------------------------------------------------
+
+def q_value_range_partition(sf_dir: str):
+    """The sort-shuffle range partitioner, oracle-checked: an md5-
+    deterministic 1/16 sample of events.value yields 7 exact rank-
+    quantile split points (rank = ceil(i/8 · n) over the sample, the
+    doclen_quantiles convention), then every row is assigned bucket =
+    #boundaries <= cents (searchsorted right) and per-bucket count /
+    min / max fold distributed.  Duplicate boundary VALUES are kept as
+    a multiset on both sides, so bucket numbering stays consistent.
+    Integer cents end-to-end."""
+    from kgray.ops.sample import _md5_hex, rank_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents_all(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_id": batch["event_id"], "cents": pa.array(c)}
+        )
+
+    evc = ev.map_batches(cents_all, batch_format="pyarrow").materialize()
+
+    def sample(batch: pa.Table) -> pa.Table:
+        hs = _md5_hex(batch["event_id"].to_pylist())
+        keep = np.fromiter((h[0] == "0" for h in hs), bool, len(hs))
+        return pa.table(
+            {"cents": batch["cents"].filter(pa.array(keep))}
+        )
+
+    samp = evc.map_batches(sample, batch_format="pyarrow")
+    ps = [i / 8 for i in range(1, 8)]
+    bounds = np.sort(
+        rank_quantiles(samp, "cents", ps)["value"].to_numpy()
+    ).astype(np.int64)
+
+    def assign(batch: pa.Table, bounds=bounds) -> pa.Table:
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.searchsorted(bounds, c, side="right")
+                    .astype(np.int64)
+                ),
+                "cents": batch["cents"],
+            }
+        )
+
+    return pre_aggregate(
+        evc.map_batches(assign, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_rows": (None, "count"), "min_cents": ("cents", "min"),
+         "max_cents": ("cents", "max")},
+    )
+
+
+SQL_VALUE_RANGE_PARTITION = """
+WITH ev AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+s AS (SELECT cents FROM ev
+      WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n FROM s),
+b AS (SELECT r.cents AS val
+      FROM r JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) t(i)
+        ON r.rn = CAST(ceil(t.i * 0.125 * r.n) AS BIGINT))
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM (SELECT e.cents,
+             CAST((SELECT COUNT(*) FROM b WHERE b.val <= e.cents)
+                  AS BIGINT) AS bucket
+      FROM ev e)
+GROUP BY 1
+"""
