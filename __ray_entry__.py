@@ -794,13 +794,17 @@ WITH sh AS (
          list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
   FROM documents
-  WHERE len(string_split(text,' ')) >= 3)
-SELECT a.doc_id AS u, b.doc_id AS v,
-       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jac
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+  WHERE len(string_split(text,' ')) >= 3),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cand AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS common
+         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT c.u, c.v,
+       ROUND(CAST(c.common AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles) - c.common), 4) AS jac
+FROM cand c JOIN sh a ON c.u = a.doc_id JOIN sh b ON c.v = b.doc_id
+WHERE CAST(c.common AS DOUBLE) /
+      (len(a.shingles) + len(b.shingles) - c.common) >= 0.7
 """,
             # Linking over golden triples: exact char-2-gram Jaccard over
             # distinct normalized (type, mention) pairs, same-type gate,

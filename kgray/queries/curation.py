@@ -339,12 +339,15 @@ sh AS (
                 || ' ' || string_split(text,' ')[i+2])) AS shingles
   FROM documents
   WHERE len(string_split(text,' ')) >= 3),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cand AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS common
+         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
 p AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        (len(a.shingles) + len(b.shingles)
-         - len(list_intersect(a.shingles, b.shingles))) >= 0.7),
+  SELECT c.u, c.v
+  FROM cand c JOIN sh a ON c.u = a.doc_id JOIN sh b ON c.v = b.doc_id
+  WHERE CAST(c.common AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - c.common) >= 0.7),
 sym AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
 cc AS (
   SELECT src AS node, src AS label FROM sym
