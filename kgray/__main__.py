@@ -137,8 +137,36 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--target-mb", type=int, default=128)
     k.set_defaults(fn=_cmd_compact)
 
+    v = sub.add_parser(
+        "versions",
+        help="list a table's snapshot chain, or expire old snapshots "
+             "and vacuum unreferenced bytes",
+    )
+    v.add_argument("tables", nargs="+", help="manifested table dirs")
+    v.add_argument("--expire-keep-last", type=int, default=0,
+                   help="if > 0, drop all but the newest N snapshots and "
+                        "vacuum data files no surviving snapshot or the "
+                        "current manifest references")
+    v.set_defaults(fn=_cmd_versions)
+
     args = ap.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_versions(args) -> int:
+    import json as _json
+
+    from kgray.io import expire_versions, list_versions
+
+    out = {}
+    for path in args.tables:
+        dropped = (
+            expire_versions(path, keep_last=args.expire_keep_last)
+            if args.expire_keep_last > 0 else 0
+        )
+        out[path] = {"dropped": dropped, "versions": list_versions(path)}
+    print(_json.dumps(out, indent=1))
+    return 0
 
 
 def _cmd_compact(args) -> int:

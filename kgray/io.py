@@ -183,14 +183,20 @@ class _WriteSlices:
         return pa.table(cols)
 
 
-def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int]) -> None:
+def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int],
+             protected: dict[int, set[str]] | None = None) -> None:
     """Delete on-disk data not attested by the kept manifest partitions:
     whole dirs for partitions being rewritten, unmanifested files (crashed
     or retried attempts) inside kept partitions.  Runs before every write
     so a resumed run can never re-append next to stale bytes (the round-1
-    silent-duplication hazard)."""
+    silent-duplication hazard).
+
+    ``protected`` (partition -> file basenames): bytes attested by an
+    archived VERSION snapshot (time travel) — never deleted here; they
+    are reclaimed only by :func:`expire_versions`."""
     if not os.path.isdir(data_dir):
         return
+    protected = protected or {}
     kept_files: dict[int, set[str] | None] = {}
     if keep_manifest is not None:
         for pstr, meta in keep_manifest.get("partitions", {}).items():
@@ -208,13 +214,22 @@ def _hygiene(data_dir: str, keep_manifest: dict | None, keep: set[int]) -> None:
         except ValueError:
             continue
         pdir = os.path.join(data_dir, entry)
+        prot = protected.get(p, set())
         if p not in keep:
-            shutil.rmtree(pdir, ignore_errors=True)
+            if not prot:
+                shutil.rmtree(pdir, ignore_errors=True)
+            else:
+                for f in os.listdir(pdir):
+                    if f not in prot:
+                        try:
+                            os.remove(os.path.join(pdir, f))
+                        except OSError:
+                            pass
             continue
         attested_set = kept_files.get(p, set())
         if attested_set is None:  # pre-'files' manifest: leave bytes alone
             continue
-        attested = {os.path.basename(f) for f in attested_set}
+        attested = {os.path.basename(f) for f in attested_set} | prot
         for f in os.listdir(pdir):
             if f not in attested:
                 try:
@@ -256,7 +271,7 @@ def write_partitioned(
     os.makedirs(data_dir, exist_ok=True)
     keep = set(keep_partitions or ())
     old = read_manifest(path) if keep else None
-    _hygiene(data_dir, old, keep)
+    _hygiene(data_dir, old, keep, _version_protected_files(path))
 
     tagged = add_partition_column(ds, key_col, num_partitions)
     raw = tagged.map_batches(
@@ -304,6 +319,11 @@ def write_partitioned(
         "input_fingerprint": input_fingerprint,
         "partitions": partitions,
     }
+    # snapshot FIRST, then swap the current manifest: a crash in between
+    # leaves an archived snapshot whose attested files are already on
+    # disk (the write completed), never a current manifest that lacks
+    # its snapshot (which would let the next write reuse its version id)
+    _snapshot_version(path, manifest)
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -342,6 +362,116 @@ def read_manifest(path: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# snapshot versioning (Iceberg-style time travel over the same manifests)
+# ---------------------------------------------------------------------------
+
+VERSIONS_DIR = "_versions"
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, VERSIONS_DIR)
+
+
+def _existing_versions(path: str) -> dict[int, str]:
+    """version number -> snapshot file path, for all archived versions."""
+    d = _versions_dir(path)
+    out: dict[int, str] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out[int(f[1:-5])] = os.path.join(d, f)
+            except ValueError:
+                continue
+    return out
+
+
+def _snapshot_version(path: str, manifest: dict) -> None:
+    """Assign the next version number to ``manifest`` (in place) and
+    archive an immutable copy under ``_versions/vNNNNNN.json``.  Every
+    successful write/append/compact creates one snapshot; data files
+    referenced by a snapshot are protected from hygiene until
+    :func:`expire_versions` drops the snapshot."""
+    vs = _existing_versions(path)
+    v = (max(vs) + 1) if vs else 1
+    manifest["version"] = v
+    manifest["parent_version"] = max(vs) if vs else None
+    d = _versions_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"v{v:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(d, f"v{v:06d}.json"))
+
+
+def read_version_manifest(path: str, version: int) -> dict:
+    vs = _existing_versions(path)
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not found under {path} "
+            f"(have {sorted(vs) or 'none'})"
+        )
+    with open(vs[version]) as f:
+        return json.load(f)
+
+
+def _version_protected_files(path: str) -> dict[int, set[str]]:
+    """partition -> file BASENAMES attested by any archived snapshot
+    (the set hygiene/compaction must never delete)."""
+    out: dict[int, set[str]] = {}
+    for _, fp in _existing_versions(path).items():
+        try:
+            with open(fp) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for pstr, meta in m.get("partitions", {}).items():
+            s = out.setdefault(int(pstr), set())
+            for fn in meta.get("files", ()):
+                s.add(os.path.basename(fn))
+    return out
+
+
+def list_versions(path: str) -> list[dict]:
+    """Version chain, ascending: (version, parent_version, stage, rows,
+    content_hash) per snapshot — the audit/time-travel index."""
+    out = []
+    for v in sorted(_existing_versions(path)):
+        m = read_version_manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "parent_version": m.get("parent_version"),
+                "stage": m.get("stage", ""),
+                "rows": sum(int(p["rows"])
+                            for p in m.get("partitions", {}).values()),
+                "content_hash": manifest_content_hash(m),
+            }
+        )
+    return out
+
+
+def expire_versions(path: str, keep_last: int = 1) -> int:
+    """Drop all but the newest ``keep_last`` snapshots and vacuum data
+    files referenced by neither the current manifest nor a surviving
+    snapshot (the Iceberg expire-snapshots + orphan-vacuum move).
+    Returns the number of snapshots dropped."""
+    vs = _existing_versions(path)
+    drop = sorted(vs)[:-keep_last] if keep_last > 0 else sorted(vs)
+    for v in drop:
+        try:
+            os.remove(vs[v])
+        except OSError:
+            pass
+    m = read_manifest(path)
+    keep = {int(k) for k in (m or {}).get("partitions", {})}
+    _hygiene(os.path.join(path, "data"), m, keep,
+             _version_protected_files(path))
+    return len(drop)
 
 
 def completed_partitions(path: str, input_fingerprint: str = "") -> set[int]:
@@ -395,7 +525,10 @@ def zone_partitions(path: str, zone_filter: dict) -> set[str] | None:
     None for an open end).  Returns None when the manifest carries no
     zones for a requested column — the caller must then read everything
     (never silently prune on absent stats)."""
-    m = read_manifest(path)
+    return _zone_keep(read_manifest(path), zone_filter)
+
+
+def _zone_keep(m: dict | None, zone_filter: dict) -> set[str] | None:
     if m is None:
         return None
     keep: set[str] = set()
@@ -419,22 +552,31 @@ def zone_partitions(path: str, zone_filter: dict) -> set[str] | None:
 
 
 def read_table(path: str, columns: list[str] | None = None,
-               zone_filter: dict | None = None):
+               zone_filter: dict | None = None,
+               version: int | None = None):
     """Read back a table written by write_partitioned (data lives under
     ``<path>/data``, the manifest beside it).
 
     Reads ONLY manifest-attested files — stale bytes from crashed or
     retried write attempts on disk are invisible to readers (exactly-once
     at the read layer).  Falls back to a directory scan for tables written
-    without a files-bearing manifest."""
+    without a files-bearing manifest.
+
+    ``version``: time travel — read the files attested by that archived
+    snapshot instead of the current manifest (zone pruning then uses the
+    SNAPSHOT's zones).  Raises FileNotFoundError for expired/unknown
+    versions."""
     import ray.data as rd
 
     data_dir = os.path.join(path, "data")
     target = data_dir if os.path.isdir(data_dir) else path
-    m = read_manifest(path)
+    if version is not None:
+        m = read_version_manifest(path, version)
+    else:
+        m = read_manifest(path)
     keep = None
     if zone_filter:
-        keep = zone_partitions(path, zone_filter)
+        keep = _zone_keep(m, zone_filter)
     paths = None
     if m is not None and m.get("partitions"):
         files = [
@@ -448,6 +590,8 @@ def read_table(path: str, columns: list[str] | None = None,
         elif keep is not None:
             return None  # every partition zone-pruned: empty result
     if paths is None:
+        if version is not None:
+            return None  # empty snapshot: never fall back to current bytes
         if not any(files for _, _, files in os.walk(target)):
             return None  # empty table (write_partitioned of an empty Dataset)
         paths = target
@@ -529,11 +673,18 @@ def compact_partitioned(path: str, target_bytes: int = 128 << 20) -> dict:
         old_files.extend(meta["files"])
         meta["files"] = sorted(new_files)
         meta["bytes"] = int(new_bytes)
+    # compaction is content-preserving but changes the file set: archive
+    # it as a new snapshot so the version chain stays read-consistent
+    _snapshot_version(path, manifest)
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(path, MANIFEST))
+    protected = _version_protected_files(path)
     for f in old_files:  # only after the manifest swap
+        p_of = int(f.split("=", 1)[1].split("/", 1)[0])
+        if os.path.basename(f) in protected.get(p_of, set()):
+            continue  # still attested by an archived snapshot
         try:
             os.remove(os.path.join(data_dir, f))
         except FileNotFoundError:

@@ -48,7 +48,12 @@ def test_compact_reduces_files_preserves_content(ray_session, tmp_path):
                                   want.reset_index(drop=True),
                                   check_like=True)
 
-    # on-disk state matches the manifest exactly (olds deleted)
+    # pre-compaction bytes stay on disk while their snapshot lives
+    # (time travel); expire-and-vacuum reclaims them, after which the
+    # on-disk state matches the manifest exactly
+    from kgray.io import expire_versions
+
+    expire_versions(out, keep_last=1)
     m2 = read_manifest(out)
     disk = set()
     data = os.path.join(out, "data")
