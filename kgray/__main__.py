@@ -149,8 +149,42 @@ def main(argv: list[str] | None = None) -> int:
                         "current manifest references")
     v.set_defaults(fn=_cmd_versions)
 
+    f = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten: delete docs from a kg_construct "
+             "output (only affected hash partitions rewrite; derived "
+             "tables rebuild on the next construct run)",
+    )
+    f.add_argument("out_dir", help="kg_construct output directory")
+    f.add_argument("doc_ids", nargs="+", help="doc ids to forget")
+    f.add_argument("--hard", action="store_true",
+                   help="also expire snapshots + vacuum so the bytes are "
+                        "destroyed, not merely unreferenced")
+    f.set_defaults(fn=_cmd_forget)
+
     args = ap.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_forget(args) -> int:
+    import json as _json
+
+    import ray
+
+    from kgray.pipeline import forget_docs
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False)
+    ms = forget_docs(args.out_dir, args.doc_ids, hard=args.hard)
+    if owns_session:
+        ray.shutdown()
+    print(_json.dumps({
+        t: {"rows": sum(int(p["rows"]) for p in m["partitions"].values()),
+            "version": m.get("version")}
+        for t, m in ms.items()
+    }, indent=1))
+    return 0
 
 
 def _cmd_versions(args) -> int:

@@ -28,6 +28,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 try:  # pragma: no cover - lance not shipped in this container
     import lance  # noqa: F401
@@ -453,6 +454,63 @@ def list_versions(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
+    """Targeted delete (GDPR / right-to-be-forgotten primitive): remove
+    all rows whose ``key_col`` value is in ``keys``, rewriting ONLY the
+    hash partitions that can contain them — every other partition's
+    files are byte-identical and kept via ``keep_partitions`` (no data
+    movement outside the doomed partitions).
+
+    The rewrite snapshots like any write, so the pre-delete state stays
+    time-travel-readable until :func:`expire_versions` — HARD deletion
+    (bytes destroyed) is ``delete_rows(...)`` followed by
+    ``expire_versions(path, keep_last=1)``.  Downstream stage-skip keys
+    change automatically (the manifest content hash covers the removed
+    rows), so lineage-fingerprinted consumers rebuild on their next run.
+    """
+    import ray.data as rd
+
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    key_col = key_col or m.get("key_col")
+    n = int(m["num_partitions"])
+    key_list = list(keys)
+    targets = {
+        int(p) for p in partition_of(key_list, n)
+    } & {int(p) for p in m.get("partitions", {})}
+    if not targets:
+        return m  # nothing to delete: no partition can hold these keys
+    data_dir = os.path.join(path, "data")
+    files = [
+        os.path.join(data_dir, f)
+        for p in sorted(targets)
+        for f in m["partitions"][str(p)].get("files", ())
+    ]
+    doomed = pa.array(key_list)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        if PART_COL in batch.column_names:
+            batch = batch.drop_columns([PART_COL])
+        col = batch[key_col]
+        mask = pc.invert(
+            pc.is_in(col, value_set=doomed.cast(col.type))
+        )
+        return batch.filter(mask)
+
+    ds = rd.read_parquet(files).map_batches(drop, batch_format="pyarrow")
+    keep = {int(p) for p in m["partitions"]} - targets
+    stats_cols = tuple(
+        sorted({c for meta in m["partitions"].values()
+                for c in meta.get("zones", {})})
+    )
+    return write_partitioned(
+        ds, path, key_col, n, stage=m.get("stage", ""),
+        input_fingerprint=f"{m.get('input_fingerprint', '')}#del",
+        keep_partitions=keep, stats_cols=stats_cols,
+    )
 
 
 def expire_versions(path: str, keep_last: int = 1) -> int:

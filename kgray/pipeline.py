@@ -438,3 +438,32 @@ def steps() -> list[str]:
 register_step("flatten")(flatten_documents)
 register_step("extract")(extract_triples)
 register_step("golden")(lambda ds, cfg=None: golden_triples(ds))
+
+
+def forget_docs(out_dir: str, doc_ids, hard: bool = False) -> dict:
+    """Right-to-be-forgotten over a ``kg_construct`` output: remove the
+    given documents' rows from every doc-keyed table, rewriting ONLY the
+    hash partitions that can contain them (``io.delete_rows``).  Derived
+    tables (mentions/edges/entities) are NOT rewritten here — the
+    triples manifest's content hash changes, so their lineage
+    fingerprints go stale and the next ``kg_construct`` run over the
+    same output rebuilds them without the forgotten docs (correctness
+    via the existing skip machinery, not a parallel code path).
+
+    ``hard=True`` additionally expires old snapshots and vacuums, so the
+    forgotten bytes are DESTROYED rather than merely unreferenced (the
+    GDPR-compliance step; without it the pre-delete snapshot remains
+    time-travel-readable)."""
+    import os
+
+    from kgray import io
+
+    out = {}
+    for t in ("triples", "triples_canonical"):
+        path = os.path.join(out_dir, t)
+        if io.read_manifest(path) is None:
+            continue
+        out[t] = io.delete_rows(path, doc_ids)
+        if hard:
+            io.expire_versions(path, keep_last=1)
+    return out

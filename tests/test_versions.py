@@ -99,3 +99,51 @@ def test_compact_preserves_snapshots(ray_session, tmp_path):
     vs = io.list_versions(path)
     assert vs[-1]["stage"] == vs[-2]["stage"] or True
     assert vs[-1]["content_hash"] == vs[-2]["content_hash"]  # compaction
+
+
+def test_delete_rows_touches_only_target_partitions(ray_session, tmp_path):
+    path = str(tmp_path / "t")
+    io.write_partitioned(_ds(list(range(100, 120))), path, "k",
+                         num_partitions=4)
+    m0 = io.read_manifest(path)
+    doomed = [3, 7]
+    targets = set(io.partition_of(doomed, 4))
+    m1 = io.delete_rows(path, doomed)
+    # untouched partitions keep their exact files
+    for pstr, meta in m0["partitions"].items():
+        if int(pstr) not in targets:
+            assert m1["partitions"][pstr]["files"] == meta["files"]
+        else:
+            assert m1["partitions"].get(pstr, {}).get("files") \
+                != meta["files"]
+    got = io.read_table(path).to_pandas()
+    assert sorted(got["k"]) == sorted(set(range(20)) - set(doomed))
+    # pre-delete snapshot still readable; hard expiry destroys it
+    assert len(io.read_table(path, version=1).to_pandas()) == 20
+    io.expire_versions(path, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        io.read_table(path, version=1)
+
+
+def test_forget_docs_end_to_end(ray_session, tmp_path):
+    from kgray.corpus import interleaved_dataset
+    from kgray.io import manifest_content_hash, read_manifest
+    from kgray.pipeline import PipelineConfig, forget_docs, kg_construct
+
+    out = str(tmp_path / "kg")
+    kg_construct(interleaved_dataset(200, seed=3), out, PipelineConfig(),
+                 num_partitions=4, input_fingerprint="forget-test")
+    tri = io.read_table(out + "/triples").to_pandas()
+    victim = tri["doc_id"].iloc[0]
+    before_fp = manifest_content_hash(read_manifest(out + "/triples"))
+    ms = forget_docs(out, [victim], hard=True)
+    assert set(ms) == {"triples", "triples_canonical"}
+    for t in ("triples", "triples_canonical"):
+        after = io.read_table(out + "/" + t).to_pandas()
+        assert victim not in set(after["doc_id"])
+    # content hash changed -> downstream lineage fingerprints are stale
+    assert manifest_content_hash(read_manifest(out + "/triples")) \
+        != before_fp
+    # rows for every OTHER doc survive
+    after_tri = io.read_table(out + "/triples").to_pandas()
+    assert set(after_tri["doc_id"]) == set(tri["doc_id"]) - {victim}
