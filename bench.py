@@ -102,6 +102,12 @@ SUITE = [
     "dsir_weights",
     "lm3_score",
     "cross_dup_docs",
+    # round-4 session 16: HITS over the bipartite graph (two interleaved
+    # propagation passes per round) and Fellegi-Sunter blocked linkage
+    # scoring (the probabilistic-ER kernel); suite totals before these
+    # two entries exclude them
+    "supplier_part_hits",
+    "customer_linkage_scores",
 ]
 
 

@@ -96,3 +96,22 @@ def test_lpa_labels_are_member_nodes(ray_session):
     assert len(out)
     # every propagated label is itself a graph node
     assert set(out["lbl"]) <= set(out["node"])
+
+
+def test_int_ewma_matches_scalar_recurrence(ray_session):
+    from kgray.queries.analytics7 import q_events_int_ewma
+    import pandas as pd
+    from kgray.util import round_half_up
+
+    out = q_events_int_ewma(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(
+        SF + "/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in list(ev.groupby("user_id"))[:5]:
+        cents = round_half_up(g["value"].to_numpy() * 100.0, 0).astype(int)
+        l = int(cents[0])
+        for x in cents[1:]:
+            l = (int(x) + 3 * l) // 4
+        assert out.loc[uid, "ewma_cents"] == l
+        assert out.loc[uid, "n"] == len(g)
