@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -361,3 +362,100 @@ def label_diversity(embeddings, label_col: str = "label",
             "avg_cos": pa.array(round_half_up(avg, digits), pa.float64()),
         }
     )
+
+
+def kmeans_int(ds, k: int = 4, iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               scale: int = 10**6, shift: int = 10**7):
+    """Integer fixed-point Lloyd k-means — the oracle-checkable face of
+    the k-means family (float :func:`kmeans_lloyd` stays rows-only:
+    float centroid means drift across engines).  Vectors quantize to
+    int64 micro-units SHIFTED POSITIVE (round(x·1e6)+1e7): the uniform
+    shift cancels in every distance, and keeping centroid sums positive
+    makes floor division equal DuckDB's truncating ``//`` (the
+    linkage-band lesson).  Init = the ``k`` lowest-id vectors
+    (deterministic); ties in the argmin break to the LOWEST cluster id
+    (numpy argmin-first == SQL MIN(k) at equal exact distances).  All
+    arithmetic is exact int64 (|diff| <= ~4e6, so dist <= 64·1.6e13 ~
+    1e15; dot-products <= 6.4e15), so a DuckDB oracle that unrolls the
+    identical assign/update recurrence matches hash-for-hash.
+
+    Scale shape mirrors kmeans_lloyd: centroids broadcast via ray.put,
+    each round is ONE streaming pass emitting long-format
+    (cluster, dim, sum) int partials + counts (cluster-scale fold, no
+    vector all-to-all); empty clusters carry their previous centroid.
+    Returns (id, cluster) rows from a final assignment pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgray.util import round_half_up
+
+    ds = ds.materialize()
+
+    def quant(t: pa.Table) -> np.ndarray:
+        m = _matrix(t, vec_col).astype(np.float64)
+        return round_half_up(m * scale, 0).astype(np.int64) + shift
+
+    init_t = ds.filter(expr=f"{id_col} < {k}").to_pandas() \
+        .sort_values(id_col)
+    C = quant(pa.Table.from_pandas(init_t[[vec_col]]))
+    k_eff = len(C)
+    d = C.shape[1]
+
+    def assign(m: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        # argmin ||m-c||^2 == argmin ||c||^2 - 2 m.c (exact int64; the
+        # dropped ||m||^2 is constant per row so ties are preserved)
+        scores = (C_ * C_).sum(axis=1)[None, :] - 2 * (m @ C_.T)
+        return scores.argmin(axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = quant(batch)
+            a = assign(m, ray.get(ref))
+            S = np.zeros((k_eff, d), np.int64)
+            np.add.at(S, a, m)
+            n = np.bincount(a, minlength=k_eff)
+            live = np.nonzero(n)[0]
+            cs = [np.repeat(live, d), live]
+            js = [np.tile(np.arange(d, dtype=np.int64), len(live)),
+                  np.full(len(live), -1, np.int64)]
+            vs = [S[live].ravel(), n[live]]
+            return pa.table(
+                {
+                    "c": pa.array(np.concatenate(cs), pa.int64()),
+                    "j": pa.array(np.concatenate(js), pa.int64()),
+                    "v": pa.array(np.concatenate(vs), pa.int64()),
+                }
+            )
+
+        fold = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["c", "j"])
+            .aggregate(Sum("v", alias_name="v"))
+            .to_pandas()  # cluster-scale: k x (d+1) rows
+        )
+        nxt = C.copy()  # empty clusters carry their previous centroid
+        cnt = fold[fold["j"] == -1].set_index("c")["v"]
+        sums = fold[fold["j"] >= 0]
+        for c, g in sums.groupby("c"):
+            n = int(cnt[c])
+            row = np.zeros(d, np.int64)
+            row[g["j"].to_numpy(np.int64)] = g["v"].to_numpy(np.int64)
+            nxt[int(c)] = row // n
+        C = nxt
+
+    ref = ray.put(C)
+
+    def final(batch: pa.Table) -> pa.Table:
+        m = quant(batch)
+        a = assign(m, ray.get(ref))
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch[id_col], pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")

@@ -844,9 +844,12 @@ def q_events_user_ewma(sf_dir: str, alpha: float = 1.0 / 3.0):
     y_t = (1-a) y_{t-1} + a x_t over each user's (ts, event_id)-ordered
     values, reporting the final state per user.  ONE user-keyed cogroup;
     the recursion runs at C speed via pandas ewm inside the bucket.
-    Rows-only: the recursion is stateful-streaming, not SQL-expressible
-    (a recursive CTE per user would be quadratic); the exact recurrence
-    is pinned against a hand-rolled loop in tests."""
+    Rows-only: FLOAT ewma is summation-shape-sensitive across engines
+    (pandas ewm vs any SQL reformulation drift in ulps); the exact
+    recurrence is pinned against a hand-rolled loop in tests.  The
+    INTEGER fixed-point twin (analytics7.q_events_int_ewma) IS
+    oracle-checked via a ROW_NUMBER-indexed recursive CTE — the
+    engine-exactness, not the recursion, was the blocker."""
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
 

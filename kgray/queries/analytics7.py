@@ -688,3 +688,87 @@ sel AS (SELECT user_id, l, rn,
 SELECT user_id, CAST(l AS BIGINT) AS ewma_cents, CAST(mx AS BIGINT) AS n
 FROM sel WHERE rn = mx
 """
+
+# ---------------------------------------------------------------------------
+# integer fixed-point k-means (iterative ML, oracle-checked end-to-end)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_SCALE = 10**6
+_KM_SHIFT = 10**7
+_KM_DIM = 64
+
+
+def q_embed_kmeans_int(sf_dir: str):
+    """Integer fixed-point Lloyd k-means over the embeddings table (k=4,
+    2 assign/update rounds + a final assignment) — an ITERATIVE ML
+    algorithm oracle-checked end-to-end (the float embed_kmeans stays
+    rows-only).  Vectors quantize to shifted int64 micro-units; the
+    oracle unrolls the identical argmin-assign (ties -> MIN cluster) and
+    floor-mean update per round.  See ops/similarity.kmeans_int for the
+    broadcast-centroid / long-format-partial scale shape."""
+    from kgray.ops.similarity import kmeans_int
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_int(emb, k=_KM_K, iters=_KM_ITERS,
+                      scale=_KM_SCALE, shift=_KM_SHIFT)
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS,
+                scale: int = _KM_SCALE, shift: int = _KM_SHIFT,
+                dim: int = _KM_DIM) -> str:
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+        f" + {shift}) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS k, v FROM q WHERE vec_id < {k})",
+    ]
+    prev_c = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"d{i} AS (SELECT q.vec_id, c.k,\n"
+            "         SUM((q.v[t.d] - c.v[t.d]) * (q.v[t.d] - c.v[t.d]))"
+            " AS dist\n"
+            f"       FROM q CROSS JOIN {prev_c} c, range(1, {dim + 1})"
+            " t(d)\n"
+            "       GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, CAST(MIN(k) AS BIGINT) AS k FROM (\n"
+            "         SELECT vec_id, k, dist,"
+            " MIN(dist) OVER (PARTITION BY vec_id) AS md"
+            f" FROM d{i})\n"
+            "       WHERE dist = md GROUP BY 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT c.k,"
+            " CASE WHEN s.v IS NULL THEN c.v ELSE s.v END AS v\n"
+            f"       FROM {prev_c} c LEFT JOIN (\n"
+            "         SELECT k, list(CAST(s // n AS BIGINT) ORDER BY d)"
+            " AS v FROM (\n"
+            f"           SELECT a.k, t.d, SUM(q.v[t.d]) AS s,"
+            " COUNT(*) AS n\n"
+            f"           FROM a{i} a JOIN q USING (vec_id),"
+            f" range(1, {dim + 1}) t(d)\n"
+            "           GROUP BY 1, 2) GROUP BY k) s ON c.k = s.k)"
+        )
+        prev_c = f"c{i}"
+    # final assignment against the last centroids
+    ctes.append(
+        f"df AS (SELECT q.vec_id, c.k,\n"
+        "       SUM((q.v[t.d] - c.v[t.d]) * (q.v[t.d] - c.v[t.d]))"
+        " AS dist\n"
+        f"     FROM q CROSS JOIN {prev_c} c, range(1, {dim + 1}) t(d)\n"
+        "     GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(MIN(k) AS BIGINT) AS cluster FROM (\n"
+        "  SELECT vec_id, k, dist,"
+        " MIN(dist) OVER (PARTITION BY vec_id) AS md FROM df)\n"
+        "WHERE dist = md GROUP BY 1"
+    )
+
+
+SQL_EMBED_KMEANS_INT = _kmeans_sql()

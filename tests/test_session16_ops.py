@@ -115,3 +115,18 @@ def test_int_ewma_matches_scalar_recurrence(ray_session):
             l = (int(x) + 3 * l) // 4
         assert out.loc[uid, "ewma_cents"] == l
         assert out.loc[uid, "n"] == len(g)
+
+
+def test_kmeans_int_assignment_invariants(ray_session):
+    import numpy as np
+    from kgray.queries.analytics7 import (_KM_K, q_embed_kmeans_int)
+
+    out = q_embed_kmeans_int(SF).to_pandas()
+    assert len(out) == 500  # sf0.001 embeddings row count
+    assert set(out["cluster"]) <= set(range(_KM_K))
+    assert out["cluster"].nunique() > 1  # clusters are non-degenerate
+    # deterministic: a second run is identical
+    again = q_embed_kmeans_int(SF).to_pandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = again.sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
