@@ -83,6 +83,7 @@ def _gen(tmp_path, seed):
             "text": texts,
             "n_chars": np.array([len(t) for t in texts], np.int64),
             "lang": rng.choice(["en", "de", "fr"], len(texts)),
+            "source": rng.choice(["web", "book", "c4"], len(texts)),
         }
     )
     docs.to_parquet(tmp_path / "documents.parquet", index=False)
@@ -135,6 +136,37 @@ def _gen(tmp_path, seed):
     )
     supp.to_parquet(tmp_path / "supplier.parquet", index=False)
 
+    # customer: negative balances exercise the linkage band shift
+    nc = 60
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, nc + 1, dtype=np.int64),
+            "c_name": [f"Customer#{i:05d}" for i in range(1, nc + 1)],
+            "c_nationkey": rng.integers(0, 4, nc).astype(np.int64),
+            "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, nc), 2),
+            "c_mktsegment": rng.choice(["AUTO", "HOUSE"], nc),
+        }
+    )
+    cust.to_parquet(tmp_path / "customer.parquet", index=False)
+
+    # embeddings: float32 64-dim vectors (kmeans_int quantization path)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    ne = 80
+    vecs = rng.normal(0, 0.2, (ne, 64)).astype(np.float32)
+    _pq.write_table(
+        _pa.table(
+            {
+                "vec_id": _pa.array(np.arange(ne, dtype=np.int64)),
+                "embedding": _pa.array(list(vecs),
+                                       _pa.list_(_pa.float32())),
+                "label": _pa.array(rng.integers(0, 3, ne).astype(np.int32)),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
 
 QUERIES = {
     "orders_benford": ["orders"],
@@ -173,6 +205,17 @@ QUERIES = {
     "part_name_clusters": ["part"],
     "part_sorted_neighbor_pairs": ["part"],
     "events_weekday_adjusted": ["events"],
+    # session 16
+    "events_int_ewma": ["events"],
+    "events_cep_pattern": ["events"],
+    "copurchase_clustering": ["lineitem"],
+    "copurchase_communities": ["lineitem"],
+    "supplier_part_hits": ["lineitem"],
+    "supplier_part_shortest": ["lineitem"],
+    "ldiv_audit": ["documents"],
+    "customer_linkage_scores": ["customer"],
+    "value_range_partition": ["events"],
+    "embed_kmeans_int": ["embeddings"],
 }
 
 
