@@ -833,10 +833,17 @@ def _lpa_kernel(src: np.ndarray, dst: np.ndarray, n: int,
                 rounds: int) -> np.ndarray:
     """Synchronous label propagation over factorized SYMMETRIC edges:
     per round each node takes the most frequent label among its
-    neighbors, ties broken by MIN label.  Labels are node indices
-    (np.unique sorts, so index order == id order and min-index ==
-    min-id).  Deterministic by construction — the SQL oracle unrolls
-    the identical (max count, min label) choice with a window MAX."""
+    neighbors AND ITSELF (one self-vote — without it synchronous LPA
+    oscillates forever on 2-node communities and bipartite blocks;
+    with it every tie resolves toward the community min and the
+    recurrence converges), ties broken by MIN label.  Labels are node
+    indices (np.unique sorts, so index order == id order and
+    min-index == min-id).  Deterministic by construction — the SQL
+    oracle unrolls the identical (max count, min label) choice with a
+    window MAX."""
+    self_votes = np.arange(n, dtype=np.int64)
+    src = np.concatenate([src, self_votes])
+    dst = np.concatenate([dst, self_votes])
     lbl = np.arange(n, dtype=np.int64)
     for _ in range(rounds):
         # count (dst, lbl[src]) pairs; pick per dst: max count, min lbl
@@ -860,10 +867,13 @@ def lpa_labels(edges, rounds: int = 3,
                max_inprocess_edges: int = 1_000_000):
     """Community detection by fixed-round synchronous label propagation
     (Raghavan et al. 2007) over the undirected edge set: label(v) ←
-    most-frequent neighbor label, ties → MIN label, ``rounds`` rounds.
-    Integer label ids + a deterministic tie-break make the recurrence
-    engine-exact, so the DuckDB oracle unrolls it (counts CTE + window
-    MAX + MIN label filter per round — the pagerank_int pattern).
+    most-frequent label among neighbors PLUS v's own current label
+    (one self-vote — the convergent synchronous formulation; pure
+    neighbor voting oscillates on 2-node communities), ties → MIN
+    label, ``rounds`` rounds.  Integer label ids + a deterministic
+    tie-break make the recurrence engine-exact, so the DuckDB oracle
+    unrolls it (counts CTE + window MAX + MIN label filter per round
+    — the pagerank_int pattern).
 
     Distributed round = ONE bucket join (labels onto edge sources) +
     ONE dst cogroup (vectorized per-dst mode with the same tie-break);
@@ -915,7 +925,14 @@ def lpa_labels(edges, rounds: int = 3,
             lambda b: pa.table({"dst": b["dst"], "lbl": b["lbl"]}),
             batch_format="pyarrow",
         )
-        state = grouped_map(joined, "dst", mode_per_dst).materialize()
+        # the self-vote: each node's own current label joins the count
+        self_votes = state.map_batches(
+            lambda b: pa.table({"dst": b["node"], "lbl": b["lbl"]}),
+            batch_format="pyarrow",
+        )
+        state = grouped_map(
+            joined.union(self_votes), "dst", mode_per_dst
+        ).materialize()
     return state
 
 

@@ -150,17 +150,18 @@ _LPA_ROUNDS = 3
 
 def q_copurchase_communities(sf_dir: str):
     """Fixed-round synchronous label propagation (Raghavan et al. 2007)
-    over the co-purchase part graph: label <- most frequent neighbor
-    label, ties -> MIN label, 3 rounds.  The deterministic integer
-    tie-break makes the recurrence engine-exact, so the oracle unrolls
-    the identical (count fold + window MAX + MIN-label) choice per
-    round."""
+    over the co-purchase part graph: label <- most frequent label among
+    neighbors plus the node's own current label (the self-vote keeps
+    synchronous LPA from oscillating), ties -> MIN label, 3 rounds.
+    The deterministic integer tie-break makes the recurrence
+    engine-exact, so the oracle unrolls the identical (count fold +
+    window MAX + MIN-label) choice per round."""
     from kgray.ops.graph import lpa_labels
 
     return lpa_labels(_copurchase_edges(sf_dir), rounds=_LPA_ROUNDS)
 
 
-def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+def _lpa_sql(rounds: int = _LPA_ROUNDS, final_select: str | None = None) -> str:
     ctes = [
         "sym AS (SELECT u AS src, v AS dst FROM edges"
         " UNION ALL SELECT v, u FROM edges)",
@@ -170,9 +171,11 @@ def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
     prev = "l0"
     for i in range(1, rounds + 1):
         ctes.append(
-            f"c{i} AS (SELECT s.dst AS node, l.lbl,"
-            " CAST(COUNT(*) AS BIGINT) AS c\n"
-            f"       FROM sym s JOIN {prev} l ON s.src = l.node"
+            f"c{i} AS (SELECT node, lbl, CAST(COUNT(*) AS BIGINT) AS c"
+            " FROM (\n"
+            f"       SELECT s.dst AS node, l.lbl"
+            f" FROM sym s JOIN {prev} l ON s.src = l.node\n"
+            f"       UNION ALL SELECT node, lbl FROM {prev})"
             " GROUP BY 1, 2)"
         )
         ctes.append(
@@ -184,9 +187,12 @@ def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
             f" FROM m{i} WHERE c = mc GROUP BY 1)"
         )
         prev = f"l{i}"
+    fs = final_select.replace("{prev}", prev) if final_select else (
+        f"SELECT CAST(node AS BIGINT) AS node, lbl FROM {prev}"
+    )
     return (
         "WITH " + _COPURCHASE_EDGE_SQL + ",\n" + ",\n".join(ctes)
-        + f"\nSELECT CAST(node AS BIGINT) AS node, lbl FROM {prev}"
+        + "\n" + fs
     )
 
 
@@ -513,8 +519,9 @@ def q_customer_linkage_scores(sf_dir: str):
     return grouped_map(cust, "c_nationkey", per_block)
 
 
-SQL_CUSTOMER_LINKAGE_SCORES = f"""
-WITH ph AS (
+# CTE prefix (record synthesis + blocked pair scoring) shared with the
+# golden-record fusion query in analytics8.py
+_FS_CTES_SQL = f"""ph AS (
   SELECT *, '555-' || CAST(1000 + c_custkey % 9000 AS VARCHAR) AS c_phone
   FROM customer),
 a AS (
@@ -541,7 +548,10 @@ p AS (
           + CASE WHEN a.band = b.band THEN {_FS_W['band'][0]}
                  ELSE {_FS_W['band'][1]} END) AS score
   FROM a JOIN b ON a.c_nationkey = b.c_nationkey
-               AND a.c_mktsegment = b.c_mktsegment)
+               AND a.c_mktsegment = b.c_mktsegment)"""
+
+SQL_CUSTOMER_LINKAGE_SCORES = f"""
+WITH {_FS_CTES_SQL}
 SELECT u, v, CAST(score AS BIGINT) AS score,
        CAST(score >= {_FS_MATCH} AS INT) AS is_match
 FROM p WHERE score >= {_FS_REVIEW}

@@ -71,11 +71,21 @@ def test_node_triangles_paths_agree_and_sum_to_3x(ray_session):
 
 
 def test_lpa_hand_computed_star(ray_session):
-    # star 1-{2,3,4}, 3 rounds: center oscillates to 2, leaves to 1
+    # star 1-{2,3,4} with self-votes: round 1 every vote set ties
+    # (all counts 1) -> MIN label 1 everywhere; stable thereafter
     ds = rd.from_pandas(pd.DataFrame({"u": [1, 1, 1], "v": [2, 3, 4]}))
     t = lpa_labels(ds, rounds=3)
     got = dict(zip(t["node"].to_pylist(), t["lbl"].to_pylist()))
-    assert got == {1: 2, 2: 1, 3: 1, 4: 1}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_lpa_two_node_community_converges(ray_session):
+    # without the self-vote a 2-node community oscillates forever;
+    # with it both nodes settle on the min id in one round
+    ds = rd.from_pandas(pd.DataFrame({"u": [7], "v": [3]}))
+    t = lpa_labels(ds, rounds=3)
+    got = dict(zip(t["node"].to_pylist(), t["lbl"].to_pylist()))
+    assert got == {3: 3, 7: 3}
 
 
 def test_lpa_paths_agree(ray_session):
