@@ -100,7 +100,8 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_buckets: int = 16, digits: int = 4,
-                        max_broadcast_count_rows: int = 50_000_000):
+                        max_broadcast_count_rows: int = 50_000_000,
+                        metric: str = "jaccard"):
     """All doc pairs (u < v) with word-n-gram Jaccard >= tau.
 
     Exact (no sketching): inverted index on distinct shingles ->
@@ -147,13 +148,15 @@ def ngram_jaccard_pairs(docs, tau: float = 0.8, n: int = 3,
         exploded, counts, n_items=docs.count(), tau=tau, digits=digits,
         num_buckets=num_buckets,
         max_broadcast_count_rows=max_broadcast_count_rows,
+        metric=metric,
     )
 
 
 def set_jaccard_pairs(exploded, counts, n_items: int, tau: float,
                       digits: int = 4, num_buckets: int = 16,
                       max_block: int = 64,
-                      max_broadcast_count_rows: int = 50_000_000):
+                      max_broadcast_count_rows: int = 50_000_000,
+                      metric: str = "jaccard"):
     """Generic exact set-similarity self-join: all item pairs (u < v)
     with Jaccard(token sets) >= tau, from an inverted-index explode.
 
@@ -162,7 +165,16 @@ def set_jaccard_pairs(exploded, counts, n_items: int, tau: float,
     ``n_items``: item count (drives the broadcast-vs-distributed gate).
     Shared by word-n-gram near-dup (ngram_jaccard_pairs) and graph
     adjacency link prediction (common-neighbor Jaccard), which is the
-    same computation with (item=node, token=neighbor)."""
+    same computation with (item=node, token=neighbor).
+
+    ``metric="containment"`` switches the finish to the ASYMMETRIC
+    containment C(A in B) = |A∩B| / |A| and emits DIRECTED rows
+    (u, v, cont) for every ordered pair with cont >= tau — the
+    sub/superset near-dup detector (a short doc quoted whole inside a
+    long one has high containment but low Jaccard).  Shared-shingle
+    blocking stays lossless: containment >= tau > 0 still requires at
+    least one common shingle.  Everything upstream of the finish
+    (pair emission, count attach, both gate paths) is identical."""
     from kgray.ops.joins import bucket_join
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -195,14 +207,29 @@ def set_jaccard_pairs(exploded, counts, n_items: int, tau: float,
         sh = df["shared"].to_numpy(np.float64)
         na = df["nsh_u"].to_numpy(np.float64)
         nb = df["nsh_v"].to_numpy(np.float64)
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        if metric == "containment":
+            cu = sh / na   # containment of u's set in v's
+            cv = sh / nb   # and the reverse direction
+            ku, kv = cu >= tau, cv >= tau
+            cont = np.concatenate([cu[ku], cv[kv]])
+            return pd.DataFrame(
+                {
+                    "u": pd.array(np.concatenate([u[ku], v[kv]]),
+                                  dtype="int64"),
+                    "v": pd.array(np.concatenate([v[ku], u[kv]]),
+                                  dtype="int64"),
+                    "cont": pd.array(round_half_up(cont, digits),
+                                     dtype="float64"),
+                }
+            )
         jac = sh / (na + nb - sh)
         keep = jac >= tau
         return pd.DataFrame(
             {
-                "u": pd.array(df["u"].to_numpy(np.int64)[keep],
-                              dtype="int64"),
-                "v": pd.array(df["v"].to_numpy(np.int64)[keep],
-                              dtype="int64"),
+                "u": pd.array(u[keep], dtype="int64"),
+                "v": pd.array(v[keep], dtype="int64"),
                 "jac": pd.array(round_half_up(jac[keep], digits),
                                 dtype="float64"),
             }
@@ -293,11 +320,13 @@ def set_jaccard_pairs(exploded, counts, n_items: int, tau: float,
                         index=cnt["v"].to_numpy(np.int64))
         pr = df[df["nsh"].isna()].copy()
         if not len(pr):
-            return pd.DataFrame(
+            return _jac_finish(pd.DataFrame(
                 {"u": pd.array([], dtype="int64"),
                  "v": pd.array([], dtype="int64"),
-                 "jac": pd.array([], dtype="float64")}
-            )
+                 "shared": pd.array([], dtype="int64"),
+                 "nsh_u": pd.array([], dtype="int64"),
+                 "nsh_v": pd.array([], dtype="int64")}
+            ))
         pr["nsh_v"] = nsh.reindex(pr["v"].to_numpy(np.int64)).to_numpy(
             np.int64)
         pr["u"] = pr["u"].astype(np.int64)

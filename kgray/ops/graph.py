@@ -1038,3 +1038,134 @@ def bellman_ford(edges, seeds, rounds: int = 3,
             .materialize()
         )
     return state
+
+
+def _ppr_int_kernel(src: np.ndarray, dst: np.ndarray, n: int,
+                    seed_mask: np.ndarray, iters: int,
+                    scale: int) -> np.ndarray:
+    """Fixed-point integer PERSONALIZED PageRank: restart mass lands on
+    the seed set only — r'(v) = [v∈Q]·(15·S)//(100·q) +
+    (85·Σ_in r//deg)//100 with q = |Q|.  All ops int64 floor division,
+    bit-exact in any summation order (the pagerank_int lesson), so the
+    SQL oracle unrolls the identical recurrence.  No dangling term: an
+    undirected edge list gives every present node degree >= 1 by
+    construction.  ``src``/``dst`` index the SYMMETRIC edge list."""
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, src, 1)
+    q = int(seed_mask.sum())
+    rank = np.where(seed_mask, scale // q, 0).astype(np.int64)
+    base = np.where(seed_mask, (15 * scale) // (100 * q), 0) \
+        .astype(np.int64)
+    for _ in range(iters):
+        contrib = np.zeros(n, np.int64)
+        np.add.at(contrib, dst, rank[src] // deg[src])
+        rank = base + (85 * contrib) // 100
+    return rank
+
+
+def ppr_int(edges, seeds, iters: int = 4, scale: int = 10**12,
+            u_col: str = "u", v_col: str = "v",
+            max_inprocess_edges: int = 1_000_000):
+    """Deterministic integer personalized PageRank from a seed set over
+    the undirected edge list — proximity-to-seeds ranking (the "related
+    entities" primitive).  ``seeds`` is a python list of node ids (a
+    query parameter, not data-scale — the bfs_hops convention); seeds
+    absent from the graph are ignored on BOTH paths.  Same two-barrier
+    round shape as :func:`pagerank_int`; returns (node, r) int64.
+    Overflow headroom: total mass stays ~scale, so 85·contrib <=
+    85·scale — safe at scale 10^12."""
+    from ray.data.aggregate import Sum
+
+    from kgray.ops.joins import bucket_join
+
+    seed_arr = np.unique(np.asarray(list(seeds), np.int64))
+    edges = edges.materialize()
+    if edges.count() <= gate(max_inprocess_edges):
+        df = edges.to_pandas()
+        sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
+        sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)
+        nodes, inv = np.unique(
+            pd.concat([sym_u, sym_v], ignore_index=True).to_numpy(),
+            return_inverse=True,
+        )
+        if not len(nodes):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        seed_mask = np.isin(nodes, seed_arr)
+        if not seed_mask.any():
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        m = len(sym_u)
+        rank = _ppr_int_kernel(inv[:m], inv[m:], len(nodes), seed_mask,
+                               iters, scale)
+        return pa.table({"node": pa.array(nodes),
+                         "r": pa.array(rank, pa.int64())})
+
+    deg = node_degrees(edges, u_col, v_col).materialize()
+    # q counts seeds PRESENT in the graph (node-scale aggregate, one int)
+    present = deg.map_batches(
+        lambda b, s=pa.array(seed_arr, pa.int64()): pa.table(
+            {"m": pc.cast(
+                pc.is_in(b["node"].combine_chunks(), value_set=s),
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    ).sum("m")
+    q = int(present or 0)
+    if q == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "r": pa.array([], pa.int64())})
+    init = scale // q
+    base_seed = (15 * scale) // (100 * q)
+    seed_pa = pa.array(seed_arr, pa.int64())
+
+    def with_rank(batch: pa.Table) -> pa.Table:
+        is_seed = pc.is_in(batch["node"].combine_chunks(),
+                           value_set=seed_pa)
+        r = pc.if_else(is_seed, pa.scalar(init, pa.int64()),
+                       pa.scalar(0, pa.int64()))
+        return batch.append_column("r", pc.cast(r, pa.int64()))
+
+    state = deg.map_batches(with_rank, batch_format="pyarrow").materialize()
+    sym = _symmetric(edges, u_col, v_col).materialize()
+
+    for _ in range(iters):
+        contrib = bucket_join(
+            sym, state, on="src", right_on="node", how="inner"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b["dst"],
+                    "c": pa.array(
+                        b["r"].to_numpy() // b["degree"].to_numpy(),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            c = pc.fill_null(batch["c"], pa.scalar(0, pa.int64()))
+            is_seed = pc.is_in(batch["node"].combine_chunks(),
+                               value_set=seed_pa)
+            base = pc.if_else(is_seed, pa.scalar(base_seed, pa.int64()),
+                              pa.scalar(0, pa.int64()))
+            r = base.to_numpy(zero_copy_only=False) + (
+                85 * c.to_numpy(zero_copy_only=False)
+            ) // 100
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "degree": batch["degree"],
+                    "r": pa.array(r, pa.int64()),
+                }
+            )
+
+        state = bucket_join(
+            deg, sums, on="node", right_on="dst", how="left"
+        ).map_batches(rebuild, batch_format="pyarrow").materialize()
+
+    return state.select_columns(["node", "r"])

@@ -1,0 +1,203 @@
+"""Session-18 operators: Kendall tau-b (hand-counted concordances,
+tie handling), readability (hand-counted vowel groups), containment
+pairs (planted sub/superset, direction asymmetry), personalized
+PageRank (hand-unrolled recurrence + paths-agree + absent seeds), and
+the FD audit (planted violations) — each also compared against its
+DuckDB oracle on the synthetic fixture."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from kgray.queries import CATALOG
+
+
+def _write(tmp_path, name, df):
+    df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+
+
+def _oracle(tmp_path, sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _run(qname, tmp_path):
+    fn, sql = CATALOG[qname]
+    res = fn(str(tmp_path))
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return got, sql
+
+
+def _cmp(got, exp, sort_cols):
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in exp.columns:
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def _events(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["value"] = df["value"].astype(np.float64)
+    df["props"] = "{}"
+    return df
+
+
+def test_kendall_hand_computed(ray_session, tmp_path):
+    # user 1: y = [10,20,15,5] over increasing ts ->
+    #   C=2 (1<2, 1<3 pairs), D=4, no ties: tau = -2/6 = -0.333333
+    # user 2: y = [10,10,20,20] -> C=4, D=0, ty=2:
+    #   tau = 4/sqrt(6*4) = 0.816497
+    # user 3: single event -> dropped; user 4: constant y -> dropped
+    rows = []
+    for i, y in enumerate([0.10, 0.20, 0.15, 0.05]):
+        rows.append((i, f"2024-01-0{i+1}", 1, "a", y))
+    for i, y in enumerate([0.10, 0.10, 0.20, 0.20]):
+        rows.append((10 + i, f"2024-01-0{i+1}", 2, "a", y))
+    rows.append((20, "2024-01-01", 3, "a", 1.0))
+    rows.append((30, "2024-01-01", 4, "a", 1.0))
+    rows.append((31, "2024-01-02", 4, "a", 1.0))
+    _write(tmp_path, "events", _events(rows))
+    got, sql = _run("events_kendall", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["user_id"])
+    by_user = got.set_index("user_id")
+    assert sorted(by_user.index) == [1, 2]
+    assert by_user.loc[1, "conc"] == 2 and by_user.loc[1, "disc"] == 4
+    assert by_user.loc[1, "tau_b"] == -0.333333
+    assert by_user.loc[2, "tau_b"] == 0.816497
+
+
+def test_readability_hand_computed(ray_session, tmp_path):
+    # "aa bb cc" -> W=3, vowel groups: 'aa' only -> Syl=1
+    # "ie ie"    -> W=2, Syl=2
+    # per lang en: S=2, W=5, Syl=3:
+    #   FK = 0.39*2.5 + 11.8*0.6 - 15.59 = 0.975 + 7.08 - 15.59 = -7.535
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "text": ["aa bb cc", "ie ie"],
+        }
+    )
+    _write(tmp_path, "documents", docs)
+    got, sql = _run("lang_readability", tmp_path)
+    exp = _oracle(tmp_path, sql, ["documents"])
+    _cmp(got, exp, ["lang"])
+    row = got.iloc[0]
+    assert row["n_docs"] == 2 and row["n_words"] == 5
+    assert row["n_syllables"] == 3
+    assert row["fk_grade"] == -7.535
+
+
+def test_containment_planted_subset(ray_session, tmp_path):
+    # doc 1's 5 words sit verbatim inside doc 2 (12 words): all 3 of
+    # doc 1's shingles occur in doc 2 -> cont(1 in 2) = 1.0, while
+    # cont(2 in 1) = 3/10 < tau and jaccard = 3/10 < tau.
+    # doc 3 shares nothing.
+    base = "alpha beta gamma delta epsilon"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                base,
+                base + " zeta eta theta iota kappa lam mu",
+                "one two three four five six",
+            ],
+        }
+    )
+    _write(tmp_path, "documents", docs)
+    got, sql = _run("doc_containment_pairs", tmp_path)
+    exp = _oracle(tmp_path, sql, ["documents"])
+    _cmp(got, exp, ["u", "v"])
+    assert got[["u", "v"]].values.tolist() == [[1, 2]]
+    assert got["cont"].tolist() == [1.0]
+
+
+def test_ppr_hand_unrolled_and_paths_agree(ray_session, monkeypatch):
+    from kgray.ops.graph import ppr_int
+
+    # path graph 1-2-3, seed {1}, 1 iter, scale 100:
+    # deg = [1,2,1]; r0 = [100,0,0]
+    # contrib: node2 <- r(1)//1 + r(3)//1 = 100; node1 <- r(2)//2 = 0
+    # r1 = [15 + 0, 0 + 85*100//100, 0] = [15, 85, 0]
+    edges = rd.from_pandas(pd.DataFrame({"u": [1, 2], "v": [2, 3]}))
+    t = ppr_int(edges, [1], iters=1, scale=100)
+    got = dict(zip(t["node"].to_pylist(), t["r"].to_pylist()))
+    assert got == {1: 15, 2: 85, 3: 0}
+
+    # absent seeds are ignored; all-absent -> empty
+    t2 = ppr_int(edges, [1, 999], iters=1, scale=100)
+    got2 = dict(zip(t2["node"].to_pylist(), t2["r"].to_pylist()))
+    assert got2 == got
+    t3 = ppr_int(edges, [999], iters=1, scale=100)
+    assert t3.num_rows == 0
+
+    # paths agree: forced-distributed == in-process on a random graph
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"u": rng.integers(0, 40, 200), "v": rng.integers(40, 80, 200)}
+    )
+    seeds = [0, 1, 2, 3]
+    small = ppr_int(rd.from_pandas(df), seeds, iters=3)
+    monkeypatch.setenv("KGRAY_FORCE_DISTRIBUTED", "1")
+    big = ppr_int(rd.from_pandas(df), seeds, iters=3)
+    sm = dict(zip(small["node"].to_pylist(), small["r"].to_pylist()))
+    bg = big if isinstance(big, pa.Table) else \
+        pa.Table.from_pandas(big.to_pandas())
+    bgd = dict(zip(bg["node"].to_pylist(), bg["r"].to_pylist()))
+    assert sm == bgd
+
+
+def test_fd_planted_violations(ray_session, tmp_path):
+    # part: brand B1 maps to 2 types (violating), B2 to 1
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(4, dtype=np.int64),
+            "p_brand": ["B1", "B1", "B1", "B2"],
+            "p_type": ["t1", "t2", "t1", "t3"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(3, dtype=np.int64),
+            "o_custkey": np.int64([1, 1, 2]),
+            "o_orderpriority": ["HIGH", "LOW", "HIGH"],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.int64([1, 2]),
+            "c_nationkey": np.int64([0, 0]),
+            "c_mktsegment": ["AUTO", "AUTO"],
+        }
+    )
+    docs = pd.DataFrame(
+        {"doc_id": [1], "source": ["web"], "lang": ["en"], "text": ["x"]}
+    )
+    for n, d in [("part", part), ("orders", orders),
+                 ("customer", customer), ("documents", docs)]:
+        _write(tmp_path, n, d)
+    got, sql = _run("fd_violations", tmp_path)
+    exp = _oracle(tmp_path, sql,
+                  ["part", "orders", "customer", "documents"])
+    _cmp(got, exp, ["fd"])
+    by_fd = got.set_index("fd")
+    assert by_fd.loc["part.p_brand->p_type", "n_violating"] == 1
+    assert by_fd.loc["part.p_brand->p_type", "max_dep"] == 2
+    assert by_fd.loc["orders.o_custkey->o_orderpriority",
+                     "n_violating"] == 1
+    assert by_fd.loc["customer.c_nationkey->c_mktsegment",
+                     "n_violating"] == 0
