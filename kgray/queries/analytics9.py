@@ -3,7 +3,9 @@
 Flesch-Kincaid-style readability from integer word/syllable folds,
 asymmetric shingle CONTAINMENT near-dup pairs (sub/superset detector),
 integer fixed-point personalized PageRank from a seed nation's
-suppliers, and a functional-dependency profiling audit.
+suppliers, a functional-dependency profiling audit, Kaplan-Meier
+survival of inter-arrival gaps (integer micro-unit log factors), and
+blocked exact-Levenshtein fuzzy-match pairs.
 """
 
 from ._common import *  # noqa: F401,F403
@@ -355,3 +357,217 @@ def _fd_sql() -> str:
 
 
 SQL_FD_VIOLATIONS = _fd_sql()
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival in integer log micro-units
+# ---------------------------------------------------------------------------
+
+def q_events_km_survival(sf_dir: str):
+    """Kaplan-Meier survival of INTER-ARRIVAL gaps (recurrent-event KM,
+    "how long until a user's next event"): per user, every gap between
+    consecutive event hours is an OBSERVED duration, and the open gap
+    from the last event to the corpus end is CENSORED — the classic
+    right-censoring structure (a lifetime-based definition is
+    degenerate on this corpus: every user is active the whole window).
+    The survival curve's running product Π(1 - d_t/n_t) is
+    summation-order-sensitive as floats, so it ships as the RUNNING SUM
+    of integer micro-unit log factors floor(1e6·ln((n-d)/n)+0.5) — the
+    dsir/NB quantization convention: C-libm ln of the identical double
+    on both engines, then exact int64 cumsum in a deterministic order.
+    Gap extraction is tie-order-invariant (diffs of a sorted multiset);
+    everything after the (dur, ev) fold runs on the duration-scale
+    aggregate (<= corpus-span-in-hours rows).  Terminal rows where the
+    whole risk set dies (ln 0) are excluded on both sides."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_hours(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {"user_id": batch["user_id"], "hr": pa.array(
+                us // 3_600_000_000, pa.int64())}
+        )
+
+    hrs = ev.map_batches(to_hours, batch_format="pyarrow").materialize()
+    gmax = int(hrs.max("hr"))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            h = np.sort(g["hr"].to_numpy(np.int64))
+            d = np.diff(h)
+            outs.append((d, gmax - h[-1]))
+        durs = np.concatenate(
+            [d for d, _ in outs] + [np.fromiter(
+                (c for _, c in outs), np.int64, len(outs))]
+        )
+        evf = np.concatenate(
+            [np.ones(sum(len(d) for d, _ in outs), np.int64),
+             np.zeros(len(outs), np.int64)]
+        )
+        out = pd.DataFrame({"dur": durs, "ev": evf})
+        g2 = out.groupby("dur", sort=False).agg(
+            n=("ev", "size"), d=("ev", "sum")
+        ).reset_index()
+        return g2.astype({"dur": np.int64, "n": np.int64, "d": np.int64})
+
+    agg = pre_aggregate(
+        grouped_map(hrs, "user_id", gaps),
+        ["dur"], {"n": ("n", "sum"), "d": ("d", "sum")},
+    )
+
+    # duration-scale finish (<= max lifetime days rows): suffix-sum the
+    # risk set, quantize each log factor, exact int64 running sum
+    df = agg.to_pandas().sort_values("dur").reset_index(drop=True)
+    n = df["n"].to_numpy(np.int64)
+    d = df["d"].to_numpy(np.int64)
+    at_risk = n[::-1].cumsum()[::-1]
+    keep = (d > 0) & (at_risk > d)
+    ar, dk = at_risk[keep], d[keep]
+    step = np.fromiter(
+        (
+            math.floor(1_000_000 * math.log((a - e) / float(a)) + 0.5)
+            for a, e in zip(ar, dk)
+        ),
+        np.int64, len(ar),
+    )
+    return pa.table(
+        {
+            "dur": pa.array(df["dur"].to_numpy(np.int64)[keep]),
+            "at_risk": pa.array(ar, pa.int64()),
+            "n_events": pa.array(dk, pa.int64()),
+            "log_surv_micro": pa.array(np.cumsum(step), pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_KM_SURVIVAL = """
+WITH h AS (
+  SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr
+  FROM events),
+g AS (SELECT CAST(MAX(hr) AS BIGINT) AS gmax FROM h),
+nx AS (SELECT user_id, hr,
+              LEAD(hr) OVER (PARTITION BY user_id ORDER BY hr) AS nxt
+       FROM h),
+lif AS (SELECT CASE WHEN nxt IS NULL THEN gmax - hr
+                    ELSE nxt - hr END AS dur,
+               CAST(nxt IS NOT NULL AS INT) AS ev
+        FROM nx CROSS JOIN g),
+agg AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM lif GROUP BY 1),
+r AS (SELECT dur, n, d,
+             CAST(SUM(n) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk
+      FROM agg),
+k AS (SELECT dur, at_risk, d,
+             CAST(floor(1000000 * ln((at_risk - d)
+                                     / CAST(at_risk AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS step
+      FROM r WHERE d > 0 AND at_risk > d)
+SELECT dur, at_risk, d AS n_events,
+       CAST(SUM(step) OVER (ORDER BY dur) AS BIGINT) AS log_surv_micro
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocked Levenshtein fuzzy-match pairs
+# ---------------------------------------------------------------------------
+
+_LEV_MAX_DIST = 2
+
+
+def _lev_pairs_block(names_u, names_v):
+    """Exact Levenshtein distance for aligned pair arrays, vectorized
+    ACROSS pairs: the classic two-row DP runs its (i, j) loops in
+    python but every cell update is one numpy op over all pairs at
+    once.  Unit costs — identical to DuckDB's levenshtein()."""
+    npairs = len(names_u)
+    enc_u = [s.encode() for s in names_u]
+    enc_v = [s.encode() for s in names_v]
+    la = np.fromiter((len(b) for b in enc_u), np.int64, npairs)
+    lb = np.fromiter((len(b) for b in enc_v), np.int64, npairs)
+    L1, L2 = int(la.max()), int(lb.max())
+    A = np.frombuffer(
+        b"".join(b.ljust(L1, b"\x00") for b in enc_u), np.uint8
+    ).reshape(npairs, L1)
+    B = np.frombuffer(
+        b"".join(b.ljust(L2, b"\x00") for b in enc_v), np.uint8
+    ).reshape(npairs, L2)
+    ans = np.empty(npairs, np.int64)
+    done0 = la == 0
+    ans[done0] = lb[done0]
+    prev = np.broadcast_to(
+        np.arange(L2 + 1, dtype=np.int64), (npairs, L2 + 1)
+    ).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, L1 + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        sub = prev[:, :-1] + (ai != B)
+        dele = prev[:, 1:] + 1
+        np.minimum(sub, dele, out=sub)
+        # the left-cell dependency forces the j loop; it's one numpy
+        # op per column over all pairs
+        for j in range(1, L2 + 1):
+            cur[:, j] = np.minimum(sub[:, j - 1], cur[:, j - 1] + 1)
+        hit = la == i
+        if hit.any():
+            ans[hit] = cur[hit, lb[hit]]
+        prev, cur = cur, prev
+    return ans
+
+
+def q_customer_fuzzy_pairs(sf_dir: str):
+    """Blocked fuzzy-match pairs by EXACT edit distance: customer names
+    within a (nation, mktsegment) block with Levenshtein distance <=
+    {k} — the deterministic-metric face of fuzzy entity resolution
+    (the Fellegi-Sunter scores are probabilistic; this is the
+    string-metric blocker that usually feeds them).  Integer distances
+    hash-match DuckDB's levenshtein() exactly.  The O(block^2) pair
+    expansion runs inside a nation cogroup (blocks are dim-scale); the
+    DP vectorizes across all pairs in the block, so the python-level
+    loop is O(len^2) regardless of pair count."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_, _), g in df.groupby(["c_nationkey", "c_mktsegment"],
+                                    sort=False):
+            k = g["c_custkey"].to_numpy(np.int64)
+            nm = g["c_name"].to_numpy(object)
+            o = np.argsort(k)
+            k, nm = k[o], nm[o]
+            n = len(k)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            dist = _lev_pairs_block(nm[i], nm[j])
+            hit = dist <= _LEV_MAX_DIST
+            outs.append(pd.DataFrame(
+                {"u": k[i][hit], "v": k[j][hit], "dist": dist[hit]}
+            ))
+        if not outs:
+            return pd.DataFrame(
+                {"u": pd.array([], dtype="int64"),
+                 "v": pd.array([], dtype="int64"),
+                 "dist": pd.array([], dtype="int64")}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"u": np.int64, "v": np.int64,
+                           "dist": np.int64})
+
+    return grouped_map(cust, "c_nationkey", per_block)
+
+
+SQL_CUSTOMER_FUZZY_PAIRS = f"""
+SELECT a.c_custkey AS u, b.c_custkey AS v,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_LEV_MAX_DIST}
+"""

@@ -201,3 +201,80 @@ def test_fd_planted_violations(ray_session, tmp_path):
                      "n_violating"] == 1
     assert by_fd.loc["customer.c_nationkey->c_mktsegment",
                      "n_violating"] == 0
+
+
+def _scalar_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j - 1] + (a[i - 1] != b[j - 1]),
+                         prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
+    return prev[len(b)]
+
+
+def test_lev_kernel_matches_scalar_dp():
+    from kgray.queries.analytics9 import _lev_pairs_block
+
+    rng = np.random.default_rng(11)
+    words = ["", "a", "ab", "kitten", "sitting", "flaw", "lawn",
+             "abcdefgh", "abcdxfgh", "zzzz"]
+    us, vs = [], []
+    for _ in range(200):
+        us.append(words[rng.integers(len(words))])
+        vs.append(words[rng.integers(len(words))])
+    got = _lev_pairs_block(np.array(us, object), np.array(vs, object))
+    exp = [_scalar_lev(a, b) for a, b in zip(us, vs)]
+    assert got.tolist() == exp
+
+
+def test_fuzzy_pairs_blocked(ray_session, tmp_path):
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.int64([1, 2, 3, 4, 5]),
+            "c_name": ["abcdef", "abcdeg", "zzzzzz", "abcdef", "abcxxx"],
+            "c_nationkey": np.int64([0, 0, 0, 1, 0]),
+            "c_acctbal": 0.0,
+            "c_mktsegment": ["AUTO"] * 5,
+        }
+    )
+    _write(tmp_path, "customer", cust)
+    got, sql = _run("customer_fuzzy_pairs", tmp_path)
+    exp = _oracle(tmp_path, sql, ["customer"])
+    _cmp(got, exp, ["u", "v"])
+    # key 4 is in another block: no (1,4) pair despite identical names
+    pairs = set(map(tuple, got[["u", "v"]].values.tolist()))
+    assert (1, 2) in pairs and (1, 4) not in pairs
+    assert got.set_index(["u", "v"]).loc[(1, 2), "dist"] == 1
+
+
+def test_km_survival_hand_computed(ray_session, tmp_path):
+    # user 1 events at hours 0,2,3 -> gaps [2,1], censored 7 (gmax=10)
+    # user 2 events at hours 0,10 -> gap [10], censored 0
+    # at-risk suffix: d0:5 d1:4 d2:3 d7:2 d10:1; kept rows: dur 1, 2
+    # (dur 10 has at_risk == d -> terminal, excluded)
+    # steps: floor(1e6*ln(3/4)+.5) = -287682,
+    #        floor(1e6*ln(2/3)+.5) = -405465 -> cumsum -693147
+    rows = []
+    for i, h in enumerate([0, 2, 3]):
+        rows.append((i, pd.Timestamp("2024-01-01") +
+                     pd.Timedelta(hours=h), 1, "a", 1.0))
+    for i, h in enumerate([0, 10]):
+        rows.append((10 + i, pd.Timestamp("2024-01-01") +
+                     pd.Timedelta(hours=h), 2, "a", 1.0))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["event_id"] = ev["event_id"].astype(np.int64)
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["props"] = "{}"
+    _write(tmp_path, "events", ev)
+    got, sql = _run("events_km_survival", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["dur"])
+    got = got.sort_values("dur").reset_index(drop=True)
+    assert got["dur"].tolist() == [1, 2]
+    assert got["at_risk"].tolist() == [4, 3]
+    assert got["n_events"].tolist() == [1, 1]
+    assert got["log_surv_micro"].tolist() == [-287682, -693147]
