@@ -571,3 +571,105 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= {_LEV_MAX_DIST}
 """
+
+
+# ---------------------------------------------------------------------------
+# HMM Viterbi decode with integer log weights (oracle-checked)
+# ---------------------------------------------------------------------------
+
+# micro-unit (1e6-scaled) log weights: state 0 = "browse", 1 = "trouble".
+# Constants are shared verbatim by the Ray kernel and the generated SQL.
+_VIT_E = {
+    "click": (-600_000, -1_800_000),
+    "view": (-700_000, -2_000_000),
+    "signup": (-2_000_000, -2_200_000),
+    "purchase": (-2_500_000, -1_200_000),
+    "error": (-3_000_000, -800_000),
+}
+_VIT_E_OTHER = (-5_000_000, -5_000_000)
+_VIT_T = (-200_000, -1_700_000, -1_100_000, -500_000)  # t00 t01 t10 t11
+_VIT_PI = (-300_000, -1_400_000)
+
+
+def q_events_viterbi(sf_dir: str):
+    """HMM Viterbi decode over each user's (ts, event_id)-ordered
+    event-type sequence — the oracle-checked face of the sequence-model
+    family (the CRF/BiLSTM decoders in ops/ are reference-parity
+    test-pinned; this one is END-TO-END hash-checked against SQL).
+    A 2-state HMM with integer micro-unit log weights: max/plus over
+    int64 is bit-exact in any evaluation order, so the DuckDB oracle
+    advances the identical per-user recurrence v'_s = emit_s(x) +
+    GREATEST(v_0 + t_0s, v_1 + t_1s) with a ROW_NUMBER-indexed
+    recursive CTE (the events_int_ewma pattern — O(rows) per
+    iteration, all users step together).  Output per user: sequence
+    length, best final log score, argmax final state (tie -> state 0).
+    Ray side is ONE user cogroup running the same recurrence."""
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    t00, t01, t10, t11 = _VIT_T
+    pi0, pi1 = _VIT_PI
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        users = df["user_id"].to_numpy(np.int64)
+        kinds = df["event_type"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        ends = np.r_[starts[1:], len(users)]
+        out = np.empty((len(starts), 4), np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            e0, e1 = _VIT_E.get(kinds[s], _VIT_E_OTHER)
+            v0, v1 = pi0 + e0, pi1 + e1
+            for j in range(s + 1, e):
+                e0, e1 = _VIT_E.get(kinds[j], _VIT_E_OTHER)
+                v0, v1 = (
+                    e0 + max(v0 + t00, v1 + t10),
+                    e1 + max(v0 + t01, v1 + t11),
+                )
+            out[i] = (users[s], e - s, max(v0, v1), 1 if v1 > v0 else 0)
+        return pd.DataFrame(
+            out,
+            columns=["user_id", "n_events", "best_score", "best_state"],
+        )
+
+    return grouped_map(ev, "user_id", per_bucket)
+
+
+def _viterbi_sql() -> str:
+    def case(idx: int) -> str:
+        whens = "\n          ".join(
+            f"WHEN '{k}' THEN {w[idx]}" for k, w in _VIT_E.items()
+        )
+        return (f"CASE event_type\n          {whens}\n"
+                f"          ELSE {_VIT_E_OTHER[idx]} END")
+
+    t00, t01, t10, t11 = _VIT_T
+    pi0, pi1 = _VIT_PI
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+e AS (SELECT user_id, rn,
+        {case(0)} AS e0,
+        {case(1)} AS e1
+      FROM r),
+s AS (
+  SELECT user_id, rn, {pi0} + e0 AS v0, {pi1} + e1 AS v1
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         e.e0 + GREATEST(s.v0 + ({t00}), s.v1 + ({t10})),
+         e.e1 + GREATEST(s.v0 + ({t01}), s.v1 + ({t11}))
+  FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+sel AS (SELECT user_id, rn, v0, v1,
+               MAX(rn) OVER (PARTITION BY user_id) AS mx FROM s)
+SELECT user_id, CAST(mx AS BIGINT) AS n_events,
+       CAST(GREATEST(v0, v1) AS BIGINT) AS best_score,
+       CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END AS BIGINT) AS best_state
+FROM sel WHERE rn = mx
+"""
+
+
+SQL_EVENTS_VITERBI = _viterbi_sql()

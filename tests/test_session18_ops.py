@@ -278,3 +278,45 @@ def test_km_survival_hand_computed(ray_session, tmp_path):
     assert got["at_risk"].tolist() == [4, 3]
     assert got["n_events"].tolist() == [1, 1]
     assert got["log_surv_micro"].tolist() == [-287682, -693147]
+
+
+def test_viterbi_hand_computed(ray_session, tmp_path):
+    from kgray.queries.analytics9 import _VIT_E, _VIT_PI, _VIT_T
+
+    # user 1: ["click", "error"]
+    #  v_1 = (pi0+e0(click), pi1+e1(click))
+    #  v_2 = (e0(err) + max(v0+t00, v1+t10),
+    #         e1(err) + max(v0+t01, v1+t11))
+    t00, t01, t10, t11 = _VIT_T
+    pi0, pi1 = _VIT_PI
+    v0 = pi0 + _VIT_E["click"][0]
+    v1 = pi1 + _VIT_E["click"][1]
+    w0 = _VIT_E["error"][0] + max(v0 + t00, v1 + t10)
+    w1 = _VIT_E["error"][1] + max(v0 + t01, v1 + t11)
+    ev = _events([
+        (1, "2024-01-01", 1, "click", 1.0),
+        (2, "2024-01-02", 1, "error", 1.0),
+        (3, "2024-01-01", 2, "purchase", 1.0),
+    ])
+    _write(tmp_path, "events", ev)
+    got, sql = _run("events_viterbi", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["user_id"])
+    r1 = got[got["user_id"] == 1].iloc[0]
+    assert r1["best_score"] == max(w0, w1)
+    assert r1["best_state"] == (1 if w1 > w0 else 0)
+    r2 = got[got["user_id"] == 2].iloc[0]
+    assert r2["n_events"] == 1
+
+
+def test_viterbi_burst_detection(ray_session, tmp_path):
+    # a run of errors should decode to the "trouble" state, a run of
+    # clicks to "browse"
+    rows = [(i, f"2024-01-{i+1:02d}", 1, "error", 1.0) for i in range(5)]
+    rows += [(10 + i, f"2024-01-{i+1:02d}", 2, "click", 1.0)
+             for i in range(5)]
+    _write(tmp_path, "events", _events(rows))
+    got, _ = _run("events_viterbi", tmp_path)
+    by_user = got.set_index("user_id")
+    assert by_user.loc[1, "best_state"] == 1
+    assert by_user.loc[2, "best_state"] == 0
