@@ -673,3 +673,98 @@ FROM sel WHERE rn = mx
 
 
 SQL_EVENTS_VITERBI = _viterbi_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spearman rho per event type: daily volume vs daily mean value
+# ---------------------------------------------------------------------------
+
+def q_events_daily_spearman(sf_dir: str):
+    """Spearman rank correlation per event type between daily volume
+    and daily mean value ("do busy days run hot or cold?") — the
+    tie-averaged-rank complement to events_kendall.  Exactness chain:
+    daily (n, cents) fold is exact int64; the mean n->cents/n is the
+    identical double division in both engines; tie-averaged ranks are
+    HALF-INTEGERS (exact doubles, the Mann-Whitney rank lesson); and
+    every Pearson-on-ranks moment is a sum of quarter-integers bounded
+    by days^3 — exactly representable, so the raw-moment formula is
+    summation-order-exact with NO integer trick needed.  Rank + fit
+    run per event type over day-scale aggregates (~30 rows each)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False),
+                "day": us // 86_400_000_000,
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["event_type", "day"], sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = pre_aggregate(
+        ev.map_batches(daily, batch_format="pyarrow"),
+        ["event_type", "day"], {"n": ("n", "sum"), "cents": ("cents", "sum")},
+    )
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            n = g["n"].to_numpy(np.int64)
+            cents = g["cents"].to_numpy(np.int64)
+            mean = cents / n.astype(np.float64)
+            rx = pd.Series(n).rank(method="average").to_numpy()
+            ry = pd.Series(mean).rank(method="average").to_numpy()
+            nd = len(rx)
+            sx, sy = rx.sum(), ry.sum()
+            sxx, syy = (rx * rx).sum(), (ry * ry).sum()
+            sxy = (rx * ry).sum()
+            vx = nd * sxx - sx * sx
+            vy = nd * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            rho = (nd * sxy - sx * sy) / math.sqrt(vx * vy)
+            rows.append((et, nd, round_half_up(rho, 6)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_days", "rho"]
+        ).astype({"n_days": np.int64})
+
+    return grouped_map(agg, "event_type", fit)
+
+
+SQL_EVENTS_DAILY_SPEARMAN = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type,
+         (2 * RANK() OVER (PARTITION BY event_type ORDER BY n)
+          + COUNT(*) OVER (PARTITION BY event_type, n) - 1) / 2.0 AS rx,
+         (2 * RANK() OVER (PARTITION BY event_type
+                           ORDER BY cents / CAST(n AS DOUBLE))
+          + COUNT(*) OVER (PARTITION BY event_type,
+                           cents / CAST(n AS DOUBLE)) - 1) / 2.0 AS ry
+  FROM d),
+a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * rx) AS sxx,
+             SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+      FROM r GROUP BY 1)
+SELECT event_type, n_days,
+       ROUND((n_days * sxy - sx * sy)
+             / sqrt((n_days * sxx - sx * sx)
+                    * (n_days * syy - sy * sy)), 6) AS rho
+FROM a
+WHERE n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+"""

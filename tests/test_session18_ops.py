@@ -320,3 +320,26 @@ def test_viterbi_burst_detection(ray_session, tmp_path):
     by_user = got.set_index("user_id")
     assert by_user.loc[1, "best_state"] == 1
     assert by_user.loc[2, "best_state"] == 0
+
+
+def test_spearman_hand_computed_with_ties(ray_session, tmp_path):
+    # one event type over 4 days: counts [1,2,2,3] (tie -> avg ranks
+    # [1, 2.5, 2.5, 4]), means [10, 20, 30, 40] (ranks [1,2,3,4]).
+    # sxy = 1 + 5 + 7.5 + 16 = 29.5, sxx = 29.5, syy = 30:
+    # rho = (4*29.5-100)/sqrt((4*29.5-100)*(4*30-100)) = 18/sqrt(360)
+    #     = 0.948683
+    rows = []
+    eid = 0
+    day_counts = [1, 2, 2, 3]
+    day_means = [0.10, 0.20, 0.30, 0.40]
+    for d, (c, m) in enumerate(zip(day_counts, day_means)):
+        for _ in range(c):
+            rows.append((eid, f"2024-01-0{d+1}", 1, "click", m))
+            eid += 1
+    _write(tmp_path, "events", _events(rows))
+    got, sql = _run("events_daily_spearman", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["event_type"])
+    row = got.iloc[0]
+    assert row["n_days"] == 4
+    assert row["rho"] == 0.948683
