@@ -19,6 +19,7 @@ and the format is abstracted behind read_table/write_table.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
@@ -106,8 +107,23 @@ _STAT_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
         ("content", pa.uint64()),
         ("file", pa.string()),
+        ("schema", pa.string()),
     ]
 )
+
+
+def _schema_b64(schema: pa.Schema) -> str:
+    # strip schema/field metadata: Ray's parquet reader requires the
+    # hand-in schema to equal the projected batch schemas EXACTLY, and
+    # block provenance metadata (e.g. pandas) varies per writer task
+    schema = pa.schema(
+        [f.remove_metadata() for f in schema], metadata=None
+    )
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def _schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s)))
 
 
 class _WriteSlices:
@@ -171,12 +187,14 @@ class _WriteSlices:
                 # across value types (and empty batches)
                 zmins[c].append(json.dumps(lo_v))
                 zmaxs[c].append(json.dumps(hi_v))
+        sb64 = _schema_b64(tbl.schema)
         cols = {
             "part": pa.array(out["part"], pa.int64()),
             "rows": pa.array(out["rows"], pa.int64()),
             "bytes": pa.array(out["bytes"], pa.int64()),
             "content": pa.array(out["content"], pa.uint64()),
             "file": pa.array(out["file"], pa.string()),
+            "schema": pa.array([sb64] * len(out["part"]), pa.string()),
         }
         for c in self.stats_cols:
             cols[f"zmin_{c}"] = pa.array(zmins[c], pa.string())
@@ -313,6 +331,18 @@ def write_partitioned(
                     hi = prev[1] if hi is None else (
                         max(prev[1], hi) if prev[1] is not None else hi)
                 zones[c] = [lo, hi]
+    # schema evolution: the manifest carries the UNION of every file's
+    # Arrow schema (appended batches may add columns), so read_table can
+    # hand one unified schema to the scan and old files null-fill the
+    # new columns.  Type CHANGES for an existing column are a genuine
+    # conflict and raise here (unify_schemas), at write time — never at
+    # some later read.
+    schema_b64s: set[str] = set()
+    if old is not None:
+        schema_b64s.update(old.get("schemas")
+                           or ([old["schema"]] if old.get("schema") else []))
+    if len(raw):
+        schema_b64s.update(raw["schema"])
     manifest = {
         "stage": stage,
         "key_col": key_col,
@@ -320,6 +350,11 @@ def write_partitioned(
         "input_fingerprint": input_fingerprint,
         "partitions": partitions,
     }
+    if schema_b64s:
+        manifest["schema"] = _schema_b64(pa.unify_schemas(
+            [_schema_from_b64(s) for s in sorted(schema_b64s)]
+        ))
+        manifest["schemas"] = sorted(schema_b64s)
     # snapshot FIRST, then swap the current manifest: a crash in between
     # leaves an archived snapshot whose attested files are already on
     # disk (the write completed), never a current manifest that lacks
@@ -653,7 +688,33 @@ def read_table(path: str, columns: list[str] | None = None,
         if not any(files for _, _, files in os.walk(target)):
             return None  # empty table (write_partitioned of an empty Dataset)
         paths = target
-    ds = rd.read_parquet(paths, columns=columns)
+    # schema evolution: scan with the manifest's unified schema so files
+    # written before a column was appended null-fill it (without this,
+    # the scan takes the FIRST file's schema and silently drops evolved
+    # columns from the result depending on file order)
+    sch = _schema_from_b64(m["schema"]) if m and m.get("schema") else None
+    if sch is not None and columns is not None:
+        missing = [c for c in columns if c not in sch.names]
+        if missing:
+            raise KeyError(f"columns {missing} not in table schema")
+        per_file = [_schema_from_b64(s) for s in m.get("schemas", [])]
+        if per_file and all(
+            c in fs.names for fs in per_file for c in columns
+        ):
+            # every attested file physically has every requested column:
+            # the file-level projection is safe (Ray derives its
+            # data-column split from the FIRST fragment, so this must
+            # hold for all files, not just one).  Ray's reader requires
+            # schema == the PROJECTED batch schema.
+            sch = pa.schema([sch.field(c) for c in columns])
+            return rd.read_parquet(paths, columns=columns, schema=sch)
+        # evolved table: some file lacks a requested column — scan with
+        # the unified schema (old files null-fill) and project after.
+        # Compaction conforms files to the unified schema, restoring
+        # file-level projection for later reads.
+        return rd.read_parquet(paths, schema=sch) \
+            .select_columns(list(columns))
+    ds = rd.read_parquet(paths, columns=columns, schema=sch)
     if columns is not None:  # explicit projection: honor it verbatim
         return ds
 
@@ -690,17 +751,36 @@ def compact_partitioned(path: str, target_bytes: int = 128 << 20) -> dict:
         raise FileNotFoundError(f"no manifest under {path}")
     data_dir = os.path.join(path, "data")
 
+    uni_b64 = manifest.get("schema")
+
     @ray.remote
     def compact_one(pstr: str, files: list[str], want_rows: int):
         import pyarrow.parquet as _pq
 
+        # promote: appended files may carry evolved (superset) schemas —
+        # missing columns null-fill so mixed-schema partitions compact
         tbl = pa.concat_tables(
-            [_pq.read_table(os.path.join(data_dir, f)) for f in files]
+            [_pq.read_table(os.path.join(data_dir, f)) for f in files],
+            promote_options="default",
         )
         if tbl.num_rows != want_rows:
             raise RuntimeError(
                 f"partition {pstr}: {tbl.num_rows} rows on disk vs "
                 f"{want_rows} attested — refusing to compact"
+            )
+        if uni_b64 is not None:
+            # schema healing: conform every rewritten partition to the
+            # manifest's unified schema (null-fill evolved columns, fix
+            # column order) so post-compaction files are homogeneous and
+            # file-level column projection works again
+            uni = _schema_from_b64(uni_b64)
+            tbl = pa.table(
+                {
+                    f.name: (tbl[f.name].cast(f.type)
+                             if f.name in tbl.column_names
+                             else pa.nulls(tbl.num_rows, f.type))
+                    for f in uni
+                }
             )
         n_out = max(1, int(np.ceil(tbl.nbytes / target_bytes)))
         rows_per = int(np.ceil(tbl.num_rows / n_out))
@@ -717,9 +797,11 @@ def compact_partitioned(path: str, target_bytes: int = 128 << 20) -> dict:
             new_bytes += os.path.getsize(fpath)
         return pstr, new_files, new_bytes
 
+    hetero = len(manifest.get("schemas", [])) > 1
     todo = [
         (pstr, meta) for pstr, meta in manifest["partitions"].items()
         if len(meta.get("files", [])) > 1
+        or (hetero and meta.get("files"))
     ]
     results = ray.get([
         compact_one.remote(pstr, meta["files"], int(meta["rows"]))
@@ -731,6 +813,13 @@ def compact_partitioned(path: str, target_bytes: int = 128 << 20) -> dict:
         old_files.extend(meta["files"])
         meta["files"] = sorted(new_files)
         meta["bytes"] = int(new_bytes)
+    if results and uni_b64 is not None:
+        # every rewritten file now carries the unified schema; if ALL
+        # partitions were rewritten the file set is homogeneous again
+        with_files = {p for p, meta in manifest["partitions"].items()
+                      if meta.get("files")}
+        if {p for p, _, _ in results} >= with_files:
+            manifest["schemas"] = [uni_b64]
     # compaction is content-preserving but changes the file set: archive
     # it as a new snapshot so the version chain stays read-consistent
     _snapshot_version(path, manifest)
