@@ -768,3 +768,112 @@ SELECT event_type, n_days,
 FROM a
 WHERE n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# association rules (confidence + lift) over co-purchase baskets
+# ---------------------------------------------------------------------------
+
+_RULE_MINSUP = 2
+
+
+def q_basket_rules(sf_dir: str):
+    """Association rules ante -> cons with support / confidence / lift
+    over order baskets — the step AFTER basket_pairs (which mines raw
+    pair supports): conf = n12/n_ante, lift = n12·N / (n_ante·n_cons).
+    All counts are exact int64 (basket rows live whole in one order
+    cogroup, so distinct-pair and per-item supports fold exactly); the
+    two ratios divide identical integers, so they are bit-equal doubles
+    in both engines.  Item supports are a part-scale table broadcast
+    once into the rule finish (never a row-scale join); N is one
+    scalar fold."""
+    import ray
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return out.rename(columns={"l_partkey_x": "p1",
+                                   "l_partkey_y": "p2"})
+
+    buckets = grouped_map(line, "l_orderkey", per_bucket)
+
+    def fold_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby(["p1", "p2"], sort=False)["n"].sum()
+            .rename("n12").reset_index()
+        )
+        return c[c["n12"] >= _RULE_MINSUP]
+
+    pairs = grouped_map(buckets, "p1", fold_pairs)
+
+    def item_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        g = d.groupby("l_partkey", sort=False).size().rename("np") \
+            .reset_index().rename(columns={"l_partkey": "p"})
+        # an order's rows live whole in ONE bucket, so per-bucket
+        # distinct-order counts sum to the exact global count
+        g["n_orders_part"] = 0
+        g.loc[g.index[:1], "n_orders_part"] = d["l_orderkey"].nunique()
+        return g
+
+    ip = grouped_map(line, "l_orderkey", item_partials).materialize()
+    item = pre_aggregate(ip, ["p"], {"np": ("np", "sum")})
+    n_total = int(ip.sum("n_orders_part") or 0)
+    idf = item.to_pandas()  # part-scale (the lm_score broadcast gate)
+    np_of = ray.put(pd.Series(idf["np"].to_numpy(np.int64),
+                              index=idf["p"].to_numpy(np.int64)))
+
+    def finish(batch: pa.Table, n=n_total) -> pa.Table:
+        sup = ray.get(np_of)
+        p1 = batch["p1"].to_numpy(zero_copy_only=False)
+        p2 = batch["p2"].to_numpy(zero_copy_only=False)
+        n12 = batch["n12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ante = np.concatenate([p1, p2])
+        cons = np.concatenate([p2, p1])
+        nn = np.concatenate([n12, n12])
+        na = sup.reindex(ante).to_numpy(np.int64)
+        nc = sup.reindex(cons).to_numpy(np.int64)
+        conf = nn / na.astype(np.float64)
+        lift = (nn * n) / (na * nc).astype(np.float64)
+        return pa.table(
+            {
+                "ante": pa.array(ante, pa.int64()),
+                "cons": pa.array(cons, pa.int64()),
+                "n12": pa.array(nn, pa.int64()),
+                "n_ante": pa.array(na, pa.int64()),
+                "n_cons": pa.array(nc, pa.int64()),
+                "conf": pa.array(round_half_up(conf, 6), pa.float64()),
+                "lift": pa.array(round_half_up(lift, 6), pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BASKET_RULES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+      FROM lineitem),
+item AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS np
+         FROM b GROUP BY 1),
+pr AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+              CAST(COUNT(*) AS BIGINT) AS n12
+       FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND a.l_partkey < c.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= {_RULE_MINSUP}),
+dir AS (SELECT p1 AS ante, p2 AS cons, n12 FROM pr
+        UNION ALL SELECT p2, p1, n12 FROM pr)
+SELECT d.ante, d.cons, d.n12, ia.np AS n_ante, ic.np AS n_cons,
+       ROUND(d.n12 / CAST(ia.np AS DOUBLE), 6) AS conf,
+       ROUND((d.n12 * n.n) / CAST(ia.np * ic.np AS DOUBLE), 6) AS lift
+FROM dir d JOIN item ia ON d.ante = ia.p
+           JOIN item ic ON d.cons = ic.p
+CROSS JOIN n
+"""

@@ -343,3 +343,25 @@ def test_spearman_hand_computed_with_ties(ray_session, tmp_path):
     row = got.iloc[0]
     assert row["n_days"] == 4
     assert row["rho"] == 0.948683
+
+
+def test_basket_rules_hand_computed(ray_session, tmp_path):
+    # 3 orders: {1,2}, {1,2}, {1,3} -> N=3, n(1)=3, n(2)=2, n(3)=1
+    # pair (1,2): n12=2 >= minsup; (1,3): n12=1 dropped
+    # rule 1->2: conf 2/3, lift 2*3/(3*2)=1.0
+    # rule 2->1: conf 2/2=1.0, lift 1.0
+    line = pd.DataFrame(
+        {
+            "l_orderkey": np.int64([10, 10, 20, 20, 30, 30, 30]),
+            "l_partkey": np.int64([1, 2, 1, 2, 1, 3, 3]),
+        }
+    )
+    _write(tmp_path, "lineitem", line)
+    got, sql = _run("basket_rules", tmp_path)
+    exp = _oracle(tmp_path, sql, ["lineitem"])
+    _cmp(got, exp, ["ante", "cons"])
+    got = got.set_index(["ante", "cons"])
+    assert len(got) == 2
+    assert got.loc[(1, 2), "conf"] == 0.666667
+    assert got.loc[(2, 1), "conf"] == 1.0
+    assert got.loc[(1, 2), "lift"] == 1.0
