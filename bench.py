@@ -108,6 +108,15 @@ SUITE = [
     # two entries exclude them
     "supplier_part_hits",
     "customer_linkage_scores",
+    # round-4 sessions 17/18: oracle-checked Naive-Bayes train+predict
+    # (vocab-fold + broadcast score), HMM Viterbi decode (user-cogroup
+    # integer max/plus recurrence), blocked exact-Levenshtein fuzzy ER
+    # (pair-vectorized DP), and directed shingle-containment near-dup;
+    # suite totals before these entries exclude them
+    "docs_nb_confusion",
+    "events_viterbi",
+    "customer_fuzzy_pairs",
+    "doc_containment_pairs",
 ]
 
 

@@ -486,6 +486,21 @@ def _lev_pairs_block(names_u, names_v):
     npairs = len(names_u)
     enc_u = [s.encode() for s in names_u]
     enc_v = [s.encode() for s in names_v]
+    # stripping a prefix common to BOTH strings of every pair preserves
+    # edit distance; the GLOBAL common prefix of all strings (the LCP of
+    # the lexicographic min and max) is common to every pair, and for
+    # templated ids ("Customer#000...") it cuts the DP area ~4x
+    if enc_u and enc_v:
+        lo = min(min(enc_u), min(enc_v))
+        hi = max(max(enc_u), max(enc_v))
+        cp = 0
+        for a, b in zip(lo, hi):
+            if a != b:
+                break
+            cp += 1
+        if cp:
+            enc_u = [b[cp:] for b in enc_u]
+            enc_v = [b[cp:] for b in enc_v]
     la = np.fromiter((len(b) for b in enc_u), np.int64, npairs)
     lb = np.fromiter((len(b) for b in enc_v), np.int64, npairs)
     L1, L2 = int(la.max()), int(lb.max())
