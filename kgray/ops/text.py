@@ -828,3 +828,88 @@ def trigram_lm_scores(docs, model=None, text_col: str = "text",
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_apply_word(word: str, rank_of: dict) -> list[str]:
+    """Encode ONE word with a trained merge table (greedy lowest-rank
+    merge first — the standard BPE inference loop, matching how
+    :func:`bpe_train`'s merge order defines the tokenizer).  Pure
+    function of (word, merges); callers memoize per distinct word."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best, bi = None, -1
+        for i in range(len(sym) - 1):
+            r = rank_of.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        a, b = sym[bi], sym[bi + 1]
+        ab = a + b
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode_stats(docs, merges, text_col: str = "text",
+                     group_col: str = "lang"):
+    """Apply a trained BPE merge table to the corpus and fold per-group
+    tokenizer statistics (word count, BPE token count — fertility =
+    tokens/words is the standard tokenizer-quality metric).  The merge
+    table is vocab-scale: shipped ONCE via ray.put and turned into a
+    (left, right) -> rank dict per task; encoding memoizes per DISTINCT
+    word (Zipf makes the hit rate high), so the scan is one stateless
+    shuffle-free pass + a group-scale combiner fold.  No SQL oracle
+    (BPE inference is not SQL-expressible): pinned by Sennrich-example
+    and round-trip property tests instead."""
+    import ray
+
+    if isinstance(merges, pa.Table):
+        mt = merges
+    else:
+        mt = pa.concat_tables(ray.get(merges.to_arrow_refs()))
+    order = np.argsort(mt["rank"].to_numpy(zero_copy_only=False))
+    lefts = np.asarray(mt["left"].to_pylist(), object)[order]
+    rights = np.asarray(mt["right"].to_pylist(), object)[order]
+    merges_ref = ray.put(list(zip(lefts.tolist(), rights.tolist())))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        pairs = ray.get(merges_ref)
+        rank_of = {p: i for i, p in enumerate(pairs)}
+        cache: dict = {}
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        nw = np.zeros(len(texts), np.int64)
+        nt = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            words = [w for w in t.split(" ") if w]
+            nw[i] = len(words)
+            tot = 0
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = len(bpe_apply_word(w, rank_of))
+                tot += got
+            nt[i] = tot
+        df = pd.DataFrame({group_col: groups, "w": nw, "t": nt})
+        g = df.groupby(group_col, sort=False).agg(
+            n_docs=("w", "size"), n_words=("w", "sum"),
+            n_tokens=("t", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from kgray.ops.agg import pre_aggregate
+
+    return pre_aggregate(
+        docs.map_batches(encode, batch_format="pyarrow"),
+        [group_col],
+        {"n_docs": ("n_docs", "sum"), "n_words": ("n_words", "sum"),
+         "n_tokens": ("n_tokens", "sum")},
+    )

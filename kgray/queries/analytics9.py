@@ -892,3 +892,37 @@ FROM dir d JOIN item ia ON d.ante = ia.p
            JOIN item ic ON d.cons = ic.p
 CROSS JOIN n
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application: per-language fertility audit (rows-only)
+# ---------------------------------------------------------------------------
+
+_BPE_FERT_MERGES = 80
+
+
+def q_bpe_fertility(sf_dir: str):
+    """Train a {m}-merge BPE tokenizer on the corpus (bpe_train's
+    driver merge loop over the vocab-scale word-frequency fold) and
+    APPLY it back — the tokenizer-inference op a training-data pipeline
+    runs over every document.  Output per language: docs, words, BPE
+    tokens, and fertility = tokens/word (the standard tokenizer-quality
+    metric).  Rows-only: BPE inference is not SQL-expressible; the
+    apply loop is pinned by Sennrich-example + round-trip property
+    tests (test_session18_ops)."""
+    from kgray.ops.text import bpe_encode_stats, bpe_train
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    merges = bpe_train(docs, num_merges=_BPE_FERT_MERGES)
+    stats = bpe_encode_stats(docs, merges)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = batch["n_words"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t = batch["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.append_column(
+            "fertility", pa.array(round_half_up(t / w, 4), pa.float64())
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")

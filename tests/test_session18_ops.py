@@ -365,3 +365,40 @@ def test_basket_rules_hand_computed(ray_session, tmp_path):
     assert got.loc[(1, 2), "conf"] == 0.666667
     assert got.loc[(2, 1), "conf"] == 1.0
     assert got.loc[(1, 2), "lift"] == 1.0
+
+
+def test_bpe_apply_sennrich_and_roundtrip(ray_session):
+    import ray.data as rd2
+
+    from kgray.ops.text import bpe_apply_word, bpe_encode_stats, bpe_train
+
+    # Sennrich et al. toy corpus: after enough merges the most frequent
+    # word encodes as a single symbol
+    docs = pd.DataFrame(
+        {
+            "lang": ["en"] * 4,
+            "text": [
+                " ".join(["low"] * 5),
+                " ".join(["lower"] * 2),
+                " ".join(["newest"] * 6),
+                " ".join(["widest"] * 3),
+            ],
+        }
+    )
+    ds = rd2.from_pandas(docs)
+    merges = bpe_train(ds, num_merges=30)
+    rank_of = {
+        (l, r): i
+        for i, (l, r) in enumerate(zip(merges["left"].to_pylist(),
+                                       merges["right"].to_pylist()))
+    }
+    assert bpe_apply_word("newest", rank_of) == ["newest</w>"]
+    # round-trip: concatenated tokens minus the marker == the word
+    for w in ["low", "lower", "newest", "widest", "lowest", "zzz"]:
+        toks = bpe_apply_word(w, rank_of)
+        assert "".join(toks).replace("</w>", "") == w
+        assert 1 <= len(toks) <= len(w) + 1
+    # encode stats: 16 words total; fully-merged corpus -> 16 tokens
+    stats = bpe_encode_stats(ds, merges).to_pandas()
+    assert stats["n_words"].tolist() == [16]
+    assert stats["n_tokens"].tolist() == [16]
