@@ -926,3 +926,124 @@ def q_bpe_fertility(sf_dir: str):
         )
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic half-sample bootstrap CI for the mean (md5 bit reps)
+# ---------------------------------------------------------------------------
+
+_CI_REPS = 48  # bits 0..47 of the 13-hex-digit md5 prefix
+_CI_LO, _CI_HI = 0.05, 0.95
+
+
+def q_events_subsample_ci(sf_dir: str):
+    """Half-sample bootstrap confidence interval for the per-type mean
+    value, fully deterministic: ONE md5 per row yields 48 independent
+    coin flips (bits of the 52-bit hex prefix — the dsir bucket-hash
+    convention), rep r keeps the rows with bit r set (~n/2 each), and
+    the CI is the percentile_disc(0.05/0.95) of the 48 rep means.
+    Everything before the percentile is exact: int64 cent sums per
+    (type, rep) fold with a combiner, rep means divide identical
+    integers.  One stateless scan + one rep-scale shuffle — each row
+    contributes to all its reps in place, never a B-fold data copy
+    (the Poisson-bootstrap shape).  Empty reps (possible only on tiny
+    fixtures) drop from the percentile on both sides."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(f"ci:{i}".encode()).hexdigest()[:13], 16)
+                for i in ids
+            ),
+            np.int64, len(ids),
+        )
+        frames = []
+        df = pd.DataFrame({"event_type": et, "cents": cents})
+        # rep -1 carries the full-sample fold
+        base = df.groupby("event_type", sort=False)["cents"] \
+            .agg(["sum", "size"]).reset_index()
+        base["rep"] = -1
+        frames.append(base)
+        for r in range(_CI_REPS):
+            m = ((hv >> r) & 1).astype(bool)
+            if not m.any():
+                continue
+            g = df[m].groupby("event_type", sort=False)["cents"] \
+                .agg(["sum", "size"]).reset_index()
+            g["rep"] = r
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"].to_numpy(object),
+                                       pa.string()),
+                "rep": pa.array(out["rep"].to_numpy(np.int64)),
+                "s": pa.array(out["sum"].to_numpy(np.int64)),
+                "n": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = pre_aggregate(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["event_type", "rep"], {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            base = g[g["rep"] == -1]
+            reps = g[(g["rep"] >= 0) & (g["n"] > 0)]
+            if not len(base) or not len(reps):
+                continue
+            means = np.sort(
+                reps["s"].to_numpy(np.int64)
+                / reps["n"].to_numpy(np.int64).astype(np.float64)
+            )
+            k = len(means)
+            lo = means[max(int(np.ceil(_CI_LO * k)), 1) - 1]
+            hi = means[max(int(np.ceil(_CI_HI * k)), 1) - 1]
+            s, n = int(base["s"].iloc[0]), int(base["n"].iloc[0])
+            rows.append((et, n, round_half_up(s / float(n), 6),
+                         round_half_up(lo, 6), round_half_up(hi, 6)))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n_events", "mean_cents",
+                     "ci_lo", "ci_hi"],
+        ).astype({"n_events": np.int64})
+
+    return grouped_map(agg, "event_type", finish)
+
+
+SQL_EVENTS_SUBSAMPLE_CI = f"""
+WITH h AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5('ci:' || CAST(event_id AS VARCHAR)), 1, 13)
+              AS BIGINT) AS hv
+  FROM events),
+reps AS (SELECT r FROM range({_CI_REPS}) t(r)),
+m AS (SELECT event_type, r, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM h JOIN reps ON ((hv >> r) & 1) = 1 GROUP BY 1, 2),
+rm AS (SELECT event_type, s / CAST(n AS DOUBLE) AS mean_r FROM m),
+ci AS (SELECT event_type,
+              percentile_disc({_CI_LO}) WITHIN GROUP (ORDER BY mean_r)
+                AS lo,
+              percentile_disc({_CI_HI}) WITHIN GROUP (ORDER BY mean_r)
+                AS hi
+       FROM rm GROUP BY 1),
+base AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM h GROUP BY 1)
+SELECT b.event_type, b.n AS n_events,
+       ROUND(b.s / CAST(b.n AS DOUBLE), 6) AS mean_cents,
+       ROUND(ci.lo, 6) AS ci_lo, ROUND(ci.hi, 6) AS ci_hi
+FROM base b JOIN ci USING (event_type)
+"""

@@ -402,3 +402,24 @@ def test_bpe_apply_sennrich_and_roundtrip(ray_session):
     stats = bpe_encode_stats(ds, merges).to_pandas()
     assert stats["n_words"].tolist() == [16]
     assert stats["n_tokens"].tolist() == [16]
+
+
+def test_subsample_ci_brackets_mean_and_matches_oracle(ray_session,
+                                                       tmp_path):
+    rng = np.random.default_rng(5)
+    n = 400
+    ev = _events([
+        (i, "2024-01-01", 1, "click", float(round(v, 2)))
+        for i, v in enumerate(rng.uniform(1, 9, n))
+    ])
+    _write(tmp_path, "events", ev)
+    got, sql = _run("events_subsample_ci", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["event_type"])
+    row = got.iloc[0]
+    assert row["n_events"] == n
+    # half-sample rep means bracket the full mean; width is O(2*sigma/sqrt(n/2))
+    assert row["ci_lo"] <= row["mean_cents"] <= row["ci_hi"]
+    sigma = 800 / np.sqrt(12)  # uniform(100, 900) cents
+    assert row["ci_hi"] - row["ci_lo"] < 6 * sigma / np.sqrt(n / 2)
+    assert row["ci_hi"] - row["ci_lo"] > 0
