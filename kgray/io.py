@@ -266,6 +266,8 @@ def write_partitioned(
     input_fingerprint: str = "",
     keep_partitions: set[int] | None = None,
     stats_cols: tuple[str, ...] | list[str] = (),
+    partitioner=None,
+    partitioning_name: str = "hash",
 ) -> dict:
     """Write ds hash-partitioned by key_col; return the lineage manifest.
 
@@ -292,7 +294,21 @@ def write_partitioned(
     old = read_manifest(path) if keep else None
     _hygiene(data_dir, old, keep, _version_protected_files(path))
 
-    tagged = add_partition_column(ds, key_col, num_partitions)
+    if partitioner is None:
+        tagged = add_partition_column(ds, key_col, num_partitions)
+    else:
+        # custom layout (e.g. z-order): ``partitioner(batch) -> int64
+        # partition ids``.  Recorded in the manifest so key-targeted
+        # rewrites (delete_rows) know crc32 hashing does NOT locate keys
+        def tag(batch: pa.Table) -> pa.Table:
+            if PART_COL in batch.column_names:
+                batch = batch.drop_columns([PART_COL])
+            return batch.append_column(
+                PART_COL, pa.array(np.asarray(partitioner(batch),
+                                              np.int64))
+            )
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow")
     raw = tagged.map_batches(
         _WriteSlices(data_dir, tuple(stats_cols)), batch_format="pyarrow"
     ).to_pandas()
@@ -347,6 +363,7 @@ def write_partitioned(
         "stage": stage,
         "key_col": key_col,
         "num_partitions": num_partitions,
+        "partitioning": partitioning_name,
         "input_fingerprint": input_fingerprint,
         "partitions": partitions,
     }
@@ -513,9 +530,20 @@ def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
     key_col = key_col or m.get("key_col")
     n = int(m["num_partitions"])
     key_list = list(keys)
-    targets = {
-        int(p) for p in partition_of(key_list, n)
-    } & {int(p) for p in m.get("partitions", {})}
+    if m.get("partitioning", "hash") == "hash":
+        targets = {int(p) for p in partition_of(key_list, n)}
+    else:
+        # custom layout (z-order etc.): crc32 does not locate keys —
+        # rewrite every partition the zone maps cannot rule out
+        targets = set()
+        for pstr, meta in m.get("partitions", {}).items():
+            z = meta.get("zones", {}).get(key_col)
+            if z is None or z[0] is None or z[1] is None:
+                targets.add(int(pstr))
+                continue
+            if any(z[0] <= k <= z[1] for k in key_list):
+                targets.add(int(pstr))
+    targets &= {int(p) for p in m.get("partitions", {})}
     if not targets:
         return m  # nothing to delete: no partition can hold these keys
     data_dir = os.path.join(path, "data")
@@ -545,6 +573,12 @@ def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
         ds, path, key_col, n, stage=m.get("stage", ""),
         input_fingerprint=f"{m.get('input_fingerprint', '')}#del",
         keep_partitions=keep, stats_cols=stats_cols,
+        # non-hash layouts keep their name: rewritten partitions fall
+        # back to hash placement (correct — zones are recomputed from
+        # written bytes) but the table MUST keep zone-map delete
+        # targeting; crc32 targeting would silently miss keys living
+        # in the kept z-ordered partitions
+        partitioning_name=m.get("partitioning", "hash"),
     )
 
 
@@ -837,3 +871,83 @@ def compact_partitioned(path: str, target_bytes: int = 128 << 20) -> dict:
         except FileNotFoundError:
             pass
     return manifest
+
+
+def _rank_codes(v: np.ndarray, cuts: np.ndarray) -> np.ndarray:
+    if v.dtype.kind == "M":
+        v = v.astype("datetime64[us]").astype(np.int64)
+    return np.searchsorted(cuts, v, side="right").astype(np.int64)
+
+
+def write_zordered(
+    ds,
+    path: str,
+    cols: list[str],
+    num_partitions: int = 16,
+    bits: int = 8,
+    sample_n: int = 20_000,
+    stage: str = "",
+    input_fingerprint: str = "",
+    stats_cols: tuple[str, ...] | list[str] | None = None,
+) -> dict:
+    """Write ``ds`` clustered by the Z-ORDER (Morton) interleave of
+    ``cols`` — the multi-column layout that makes zone maps tight on
+    EVERY listed column at once, so ``read_table(zone_filter=...)``
+    prunes partitions for predicates on any of them (hash layouts
+    scatter every column across the full range; single-key range
+    layouts serve only their own key).
+
+    Layout mechanics: each column is rank-normalized through
+    ``2^bits``-quantile cuts taken from a driver-side sample
+    (metadata-scale; sampling bias affects balance, never
+    correctness), the per-column codes interleave bit-by-bit into a
+    Morton key, and equal-width ranges of the key space become
+    partitions.  Zone maps for ``cols`` are folded by the same write
+    tasks (``stats_cols`` defaults to ``cols``).
+
+    The manifest records ``partitioning="zorder"`` so key-targeted
+    rewrites (:func:`delete_rows`) switch from crc32 targeting to
+    zone-map targeting.  Rewrites go through the default hash
+    partitioner, which keeps every read correct (zones are recomputed
+    from written bytes) but loosens the rewritten partitions' layout —
+    re-run ``write_zordered`` to re-cluster."""
+    ds = ds.materialize()
+    total = ds.count()
+    if total == 0:
+        return write_partitioned(
+            ds, path, cols[0], num_partitions, stage=stage,
+            input_fingerprint=input_fingerprint,
+            partitioning_name="zorder",
+            stats_cols=tuple(stats_cols or ()),
+        )
+    frac = min(1.0, sample_n / total)
+    sample = (ds if frac >= 1.0 else ds.random_sample(frac, seed=7)) \
+        .select_columns(list(cols)).to_pandas()
+    qs = np.arange(1, (1 << bits)) / float(1 << bits)
+    cuts = {}
+    for c in cols:
+        v = sample[c].to_numpy()
+        if v.dtype.kind == "M":
+            v = v.astype("datetime64[us]").astype(np.int64)
+        cuts[c] = np.quantile(v, qs, method="lower")
+    k = len(cols)
+
+    def zpart(batch: pa.Table) -> np.ndarray:
+        z = np.zeros(len(batch), np.int64)
+        codes = [
+            _rank_codes(
+                batch[c].to_numpy(zero_copy_only=False), cuts[c]
+            )
+            for c in cols
+        ]
+        for b in range(bits):
+            for ci, code in enumerate(codes):
+                z |= ((code >> b) & 1) << (b * k + ci)
+        return (z * num_partitions) >> (bits * k)
+
+    return write_partitioned(
+        ds, path, cols[0], num_partitions, stage=stage,
+        input_fingerprint=input_fingerprint,
+        stats_cols=tuple(cols if stats_cols is None else stats_cols),
+        partitioner=zpart, partitioning_name="zorder",
+    )
