@@ -1,0 +1,396 @@
+"""Session-19 operator batch — model-evaluation / feature-engineering
+family for training-data pipelines: exact distributed AUC (one-vs-rest
+rank-sum over the value-histogram fold), probability-calibration bins
+with per-bin Brier scores (integer micro-unit squares, python-int final
+fold), PMI term-vs-language affinity (feature selection by class
+association, single libm log per row), smoothed target encoding of a
+high-cardinality category, and a hashing-trick collision audit (md5
+bucket load histogram).
+
+Exactness strategy (house rules): every sum that crosses engine
+boundaries is integral (cents / micro-units / counts); floats appear
+only in final per-row expressions written IDENTICALLY in both engines
+(int->double casts mirror DuckDB's left-to-right evaluation).
+"""
+
+from ._common import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------------
+# Exact AUC, one-vs-rest per event type: does `value` rank-predict the type?
+# ---------------------------------------------------------------------------
+
+
+def q_events_auc(sf_dir: str):
+    """Exact Mann-Whitney AUC of ``value`` as a score for each event
+    type (one-vs-rest).  The row-scale data collapses to a
+    (cents, event_type) -> n histogram (combiner fold; distinct cents
+    is bounded by the value RANGE, not the row count), and the AUC
+    rank-sum is then a cumulative pass over that aggregate-scale
+    histogram: U2 = sum_v pos_v * (2*cumneg_below(v) + neg_v), an
+    EXACT integer in any summation order (python-int finish, immune to
+    int64 overflow at 10^12 rows).  Only the final
+    u2 / (2.0 * n_pos * n_neg) touches floats — identical int64/hugeint
+    operands, identical double.  Ties get the standard half-credit via
+    the +neg_v term."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = pa.table({"cents": pa.array(cents),
+                      "event_type": batch["event_type"]})
+        return t.group_by(["cents", "event_type"]).aggregate([([], "count_all")]) \
+                .rename_columns(["cents", "event_type", "n"])
+
+    hist = pre_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["cents", "event_type"], {"n": ("n", "sum")},
+    ).to_pandas()  # aggregate-scale: distinct cents x types
+
+    piv = hist.pivot_table(index="cents", columns="event_type",
+                           values="n", aggfunc="sum", fill_value=0)
+    piv = piv.sort_index()
+    tot = piv.sum(axis=1).to_numpy(np.int64)
+    rows = []
+    for ty in sorted(piv.columns):
+        pos = piv[ty].to_numpy(np.int64)
+        neg = tot - pos
+        u2 = 0
+        below = 0
+        for p, ng in zip(pos.tolist(), neg.tolist()):  # aggregate-scale loop
+            u2 += p * (2 * below + ng)
+            below += ng
+        n_pos = int(pos.sum())
+        n_neg = int(neg.sum())
+        if n_pos == 0 or n_neg == 0:
+            continue
+        auc = round_half_up(float(u2) / (2.0 * n_pos * n_neg), 6)
+        rows.append((ty, n_pos, n_neg, auc))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_pos": pa.array([r[1] for r in rows], pa.int64()),
+        "n_neg": pa.array([r[2] for r in rows], pa.int64()),
+        "auc": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_AUC = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT cents, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+g AS (
+  SELECT ty.event_type, t.cents,
+         COALESCE(cc.n, 0) AS pos, t.nt - COALESCE(cc.n, 0) AS neg
+  FROM (SELECT DISTINCT event_type FROM events) ty
+  CROSS JOIN tot t
+  LEFT JOIN c cc ON cc.event_type = ty.event_type AND cc.cents = t.cents),
+w AS (
+  SELECT event_type, pos, neg,
+         SUM(neg) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) - neg AS below
+  FROM g),
+u AS (
+  SELECT event_type,
+         SUM(CAST(pos AS HUGEINT) * (2 * CAST(below AS HUGEINT) + neg)) AS u2,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg
+  FROM w GROUP BY 1)
+SELECT event_type, n_pos, n_neg,
+       ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM u
+WHERE n_pos > 0 AND n_neg > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins + per-bin Brier for "value predicts purchase"
+# ---------------------------------------------------------------------------
+
+
+def q_events_calibration(sf_dir: str):
+    """Reliability-diagram bins for the naive score
+    p = value / max(value) predicting event_type = 'purchase'.
+    p is quantized to integer MICRO-units with floor-div
+    (cents * 1e6 // max_cents — all operands positive, so DuckDB's
+    truncating // == numpy floor //), bins are decile cuts of p_micro,
+    and every per-bin statistic folds as integers:
+    n, n_pos, sum(p_micro), sum((p_micro - y*1e6)^2).  Batch partials
+    stay in int64 (1e12 * 16384 rows << 2^63); the final fold over
+    (num_batches x 10) partial rows is python-int, so the operator is
+    overflow-immune at any scale.  pos_rate / avg_pred / brier are
+    final identical-operand divisions."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    mx = ev.aggregate(Max("value"))["max(value)"]
+    max_cents = int(round_half_up(np.float64(mx) * 100.0, 0))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        y = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        p = cents * 1_000_000 // max_cents
+        b = np.minimum(p // 100_000, 9)
+        d = (p - y * 1_000_000)
+        df = pd.DataFrame({"bin": b, "one": 1, "y": y, "p": p, "sq": d * d})
+        g = df.groupby("bin", sort=False).sum().reset_index()
+        return pa.table({
+            "bin": pa.array(g["bin"].to_numpy(np.int64)),
+            "n": pa.array(g["one"].to_numpy(np.int64)),
+            "n_pos": pa.array(g["y"].to_numpy(np.int64)),
+            "sum_p": pa.array(g["p"].to_numpy(np.int64)),
+            "sum_sq": pa.array(g["sq"].to_numpy(np.int64)),
+        })
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # metadata-scale final fold (num_batches x <=10 rows), python ints
+    agg: dict[int, list] = {}
+    for b, n, npos, sp, sq in parts.itertuples(index=False):
+        a = agg.setdefault(int(b), [0, 0, 0, 0])
+        a[0] += int(n); a[1] += int(npos); a[2] += int(sp); a[3] += int(sq)
+    bins = sorted(agg)
+    n = [agg[b][0] for b in bins]
+    npos = [agg[b][1] for b in bins]
+    sp = [agg[b][2] for b in bins]
+    sq = [agg[b][3] for b in bins]
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "n_pos": pa.array(npos, pa.int64()),
+        "pos_rate": pa.array(
+            [round_half_up(float(a) / float(c), 6)
+             for a, c in zip(npos, n)], pa.float64()),
+        "avg_pred": pa.array(
+            [round_half_up(float(a) / c / 1_000_000.0, 6)
+             for a, c in zip(sp, n)], pa.float64()),
+        "brier": pa.array(
+            [round_half_up(float(a) / c / 1e12, 6)
+             for a, c in zip(sq, n)], pa.float64()),
+    })
+
+
+SQL_EVENTS_CALIBRATION = """
+WITH mx AS (
+  SELECT CAST(round(MAX(value) * 100) AS BIGINT) AS max_cents FROM events),
+e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) * 1000000 // mx.max_cents AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events CROSS JOIN mx),
+b AS (SELECT LEAST(p // 100000, 9) AS bin, p, y FROM e)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS pos_rate,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_pred,
+       ROUND(CAST(SUM(CAST(p - y * 1000000 AS HUGEINT)
+                      * (p - y * 1000000)) AS DOUBLE)
+             / COUNT(*) / 1e12, 6) AS brier
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI term-vs-language affinity (feature selection by class association)
+# ---------------------------------------------------------------------------
+
+
+def q_term_lang_pmi(sf_dir: str):
+    """For the 50 highest-document-frequency terms (single-space split
+    convention, doc-level PRESENCE), the pointwise mutual information
+    of (term present, lang): pmi = ln(N * a / (df * n_lang)) per
+    (term, lang) cell with a > 0.  All counts are integer folds
+    (per-batch distinct-(doc, word) presence combiner -> one shuffle);
+    the single ln per output row is libm on both engines (the tf-idf
+    ln-parity trick), with identical int->double cast order."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def presence(batch: pa.Table) -> pa.Table:
+        words, langs = [], []
+        for text, lang in zip(batch["text"].to_pylist(),
+                              batch["lang"].to_pylist()):
+            for w in set(text.split(" ")):
+                words.append(w)
+                langs.append(lang)
+        df = pd.DataFrame({"word": words, "lang": langs})
+        g = df.groupby(["word", "lang"], sort=False).size().reset_index()
+        return pa.table({
+            "word": pa.array(g["word"].astype(str), pa.string()),
+            "lang": pa.array(g["lang"].astype(str), pa.string()),
+            "n_docs": pa.array(g[0].to_numpy(np.int64)),
+        })
+
+    wl = pre_aggregate(
+        docs.map_batches(presence, batch_format="pyarrow"),
+        ["word", "lang"], {"n_docs": ("n_docs", "sum")},
+    ).to_pandas()  # vocab-scale
+
+    nl = pre_aggregate(
+        docs.select_columns(["lang"]), ["lang"], {"n_lang": (None, "count")}
+    ).to_pandas()
+    n_lang = dict(zip(nl["lang"], nl["n_lang"].astype(int)))
+    big_n = int(nl["n_lang"].sum())
+
+    df_t = wl.groupby("word")["n_docs"].sum()
+    top = df_t.reset_index().sort_values(
+        ["n_docs", "word"], ascending=[False, True]).head(50)
+    dfmap = dict(zip(top["word"], top["n_docs"].astype(int)))
+
+    out = wl[wl["word"].isin(dfmap)].copy()
+    rows = []
+    for w, lang, a in out[["word", "lang", "n_docs"]].itertuples(index=False):
+        a = int(a)
+        dfv = dfmap[w]
+        pmi = round_half_up(
+            math.log(float(big_n * a) / (dfv * n_lang[lang])), 6)
+        rows.append((w, lang, a, dfv, pmi))
+    rows.sort()
+    return pa.table({
+        "word": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "df": pa.array([r[3] for r in rows], pa.int64()),
+        "pmi": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+SQL_TERM_LANG_PMI = """
+WITH dw AS (
+  SELECT DISTINCT doc_id, lang, w
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)),
+wl AS (SELECT w, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM dw GROUP BY 1, 2),
+dft AS (SELECT w, CAST(SUM(n_docs) AS BIGINT) AS df FROM wl GROUP BY 1),
+top AS (SELECT w, df FROM dft ORDER BY df DESC, w LIMIT 50),
+nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+       FROM documents GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT t.w AS word, wl.lang AS lang, wl.n_docs, t.df,
+       ROUND(ln(CAST(nn.n * wl.n_docs AS DOUBLE) / (t.df * nl.n_lang)), 6)
+         AS pmi
+FROM top t
+JOIN wl ON wl.w = t.w
+JOIN nl ON nl.lang = wl.lang
+CROSS JOIN nn
+ORDER BY word, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding: p_brand -> expected lineitem quantity
+# ---------------------------------------------------------------------------
+
+
+def q_brand_target_encoding(sf_dir: str):
+    """Smoothed mean target encoding of the high-cardinality category
+    p_brand against lineitem quantity:
+    enc(brand) = (sum_qty + m * global_mean) / (n + m), m = 20.
+    Quantities are integral -> int64 sums; the fact side pre-aggregates
+    per partkey (combiner) BEFORE the dimension attach, so the
+    broadcast join runs at part-key scale, not lineitem scale.
+    global_mean is the identical int/int division in both engines and
+    the final expression shares its operand order with the SQL."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def qcents(batch: pa.Table) -> pa.Table:
+        q = round_half_up(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "q": pa.array(q),
+                         "one": pa.array(np.ones(len(q), np.int64))})
+
+    per_part = pre_aggregate(
+        li.map_batches(qcents, batch_format="pyarrow"),
+        ["l_partkey"], {"sum_qty": ("q", "sum"), "n": ("one", "sum")},
+    )
+    joined = broadcast_join(per_part, part, on="l_partkey",
+                            right_on="p_partkey", how="inner")
+    g = pre_aggregate(
+        joined.select_columns(["p_brand", "sum_qty", "n"]),
+        ["p_brand"], {"sum_qty": ("sum_qty", "sum"), "n": ("n", "sum")},
+    ).to_pandas()  # brand-scale
+    tq = int(g["sum_qty"].sum())
+    tn = int(g["n"].sum())
+    mu = float(tq) / tn
+    g = g.sort_values("p_brand").reset_index(drop=True)
+    enc = [round_half_up((int(sq) + 20 * mu) / (int(n) + 20), 6)
+           for sq, n in zip(g["sum_qty"], g["n"])]
+    return pa.table({
+        "p_brand": pa.array(g["p_brand"].astype(str), pa.string()),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "sum_qty": pa.array(g["sum_qty"].to_numpy(np.int64)),
+        "enc": pa.array(enc, pa.float64()),
+    })
+
+
+SQL_BRAND_TARGET_ENCODING = """
+WITH g AS (
+  SELECT p.p_brand,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1),
+t AS (SELECT CAST(SUM(sum_qty) AS BIGINT) AS tq,
+             CAST(SUM(n) AS BIGINT) AS tn FROM g)
+SELECT g.p_brand, g.n, g.sum_qty,
+       ROUND((g.sum_qty + 20 * (CAST(t.tq AS DOUBLE) / t.tn)) / (g.n + 20), 6)
+         AS enc
+FROM g CROSS JOIN t ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick collision audit: md5-bucket load histogram over the vocab
+# ---------------------------------------------------------------------------
+
+
+def q_feature_hash_audit(sf_dir: str):
+    """Feature-hashing collision audit: distinct corpus terms
+    (single-space split) hash into 1024 buckets via the md5-prefix
+    convention (== DuckDB CAST('0x' || substr(md5(w),1,13) AS BIGINT)
+    % 1024, the DSIR hash); the output is the bucket LOAD histogram
+    (load -> number of buckets), the quantity that decides whether a
+    hashing-trick feature space is too small.  One shuffle (distinct
+    words); hashing + the two nested counts run at vocab scale."""
+    from kgray.ops.dsir import _token_buckets
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        uniq = set()
+        for t in batch["text"].to_pylist():
+            uniq.update(t.split(" "))
+        return pa.table({"word": pa.array(sorted(uniq), pa.string())})
+
+    vocab = pre_aggregate(
+        docs.map_batches(words, batch_format="pyarrow"),
+        ["word"], {"n": (None, "count")},
+    ).to_pandas()  # vocab-scale
+    b = _token_buckets(vocab["word"].to_numpy(object), 1024)
+    load = pd.Series(b).value_counts()
+    hist = load.value_counts().sort_index()
+    return pa.table({
+        "load": pa.array(hist.index.to_numpy(np.int64)),
+        "n_buckets": pa.array(hist.to_numpy(np.int64)),
+    })
+
+
+SQL_FEATURE_HASH_AUDIT = """
+WITH w AS (
+  SELECT DISTINCT w
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+b AS (
+  SELECT CAST('0x' || substr(md5(w), 1, 13) AS BIGINT) % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS load
+  FROM w GROUP BY 1)
+SELECT load, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY 1 ORDER BY load
+"""

@@ -1,0 +1,144 @@
+"""Session-19 eval/feature-engineering operators: exact AUC, calibration
+bins + Brier, PMI term-language affinity, smoothed target encoding, and
+the hashing-trick collision audit — hand-computed fixtures plus DuckDB
+oracle parity on tiny synthetic tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from kgray.queries import CATALOG
+
+
+def _write(tmp_path, name, df):
+    df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+
+
+def _oracle(tmp_path, sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _run(qname, tmp_path):
+    fn, sql = CATALOG[qname]
+    res = fn(str(tmp_path))
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return got, sql
+
+
+def _cmp(got, exp, sort_cols):
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in exp.columns:
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def _events(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["event_type", "value"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["user_id"] = np.int64(1)
+    df["ts"] = pd.Timestamp("2024-01-01")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    _write(tmp_path, "events", df)
+
+
+def test_auc_perfect_separation_and_ties(ray_session, tmp_path):
+    # purchases strictly above everything else -> AUC 1.0; for 'view'
+    # one-vs-rest the negatives are {8, 9} (lose) plus the identical
+    # click values {1, 2} (1 win, 2 ties) -> U = 2 of 8 pairs = 0.25
+    rows = [("purchase", 9.0), ("purchase", 8.0),
+            ("view", 1.0), ("view", 2.0),
+            ("click", 1.0), ("click", 2.0)]
+    _events(tmp_path, rows)
+    got, sql = _run("events_auc", tmp_path)
+    auc = dict(zip(got["event_type"], got["auc"]))
+    assert auc["purchase"] == 1.0
+    assert auc["view"] == 0.25 and auc["click"] == 0.25
+    _cmp(got, _oracle(tmp_path, sql, ["events"]), ["event_type"])
+
+
+def test_auc_all_tied_is_half(ray_session, tmp_path):
+    _events(tmp_path, [("purchase", 3.0), ("view", 3.0), ("click", 3.0)])
+    got, sql = _run("events_auc", tmp_path)
+    assert set(got["auc"]) == {0.5}
+    _cmp(got, _oracle(tmp_path, sql, ["events"]), ["event_type"])
+
+
+def test_calibration_bins_oracle(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0.01, 50.0, 400), 2)
+    types = np.where(vals + rng.normal(0, 10, 400) > 25, "purchase", "view")
+    _events(tmp_path, list(zip(types.tolist(), vals.tolist())))
+    got, sql = _run("events_calibration", tmp_path)
+    exp = _oracle(tmp_path, sql, ["events"])
+    _cmp(got, exp, ["bin"])
+    # bins partition all rows; monotone-ish check: top bin pos_rate >= bottom
+    assert got["n"].sum() == 400
+    assert got.iloc[-1]["pos_rate"] >= got.iloc[0]["pos_rate"]
+
+
+def _docs(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["source"] = "s"
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    _write(tmp_path, "documents", df)
+
+
+def test_term_lang_pmi_sign_and_oracle(ray_session, tmp_path):
+    # "nur" appears only in de docs -> pmi(nur, de) = ln(N / n_de) > 0;
+    # "the" appears everywhere -> pmi(the, *) == 0 exactly (a == n_lang)
+    rows = []
+    for i in range(4):
+        rows.append((i, "the nur gut", "de"))
+    for i in range(4, 12):
+        rows.append((i, "the cat sat", "en"))
+    _docs(tmp_path, rows)
+    got, sql = _run("term_lang_pmi", tmp_path)
+    exp = _oracle(tmp_path, sql, ["documents"])
+    _cmp(got, exp, ["word", "lang"])
+    byk = {(w, l): p for w, l, p in
+           zip(got["word"], got["lang"], got["pmi"])}
+    assert byk[("the", "de")] == 0.0 and byk[("the", "en")] == 0.0
+    assert byk[("nur", "de")] > 0.0
+    assert ("nur", "en") not in byk  # zero cell emits no row
+
+
+def test_brand_target_encoding_oracle_and_smoothing(ray_session, tmp_path):
+    # brand A: many rows at qty 10 -> enc near 10; brand B: one row at 40
+    # -> enc pulled hard toward the global mean
+    li = pd.DataFrame({
+        "l_partkey": np.array([1] * 100 + [2], np.int64),
+        "l_quantity": np.array([10.0] * 100 + [40.0]),
+    })
+    part = pd.DataFrame({
+        "p_partkey": np.array([1, 2], np.int64),
+        "p_brand": ["Brand#A", "Brand#B"],
+    })
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "part", part)
+    got, sql = _run("brand_target_encoding", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["lineitem", "part"]), ["p_brand"])
+    enc = dict(zip(got["p_brand"], got["enc"]))
+    mu = (100 * 10 + 40) / 101
+    assert abs(enc["Brand#A"] - 10) < abs(enc["Brand#B"] - 40)
+    assert abs(enc["Brand#B"] - (40 + 20 * mu) / 21) < 1e-6
+
+
+def test_feature_hash_audit_oracle_and_mass(ray_session, tmp_path):
+    words = [f"tok{i}" for i in range(3000)]
+    rows = [(i, " ".join(words[i * 30:(i + 1) * 30]), "en")
+            for i in range(100)]
+    _docs(tmp_path, rows)
+    got, sql = _run("feature_hash_audit", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["documents"]), ["load"])
+    # load histogram accounts for every distinct term exactly once
+    assert int((got["load"] * got["n_buckets"]).sum()) == 3000
+    # 3000 terms into 1024 buckets must collide somewhere
+    assert got["load"].max() >= 2
