@@ -111,6 +111,51 @@ _STAT_SCHEMA = pa.schema(
     ]
 )
 
+# --- per-partition Bloom indexes (point-lookup file skipping) ------------
+# Zone maps prune RANGE predicates when the write key clusters the column;
+# they are useless for point lookups on a column the partitioning key does
+# NOT determine (hash partitioning scatters every other column uniformly).
+# A small per-partition Bloom filter over such a column answers "could key
+# x be in this partition?" in the manifest, before any file opens — the
+# delete_rows / forget-doc / entity-lookup access path.  Superset filter:
+# false positives only cost an extra partition read; absent blooms never
+# prune (the zone-map rule).
+
+BLOOM_BITS = 1 << 15  # 4 KiB per (partition, column); ~3.5k keys at 3% FP
+BLOOM_K = 4
+
+
+def _bloom_slice_words(col, n_bits: int, k: int) -> np.ndarray:
+    from kgray.ops.bloom import _norm, _probes
+    from kgray.ops.sketch import _hash_column
+
+    words = np.zeros(n_bits // 64, np.uint64)
+    h = _hash_column(_norm(col))
+    for pos in _probes(h, n_bits, k):
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return words
+
+
+def _bloom_b64(words: np.ndarray) -> str:
+    return base64.b64encode(zlib.compress(words.tobytes(), 6)).decode()
+
+
+def _bloom_words(s: str) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(base64.b64decode(s)), np.uint64)
+
+
+def _bloom_may_contain(entry: dict, values) -> bool:
+    """True iff this manifest bloom entry cannot rule out EVERY probe
+    value (i.e. the partition must be read)."""
+    from kgray.ops.bloom import _norm, bloom_mask
+
+    words = _bloom_words(entry["z"])
+    arr = _norm(pa.array(values))
+    return bool(bloom_mask(arr, words, k=int(entry["k"])).any())
+
 
 def _schema_b64(schema: pa.Schema) -> str:
     # strip schema/field metadata: Ray's parquet reader requires the
@@ -142,9 +187,14 @@ class _WriteSlices:
     cluster).  For object-store deployments route the writes through
     ``pyarrow.fs`` URIs instead — the stat-row contract is unchanged."""
 
-    def __init__(self, data_dir: str, stats_cols: tuple[str, ...] = ()):
+    def __init__(self, data_dir: str, stats_cols: tuple[str, ...] = (),
+                 bloom_cols: tuple[str, ...] = (),
+                 bloom_bits: int = BLOOM_BITS, bloom_k: int = BLOOM_K):
         self.data_dir = data_dir
         self.stats_cols = tuple(stats_cols)
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -155,6 +205,9 @@ class _WriteSlices:
                 empty = empty.append_column(
                     f"zmin_{c}", pa.array([], pa.string())
                 ).append_column(f"zmax_{c}", pa.array([], pa.string()))
+            for c in self.bloom_cols:
+                empty = empty.append_column(
+                    f"bf_{c}", pa.array([], pa.string()))
             return empty
         df = batch.to_pandas()
         parts = df.pop(PART_COL).to_numpy(np.int64)
@@ -166,6 +219,7 @@ class _WriteSlices:
         out = {k: [] for k in ("part", "rows", "bytes", "content", "file")}
         zmins: dict[str, list] = {c: [] for c in self.stats_cols}
         zmaxs: dict[str, list] = {c: [] for c in self.stats_cols}
+        blooms: dict[str, list] = {c: [] for c in self.bloom_cols}
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             p = int(sp[lo])
@@ -187,6 +241,9 @@ class _WriteSlices:
                 # across value types (and empty batches)
                 zmins[c].append(json.dumps(lo_v))
                 zmaxs[c].append(json.dumps(hi_v))
+            for c in self.bloom_cols:
+                blooms[c].append(_bloom_b64(_bloom_slice_words(
+                    slice_tbl[c], self.bloom_bits, self.bloom_k)))
         sb64 = _schema_b64(tbl.schema)
         cols = {
             "part": pa.array(out["part"], pa.int64()),
@@ -199,6 +256,8 @@ class _WriteSlices:
         for c in self.stats_cols:
             cols[f"zmin_{c}"] = pa.array(zmins[c], pa.string())
             cols[f"zmax_{c}"] = pa.array(zmaxs[c], pa.string())
+        for c in self.bloom_cols:
+            cols[f"bf_{c}"] = pa.array(blooms[c], pa.string())
         return pa.table(cols)
 
 
@@ -266,6 +325,8 @@ def write_partitioned(
     input_fingerprint: str = "",
     keep_partitions: set[int] | None = None,
     stats_cols: tuple[str, ...] | list[str] = (),
+    bloom_cols: tuple[str, ...] | list[str] = (),
+    bloom_bits: int = BLOOM_BITS,
     partitioner=None,
     partitioning_name: str = "hash",
 ) -> dict:
@@ -287,7 +348,19 @@ def write_partitioned(
     key clusters the column).  Supported stats_cols types:
     string/int/float/bool; temporal columns are zone-mapped as their
     epoch integers (pass integer bounds in zone_filter); other types
-    raise TypeError up front (see ``_zone_min_max``)."""
+    raise TypeError up front (see ``_zone_min_max``).
+
+    ``bloom_cols``: columns to Bloom-index per partition — each entry
+    gains ``blooms[col] = {bits, k, z}`` (zlib+base64 words) OR-folded
+    from the same write tasks, and ``read_table(..,
+    point_filter={col: [values...]})`` / :func:`bloom_partitions`
+    prunes partitions that definitively contain none of the probe
+    values.  This is the point-lookup complement of zone maps: hash
+    partitioning scatters non-key columns uniformly, so their zones
+    span everything, but a 4 KiB bloom still localizes individual
+    keys.  Appends OR-merge into kept entries; a bits/k mismatch with
+    the previous manifest drops that entry's bloom to absent (absent
+    never prunes)."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     keep = set(keep_partitions or ())
@@ -310,7 +383,9 @@ def write_partitioned(
 
         tagged = ds.map_batches(tag, batch_format="pyarrow")
     raw = tagged.map_batches(
-        _WriteSlices(data_dir, tuple(stats_cols)), batch_format="pyarrow"
+        _WriteSlices(data_dir, tuple(stats_cols), tuple(bloom_cols),
+                     bloom_bits),
+        batch_format="pyarrow",
     ).to_pandas()
 
     partitions: dict[str, dict] = {}
@@ -347,6 +422,39 @@ def write_partitioned(
                     hi = prev[1] if hi is None else (
                         max(prev[1], hi) if prev[1] is not None else hi)
                 zones[c] = [lo, hi]
+            for c in bloom_cols:
+                words = np.zeros(bloom_bits // 64, np.uint64)
+                for s in g[f"bf_{c}"]:
+                    words |= _bloom_words(s)
+                bl = e.setdefault("blooms", {})
+                prev_bl = bl.get(c)
+                if prev_bl is not None:
+                    # kept-partition append: OR-merge, but only when the
+                    # filter geometry matches — else drop to absent
+                    # (absent never prunes, so this is always safe)
+                    if (int(prev_bl.get("bits", -1)) == bloom_bits
+                            and int(prev_bl.get("k", -1)) == BLOOM_K):
+                        words |= _bloom_words(prev_bl["z"])
+                    else:
+                        bl[c] = None
+                        continue
+                bl[c] = {"bits": bloom_bits, "k": BLOOM_K,
+                         "z": _bloom_b64(words)}
+            # an entry that received NEW rows must not keep zone/bloom
+            # stats for columns this write did not cover: the stale
+            # stats would under-approximate the appended rows and prune
+            # wrongly.  (Entries kept verbatim — no new rows — are
+            # untouched and stay fully attested.)
+            if "zones" in e:
+                e["zones"] = {c: v for c, v in e["zones"].items()
+                              if c in set(stats_cols)}
+                if not e["zones"]:
+                    del e["zones"]
+            if "blooms" in e:
+                e["blooms"] = {c: v for c, v in e["blooms"].items()
+                               if c in set(bloom_cols) and v is not None}
+                if not e["blooms"]:
+                    del e["blooms"]
     # schema evolution: the manifest carries the UNION of every file's
     # Arrow schema (appended batches may add columns), so read_table can
     # hand one unified schema to the scan and old files null-fill the
@@ -544,6 +652,14 @@ def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
             if any(z[0] <= k <= z[1] for k in key_list):
                 targets.add(int(pstr))
     targets &= {int(p) for p in m.get("partitions", {})}
+    # bloom narrowing: a partition whose key_col bloom definitively
+    # excludes every doomed key needs no rewrite (false positives only
+    # cost an unnecessary rewrite of identical rows — never wrong)
+    targets = {
+        p for p in targets
+        if (lambda e: e is None or _bloom_may_contain(e, key_list))(
+            (m["partitions"][str(p)].get("blooms") or {}).get(key_col))
+    }
     if not targets:
         return m  # nothing to delete: no partition can hold these keys
     data_dir = os.path.join(path, "data")
@@ -569,10 +685,15 @@ def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
         sorted({c for meta in m["partitions"].values()
                 for c in meta.get("zones", {})})
     )
+    bloom_cols = tuple(
+        sorted({c for meta in m["partitions"].values()
+                for c in (meta.get("blooms") or {})})
+    )
     return write_partitioned(
         ds, path, key_col, n, stage=m.get("stage", ""),
         input_fingerprint=f"{m.get('input_fingerprint', '')}#del",
         keep_partitions=keep, stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
         # non-hash layouts keep their name: rewritten partitions fall
         # back to hash placement (correct — zones are recomputed from
         # written bytes) but the table MUST keep zone-map delete
@@ -655,6 +776,34 @@ def zone_partitions(path: str, zone_filter: dict) -> set[str] | None:
     return _zone_keep(read_manifest(path), zone_filter)
 
 
+def bloom_partitions(path: str, point_filter: dict) -> set[str] | None:
+    """Partition keys whose Bloom index cannot rule out every probe value
+    for every ``col: [values...]`` in ``point_filter``.  Returns None when
+    any requested column lacks a bloom in any partition — the caller must
+    then read everything (the zone-map absent-stats rule: never silently
+    prune on missing indexes)."""
+    return _bloom_keep(read_manifest(path), point_filter)
+
+
+def _bloom_keep(m: dict | None, point_filter: dict) -> set[str] | None:
+    if m is None:
+        return None
+    keep: set[str] = set()
+    for pstr, meta in m.get("partitions", {}).items():
+        blooms = meta.get("blooms", {})
+        ok = True
+        for col, values in point_filter.items():
+            entry = blooms.get(col)
+            if entry is None:
+                return None
+            if not _bloom_may_contain(entry, list(values)):
+                ok = False
+                break
+        if ok:
+            keep.add(pstr)
+    return keep
+
+
 def _zone_keep(m: dict | None, zone_filter: dict) -> set[str] | None:
     if m is None:
         return None
@@ -680,6 +829,7 @@ def _zone_keep(m: dict | None, zone_filter: dict) -> set[str] | None:
 
 def read_table(path: str, columns: list[str] | None = None,
                zone_filter: dict | None = None,
+               point_filter: dict | None = None,
                version: int | None = None):
     """Read back a table written by write_partitioned (data lives under
     ``<path>/data``, the manifest beside it).
@@ -704,6 +854,10 @@ def read_table(path: str, columns: list[str] | None = None,
     keep = None
     if zone_filter:
         keep = _zone_keep(m, zone_filter)
+    if point_filter:
+        bkeep = _bloom_keep(m, point_filter)
+        if bkeep is not None:
+            keep = bkeep if keep is None else (keep & bkeep)
     paths = None
     if m is not None and m.get("partitions"):
         files = [
