@@ -271,6 +271,7 @@ def kg_construct(
                 new_triples, triples_dir, "doc_id", num_partitions,
                 stage="extract", input_fingerprint=combined_fp,
                 keep_partitions=keep, stats_cols=("doc_id",),
+                bloom_cols=("doc_id",),
             )
     if not append and "triples" not in manifests:
         done = io.completed_partitions(triples_dir, input_fingerprint) if resume else set()
@@ -289,6 +290,7 @@ def kg_construct(
             triples, triples_dir, "doc_id", num_partitions,
             stage="extract", input_fingerprint=input_fingerprint,
             keep_partitions=done, stats_cols=("doc_id",),
+            bloom_cols=("doc_id",),
         )
 
     # Downstream stages carry LINEAGE fingerprints: each stage's
@@ -399,6 +401,7 @@ def kg_construct(
             stage="materialize", input_fingerprint=canon_fp,
             keep_partitions={int(p) for p in canon_m.get("partitions", {})},
             stats_cols=("doc_id",),
+            bloom_cols=("doc_id", "subject_canonical"),
         )
     else:
         canon = canonicalize_triples(
@@ -409,6 +412,7 @@ def kg_construct(
             canon, canon_dir, "doc_id",
             num_partitions, stage="materialize", input_fingerprint=canon_fp,
             stats_cols=("doc_id",),
+            bloom_cols=("doc_id", "subject_canonical"),
         )
     return manifests
 

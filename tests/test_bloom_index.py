@@ -156,3 +156,38 @@ def test_bloom_key_col_narrows_delete_targets(ray_session, tmp_path):
     files_after = {p: set(meta["files"])
                    for p, meta in m2["partitions"].items()}
     assert files_after == files_before
+
+
+def test_kg_construct_tables_carry_blooms(ray_session, tmp_path):
+    """kg_construct writes doc_id blooms on triples and doc_id +
+    subject_canonical blooms on the canonical table, so entity point
+    lookups and forget_docs targeting can prune partitions."""
+    from kgray.__main__ import main
+
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "construct", "--synthetic", "80", "--seed", "11",
+            "--output", str(tmp_path / "out"), "--partitions", "4",
+        ])
+    assert rc == 0
+    from kgray.io import bloom_partitions, read_manifest, read_table
+
+    tri = read_manifest(str(tmp_path / "out" / "triples"))
+    assert all("doc_id" in (meta.get("blooms") or {})
+               for meta in tri["partitions"].values())
+    canon_path = str(tmp_path / "out" / "triples_canonical")
+    canon = read_manifest(canon_path)
+    assert all("subject_canonical" in (meta.get("blooms") or {})
+               for meta in canon["partitions"].values())
+    # a real canonical subject is findable through the pruned read
+    full = read_table(canon_path).to_pandas()
+    subj = full["subject_canonical"].iloc[0]
+    keep = bloom_partitions(canon_path, {"subject_canonical": [subj]})
+    assert keep is not None and len(keep) >= 1
+    got = read_table(canon_path,
+                     point_filter={"subject_canonical": [subj]}).to_pandas()
+    assert (got["subject_canonical"] == subj).sum() == \
+        (full["subject_canonical"] == subj).sum()
