@@ -398,3 +398,74 @@ b AS (
 SELECT load, CAST(COUNT(*) AS BIGINT) AS n_buckets
 FROM b GROUP BY 1 ORDER BY load
 """
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 integer ALS: customer x part implicit-feedback factorization
+# ---------------------------------------------------------------------------
+
+
+def q_part_als_factors(sf_dir: str):
+    """Two full rounds of rank-1 integer fixed-point ALS over the
+    customer x part quantity matrix (``ops/factor.als1``) — top-20 item
+    factors.  The integer half-step ``S^2 * num // den`` is
+    summation-order-exact, so the DuckDB oracle UNROLLS the identical
+    recurrence as stacked CTE layers (the pagerank_int / kmeans_int
+    iterative-ML oracle pattern); all operands non-negative, so
+    truncating and flooring division agree."""
+    from kgray.ops.factor import als1
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = bucket_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                    how="inner")
+
+    def qint(batch: pa.Table) -> pa.Table:
+        q = round_half_up(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "l_partkey": batch["l_partkey"],
+                         "q": pa.array(q)})
+
+    r = pre_aggregate(
+        j.map_batches(qint, batch_format="pyarrow"),
+        ["o_custkey", "l_partkey"], {"r": ("q", "sum")},
+    )
+    _, v = als1(r, "o_custkey", "l_partkey", "r", iters=2)
+    df = v.to_pandas()  # item-key-scale
+    df = df.sort_values(["f", "l_partkey"],
+                        ascending=[False, True]).head(20)
+    return pa.table({
+        "l_partkey": pa.array(df["l_partkey"].to_numpy(np.int64)),
+        "f": pa.array(df["f"].to_numpy(np.int64)),
+    })
+
+
+SQL_PART_ALS_FACTORS = """
+WITH r AS (
+  SELECT o.o_custkey AS c, l.l_partkey AS i,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2),
+v0 AS (SELECT DISTINCT i, CAST(10000 AS HUGEINT) AS f FROM r),
+u1 AS (SELECT r.c,
+              CAST(100000000 AS HUGEINT) * SUM(r.r * v0.f)
+                // SUM(v0.f * v0.f) AS f
+       FROM r JOIN v0 ON v0.i = r.i GROUP BY r.c),
+v1 AS (SELECT r.i,
+              CAST(100000000 AS HUGEINT) * SUM(r.r * u1.f)
+                // SUM(u1.f * u1.f) AS f
+       FROM r JOIN u1 ON u1.c = r.c GROUP BY r.i),
+u2 AS (SELECT r.c,
+              CAST(100000000 AS HUGEINT) * SUM(r.r * v1.f)
+                // SUM(v1.f * v1.f) AS f
+       FROM r JOIN v1 ON v1.i = r.i GROUP BY r.c),
+v2 AS (SELECT r.i,
+              CAST(100000000 AS HUGEINT) * SUM(r.r * u2.f)
+                // SUM(u2.f * u2.f) AS f
+       FROM r JOIN u2 ON u2.c = r.c GROUP BY r.i)
+SELECT i AS l_partkey, CAST(f AS BIGINT) AS f
+FROM v2 ORDER BY f DESC, l_partkey LIMIT 20
+"""
