@@ -469,3 +469,126 @@ v2 AS (SELECT r.i,
 SELECT i AS l_partkey, CAST(f AS BIGINT) AS f
 FROM v2 ORDER BY f DESC, l_partkey LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finder: IG-optimal threshold of value vs purchase
+# ---------------------------------------------------------------------------
+
+
+def q_value_split_gain(sf_dir: str):
+    """The tree-learner primitive at scale: the information-gain-optimal
+    binary split of ``value`` for predicting event_type = 'purchase'.
+    The row-scale pass is ONE histogram fold to (cents -> n, n_pos);
+    every candidate split is then a prefix of that aggregate-scale
+    histogram (cumulative n/pos), and the entropy expression is written
+    IDENTICALLY in both engines over identical integer operands —
+    ln(count) is a single libm call per term (memoized per distinct
+    count on the Ray side), and the combining arithmetic shares its
+    operation tree with the SQL, so the doubles agree bit-for-bit.
+    Top-5 splits by (gain DESC, cents ASC)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        y = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df = pd.DataFrame({"cents": cents, "n": 1, "npos": y})
+        g = df.groupby("cents", sort=False).sum().reset_index()
+        return pa.table({
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "npos": pa.array(g["npos"].to_numpy(np.int64)),
+        })
+
+    hist = pre_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["cents"], {"n": ("n", "sum"), "npos": ("npos", "sum")},
+    ).to_pandas().sort_values("cents")  # aggregate-scale
+
+    _ln_memo: dict[int, float] = {}
+
+    def ln(x: int) -> float:
+        if x not in _ln_memo:
+            _ln_memo[x] = math.log(float(x))
+        return _ln_memo[x]
+
+    def ent(n: int, p: int) -> float:
+        q = n - p
+        return ln(n) - ((p * ln(p) if p > 0 else 0.0)
+                        + (q * ln(q) if q > 0 else 0.0)) / n
+
+    n_arr = hist["n"].to_numpy(np.int64)
+    p_arr = hist["npos"].to_numpy(np.int64)
+    c_arr = hist["cents"].to_numpy(np.int64)
+    nt, pt = int(n_arr.sum()), int(p_arr.sum())
+    entp = ent(nt, pt)
+    rows = []
+    nl = pl = 0
+    for c, dn, dp in zip(c_arr.tolist(), n_arr.tolist(), p_arr.tolist()):
+        nl += dn
+        pl += dp
+        if nl >= nt:
+            break  # empty right side: not a split
+        nr, pr = nt - nl, pt - pl
+        gain = entp - (nl * ent(nl, pl) + nr * ent(nr, pr)) / nt
+        rows.append((c, nl, pl, gain))
+    # order by the RAW gain exactly as the SQL does (sorting on the
+    # rounded value would tie-break differently when two candidates
+    # differ only beyond 6 decimals), round only for output
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:5]
+    return pa.table({
+        "split_cents": pa.array([r[0] for r in rows], pa.int64()),
+        "nl": pa.array([r[1] for r in rows], pa.int64()),
+        "pl": pa.array([r[2] for r in rows], pa.int64()),
+        "gain": pa.array([round_half_up(r[3], 6) for r in rows],
+                         pa.float64()),
+    })
+
+
+SQL_VALUE_SPLIT_GAIN = """
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS npos
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(npos) AS BIGINT) AS pt FROM h),
+c AS (
+  SELECT cents,
+         CAST(SUM(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS nl,
+         CAST(SUM(npos) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS pl,
+         tot.nt, tot.pt
+  FROM h CROSS JOIN tot),
+g AS (
+  SELECT cents, nl, pl,
+         (ln(CAST(nt AS DOUBLE))
+          - ((CASE WHEN pt > 0 THEN pt * ln(CAST(pt AS DOUBLE)) ELSE 0 END)
+             + (CASE WHEN nt - pt > 0
+                THEN (nt - pt) * ln(CAST(nt - pt AS DOUBLE)) ELSE 0 END))
+            / nt)
+         - (nl * (ln(CAST(nl AS DOUBLE))
+              - ((CASE WHEN pl > 0
+                  THEN pl * ln(CAST(pl AS DOUBLE)) ELSE 0 END)
+                 + (CASE WHEN nl - pl > 0
+                    THEN (nl - pl) * ln(CAST(nl - pl AS DOUBLE))
+                    ELSE 0 END)) / nl)
+            + (nt - nl) * (ln(CAST(nt - nl AS DOUBLE))
+              - ((CASE WHEN pt - pl > 0
+                  THEN (pt - pl) * ln(CAST(pt - pl AS DOUBLE)) ELSE 0 END)
+                 + (CASE WHEN (nt - nl) - (pt - pl) > 0
+                    THEN ((nt - nl) - (pt - pl))
+                         * ln(CAST((nt - nl) - (pt - pl) AS DOUBLE))
+                    ELSE 0 END)) / (nt - nl))) / nt
+         AS gain_raw
+  FROM c WHERE nl < nt)
+SELECT cents AS split_cents, nl, pl, ROUND(gain_raw, 6) AS gain
+FROM g ORDER BY gain_raw DESC, cents LIMIT 5
+"""

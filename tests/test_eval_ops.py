@@ -142,3 +142,20 @@ def test_feature_hash_audit_oracle_and_mass(ray_session, tmp_path):
     assert int((got["load"] * got["n_buckets"]).sum()) == 3000
     # 3000 terms into 1024 buckets must collide somewhere
     assert got["load"].max() >= 2
+
+
+def test_value_split_gain_perfect_separation(ray_session, tmp_path):
+    """Purchases all above 10.0, views all below: the best split is the
+    top of the lower group, and its gain equals the parent entropy
+    (children pure).  Oracle parity on the same fixture."""
+    import math
+
+    rows = [("view", v) for v in (1.0, 2.0, 3.0)] + \
+           [("purchase", v) for v in (11.0, 12.0, 13.0)]
+    _events(tmp_path, rows)
+    got, sql = _run("value_split_gain", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["events"]), ["split_cents"])
+    best = got.sort_values("gain", ascending=False).iloc[0]
+    assert best["split_cents"] == 300  # last value of the pure left side
+    parent = math.log(6) - (3 * math.log(3) + 3 * math.log(3)) / 6
+    assert abs(best["gain"] - parent) < 1e-6
