@@ -592,3 +592,83 @@ g AS (
 SELECT cents AS split_cents, nl, pl, ROUND(gain_raw, 6) AS gain
 FROM g ORDER BY gain_raw DESC, cents LIMIT 5
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC log compaction: latest-op-wins apply with deletes and resurrections
+# ---------------------------------------------------------------------------
+
+
+def q_orders_cdc_apply(sf_dir: str):
+    """CDC apply / log compaction — the MERGE variant ``orders_upsert``
+    does NOT cover: a change log with sequenced U(pdate) and D(elete)
+    ops per key, latest-op-wins, where a D can kill a key and a later U
+    resurrects it.  The deterministic log derives per batch from the
+    same pruned read in BOTH engines (seq 1: U +100 cents for keys %3,
+    seq 2: D for keys %4, seq 3: U +500 for keys %5 — keys %12 die,
+    keys %20 and %60 resurrect); compaction is ONE key cogroup
+    (vectorized sort + keep-last per key), and the digest is a
+    priority-level integer fold."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def log_rows(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        cents = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        pr = np.asarray(batch["o_orderpriority"].to_pylist(), object)
+        ks, cs, ps, seqs, ops = [k], [cents], [pr], \
+            [np.zeros(len(k), np.int64)], [np.full(len(k), "U", object)]
+        for seq, mod, delta, op in ((1, 3, 100, "U"), (2, 4, 0, "D"),
+                                    (3, 5, 500, "U")):
+            m = k % mod == 0
+            ks.append(k[m])
+            cs.append(cents[m] + delta)
+            ps.append(pr[m])
+            seqs.append(np.full(int(m.sum()), seq, np.int64))
+            ops.append(np.full(int(m.sum()), op, object))
+        return pa.table({
+            "k": pa.array(np.concatenate(ks)),
+            "cents": pa.array(np.concatenate(cs)),
+            "pr": pa.array(np.concatenate(ps).astype(str), pa.string()),
+            "seq": pa.array(np.concatenate(seqs)),
+            "op": pa.array(np.concatenate(ops).astype(str), pa.string()),
+        })
+
+    log = orders.map_batches(log_rows, batch_format="pyarrow")
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "seq"], kind="mergesort")
+        last = df.drop_duplicates("k", keep="last")
+        alive = last[last["op"] == "U"]
+        g = alive.groupby("pr", sort=False).agg(
+            n=("k", "size"), sum_cents=("cents", "sum")).reset_index()
+        return g.astype({"n": np.int64, "sum_cents": np.int64})
+
+    return pre_aggregate(
+        grouped_map(log, "k", compact),
+        ["pr"], {"n": ("n", "sum"), "sum_cents": ("sum_cents", "sum")},
+    ).rename_columns(["o_orderpriority", "n", "sum_cents"]) \
+        .sort("o_orderpriority")
+
+
+SQL_ORDERS_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS pr, 0 AS seq, 'U' AS op
+  FROM orders),
+log AS (
+  SELECT * FROM base
+  UNION ALL SELECT k, cents + 100, pr, 1, 'U' FROM base WHERE k % 3 = 0
+  UNION ALL SELECT k, cents, pr, 2, 'D' FROM base WHERE k % 4 = 0
+  UNION ALL SELECT k, cents + 500, pr, 3, 'U' FROM base WHERE k % 5 = 0),
+last AS (
+  SELECT k, cents, pr, op
+  FROM log QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM last WHERE op = 'U'
+GROUP BY 1 ORDER BY 1
+"""

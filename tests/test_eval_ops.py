@@ -159,3 +159,25 @@ def test_value_split_gain_perfect_separation(ray_session, tmp_path):
     assert best["split_cents"] == 300  # last value of the pure left side
     parent = math.log(6) - (3 * math.log(3) + 3 * math.log(3)) / 6
     assert abs(best["gain"] - parent) < 1e-6
+
+
+def test_orders_cdc_apply_delete_and_resurrect(ray_session, tmp_path):
+    """Key semantics hand-checked: k=12 (U then D, no later op) dies;
+    k=20 and k=60 (D at seq 2 but U at seq 3) resurrect with +500;
+    k=7 (no ops) keeps its base price.  Oracle parity on the fixture."""
+    df = pd.DataFrame({
+        "o_orderkey": np.array([7, 12, 20, 60], np.int64),
+        "o_totalprice": [10.0, 20.0, 30.0, 40.0],
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    df["o_custkey"] = np.int64(1)
+    df["o_orderstatus"] = "O"
+    df["o_orderdate"] = pd.Timestamp("2024-01-01")
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    _write(tmp_path, "orders", df)
+    got, sql = _run("orders_cdc_apply", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["orders"]), ["o_orderpriority"])
+    row = got.iloc[0]
+    assert row["n"] == 3  # k=12 deleted
+    # 7 -> 1000; 20 -> 3000+500; 60 -> 4000+500
+    assert row["sum_cents"] == 1000 + 3500 + 4500
