@@ -117,6 +117,14 @@ SUITE = [
     "events_viterbi",
     "customer_fuzzy_pairs",
     "doc_containment_pairs",
+    # round-4 session 19: rank-1 integer ALS (4 factor half-steps over
+    # the rating triples — the iterative-ML shuffle shape), exact
+    # one-vs-rest AUC (histogram-fold rank-sum), and CDC log compaction
+    # (sequenced U/D latest-wins cogroup); suite totals before these
+    # entries exclude them
+    "part_als_factors",
+    "events_auc",
+    "orders_cdc_apply",
 ]
 
 
