@@ -60,38 +60,31 @@ def _half_step(r_ds, key_col: str, other_col: str, rating_col: str,
         joined = bucket_join(r_ds, rd.from_arrow(other_tbl),
                              on=other_col, how="inner")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        r = batch[rating_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        f = batch["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # user/item keys are near-unique per batch, so a per-batch combiner
+    # compresses nothing and groupby.aggregate degenerates (the repo's
+    # measured near-unique-key pathology) — fold inside a coarse-bucket
+    # cogroup instead: one shuffle, vectorized per-bucket groupby, and
+    # every key lives entirely in one bucket so the half-step finishes
+    # in the same pass.
+    from kgray.util import grouped_map
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[rating_col].to_numpy(np.int64)
+        fv = df["f"].to_numpy(np.int64)
         # int64 fold bound (documented, not silent): per-key sums of
         # r*f stay below 2^63 for r*f ~ S * rating ~ 1e10 up to ~1e8
         # observed pairs PER KEY — far past any real user/item history
-        df = pd.DataFrame({"k": batch[key_col].to_pandas(),
-                           "num": r * f, "den": f * f})
-        g = df.groupby("k", sort=False).sum().reset_index()
-        return pa.table({
-            key_col: pa.array(g["k"]),
-            "num": pa.array(g["num"].to_numpy(np.int64)),
-            "den": pa.array(g["den"].to_numpy(np.int64)),
-        })
-
-    folded = pre_aggregate(
-        joined.map_batches(partial, batch_format="pyarrow"),
-        [key_col],
-        {"num": ("num", "sum"), "den": ("den", "sum")},
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"k": df[key_col], "num": r * fv, "den": fv * fv}) \
+            .groupby("k", sort=False).sum()
         # python-int multiply: S^2 * num exceeds int64 long before the
-        # int64 fold above does — the final division is arbitrary
-        # precision in both engines (DuckDB computes it in HUGEINT)
-        f = [s2 * int(n) // int(d)
-             for n, d in zip(batch["num"].to_pylist(),
-                             batch["den"].to_pylist())]
-        return pa.table({key_col: batch[key_col],
-                         "f": pa.array(f, pa.int64())})
+        # fold does — the division is arbitrary precision in both
+        # engines (DuckDB computes it in HUGEINT)
+        out = [s2 * int(n) // int(d)
+               for n, d in zip(g["num"], g["den"])]
+        return pd.DataFrame({key_col: g.index, "f": out}) \
+            .astype({"f": np.int64})
 
-    return folded.map_batches(finish, batch_format="pyarrow")
+    return grouped_map(joined, key_col, fold)
 
 
 def als1(r_ds, user_col: str, item_col: str, rating_col: str,

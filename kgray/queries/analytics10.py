@@ -429,10 +429,17 @@ def q_part_als_factors(sf_dir: str):
                          "l_partkey": batch["l_partkey"],
                          "q": pa.array(q)})
 
-    r = pre_aggregate(
-        j.map_batches(qint, batch_format="pyarrow"),
-        ["o_custkey", "l_partkey"], {"r": ("q", "sum")},
-    )
+    # (custkey, partkey) pairs are NEAR-UNIQUE (599k of 600k rows at
+    # sf0.1): a per-batch combiner compresses nothing and
+    # groupby.aggregate degenerates — dedup inside ONE custkey-keyed
+    # coarse-bucket cogroup instead (19.3 s -> seconds)
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "l_partkey"], sort=False)["q"] \
+            .sum().reset_index()
+        return g.rename(columns={"q": "r"}).astype({"r": np.int64})
+
+    r = grouped_map(j.map_batches(qint, batch_format="pyarrow"),
+                    "o_custkey", dedup)
     _, v = als1(r, "o_custkey", "l_partkey", "r", iters=2)
     df = v.to_pandas()  # item-key-scale
     df = df.sort_values(["f", "l_partkey"],
@@ -671,4 +678,59 @@ SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM last WHERE op = 'U'
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (seeded Laplace, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def q_dp_event_counts(sf_dir: str):
+    """DP release of per-type event counts with SEEDED Laplace noise —
+    the privacy-preserving publication step of a curation pipeline,
+    made oracle-checkable by deriving the noise deterministically:
+    u = md5('dp1:' || type) 13-hex prefix / 16^13 (exactly
+    representable: 16^13 = 2^52), noise = -(1/eps) * sign(u - 0.5) *
+    ln(1 - 2*|u - 0.5|) (inverse-CDF Laplace), eps = 1.  One count
+    fold; a single libm ln per output row over identical doubles."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    g = pre_aggregate(ev, ["event_type"],
+                      {"n": (None, "count")}).to_pandas()
+    g = g.sort_values("event_type").reset_index(drop=True)
+    noisy = []
+    for ty, n in zip(g["event_type"], g["n"]):
+        h = int(hashlib.md5(f"dp1:{ty}".encode()).hexdigest()[:13], 16)
+        u = h / 16 ** 13
+        a = abs(u - 0.5)
+        if a == 0.0:
+            noise = 0.0
+        else:
+            sgn = -1.0 if u >= 0.5 else 1.0
+            noise = sgn * math.log(1.0 - 2.0 * a)
+        noisy.append(round_half_up(int(n) + noise, 6))
+    return pa.table({
+        "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "noisy_n": pa.array(noisy, pa.float64()),
+    })
+
+
+SQL_DP_EVENT_COUNTS = """
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         CAST(CAST('0x' || substr(md5('dp1:' || event_type), 1, 13)
+                   AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
+  FROM c)
+SELECT event_type, n,
+       ROUND(n + CASE WHEN abs(u - 0.5) = 0.0 THEN 0.0
+                      ELSE (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                           * ln(1.0 - 2.0 * abs(u - 0.5)) END, 6)
+         AS noisy_n
+FROM u ORDER BY event_type
 """
