@@ -652,3 +652,83 @@ def salted_bucket_join(left, right, on, salt_col: str, salt: int = 8,
         return batch.drop_columns(["_salt"])
 
     return joined.map_batches(drop_salt, batch_format="pyarrow")
+
+
+def skew_join(left, right, on, right_on=None, how: str = "inner",
+              hot_share: float = 0.05, max_hot_keys: int = 64,
+              num_buckets: int = 32, right_suffix: str = "_r"):
+    """Skew-AUTO-defused join: detect hot left keys, route them around
+    the shuffle, bucket-join the rest.
+
+    ``salted_bucket_join`` needs the caller to know the skew exists and
+    pick a salt; this wrapper measures it.  Detection is one light
+    census pass over the left: each batch emits its top-32 key counts
+    (metadata-scale rows), the driver folds them, and keys whose
+    estimated share exceeds ``hot_share`` become the hot set H (capped
+    at ``max_hot_keys``).  Detection can only UNDER-estimate a key that
+    never makes a batch's top-32 — a missed marginal key simply rides
+    the normal join path, so correctness never depends on the census
+    (equality with plain bucket_join is test-pinned).
+
+    Routing: the right's rows for H collect once and broadcast (this
+    wrapper targets skewed-big-left x key-bounded-right — a dimension
+    or aggregate side; a hot key on a fat right side needs
+    ``salted_bucket_join`` instead); hot left rows join against the
+    broadcast with zero shuffle, cold rows take the plain bucket join,
+    and the union preserves ``how`` ('inner' or 'left') because the two
+    row classes partition the left exactly."""
+    import pyarrow.compute as pc
+
+    assert how in ("inner", "left"), "skew_join supports inner/left"
+    on_keys = [on] if isinstance(on, str) else list(on)
+    assert len(on_keys) == 1, "skew_join detects skew on a single key"
+    key = on_keys[0]
+    rkey = right_on or key
+
+    left = left.materialize()  # census + two routed passes read it
+
+    def census(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch[key].to_pandas()).value_counts().head(32)
+        return pa.table({
+            "k": pa.array(vc.index),
+            "n": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    cen = left.map_batches(census, batch_format="pyarrow").to_pandas()
+    total = int(left.count())
+    est = cen.groupby("k", sort=False)["n"].sum()
+    hot = est[est >= max(1, int(hot_share * total))]
+    hot = hot.sort_values(ascending=False).head(max_hot_keys)
+    hot_set = set(hot.index.tolist())
+
+    if not hot_set:
+        return bucket_join(left, right, on=key, right_on=rkey, how=how,
+                           num_buckets=num_buckets,
+                           right_suffix=right_suffix)
+
+    doomed = pa.array(list(hot_set))
+
+    def is_hot(batch: pa.Table, invert: bool) -> pa.Table:
+        m = pc.is_in(batch[key], value_set=doomed.cast(batch[key].type))
+        return batch.filter(pc.invert(m) if invert else m)
+
+    right = right.materialize()
+
+    def right_hot_rows(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[rkey], value_set=doomed.cast(batch[rkey].type))
+        return batch.filter(m)
+
+    r_hot = right.map_batches(right_hot_rows, batch_format="pyarrow")
+    hot_joined = broadcast_join(
+        left.map_batches(lambda b: is_hot(b, False),
+                         batch_format="pyarrow"),
+        r_hot, on=key, right_on=rkey, how=how,
+        right_suffix=right_suffix)
+    cold_joined = bucket_join(
+        left.map_batches(lambda b: is_hot(b, True),
+                         batch_format="pyarrow"),
+        right, on=key, right_on=rkey, how=how,
+        num_buckets=num_buckets, right_suffix=right_suffix)
+    cols = sorted(hot_joined.schema().names)
+    return hot_joined.select_columns(cols) \
+        .union(cold_joined.select_columns(cols))

@@ -734,3 +734,64 @@ SELECT event_type, n,
          AS noisy_n
 FROM u ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Auto-skew-defused join: hot-key census routes around the shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_orders_skew_join(sf_dir: str):
+    """``joins.skew_join`` end-to-end under REAL skew: every 5th order
+    re-keys to customer 1 (a ~20% hot key no plain hash join should
+    eat in one bucket), the wrapper's census detects it, routes the hot
+    rows through a broadcast of customer 1's row, bucket-joins the
+    rest, and the digest folds per market segment.  The SQL oracle
+    applies the identical re-key and joins flat — results must agree
+    because skew handling is pure routing."""
+    from kgray.ops.joins import skew_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy().copy()
+        k[k % 5 == 0] = 1
+        cents = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"ck": pa.array(k), "cents": pa.array(cents)})
+
+    j = skew_join(orders.map_batches(rekey, batch_format="pyarrow"),
+                  cust, on="ck", right_on="c_custkey", how="inner",
+                  hot_share=0.05)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_mktsegment": batch["c_mktsegment"].to_pandas(),
+                           "cents": batch["cents"].to_numpy(),
+                           "one": 1})
+        g = df.groupby("c_mktsegment", sort=False).sum().reset_index()
+        return pa.table({
+            "c_mktsegment": pa.array(g["c_mktsegment"].astype(str),
+                                     pa.string()),
+            "n": pa.array(g["one"].to_numpy(np.int64)),
+            "sum_cents": pa.array(g["cents"].to_numpy(np.int64)),
+        })
+
+    return pre_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        {"n": ("n", "sum"), "sum_cents": ("sum_cents", "sum")},
+    ).sort("c_mktsegment")
+
+
+SQL_ORDERS_SKEW_JOIN = """
+WITH o AS (
+  SELECT CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE o_custkey END AS ck,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o.cents) AS BIGINT) AS sum_cents
+FROM o JOIN customer c ON c.c_custkey = o.ck
+GROUP BY 1 ORDER BY 1
+"""

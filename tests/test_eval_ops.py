@@ -181,3 +181,58 @@ def test_orders_cdc_apply_delete_and_resurrect(ray_session, tmp_path):
     assert row["n"] == 3  # k=12 deleted
     # 7 -> 1000; 20 -> 3000+500; 60 -> 4000+500
     assert row["sum_cents"] == 1000 + 3500 + 4500
+
+
+def _skew_tables():
+    import ray.data as rd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = rng.integers(1, 200, n)
+    keys[: n // 3] = 42  # one hot key carries a third of the left
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys.astype(np.int64)),
+        "x": pa.array(np.arange(n, dtype=np.int64)),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(1, 150, dtype=np.int64)),  # 150+ unmatched
+        "seg": pa.array([f"s{i % 5}" for i in range(1, 150)], pa.string()),
+    }))
+    return left, right
+
+
+def _canon_join(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_skew_join_equals_plain_bucket_join(ray_session):
+    from kgray.ops.joins import bucket_join, skew_join
+
+    left, right = _skew_tables()
+    for how in ("inner", "left"):
+        a = _canon_join(skew_join(left, right, on="k", how=how,
+                                  hot_share=0.05))
+        b = _canon_join(bucket_join(left, right, on="k", how=how))
+        b = b[a.columns]
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_skew_join_no_hot_keys_falls_through(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from kgray.ops.joins import bucket_join, skew_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(1000, dtype=np.int64) % 100),
+        "x": pa.array(np.arange(1000, dtype=np.int64)),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(100, dtype=np.int64)),
+        "seg": pa.array([f"s{i}" for i in range(100)], pa.string()),
+    }))
+    a = _canon_join(skew_join(left, right, on="k", hot_share=0.05))
+    b = _canon_join(bucket_join(left, right, on="k", how="inner"))
+    pd.testing.assert_frame_equal(a, b[a.columns])
