@@ -795,3 +795,184 @@ SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
 FROM o JOIN customer c ON c.c_custkey = o.ck
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence bands: the credit-scoring / feature-binning encoder
+# ---------------------------------------------------------------------------
+
+
+def q_events_woe_bands(sf_dir: str):
+    """Weight-of-evidence encoding of the value deciles against
+    event_type = 'purchase': per band, WoE = ln(pos_share / neg_share)
+    with shares as identical int/int divisions and ONE libm ln per
+    row; iv_term = (pos_share - neg_share) * WoE emitted per band (the
+    information-value summand; the total is the reader's sum — a
+    cross-band float fold would be summation-order-sensitive).  Bands
+    are fixed micro-unit decile cuts of value / max(value), the same
+    quantization as events_calibration."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    mx = ev.aggregate(Max("value"))["max(value)"]
+    max_cents = int(round_half_up(np.float64(mx) * 100.0, 0))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        y = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        b = np.minimum(cents * 1_000_000 // max_cents // 100_000, 9)
+        df = pd.DataFrame({"band": b, "pos": y, "neg": 1 - y})
+        g = df.groupby("band", sort=False).sum().reset_index()
+        return pa.table({
+            "band": pa.array(g["band"].to_numpy(np.int64)),
+            "pos": pa.array(g["pos"].to_numpy(np.int64)),
+            "neg": pa.array(g["neg"].to_numpy(np.int64)),
+        })
+
+    g = pre_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["band"], {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+    ).to_pandas().sort_values("band")
+    tp, tn = int(g["pos"].sum()), int(g["neg"].sum())
+    rows = []
+    for band, p, n in g.itertuples(index=False):
+        p, n = int(p), int(n)
+        if p == 0 or n == 0:
+            continue  # undefined WoE band: dropped on both sides
+        ps = p / tp
+        ns = n / tn
+        woe = math.log(ps / ns)
+        rows.append((int(band), p, n, round_half_up(woe, 6),
+                     round_half_up((ps - ns) * woe, 6)))
+    return pa.table({
+        "band": pa.array([r[0] for r in rows], pa.int64()),
+        "n_pos": pa.array([r[1] for r in rows], pa.int64()),
+        "n_neg": pa.array([r[2] for r in rows], pa.int64()),
+        "woe": pa.array([r[3] for r in rows], pa.float64()),
+        "iv_term": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_WOE_BANDS = """
+WITH mx AS (
+  SELECT CAST(round(MAX(value) * 100) AS BIGINT) AS max_cents FROM events),
+e AS (
+  SELECT LEAST(CAST(round(value * 100) AS BIGINT) * 1000000
+                 // mx.max_cents // 100000, 9) AS band,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events CROSS JOIN mx),
+g AS (SELECT band, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM e GROUP BY band),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+             CAST(SUM(neg) AS BIGINT) AS tn FROM g)
+SELECT band, pos AS n_pos, neg AS n_neg,
+       ROUND(ln((CAST(pos AS DOUBLE) / t.tp)
+                / (CAST(neg AS DOUBLE) / t.tn)), 6) AS woe,
+       ROUND((CAST(pos AS DOUBLE) / t.tp - CAST(neg AS DOUBLE) / t.tn)
+             * ln((CAST(pos AS DOUBLE) / t.tp)
+                  / (CAST(neg AS DOUBLE) / t.tn)), 6) AS iv_term
+FROM g CROSS JOIN t
+WHERE pos > 0 AND neg > 0
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Integer Holt linear-trend forecast per order priority
+# ---------------------------------------------------------------------------
+
+_HOLT_OFF = 1 << 42  # negative-safe floor-div offset (see fdiv note)
+
+
+def q_orders_holt_forecast(sf_dir: str):
+    """Holt's linear-trend double exponential smoothing over the daily
+    revenue series of each order priority, in INTEGER fixed point
+    (alpha = beta = 1/4):
+
+        l_t = fdiv(c_t + 3*(l_{t-1} + b_{t-1}), 4)
+        b_t = fdiv((l_t - l_{t-1}) + 3*b_{t-1}, 4)
+
+    The trend b goes NEGATIVE, where DuckDB's ``//`` truncates toward
+    zero but numpy floors (the EWMA lesson) — so both engines use the
+    same offset form fdiv(x, 4) = (x + OFF*4) // 4 - OFF, whose operand
+    is always positive: truncate == floor, bit-exact everywhere.  The
+    oracle advances every series one day per recursive-CTE step (the
+    events_int_ewma variable-length-per-key recurrence pattern); the
+    Ray side runs the identical python-int recurrence inside one
+    priority cogroup over the (priority, day) combiner fold."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        df = pd.DataFrame({"pr": batch["o_orderpriority"].to_pandas(),
+                           "day": day, "c": cents})
+        g = df.groupby(["pr", "day"], sort=False)["c"].sum().reset_index()
+        return pa.table({
+            "pr": pa.array(g["pr"].astype(str), pa.string()),
+            "day": pa.array(g["day"].to_numpy("datetime64[us]")),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    daily = pre_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["pr", "day"], {"c": ("c", "sum")},
+    )
+
+    off4 = _HOLT_OFF * 4
+
+    def fdiv4(x: int) -> int:
+        return (x + off4) // 4 - _HOLT_OFF
+
+    def holt(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pr, g in df.groupby("pr", sort=False):
+            g = g.sort_values("day")
+            cs = [int(x) for x in g["c"]]
+            l, b = cs[0], 0
+            for c in cs[1:]:
+                l_new = fdiv4(c + 3 * (l + b))
+                b = fdiv4((l_new - l) + 3 * b)
+                l = l_new
+            rows.append((pr, len(cs), l, b, l + b, l + 7 * b))
+        return pd.DataFrame(rows, columns=[
+            "o_orderpriority", "n_days", "level", "trend",
+            "forecast_1", "forecast_7",
+        ]).astype({c: np.int64 for c in
+                   ("n_days", "level", "trend", "forecast_1",
+                    "forecast_7")})
+
+    return grouped_map(daily, "pr", holt).sort("o_orderpriority")
+
+
+SQL_ORDERS_HOLT_FORECAST = f"""
+WITH RECURSIVE d AS (
+  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+idx AS (SELECT pr, day, c,
+               ROW_NUMBER() OVER (PARTITION BY pr ORDER BY day) AS t
+        FROM d),
+n AS (SELECT pr, CAST(MAX(t) AS BIGINT) AS tmax FROM idx GROUP BY pr),
+rec AS (
+  SELECT pr, t, c AS l, CAST(0 AS BIGINT) AS b FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.pr, i.t,
+         (i.c + 3 * (r.l + r.b) + {_HOLT_OFF * 4}) // 4 - {_HOLT_OFF} AS l,
+         ((((i.c + 3 * (r.l + r.b) + {_HOLT_OFF * 4}) // 4 - {_HOLT_OFF})
+           - r.l) + 3 * r.b + {_HOLT_OFF * 4}) // 4 - {_HOLT_OFF} AS b
+  FROM rec r JOIN idx i ON i.pr = r.pr AND i.t = r.t + 1)
+SELECT r.pr AS o_orderpriority, n.tmax AS n_days,
+       r.l AS level, r.b AS trend,
+       r.l + r.b AS forecast_1, r.l + 7 * r.b AS forecast_7
+FROM rec r JOIN n ON n.pr = r.pr AND r.t = n.tmax
+ORDER BY 1
+"""

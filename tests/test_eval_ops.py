@@ -236,3 +236,55 @@ def test_skew_join_no_hot_keys_falls_through(ray_session):
     a = _canon_join(skew_join(left, right, on="k", hot_share=0.05))
     b = _canon_join(bucket_join(left, right, on="k", how="inner"))
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_orders_holt_constant_series(ray_session, tmp_path):
+    """A constant daily series is a fixed point: level == the constant,
+    trend == 0, forecasts equal the level.  Oracle parity included."""
+    days = pd.date_range("2024-01-01", periods=12, freq="D")
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(12, dtype=np.int64),
+        "o_custkey": np.int64(1),
+        "o_orderstatus": "O",
+        "o_totalprice": 50.0,
+        "o_orderdate": days.astype("datetime64[us]"),
+        "o_orderpriority": "1-URGENT",
+    })
+    _write(tmp_path, "orders", df)
+    got, sql = _run("orders_holt_forecast", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["orders"]), ["o_orderpriority"])
+    r = got.iloc[0]
+    assert r["level"] == 5000 and r["trend"] == 0
+    assert r["forecast_1"] == 5000 and r["forecast_7"] == 5000
+
+
+def test_orders_holt_negative_trend_floor_parity(ray_session, tmp_path):
+    """A steeply DECREASING series drives the trend negative — the
+    branch where DuckDB's truncating // would diverge from numpy's
+    floor without the offset form.  Parity must hold bit-for-bit."""
+    days = pd.date_range("2024-01-01", periods=10, freq="D")
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(10, dtype=np.int64),
+        "o_custkey": np.int64(1),
+        "o_orderstatus": "O",
+        "o_totalprice": np.linspace(1000.0, 10.0, 10),
+        "o_orderdate": days.astype("datetime64[us]"),
+        "o_orderpriority": "1-URGENT",
+    })
+    _write(tmp_path, "orders", df)
+    got, sql = _run("orders_holt_forecast", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["orders"]), ["o_orderpriority"])
+    assert got.iloc[0]["trend"] < 0
+
+
+def test_woe_bands_sign_and_oracle(ray_session, tmp_path):
+    """High-value rows mostly purchases, low-value mostly views: the
+    top band's WoE must be positive, the bottom's negative."""
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(0.01, 100.0, 600), 2)
+    types = np.where(vals + rng.normal(0, 15, 600) > 50,
+                     "purchase", "view")
+    _events(tmp_path, list(zip(types.tolist(), vals.tolist())))
+    got, sql = _run("events_woe_bands", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["events"]), ["band"])
+    assert got.iloc[-1]["woe"] > 0 > got.iloc[0]["woe"]
