@@ -118,6 +118,12 @@ def _gen(tmp_path, seed):
             "o_orderkey": np.arange(200, dtype=np.int64),
             "o_custkey": rng.integers(1, 40, 200).astype(np.int64),
             "o_totalprice": np.round(rng.uniform(0.01, 99999, 200), 2),
+            # dates/priorities for the forecasting + CDC sweeps
+            "o_orderdate": (ts0 + pd.to_timedelta(
+                rng.integers(0, 30, 200), unit="D"
+            )).astype("datetime64[us]"),
+            "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"],
+                                          200),
         }
     )
     orders.to_parquet(tmp_path / "orders.parquet", index=False)
@@ -216,6 +222,19 @@ QUERIES = {
     "customer_linkage_scores": ["customer"],
     "value_range_partition": ["events"],
     "embed_kmeans_int": ["embeddings"],
+    # session 19
+    "events_auc": ["events"],
+    "events_calibration": ["events"],
+    "events_woe_bands": ["events"],
+    "value_split_gain": ["events"],
+    "dp_event_counts": ["events"],
+    "term_lang_pmi": ["documents"],
+    "feature_hash_audit": ["documents"],
+    "brand_target_encoding": ["lineitem", "part"],
+    "part_als_factors": ["lineitem", "orders"],
+    "orders_cdc_apply": ["orders"],
+    "orders_holt_forecast": ["orders"],
+    "orders_skew_join": ["orders", "customer"],
 }
 
 
