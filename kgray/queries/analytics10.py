@@ -976,3 +976,152 @@ SELECT r.pr AS o_orderpriority, n.tmax AS n_days,
 FROM rec r JOIN n ON n.pr = r.pr AND r.t = n.tmax
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Length-bucket padding-waste audit (training batch efficiency)
+# ---------------------------------------------------------------------------
+
+
+def q_doclen_padding_waste(sf_dir: str):
+    """Sequence-length bucketing audit: docs bucket to the next
+    multiple-of-64 token boundary (capped at 1024, the truncation
+    length), and the padding waste a length-bucketed batcher would pay
+    is bucket_edge - effective_len per doc.  All integer folds; the
+    one ratio divides identical BIGINTs.  The whitespace token count
+    uses the corpus split convention (len(string_split(text, ' ')))."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ntok = np.fromiter(
+            (len(t.split(" ")) for t in batch["text"].to_pylist()),
+            np.int64, len(batch))
+        eff = np.minimum(ntok, 1024)
+        edge = np.minimum((ntok + 63) // 64 * 64, 1024)
+        df = pd.DataFrame({"bucket": edge, "one": 1, "tok": eff,
+                           "waste": edge - eff})
+        g = df.groupby("bucket", sort=False).sum().reset_index()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+            "n_docs": pa.array(g["one"].to_numpy(np.int64)),
+            "sum_tokens": pa.array(g["tok"].to_numpy(np.int64)),
+            "sum_waste": pa.array(g["waste"].to_numpy(np.int64)),
+        })
+
+    g = pre_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], {"n_docs": ("n_docs", "sum"),
+                     "sum_tokens": ("sum_tokens", "sum"),
+                     "sum_waste": ("sum_waste", "sum")},
+    ).to_pandas().sort_values("bucket")
+    pct = [round_half_up(float(w) / (int(w) + int(t)), 6) if (int(w) + int(t)) else 0.0
+           for w, t in zip(g["sum_waste"], g["sum_tokens"])]
+    return pa.table({
+        "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+        "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+        "sum_tokens": pa.array(g["sum_tokens"].to_numpy(np.int64)),
+        "sum_waste": pa.array(g["sum_waste"].to_numpy(np.int64)),
+        "waste_pct": pa.array(pct, pa.float64()),
+    })
+
+
+SQL_DOCLEN_PADDING_WASTE = """
+WITH d AS (
+  SELECT len(string_split(text, ' ')) AS ntok FROM documents),
+b AS (
+  SELECT LEAST((ntok + 63) // 64 * 64, 1024) AS bucket,
+         LEAST(ntok, 1024) AS eff,
+         LEAST((ntok + 63) // 64 * 64, 1024) - LEAST(ntok, 1024) AS waste
+  FROM d)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(eff) AS BIGINT) AS sum_tokens,
+       CAST(SUM(waste) AS BIGINT) AS sum_waste,
+       CASE WHEN SUM(waste) + SUM(eff) = 0 THEN 0.0
+            ELSE ROUND(CAST(SUM(waste) AS DOUBLE)
+                       / (SUM(waste) + SUM(eff)), 6) END AS waste_pct
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup rate (RAG chunking x dedup composition)
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_dup_rate(sf_dir: str):
+    """Composition of the RAG chunker (doc_chunks window/stride
+    convention: [k*90, k*90+120) char windows) with exact dedup at
+    CHUNK granularity — the near-boilerplate measurement chunk-level
+    retrieval corpora need.  Chunk identity is md5(chunk_text) in BOTH
+    engines (identical even under collisions, so distinct counts agree
+    by construction); one (source, hash) shuffle at chunk scale, then a
+    source-level integer fold.  dup_rate = (n_chunks - n_distinct) /
+    n_chunks on identical BIGINTs."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def chunk_hashes(batch: pa.Table) -> pa.Table:
+        srcs, hs = [], []
+        for text, src in zip(batch["text"].to_pylist(),
+                             batch["source"].to_pylist()):
+            n = len(text)
+            k = 1 + max(0, -(-(n - 120) // 90)) if n > 120 else 1
+            for i in range(k):
+                c = text[i * 90: i * 90 + 120]
+                srcs.append(src)
+                hs.append(hashlib.md5(c.encode()).hexdigest())
+        df = pd.DataFrame({"source": srcs, "h": hs})
+        g = df.groupby(["source", "h"], sort=False).size().reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].astype(str), pa.string()),
+            "h": pa.array(g["h"].astype(str), pa.string()),
+            "n": pa.array(g[0].to_numpy(np.int64)),
+        })
+
+    per_hash = pre_aggregate(
+        docs.map_batches(chunk_hashes, batch_format="pyarrow"),
+        ["source", "h"], {"n": ("n", "sum")},
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "n": batch["n"].to_numpy(), "one": 1})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].astype(str), pa.string()),
+            "n_chunks": pa.array(g["n"].to_numpy(np.int64)),
+            "n_distinct": pa.array(g["one"].to_numpy(np.int64)),
+        })
+
+    g = pre_aggregate(
+        per_hash.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_chunks": ("n_chunks", "sum"),
+                     "n_distinct": ("n_distinct", "sum")},
+    ).to_pandas().sort_values("source")
+    rate = [round_half_up(float(int(c) - int(d)) / int(c), 6)
+            for c, d in zip(g["n_chunks"], g["n_distinct"])]
+    return pa.table({
+        "source": pa.array(g["source"].astype(str), pa.string()),
+        "n_chunks": pa.array(g["n_chunks"].to_numpy(np.int64)),
+        "n_distinct": pa.array(g["n_distinct"].to_numpy(np.int64)),
+        "dup_rate": pa.array(rate, pa.float64()),
+    })
+
+
+SQL_CHUNK_DUP_RATE = """
+WITH c AS (
+  SELECT source,
+         md5(substr(text, CAST(i * 90 + 1 AS BIGINT),
+                    CAST(120 AS BIGINT))) AS h
+  FROM documents,
+       UNNEST(range(0, 1 + GREATEST(0,
+              CAST(CEIL((len(text) - 120) / 90.0) AS BIGINT)))) AS t(i)),
+d AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate
+FROM d GROUP BY source ORDER BY source
+"""

@@ -288,3 +288,33 @@ def test_woe_bands_sign_and_oracle(ray_session, tmp_path):
     got, sql = _run("events_woe_bands", tmp_path)
     _cmp(got, _oracle(tmp_path, sql, ["events"]), ["band"])
     assert got.iloc[-1]["woe"] > 0 > got.iloc[0]["woe"]
+
+
+def test_padding_waste_hand_case(ray_session, tmp_path):
+    """3 tokens -> bucket 64 (waste 61); 70 tokens -> bucket 128
+    (waste 58); 2000 tokens -> capped at 1024 (waste 0)."""
+    rows = [(0, " ".join(["w"] * 3), "en"),
+            (1, " ".join(["w"] * 70), "en"),
+            (2, " ".join(["w"] * 2000), "en")]
+    _docs(tmp_path, rows)
+    got, sql = _run("doclen_padding_waste", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["documents"]), ["bucket"])
+    by = {b: (t, w) for b, t, w in
+          zip(got["bucket"], got["sum_tokens"], got["sum_waste"])}
+    assert by[64] == (3, 61) and by[128] == (70, 58)
+    assert by[1024] == (1024, 0)
+
+
+def test_chunk_dup_rate_planted_duplicates(ray_session, tmp_path):
+    """Two docs sharing identical 120+ char text produce identical
+    chunk sets; a third unique doc keeps the rate below 1."""
+    boiler = "x" * 300  # 3 chunks each, all duplicated across docs 0/1
+    rows = [(0, boiler, "en"), (1, boiler, "en"),
+            (2, "".join(chr(97 + i % 26) for i in range(300)), "en")]
+    _docs(tmp_path, rows)
+    got, sql = _run("chunk_dup_rate", tmp_path)
+    _cmp(got, _oracle(tmp_path, sql, ["documents"]), ["source"])
+    r = got.iloc[0]
+    # doc0/doc1: 3 windows each but all three hash identically within
+    # a doc too ("xxx..." windows are equal strings) -> distinct adds 1
+    assert r["n_chunks"] == 9 and r["n_distinct"] == 4
