@@ -335,6 +335,9 @@ SCALE10 = [
     "events_asof",
     "events_retention",
     "pack_offsets",
+    # session 19: the iterative-ML shuffle shape (4 ALS half-steps) —
+    # growth here would flag a super-linear factor-attach stage
+    "part_als_factors",
 ]
 
 
