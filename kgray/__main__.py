@@ -162,8 +162,65 @@ def main(argv: list[str] | None = None) -> int:
                         "destroyed, not merely unreferenced")
     f.set_defaults(fn=_cmd_forget)
 
+    q = sub.add_parser(
+        "query",
+        help="run one catalog query over a testdata dir (or --list them)",
+    )
+    q.add_argument("name", nargs="?", help="queries() entry name")
+    q.add_argument("--sf", default="/root/testdata/sf0.01",
+                   help="input tables directory")
+    q.add_argument("--out", help="write the result as parquet here "
+                                 "instead of printing a preview")
+    q.add_argument("--head", type=int, default=5,
+                   help="preview rows in the printed JSON line")
+    q.add_argument("--list", action="store_true",
+                   help="list catalog entries (name + oracle/rows-only)")
+    q.set_defaults(fn=_cmd_query)
+
     args = ap.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_query(args) -> int:
+    import json as _json
+
+    from kgray.queries import CATALOG
+
+    if args.list or not args.name:
+        for name, (fn, sql) in sorted(CATALOG.items()):
+            print(f"{name}\t{'oracle' if sql else 'rows-only'}")
+        return 0
+    if args.name not in CATALOG:
+        print(f"unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 2
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False)
+    fn, sql = CATALOG[args.name]
+    t0 = time.time()
+    res = fn(args.sf)
+    if hasattr(res, "to_pandas"):
+        df = res.to_pandas()
+    else:
+        df = res
+    wall = round(time.time() - t0, 3)
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       args.out)
+    print(_json.dumps({
+        "query": args.name, "sf": args.sf, "rows": int(len(df)),
+        "wall_s": wall, "oracle": sql is not None,
+        "out": args.out or None,
+        "head": _json.loads(df.head(args.head).to_json(orient="records")),
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
 
 
 def _cmd_forget(args) -> int:

@@ -318,3 +318,25 @@ def test_chunk_dup_rate_planted_duplicates(ray_session, tmp_path):
     # doc0/doc1: 3 windows each but all three hash identically within
     # a doc too ("xxx..." windows are equal strings) -> distinct adds 1
     assert r["n_chunks"] == 9 and r["n_distinct"] == 4
+
+
+def test_cli_query_subcommand(ray_session, tmp_path, capsys):
+    """python -m kgray query NAME --sf DIR prints one JSON line and
+    honors --out; --list enumerates the catalog."""
+    import json
+
+    from kgray.__main__ import main
+
+    _events(tmp_path, [("purchase", 5.0), ("view", 1.0)] * 20)
+    out = str(tmp_path / "res.parquet")
+    rc = main(["query", "events_auc", "--sf", str(tmp_path),
+               "--out", out])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["query"] == "events_auc" and d["rows"] == 2 and d["oracle"]
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out).num_rows == 2
+    assert main(["query", "--list"]) == 0
+    assert main(["query", "nope"]) == 2
