@@ -340,3 +340,36 @@ def test_cli_query_subcommand(ray_session, tmp_path, capsys):
     assert pq.read_table(out).num_rows == 2
     assert main(["query", "--list"]) == 0
     assert main(["query", "nope"]) == 2
+
+
+def test_auc_matches_bruteforce_pairs(ray_session, tmp_path):
+    """The histogram rank-sum must equal the O(n^2) pair definition:
+    AUC = (wins + 0.5*ties) / (n_pos * n_neg), checked per type on a
+    random quantized fixture."""
+    rng = np.random.default_rng(17)
+    vals = np.round(rng.uniform(0.01, 8.0, 60), 2)  # dense ties
+    types = rng.choice(["purchase", "view", "click"], 60)
+    _events(tmp_path, list(zip(types.tolist(), vals.tolist())))
+    got, _ = _run("events_auc", tmp_path)
+    for ty, _np, _nn, auc in got.itertuples(index=False):
+        pos = vals[types == ty]
+        neg = vals[types != ty]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        brute = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(auc - brute) < 1e-6, ty
+
+
+def test_holt_fdiv_offset_is_floor_division():
+    """fdiv(x, 4) = (x + OFF*4)//4 - OFF equals floor(x/4) for every
+    sign — the lemma the Holt trend recurrence's engine parity rests
+    on (DuckDB truncates negative //, numpy floors)."""
+    from kgray.queries.analytics10 import _HOLT_OFF
+
+    rng = np.random.default_rng(5)
+    xs = np.concatenate([
+        rng.integers(-10**12, 10**12, 2000),
+        np.array([-1, -2, -3, -4, -5, 0, 1, 2, 3, 4, 5]),
+    ])
+    for x in xs.tolist():
+        assert (x + _HOLT_OFF * 4) // 4 - _HOLT_OFF == x // 4
