@@ -235,6 +235,14 @@ QUERIES = {
     "orders_cdc_apply": ["orders"],
     "orders_holt_forecast": ["orders"],
     "orders_skew_join": ["orders", "customer"],
+    # session 20
+    "source_vocab_overlap": ["documents"],
+    "events_mase": ["events"],
+    "dp_user_capped_counts": ["events"],
+    "events_lift_at": ["events"],
+    "events_cv_auc": ["events"],
+    "events_ols2": ["events"],
+    "orders_ab_srm": ["orders"],
 }
 
 
