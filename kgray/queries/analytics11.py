@@ -567,6 +567,267 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov: each source's length distribution
+# vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+
+def q_source_ks(sf_dir: str):
+    """Distribution-drift audit: the exact two-sample KS statistic of
+    n_chars for every source against the REST of the corpus.  One
+    (n_chars, source) histogram fold (aggregate-scale: distinct lengths
+    x sources); D = max_v |F_s(v) - F_rest(v)| is computed over the
+    histogram with python-int cross-products |cum_s*(N-n_s) -
+    cum_rest*n_s| — exact at any scale (the naive float-CDF subtraction
+    loses bits exactly where D is decided), divided once at the end."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"], "n_chars": batch["n_chars"]})
+        return t.group_by(["source", "n_chars"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["source", "n_chars", "n"])
+
+    hist = pre_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "n_chars"], {"n": ("n", "sum")},
+    ).to_pandas()
+    piv = hist.pivot_table(index="n_chars", columns="source", values="n",
+                           aggfunc="sum", fill_value=0).sort_index()
+    tot_by_src = {s: int(piv[s].sum()) for s in piv.columns}
+    n_total = sum(tot_by_src.values())
+
+    srcs, ns_out, ks_out = [], [], []
+    for s in sorted(piv.columns):
+        ns = tot_by_src[s]
+        nr = n_total - ns
+        if ns == 0 or nr == 0:
+            continue
+        cs = cr = 0
+        best = 0
+        col = piv[s].to_numpy(np.int64)
+        tot = piv.sum(axis=1).to_numpy(np.int64)
+        for a, t in zip(col.tolist(), tot.tolist()):  # aggregate-scale
+            cs += a
+            cr += t - a
+            d = abs(cs * nr - cr * ns)
+            if d > best:
+                best = d
+        srcs.append(s); ns_out.append(ns)
+        ks_out.append(round_half_up(
+            float(best) / (float(ns) * float(nr)), 6))
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_s": pa.array(ns_out, pa.int64()),
+        "ks": pa.array(ks_out, pa.float64()),
+    })
+
+
+SQL_SOURCE_KS = """
+WITH h AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM h GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents),
+v AS (SELECT n_chars, CAST(SUM(n) AS BIGINT) AS n FROM h GROUP BY 1),
+g AS (SELECT s.source, v.n_chars, v.n AS n_tot, COALESCE(h.n, 0) AS n_s
+      FROM s CROSS JOIN v
+      LEFT JOIN h ON h.source = s.source AND h.n_chars = v.n_chars),
+c AS (SELECT source, n_chars,
+             SUM(n_s) OVER (PARTITION BY source ORDER BY n_chars) AS cs,
+             SUM(n_tot - n_s) OVER (PARTITION BY source ORDER BY n_chars)
+               AS cr
+      FROM g),
+d AS (SELECT c.source,
+             MAX(ABS(CAST(c.cs AS HUGEINT) * (tot.nt - s.ns)
+                     - CAST(c.cr AS HUGEINT) * s.ns)) AS best
+      FROM c JOIN s ON s.source = c.source CROSS JOIN tot
+      GROUP BY 1)
+SELECT d.source, s.ns AS n_s,
+       ROUND(CAST(d.best AS DOUBLE)
+             / (CAST(s.ns AS DOUBLE) * CAST(tot.nt - s.ns AS DOUBLE)), 6)
+         AS ks
+FROM d JOIN s ON s.source = d.source CROSS JOIN tot
+WHERE s.ns > 0 AND tot.nt - s.ns > 0
+ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against a synthesized SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q_events_pit_join(sf_dir: str):
+    """Temporal snapshot join (the SCD2 consumption side — q_user_scd2
+    builds histories, this JOINS against one): a 4-version validity
+    dimension is synthesized per user with md5-jittered boundaries
+    (cut i lands inside day-quarter i, so versions are ordered WITHOUT
+    a sort and both engines derive the identical dimension), and every
+    event joins the version active at its timestamp.  The Ray path is
+    the honest distributed shape: equi bucket_join on user_id with a
+    4x fan-out, then the interval filter — never a per-row driver
+    lookup.  Integer epoch-day compares; cents fold by version tier."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    mn = ev.aggregate(Min("ts"))["min(ts)"]
+    mx = ev.aggregate(Max("ts"))["max(ts)"]
+    d0 = int(np.datetime64(mn, "D").astype(np.int64))
+    d4 = int(np.datetime64(mx, "D").astype(np.int64)) + 1
+    span = d4 - d0
+
+    users = pre_aggregate(ev, ["user_id"], {"c": (None, "count")})
+
+    def versions(batch: pa.Table) -> pa.Table:
+        uids, vers, starts = [], [], []
+        for u in batch["user_id"].to_pylist():
+            for i in range(4):
+                if i == 0:
+                    s = d0
+                else:
+                    lo = i * span // 4
+                    hi = (i + 1) * span // 4
+                    h = int(hashlib.md5(
+                        f"pit:{u}:{i}".encode()).hexdigest()[:13], 16)
+                    s = d0 + lo + h % max(hi - lo, 1)
+                uids.append(u); vers.append(i); starts.append(s)
+        ends = [starts[i + 1] if (i + 1) % 4 else d4
+                for i in range(len(starts))]
+        return pa.table({
+            "user_id": pa.array(uids, pa.int64()),
+            "ver": pa.array(vers, pa.int64()),
+            "s": pa.array(starts, pa.int64()),
+            "e": pa.array(ends, pa.int64()),
+        })
+
+    dim = users.map_batches(versions, batch_format="pyarrow")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(day),
+            "cents": pa.array(cents),
+        })
+
+    joined = bucket_join(
+        ev.map_batches(prep, batch_format="pyarrow"), dim, "user_id",
+        how="inner",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["day"] >= df["s"]) & (df["day"] < df["e"])]
+        g = df.groupby("ver", sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")).reset_index()
+        return pa.table({
+            "tier": pa.array(["T" + str(int(v)) for v in g["ver"]],
+                             pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+        })
+
+    return pre_aggregate(
+        joined.map_batches(finish, batch_format="pyarrow"),
+        ["tier"], {"n": ("n", "sum"), "cents": ("cents", "sum")},
+    )
+
+
+SQL_EVENTS_PIT_JOIN = """
+WITH bounds AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE)) AS d0,
+         DATEDIFF('day', DATE '1970-01-01', CAST(MAX(ts) AS DATE)) + 1 AS d4
+  FROM events),
+u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT u.user_id, i.i AS ver,
+             CASE WHEN i.i = 0 THEN b.d0
+                  ELSE b.d0 + (i.i * (b.d4 - b.d0)) // 4
+                       + (CAST('0x' || substr(md5('pit:'
+                              || CAST(u.user_id AS VARCHAR) || ':'
+                              || CAST(i.i AS VARCHAR)), 1, 13) AS BIGINT)
+                          % GREATEST(((i.i + 1) * (b.d4 - b.d0)) // 4
+                                     - (i.i * (b.d4 - b.d0)) // 4, 1))
+             END AS s
+      FROM u CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+      CROSS JOIN bounds b),
+w AS (SELECT user_id, ver, s,
+             COALESCE(LEAD(s) OVER (PARTITION BY user_id ORDER BY ver),
+                      (SELECT d4 FROM bounds)) AS e
+      FROM v)
+SELECT 'T' || CAST(w.ver AS VARCHAR) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(ev.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events ev JOIN w ON w.user_id = ev.user_id
+ AND DATEDIFF('day', DATE '1970-01-01', CAST(ev.ts AS DATE)) >= w.s
+ AND DATEDIFF('day', DATE '1970-01-01', CAST(ev.ts AS DATE)) < w.e
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler blocked fuzzy pairs (ER candidate scoring, similarity form)
+# ---------------------------------------------------------------------------
+
+
+def q_part_name_jaro_pairs(sf_dir: str):
+    """Blocked fuzzy self-join scored by Jaro-Winkler similarity — the
+    similarity-form twin of q_part_name_fuzzy_pairs (edit distance):
+    DISTINCT-name combiner fold, trailing-token blocking, in-block pair
+    expansion filtered at round(jw, 4) >= 0.88.  The JW kernel
+    (ops/fuzzy.jaro_winkler_batch) is bit-for-bit DuckDB
+    jaro_winkler_similarity (calibration-tested), and BOTH engines
+    threshold on the ROUNDED value so a one-ulp excursion can never
+    flip pair membership."""
+    from kgray.ops.fuzzy import jaro_winkler_batch
+
+    names = pre_aggregate(
+        _read(sf_dir, "part", ["p_name"]), ["p_name"],
+        {"c": (None, "count")},
+    )
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        nm = batch["p_name"].to_pylist()
+        return pa.table({
+            "p_name": batch["p_name"],
+            "blk": pa.array([s.rsplit(" ", 1)[-1] for s in nm],
+                            pa.string()),
+        })
+
+    blocked = names.map_batches(add_block, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["blk", "p_name"]]
+        m = d.merge(d, on="blk")
+        m = m[m["p_name_x"] < m["p_name_y"]]
+        jw = round_half_up(jaro_winkler_batch(
+            m["p_name_x"].tolist(), m["p_name_y"].tolist()), 4)
+        keep = jw >= 0.88
+        return pd.DataFrame({
+            "name_a": m["p_name_x"].to_numpy()[keep],
+            "name_b": m["p_name_y"].to_numpy()[keep],
+            "jw": jw[keep],
+        })
+
+    return grouped_map(blocked, "blk", pairs)
+
+
+SQL_PART_NAME_JARO_PAIRS = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+FROM n a JOIN n b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_name < b.p_name
+WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.88
+"""
+
+
+# ---------------------------------------------------------------------------
 # A/B sample-ratio-mismatch chi-square
 # ---------------------------------------------------------------------------
 

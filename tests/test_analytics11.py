@@ -165,3 +165,82 @@ def test_orders_ab_srm_balanced_split(ray_session, tmp_path):
     assert out["n0"] + out["n1"] == 2000
     # md5 coin on 2000 keys: no SRM at any sane threshold
     assert out["chi2"] < 10.83  # p=0.001 critical value, 1 dof
+
+
+def test_jaro_winkler_kernel_duckdb_parity():
+    import duckdb
+
+    from kgray.ops.fuzzy import jaro_winkler_batch
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcdef ")
+    words = ["".join(rng.choice(alpha, int(rng.integers(0, 12))))
+             for _ in range(200)]
+    a = [words[int(i)] for i in rng.integers(0, 200, 1500)]
+    b = [words[int(i)] for i in rng.integers(0, 200, 1500)]
+    got = jaro_winkler_batch(a, b)
+    con = duckdb.connect()
+    for x, y, g in zip(a, b, got):
+        exp = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [x, y]
+        ).fetchone()[0]
+        assert g == exp, (x, y, g, exp)  # BIT equality, not approx
+    # the canonical textbook case + DuckDB's empty-string quirk
+    assert jaro_winkler_batch(["martha"], ["marhta"])[0] == \
+        0.9611111111111111
+    assert jaro_winkler_batch([""], [""])[0] == 0.0
+
+
+def test_source_ks_identical_vs_shifted(ray_session, tmp_path):
+    # s1 and s2 share one length distribution; s3 is disjointly longer.
+    rows = []
+    did = 0
+    for src, lens in [("s1", [5, 10, 15] * 10), ("s2", [5, 10, 15] * 10),
+                      ("s3", [100] * 30)]:
+        for ln in lens:
+            rows.append((did, "x" * ln, src))
+            did += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from kgray.queries import q_source_ks
+
+    out = q_source_ks(str(tmp_path)).to_pandas().set_index("source")
+    # s3 vs rest separates perfectly: D = 1
+    assert out.loc["s3"]["ks"] == 1.0
+    # s1 vs rest(=s2+s3): CDF gap at any v<100 is |F1 - (F2+F3)/2|
+    # = F1(v)/2 -> max at v=15: 0.5
+    assert out.loc["s1"]["ks"] == 0.5
+    assert out.loc["s1"]["n_s"] == 30
+
+
+def test_events_pit_join_partitions_every_event_once(ray_session,
+                                                     tmp_path):
+    rng = np.random.default_rng(5)
+    n = 400
+    rows = []
+    for i in range(n):
+        d = int(rng.integers(0, 60))
+        rows.append((i, f"2024-01-01 00:00:00", int(rng.integers(1, 9)),
+                     "view", round(float(rng.uniform(0, 50)), 2)))
+        rows[-1] = (i, (pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(days=d)).strftime(
+                            "%Y-%m-%d %H:%M:%S"),
+                    rows[-1][2], "view", rows[-1][4])
+    df = _write_events(tmp_path, rows)
+
+    from kgray.queries import q_events_pit_join
+
+    out = q_events_pit_join(str(tmp_path)).to_pandas()
+    # the version intervals tile [min_day, max_day]: every event joins
+    # EXACTLY one version, so counts and cents are conserved
+    assert out["n"].sum() == n
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    assert out["cents"].sum() == cents.sum()
+    assert set(out["tier"]) <= {"T0", "T1", "T2", "T3"}
+    again = q_events_pit_join(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("tier", ignore_index=True),
+        again.sort_values("tier", ignore_index=True))

@@ -243,6 +243,9 @@ QUERIES = {
     "events_cv_auc": ["events"],
     "events_ols2": ["events"],
     "orders_ab_srm": ["orders"],
+    "source_ks": ["documents"],
+    "events_pit_join": ["events"],
+    "part_name_jaro_pairs": ["part"],
 }
 
 
