@@ -246,6 +246,13 @@ QUERIES = {
     "source_ks": ["documents"],
     "events_pit_join": ["events"],
     "part_name_jaro_pairs": ["part"],
+    # session 21
+    "events_ohlc": ["events"],
+    "events_peak_concurrency": ["events"],
+    "events_twap": ["events"],
+    "events_bollinger": ["events"],
+    "supplier_adamic_adar": ["lineitem"],
+    "events_ndcg": ["events"],
 }
 
 
