@@ -150,6 +150,70 @@ def knn_ivf(embeddings, query_vec, k: int = 10, num_centroids: int = 16,
     return knn_brute(probed, query_vec, k, id_col, vec_col, digits)
 
 
+def build_ivf_index(embeddings, path: str, num_centroids: int = 16,
+                    sample_rows: int = 2048, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 7) -> np.ndarray:
+    """Persisted IVF-flat ANN index: every vector is assigned to its
+    nearest centroid and written as ONE partition per bucket (identity
+    partitioner, bucket zone maps), with the centroid matrix stored
+    beside the manifest (``centroids.npy``).  The index is a normal
+    partitioned table — manifest-attested, resumable, compactable,
+    time-travelable — and query-time probes READ only the probed
+    buckets' files via zone pruning, so at scale a query costs
+    nprobe/num_centroids of the corpus scan with no resident in-memory
+    index and no broadcast of the corpus."""
+    import os
+
+    from kgray import io as kio
+
+    C = fit_centroids(embeddings, num_centroids, sample_rows,
+                      vec_col=vec_col, seed=seed)
+    bucketed = ivf_bucketize(embeddings, C)
+
+    def ident(batch: pa.Table) -> np.ndarray:
+        return batch["bucket"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+    kio.write_partitioned(
+        bucketed, path, key_col="bucket", num_partitions=len(C),
+        partitioner=ident, partitioning_name="ivf-bucket",
+        stats_cols=("bucket",),
+    )
+    np.save(os.path.join(path, "centroids.npy"), C)
+    return C
+
+
+def knn_ivf_persisted(path: str, query_vec, k: int = 10, nprobe: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      digits: int = 4):
+    """Cosine top-k against a :func:`build_ivf_index` table, reading
+    ONLY the ``nprobe`` buckets nearest the query (each partition's
+    bucket zone is the exact point [b, b], so pruning is FP-free).
+    ``nprobe == num_centroids`` probes everything and is EXACT —
+    identical to ``knn_brute`` over the source table, which is the
+    oracle-checkable face; smaller nprobe is the approximate scale
+    path whose probed-subset semantics are test-pinned."""
+    import os
+
+    from kgray import io as kio
+
+    C = np.load(os.path.join(path, "centroids.npy"))
+    q = np.asarray(query_vec, np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(C @ qn), kind="stable")[:nprobe].tolist()
+    parts = []
+    for b in sorted(probe):
+        ds = kio.read_table(path, columns=[id_col, vec_col],
+                            zone_filter={"bucket": (b, b)})
+        if ds is not None:
+            parts.append(ds)
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return knn_brute(ds, query_vec, k, id_col, vec_col, digits)
+
+
 def label_centroids(embeddings, label_col: str = "label",
                     vec_col: str = "embedding", digits: int = 4):
     """Per-label centroid vectors (the SemDeDup / class-prototype

@@ -58,3 +58,44 @@ def q_embed_label_counts(sf_dir: str):
 
 
 SQL_EMBED_LABEL_COUNTS = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
+
+
+def q_ann_knn_persisted(sf_dir: str):
+    """End-to-end persisted-ANN round trip: build an IVF index table
+    (one partition per centroid bucket, bucket zone maps, centroids
+    beside the manifest) in scratch, then query it probing EVERY bucket
+    — full probing is exact, so the whole build/persist/zone-prune/read
+    /score path is value-hash checkable against the brute-force SQL.
+    The approximate face (nprobe < num_centroids reading only probed
+    partitions' files) is pinned by tests/test_ann_persisted.py."""
+    import shutil
+    import tempfile
+
+    from kgray.ops.similarity import build_ivf_index, knn_ivf_persisted
+
+    idx = tempfile.mkdtemp(prefix="kgray_ann_idx_")
+    try:
+        C = build_ivf_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            idx, num_centroids=8,
+        )
+        out = knn_ivf_persisted(
+            idx, _query_vec(sf_dir), k=10, nprobe=len(C))
+        if hasattr(out, "to_arrow_refs"):
+            import ray
+
+            out = pa.concat_tables(
+                [t for t in (ray.get(r) for r in out.to_arrow_refs())
+                 if t.num_rows]
+            )
+        return out
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+SQL_ANN_KNN_PERSISTED = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
