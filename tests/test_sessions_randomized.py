@@ -253,6 +253,10 @@ QUERIES = {
     "events_bollinger": ["events"],
     "supplier_adamic_adar": ["lineitem"],
     "events_ndcg": ["events"],
+    "events_range_sum": ["events"],
+    "basket_triples": ["lineitem"],
+    "events_mrr": ["events"],
+    "source_hapax": ["documents"],
 }
 
 
