@@ -275,3 +275,149 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
              / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
 FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained rollup (materialized-view maintenance proof)
+# ---------------------------------------------------------------------------
+
+
+def q_events_incr_rollup(sf_dir: str):
+    """Materialized-view maintenance, value-hash proven: events are
+    split into 3 deterministic append batches (event_id % 3); each
+    batch appends to a partitioned base table and ``refresh_rollup``
+    folds ONLY the unseen manifest-attested files (file-name watermark,
+    merge against the pinned rollup snapshot version).  The final
+    rollup must equal a flat GROUP BY over ALL events — the SQL oracle
+    — so incremental maintenance == full recompute is checked
+    end-to-end, not just asserted."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from kgray import io as kio
+    from kgray.ops.rollup import refresh_rollup
+
+    work = tempfile.mkdtemp(prefix="kgray_rollup_")
+    base = os.path.join(work, "base")
+    roll = os.path.join(work, "roll")
+    try:
+        ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            c = round_half_up(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)
+            return pa.table({"event_id": batch["event_id"],
+                             "event_type": batch["event_type"],
+                             "c": pa.array(c)})
+
+        full = ev.map_batches(prep, batch_format="pyarrow")
+        existing: set[int] = set()
+        out = None
+        for i in range(3):
+            def sel(batch: pa.Table, i=i) -> pa.Table:
+                eid = batch["event_id"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(eid % 3 == i))
+
+            ds_i = full.map_batches(sel, batch_format="pyarrow")
+            kio.write_partitioned(
+                ds_i, base, key_col="event_id", num_partitions=8,
+                keep_partitions=existing or None, stage="base")
+            existing = {int(p)
+                        for p in kio.read_manifest(base)["partitions"]}
+            out, _info = refresh_rollup(
+                base, roll, ["event_type"],
+                {"n": (None, "count"), "sum_c": ("c", "sum"),
+                 "min_c": ("c", "min"), "max_c": ("c", "max")},
+                columns=["event_type", "c"])
+        return pa.concat_tables(
+            [t for t in (ray.get(r) for r in out.to_arrow_refs())
+             if t.num_rows])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_EVENTS_INCR_ROLLUP = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical subtree aggregation (BOM-style rollup)
+# ---------------------------------------------------------------------------
+
+
+def q_part_subtree_agg(sf_dir: str):
+    """Subtree totals over a part hierarchy (parent(p) = p // 10, roots
+    below 10 — a deterministic BOM-shaped forest synthesized identically
+    in both engines): for every node, the total lineitem quantity and
+    part count of its whole subtree.  Depth is digit-bounded (<= 7), so
+    instead of iterative upward propagation each part EXPANDS to its
+    ancestors-or-self chain in one vectorized flat map (bounded fan-out,
+    no rounds, no driver state) and one combiner fold groups by node.
+    The oracle is the recursive-CTE transitive closure — equal because
+    both enumerate exactly the ancestor chains."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def direct(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qi = round_half_up(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        df = pd.DataFrame({"p": p, "q": qi})
+        g = df.groupby("p", sort=False)["q"].sum()
+        return pa.table({
+            "p": pa.array(g.index.to_numpy(np.int64)),
+            "q": pa.array(g.to_numpy(np.int64)),
+        })
+
+    v = pre_aggregate(
+        li.map_batches(direct, batch_format="pyarrow"),
+        ["p"], {"q": ("q", "sum")})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, qs, cnt = [p], [q], [np.ones(len(p), np.int64)]
+        cur = p
+        while True:
+            m = cur >= 10
+            if not m.any():
+                break
+            cur = cur[m] // 10
+            q = q[m]
+            nodes.append(cur)
+            qs.append(q)
+            cnt.append(np.ones(len(cur), np.int64))
+        return pa.table({
+            "node": pa.array(np.concatenate(nodes)),
+            "q": pa.array(np.concatenate(qs)),
+            "cnt": pa.array(np.concatenate(cnt)),
+        })
+
+    ex = v.map_batches(expand, batch_format="pyarrow")
+    return pre_aggregate(
+        ex, ["node"],
+        {"subtree_qty": ("q", "sum"), "n_parts": ("cnt", "sum")})
+
+
+SQL_PART_SUBTREE_AGG = """
+WITH RECURSIVE v AS (
+  SELECT l_partkey AS p,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1),
+a AS (
+  SELECT p AS node, p, q FROM v
+  UNION ALL
+  SELECT a.node // 10, a.p, a.q FROM a WHERE a.node >= 10)
+SELECT node, CAST(SUM(q) AS BIGINT) AS subtree_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM a GROUP BY 1 ORDER BY 1
+"""
