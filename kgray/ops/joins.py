@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kgray.util import gate
 
@@ -513,6 +514,96 @@ def asof_join(left, right, key: str, time_col: str,
         )
 
     return grouped_map(both, key, bucket_asof)
+
+
+def interval_join(left, right, key: str,
+                  l_id: str = "l_id", r_id: str = "r_id",
+                  start_col: str = "s", end_col: str = "e",
+                  overlap_col: str = "ov"):
+    """Keyed interval-OVERLAP join (big-big): every (left, right) pair of
+    the same ``key`` whose CLOSED intervals intersect, with the overlap
+    length ``min(e) - max(s)`` (touching intervals overlap with 0).
+
+    Both sides carry columns ``[key, id, start_col, end_col]`` with
+    numeric (typically integer-microsecond) bounds; ``l_id`` / ``r_id``
+    name each side's INPUT id column, and the output columns are always
+    ``(key, "l_id", "r_id", overlap_col)``.  Dataflow: ONE
+    cogroup on hash(key); inside each bucket, per key the left
+    intervals sort by start and every right row finds its candidate
+    range with two binary searches — ``searchsorted(cummax(l_end),
+    r_start)`` (the running-max end is monotone even when raw ends are
+    not, so this is correct for ARBITRARY overlapping left intervals)
+    and ``searchsorted(l_start, r_end, 'right')`` — then an exact mask
+    trims the expansion.  For per-key DISJOINT intervals (sessions,
+    SCD validity ranges) the candidate range is already exact and the
+    cost is output-linear.  Partitioning assumption: one key's rows fit
+    a bucket (the house cogroup rule); a pathological key whose
+    intervals all mutually overlap is inherently output-quadratic.
+    """
+    import pandas as pd
+
+    from kgray.util import grouped_map
+
+    def tag(side: int, id_col: str):
+        def apply(b: pa.Table) -> pa.Table:
+            return pa.table({
+                key: b[key],
+                "__iid": pc.cast(b[id_col], pa.int64()),
+                "__s": pc.cast(b[start_col], pa.int64()),
+                "__e": pc.cast(b[end_col], pa.int64()),
+                "__side": pa.array(np.full(len(b), side, np.int8)),
+            })
+
+        return apply
+
+    both = left.map_batches(tag(0, l_id), batch_format="pyarrow").union(
+        right.map_batches(tag(1, r_id), batch_format="pyarrow"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["__side"].to_numpy()
+        outs = []
+        for _, idx in df.groupby(key, sort=False).indices.items():
+            li = idx[side[idx] == 0]
+            ri = idx[side[idx] == 1]
+            if not len(li) or not len(ri):
+                continue
+            ls = df["__s"].to_numpy()[li]
+            order = np.argsort(ls, kind="mergesort")
+            li = li[order]
+            ls = ls[order]
+            le = df["__e"].to_numpy()[li]
+            lid = df["__iid"].to_numpy()[li]
+            le_cm = np.maximum.accumulate(le)
+            rs = df["__s"].to_numpy()[ri]
+            re_ = df["__e"].to_numpy()[ri]
+            rid = df["__iid"].to_numpy()[ri]
+            lo = np.searchsorted(le_cm, rs, side="left")
+            hi = np.searchsorted(ls, re_, side="right")
+            cnt = np.maximum(hi - lo, 0)
+            if not cnt.sum():
+                continue
+            r_rep = np.repeat(np.arange(len(ri)), cnt)
+            l_pos = np.concatenate(
+                [np.arange(a, a + c) for a, c in zip(lo, cnt) if c]
+            )
+            mask = le[l_pos] >= rs[r_rep]  # exact trim of the cummax range
+            l_pos, r_rep = l_pos[mask], r_rep[mask]
+            ov = (np.minimum(le[l_pos], re_[r_rep])
+                  - np.maximum(ls[l_pos], rs[r_rep]))
+            outs.append(pd.DataFrame({
+                key: df[key].to_numpy()[li][l_pos],
+                "l_id": lid[l_pos], "r_id": rid[r_rep], overlap_col: ov,
+            }))
+        if not outs:
+            return pd.DataFrame({
+                key: pd.array([], dtype=df[key].dtype),
+                "l_id": pd.array([], dtype="int64"),
+                "r_id": pd.array([], dtype="int64"),
+                overlap_col: pd.array([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_map(both, key, bucket)
 
 
 def range_join_broadcast(ds, bounds, value_col: str, band_col: str = "band"):

@@ -1,0 +1,104 @@
+"""Session-22 operators: interval_join semantics (overlapping left
+intervals exercise the running-max candidate range; touching counts as
+overlap-0; empty sides), rolling-median frame convention, and the
+eventually-follows relation on a hand log."""
+
+import numpy as np
+import pandas as pd
+
+
+def _pairs_df(ds):
+    df = ds.to_pandas()
+    return df.sort_values(["l_id", "r_id"], ignore_index=True)
+
+
+def test_interval_join_overlapping_left(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.joins import interval_join
+
+    # left intervals OVERLAP each other (ends not monotone in start
+    # order) -> the cummax candidate range is a superset; the exact
+    # mask must trim interval 2 ([10,11]) for right [13,14]
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1], "sid": [1, 2, 3],
+        "s": [0, 10, 12], "e": [20, 11, 13],
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "sid": [7, 8, 9],
+        "s": [13, 11, 0], "e": [14, 11, 5],
+    }))
+    got = _pairs_df(interval_join(left, right, "k",
+                                  l_id="sid", r_id="sid"))
+    # right (13,14): overlaps left1 [0,20] (ov 1) and left3 [12,13]
+    # (ov 0, touching); NOT left2 [10,11].  right (11,11): left1 (ov 0)
+    # and left2 (ov 0, touching at 11).  right in key 2: no left.
+    want = pd.DataFrame({
+        "k": [1, 1, 1, 1], "l_id": [1, 1, 2, 3],
+        "r_id": [7, 8, 8, 7], "ov": [1, 0, 0, 0],
+    }).sort_values(["l_id", "r_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "l_id", "r_id", "ov"]], want, check_dtype=False)
+
+
+def test_interval_join_empty_side(ray_session):
+    import ray.data as rd
+
+    from kgray.ops.joins import interval_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1], "sid": [1], "s": [0], "e": [5]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [2], "sid": [1], "s": [0], "e": [5]}))
+    assert interval_join(left, right, "k",
+                         l_id="sid", r_id="sid").count() == 0
+
+
+def test_rolling_median_lower_median_convention(ray_session, tmp_path):
+    """Window n=2 must pick the SMALLER element ((n-1)//2), n=7 the
+    4th-smallest — DuckDB quantile_disc(0.5) semantics."""
+    import pyarrow.parquet as pq
+
+    from kgray.queries import q_events_rolling_median
+
+    n = 9
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, np.int64),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            np.arange(n), unit="h"),
+        "value": [9.0, 1.0, 5.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    got = q_events_rolling_median(str(d)).to_pandas() \
+        .sort_values("event_id")["roll_med_c"].tolist()
+    # windows (cents): [900],[900,100],[900,100,500],... lower medians
+    want = [900, 100, 500, 300, 500, 300, 500, 400, 500]
+    assert got == want
+
+
+def test_eventually_follows_hand_log(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.queries import q_events_eventually_follows
+
+    # user 1: a@0, b@10 -> (a,b) yes, (b,a) no, diagonals no (single
+    # occurrences).  user 2: a@0, a@5 -> (a,a) yes.
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["a", "b", "a", "a"],
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            [0, 10, 0, 5], unit="s"),
+        "value": [0.0] * 4,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    got = q_events_eventually_follows(str(d)).to_pandas()
+    got = {(r.a, r.b): r.n_users for r in got.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "a"): 1}
