@@ -232,3 +232,261 @@ FROM iv c JOIN iv p
  AND p.event_type = 'purchase' AND c.s <= p.e AND p.s <= c.e
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution blocking-quality eval: pair completeness + reduction
+# ratio of sorted-neighborhood blocking vs the exact near-dup golden
+# ---------------------------------------------------------------------------
+
+
+def q_blocking_eval(sf_dir: str):
+    """How good is sorted-neighborhood blocking (window 2 over the
+    global (text, doc_id) order) as a near-dup CANDIDATE GENERATOR?
+    Reports the two standard ER blocking metrics against the exact
+    3-gram-Jaccard >= 0.8 golden pairs (the ngram_dup_pairs
+    computation): pair_completeness = |cand n golden| / |golden| and
+    reduction_ratio = 1 - |cand| / C(n,2).
+
+    Dataflow: the SN pairs use the part_sorted_neighbor_pairs
+    decomposition with the 8-char text PREFIX as the block key —
+    prefix groups are contiguous in the global sort order (truncation
+    is monotone under lexicographic order), the prefix histogram is
+    vocabulary-scale driver state (911 prefixes for 5000 docs at
+    sf0.1), in-prefix window pairs come from one prefix cogroup, and
+    only each prefix's head-2/tail-2 rows close the cross-prefix
+    boundary.  Golden pairs reuse dedup.ngram_jaccard_pairs; the
+    intersection is a semi_join on the normalized (u,v) pair key.
+    Only scalar counts and two integer-operand ratios reach the
+    driver."""
+    from kgray.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_prefix(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "p": pc.utf8_slice_codeunits(batch["text"], 0, 8),
+        })
+
+    dp = docs.map_batches(with_prefix, batch_format="pyarrow") \
+        .materialize()
+    hist = (
+        pre_aggregate(dp.select_columns(["p"]), ["p"],
+                      {"c": (None, "count")})
+        .to_pandas().sort_values("p")
+    )
+    counts = hist["c"].to_numpy(np.int64)
+    offsets = dict(zip(
+        hist["p"].tolist(),
+        np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist(),
+    ))
+
+    def per_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p, grp in df.groupby("p", sort=False):
+            g = grp.sort_values(["text", "doc_id"], kind="mergesort")
+            keys = g["doc_id"].to_numpy(np.int64)
+            n = len(g)
+            for w in (1, 2):
+                if n > w:
+                    out.append(pd.DataFrame(
+                        {"k1": keys[:-w], "k2": keys[w:],
+                         "is_pair": 1, "rank": -1, "p": ""}))
+            sel = np.zeros(n, bool)
+            sel[:2] = True
+            sel[max(n - 2, 0):] = True
+            ranks = offsets[p] + np.flatnonzero(sel) + 1
+            out.append(pd.DataFrame(
+                {"k1": keys[sel], "k2": -1, "is_pair": 0,
+                 "rank": ranks, "p": p}))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"k1": [], "k2": [], "is_pair": [], "rank": [], "p": []})
+
+    rows = grouped_map(dp, "p", per_prefix).to_pandas()
+    pairs = rows[rows["is_pair"] == 1][["k1", "k2"]]
+    b = rows[rows["is_pair"] == 0].sort_values("rank")
+    br = b["rank"].to_numpy(np.int64)
+    bk = b["k1"].to_numpy(np.int64)
+    bp = b["p"].to_numpy()
+    cross = []
+    for w in (1, 2):
+        if len(b) > w:
+            close = (br[w:] - br[:-w] <= 2) & (bp[w:] != bp[:-w])
+            cross.append(pd.DataFrame(
+                {"k1": bk[:-w][close], "k2": bk[w:][close]}))
+    allp = pd.concat([pairs] + cross, ignore_index=True)
+    u = np.minimum(allp["k1"].to_numpy(np.int64),
+                   allp["k2"].to_numpy(np.int64))
+    v = np.maximum(allp["k1"].to_numpy(np.int64),
+                   allp["k2"].to_numpy(np.int64))
+    cand = rd.from_arrow(pa.table(
+        {"pk": pa.array([f"{a}|{b_}" for a, b_ in zip(u, v)],
+                        pa.string())}))
+
+    gold = ngram_jaccard_pairs(docs, tau=0.8)
+
+    def gold_keys(batch: pa.Table) -> pa.Table:
+        uu = batch["u"].to_numpy(zero_copy_only=False)
+        vv = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(
+            [f"{a}|{b_}" for a, b_ in zip(uu, vv)], pa.string())})
+
+    gk = gold.map_batches(gold_keys, batch_format="pyarrow").materialize()
+    n_hit = semi_join(gk, cand, on="pk").count()
+    n_golden = gk.count()
+    n_cand = len(allp)
+    n_docs = dp.count()
+    comb = n_docs * (n_docs - 1) // 2
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_golden": pa.array([n_golden], pa.int64()),
+        "n_cand": pa.array([n_cand], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "pair_completeness": pa.array(
+            [float(round_half_up(n_hit / n_golden, 6))
+             if n_golden else None], pa.float64()),
+        "reduction_ratio": pa.array(
+            [float(round_half_up(1.0 - n_cand / comb, 6))]),
+    })
+
+
+SQL_BLOCKING_EVAL = """
+WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+           FROM documents),
+cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS u,
+                GREATEST(a.doc_id, b.doc_id) AS v
+         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents WHERE len(string_split(text,' ')) >= 3),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cd AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS common
+       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+gold AS (SELECT cd.u, cd.v
+         FROM cd JOIN sh a ON cd.u = a.doc_id JOIN sh b ON cd.v = b.doc_id
+         WHERE CAST(cd.common AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles) - cd.common) >= 0.8),
+m AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST((SELECT COUNT(*) FROM gold) AS BIGINT) AS n_golden,
+             CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+             CAST((SELECT COUNT(*) FROM gold g
+                   WHERE EXISTS (SELECT 1 FROM cand c
+                                 WHERE c.u = g.u AND c.v = g.v))
+                  AS BIGINT) AS n_hit)
+SELECT n_docs, n_golden, n_cand, n_hit,
+       CASE WHEN n_golden = 0 THEN NULL
+            ELSE ROUND(CAST(n_hit AS DOUBLE) / n_golden, 6)
+       END AS pair_completeness,
+       ROUND(1 - CAST(n_cand AS DOUBLE) / (n_docs * (n_docs - 1) // 2), 6)
+         AS reduction_ratio
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration audit (finite-sample coverage guarantee)
+# ---------------------------------------------------------------------------
+
+
+def q_events_conformal(sf_dir: str):
+    """Split-conformal prediction audit: events split into CALIBRATION
+    / TEST halves by md5(event_id); the per-type point predictor is
+    the calibration mean, the nonconformity score is the SCALED
+    absolute residual |n_t * cents - S_t| (multiplying the residual by
+    the calibration count n_t keeps every score an exact int64 — the
+    integral-units move — valid while n_t * max_cents < 2^63), the
+    per-type threshold is the k-th smallest calibration score with the
+    finite-sample conformal rank k = min(n, ceil(0.9 * (n + 1)))
+    computed as the INTEGER (9 * (n + 1) + 9) // 10, and coverage is
+    the share of test rows at or under the threshold (>= 90% in
+    expectation by exchangeability).  One stat fold + broadcast, one
+    type cogroup for the selection + coverage; scale path for huge
+    per-type score sets is the exact distributed rank-selection used
+    by orders_gini / value deciles."""
+    import ray
+
+    from kgray.ops.sample import _md5_hex
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        cal = np.array(
+            [h < "8" for h in _md5_hex(batch["event_id"].to_pylist())],
+            np.bool_)
+        return pa.table({"t": batch["event_type"], "c": pa.array(c),
+                         "cal": pa.array(cal)})
+
+    scored_in = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    stats = pre_aggregate(
+        scored_in.filter(expr="cal == True").select_columns(["t", "c"]),
+        ["t"], {"n": (None, "count"), "s": ("c", "sum")},
+    ).to_pandas()  # type-vocabulary scale
+    st_ref = ray.put({r.t: (int(r.n), int(r.s))
+                      for r in stats.itertuples()})
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(st_ref)
+        ts = batch["t"].to_pylist()
+        n = np.array([st[t][0] for t in ts], np.int64)
+        s = np.array([st[t][1] for t in ts], np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "t": batch["t"], "cal": batch["cal"],
+            "score": pa.array(np.abs(n * c - s)),
+        })
+
+    sc = scored_in.map_batches(score, batch_format="pyarrow")
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, grp in df.groupby("t", sort=False):
+            cal = grp.loc[grp["cal"], "score"].to_numpy(np.int64)
+            tst = grp.loc[~grp["cal"], "score"].to_numpy(np.int64)
+            n = len(cal)
+            k = min(n, (9 * (n + 1) + 9) // 10)
+            q = np.partition(cal, k - 1)[k - 1]
+            out.append({
+                "event_type": t, "n_calib": n, "n_test": len(tst),
+                "q_scaled": int(q),
+                "coverage": float(round_half_up(
+                    (tst <= q).sum() / len(tst), 6)),
+            })
+        return pd.DataFrame(out)
+
+    return grouped_map(sc, "t", per_type)
+
+
+SQL_EVENTS_CONFORMAL = """
+WITH e AS (SELECT event_type AS t,
+                  CAST(round(value * 100) AS BIGINT) AS c,
+                  md5(CAST(event_id AS VARCHAR)) < '8' AS cal
+           FROM events),
+st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS s
+       FROM e WHERE cal GROUP BY 1),
+sc AS (SELECT e.t, e.cal, abs(st.n * e.c - st.s) AS score
+       FROM e JOIN st ON e.t = st.t),
+q AS (SELECT t, score AS qv FROM (
+        SELECT t, score,
+               ROW_NUMBER() OVER (PARTITION BY t ORDER BY score) AS rn,
+               COUNT(*) OVER (PARTITION BY t) AS n
+        FROM sc WHERE cal)
+      WHERE rn = LEAST(n, (9 * (n + 1) + 9) // 10))
+SELECT sc.t AS event_type, CAST(st.n AS BIGINT) AS n_calib,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(q.qv AS BIGINT) AS q_scaled,
+       ROUND(CAST(SUM(CASE WHEN sc.score <= q.qv THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS coverage
+FROM sc JOIN st ON sc.t = st.t JOIN q ON sc.t = q.t
+WHERE NOT sc.cal
+GROUP BY 1, 2, 4 ORDER BY 1
+"""

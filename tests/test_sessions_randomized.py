@@ -257,6 +257,15 @@ QUERIES = {
     "basket_triples": ["lineitem"],
     "events_mrr": ["events"],
     "source_hapax": ["documents"],
+    # session 22
+    "events_rolling_median": ["events"],
+    "source_ablation": ["documents"],
+    "events_eventually_follows": ["events"],
+    "events_session_join": ["events"],
+    "events_conformal": ["events"],
+    "blocking_eval": ["documents"],
+    "events_incr_rollup": ["events"],
+    "part_subtree_agg": ["lineitem"],
 }
 
 
