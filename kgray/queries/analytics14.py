@@ -490,3 +490,134 @@ FROM sc JOIN st ON sc.t = st.t JOIN q ON sc.t = q.t
 WHERE NOT sc.cal
 GROUP BY 1, 2, 4 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley data valuation of sources (vocabulary-coverage game)
+# ---------------------------------------------------------------------------
+
+
+def q_source_shapley(sf_dir: str):
+    """EXACT Shapley value of each source for the vocabulary-coverage
+    game v(S) = |distinct words appearing in some source of S| — the
+    data-valuation question ("which source contributes the marginal
+    vocabulary?") answered with the real Shapley axioms, not a
+    heuristic.  Players are the top-5 sources by (doc count DESC,
+    name) plus one '(other)' bucket, so the subset lattice is <= 2^6.
+
+    The exponential part never touches the corpus: ONE vocab-scale
+    fold maps every word to its player BITMASK (distinct (word,
+    player) per batch, bit-sum inside a word cogroup), a <=64-row
+    count-per-mask table comes back to the driver, and v(S) for all
+    subsets plus the factorial-weighted Shapley sums are integer
+    arithmetic on those 64 counts.  shap_num is the P!-scaled EXACT
+    integer value (sum over players = P! * |total vocab|, the
+    efficiency axiom, pinned by a test); shap_value divides identical
+    integers in both engines."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    per_src = pre_aggregate(
+        docs.select_columns(["source"]), ["source"],
+        {"n": (None, "count")},
+    ).to_pandas().sort_values(["n", "source"], ascending=[False, True],
+                              kind="mergesort", ignore_index=True)
+    n_src = len(per_src)
+    top = per_src["source"].head(5).tolist()
+    has_other = n_src > 5
+    P = min(n_src, 5) + (1 if has_other else 0)
+    idx_of = {s: i for i, s in enumerate(top)}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        bit = np.repeat(
+            np.array([1 << idx_of.get(s, 5) for s in src], np.int64),
+            lens)
+        df = pd.DataFrame({"w": pc.list_flatten(toks).to_pylist(),
+                           "bit": bit})
+        df = df.drop_duplicates()  # per-batch combiner
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ew = docs.map_batches(explode, batch_format="pyarrow")
+
+    def word_masks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["w", "bit"])
+        mask = d.groupby("w", sort=False)["bit"].sum()
+        mc = mask.value_counts()
+        return pd.DataFrame({"mask": mc.index.to_numpy(np.int64),
+                             "n": mc.to_numpy(np.int64)})
+
+    cnt = pre_aggregate(
+        grouped_map(ew, "w", word_masks), ["mask"], {"n": ("n", "sum")},
+    ).to_pandas()  # <= 2^P rows
+    masks = cnt["mask"].to_numpy(np.int64)
+    ns = cnt["n"].to_numpy(np.int64)
+    v = np.array([int(ns[(masks & m) != 0].sum()) for m in range(1 << P)],
+                 dtype=object)  # python ints: exact factorial sums
+    fact = [math.factorial(k) for k in range(P + 1)]
+    denom = fact[P]
+    names = top[:min(n_src, 5)] + (["(other)"] if has_other else [])
+    rows = []
+    for i, name in enumerate(names):
+        bit = 1 << i
+        num = 0
+        for m in range(1 << P):
+            if m & bit:
+                continue
+            k = bin(m).count("1")
+            num += fact[k] * fact[P - 1 - k] * (v[m | bit] - v[m])
+        rows.append((name, num))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "shap_num": pa.array([r[1] for r in rows], pa.int64()),
+        "shap_value": pa.array(
+            [float(round_half_up(r[1] / denom, 6)) for r in rows],
+            pa.float64()),
+    })
+
+
+SQL_SOURCE_SHAPLEY = """
+WITH rk AS (SELECT source,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS r,
+                   COUNT(*) OVER () AS n_src
+            FROM documents GROUP BY source),
+pl AS (SELECT source, CAST(CASE WHEN r <= 5 THEN r - 1 ELSE 5 END AS BIGINT)
+              AS idx, n_src FROM rk),
+dims AS (SELECT CAST(LEAST(MAX(n_src), 5)
+                     + CASE WHEN MAX(n_src) > 5 THEN 1 ELSE 0 END
+                     AS BIGINT) AS p FROM pl),
+wm AS (SELECT w, CAST(SUM(DISTINCT (1 << idx)) AS BIGINT) AS mask FROM (
+         SELECT unnest(string_split(d.text, ' ')) AS w, pl.idx
+         FROM documents d JOIN pl ON d.source = pl.source)
+       GROUP BY w),
+cnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM wm GROUP BY 1),
+sub AS (SELECT CAST(t.range AS BIGINT) AS m FROM range(64) t, dims
+        WHERE t.range < (1 << dims.p)),
+v AS (SELECT sub.m, CAST(COALESCE(SUM(cnt.n), 0) AS BIGINT) AS val
+      FROM sub LEFT JOIN cnt ON (cnt.mask & sub.m) != 0 GROUP BY 1),
+f AS (SELECT CAST(k AS BIGINT) AS k, CAST(CASE k
+         WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6
+         WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 END AS BIGINT)
+         AS fct
+      FROM range(7) t(k)),
+players AS (
+  SELECT source, idx FROM pl WHERE idx < 5
+  UNION ALL
+  SELECT '(other)', 5 FROM dims WHERE p = 6 LIMIT 1000),
+shap AS (SELECT p.source, p.idx,
+                CAST(SUM(fk.fct * fpk.fct * (v1.val - v0.val)) AS BIGINT)
+                  AS shap_num
+         FROM (SELECT DISTINCT source, idx FROM players) p
+         JOIN sub s ON (s.m & (1 << p.idx)) = 0
+         JOIN v v0 ON v0.m = s.m
+         JOIN v v1 ON v1.m = (s.m | (1 << p.idx))
+         JOIN dims ON TRUE
+         JOIN f fk ON fk.k = bit_count(s.m)
+         JOIN f fpk ON fpk.k = dims.p - 1 - bit_count(s.m)
+         GROUP BY 1, 2)
+SELECT shap.source, shap.shap_num,
+       ROUND(CAST(shap.shap_num AS DOUBLE) / f.fct, 6) AS shap_value
+FROM shap JOIN dims ON TRUE JOIN f ON f.k = dims.p
+ORDER BY shap.source
+"""

@@ -80,6 +80,33 @@ def test_rolling_median_lower_median_convention(ray_session, tmp_path):
     assert got == want
 
 
+def test_source_shapley_efficiency_axiom(ray_session, tmp_path):
+    """Sum of the P!-scaled Shapley numerators must equal
+    P! * v(grand coalition) = P! * |total vocabulary| (efficiency),
+    and a source contributing only shared words must get LESS than one
+    holding unique words (symmetry/marginality sanity)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.queries import q_source_shapley
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y", "x z", "x y", "x q r"],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "documents.parquet")
+    out = q_source_shapley(str(d)).to_pandas().set_index("source")
+    P = 3
+    vocab = 5  # x y z q r
+    assert out["shap_num"].sum() == math.factorial(P) * vocab
+    # c uniquely holds {q, r}; b holds nothing unique
+    assert out.loc["c", "shap_num"] > out.loc["b", "shap_num"]
+
+
 def test_eventually_follows_hand_log(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

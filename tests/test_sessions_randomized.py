@@ -266,6 +266,7 @@ QUERIES = {
     "blocking_eval": ["documents"],
     "events_incr_rollup": ["events"],
     "part_subtree_agg": ["lineitem"],
+    "source_shapley": ["documents"],
 }
 
 
