@@ -621,3 +621,184 @@ SELECT shap.source, shap.shap_num,
 FROM shap JOIN dims ON TRUE JOIN f ON f.k = dims.p
 ORDER BY shap.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator (quasi-experimental causal read)
+# ---------------------------------------------------------------------------
+
+
+def q_events_did(sf_dir: str):
+    """Difference-in-differences over a synthetic natural experiment:
+    treatment = md5(user_id) < '8' (the deterministic split move),
+    post-period = integer day > midpoint of the observed day range.
+    Four cells of exact integer (n, sum-cents) fold through the
+    combiner; each cell mean divides identical integers and the DiD
+    estimate is the SAME 4-term expression tree in both engines —
+    (m_t_post - m_t_pre) - (m_c_post - m_c_pre).  Day bounds come from
+    a metadata-scale min/max pre-pass."""
+    from kgray.ops.sample import _md5_hex
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"g": pa.array(np.zeros(len(batch), np.int8)),
+                         "day": pa.array(us // 86_400_000_000)})
+
+    dd = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"), ["g"],
+        {"lo": ("day", "min"), "hi": ("day", "max")},
+    ).to_pandas()
+    lo, hi = int(dd["lo"][0]), int(dd["hi"][0])
+    split_day = lo + (hi - lo) // 2
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        treat = np.array(
+            [h < "8" for h in _md5_hex(batch["user_id"].to_pylist())],
+            np.bool_)
+        return pa.table({
+            "treat": pa.array(treat),
+            "post": pa.array(us // 86_400_000_000 > split_day),
+            "c": pa.array(c),
+        })
+
+    cm = pre_aggregate(
+        ev.map_batches(cells, batch_format="pyarrow"),
+        ["treat", "post"],
+        {"n": (None, "count"), "s": ("c", "sum")},
+    ).to_pandas().set_index(["treat", "post"])
+
+    def m(t, p):
+        r = cm.loc[(t, p)]
+        return int(r["s"]) / int(r["n"]), int(r["n"])
+
+    m00, n00 = m(False, False)
+    m01, n01 = m(False, True)
+    m10, n10 = m(True, False)
+    m11, n11 = m(True, True)
+    did = (m11 - m10) - (m01 - m00)
+    return pa.table({
+        "n_ctl_pre": pa.array([n00], pa.int64()),
+        "n_ctl_post": pa.array([n01], pa.int64()),
+        "n_trt_pre": pa.array([n10], pa.int64()),
+        "n_trt_post": pa.array([n11], pa.int64()),
+        "m_ctl_pre": pa.array([float(round_half_up(m00, 6))]),
+        "m_ctl_post": pa.array([float(round_half_up(m01, 6))]),
+        "m_trt_pre": pa.array([float(round_half_up(m10, 6))]),
+        "m_trt_post": pa.array([float(round_half_up(m11, 6))]),
+        "did_cents": pa.array([float(round_half_up(did, 6))]),
+    })
+
+
+SQL_EVENTS_DID = """
+WITH e AS (SELECT md5(CAST(user_id AS VARCHAR)) < '8' AS treat,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+b AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS sd FROM e),
+cell AS (SELECT treat, e.day > b.sd AS post,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(c) AS BIGINT) AS s
+         FROM e, b GROUP BY 1, 2),
+p AS (SELECT
+  MAX(CASE WHEN NOT treat AND NOT post THEN n END) AS n00,
+  MAX(CASE WHEN NOT treat AND post THEN n END) AS n01,
+  MAX(CASE WHEN treat AND NOT post THEN n END) AS n10,
+  MAX(CASE WHEN treat AND post THEN n END) AS n11,
+  CAST(MAX(CASE WHEN NOT treat AND NOT post THEN s END) AS DOUBLE)
+    / MAX(CASE WHEN NOT treat AND NOT post THEN n END) AS m00,
+  CAST(MAX(CASE WHEN NOT treat AND post THEN s END) AS DOUBLE)
+    / MAX(CASE WHEN NOT treat AND post THEN n END) AS m01,
+  CAST(MAX(CASE WHEN treat AND NOT post THEN s END) AS DOUBLE)
+    / MAX(CASE WHEN treat AND NOT post THEN n END) AS m10,
+  CAST(MAX(CASE WHEN treat AND post THEN s END) AS DOUBLE)
+    / MAX(CASE WHEN treat AND post THEN n END) AS m11
+  FROM cell)
+SELECT n00 AS n_ctl_pre, n01 AS n_ctl_post, n10 AS n_trt_pre,
+       n11 AS n_trt_post,
+       ROUND(m00, 6) AS m_ctl_pre, ROUND(m01, 6) AS m_ctl_post,
+       ROUND(m10, 6) AS m_trt_pre, ROUND(m11, 6) AS m_trt_post,
+       ROUND((m11 - m10) - (m01 - m00), 6) AS did_cents
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixture planning (multilingual sampling)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_temperature_mixture(sf_dir: str):
+    """Temperature-scaled (alpha = 0.7) sampling mixture over languages
+    — the multilingual-pretraining rebalancing move: p_temp(l) ~
+    p(l)^0.7 flattens head languages and boosts the tail; also the
+    expected epochs each language's data sees under a 10M-token
+    budget.  One per-lang token fold; the <= 8-language normalizer
+    Z = sum(p^0.7) is written as an EXPLICIT left-fold in rank order
+    in BOTH engines (the NDCG trick — cross-group float sums have no
+    order guarantee in SQL), and pow comes from C libm on both sides
+    (the tf-idf ln lesson).  Supports up to 8 languages by
+    construction; more would extend the pivot."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "k": pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+        })
+
+    per = pre_aggregate(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["lang"], {"n": ("k", "sum")},
+    ).to_pandas().sort_values("lang", ignore_index=True)
+    assert len(per) <= 8, "rank pivot supports <= 8 languages"
+    n = per["n"].to_numpy(np.int64)
+    N = int(n.sum())
+    w = [math.pow(int(v) / N, 0.7) for v in n]
+    z = 0.0
+    for v in w:  # explicit left-fold, rank order == lang order
+        z = z + v
+    budget = 10_000_000
+    return pa.table({
+        "lang": pa.array(per["lang"], pa.string()),
+        "n_tokens": pa.array(n),
+        "p": pa.array([float(round_half_up(int(v) / N, 6)) for v in n]),
+        "p_temp": pa.array(
+            [float(round_half_up(wi / z, 6)) for wi in w]),
+        "epochs_at_10m": pa.array(
+            [float(round_half_up(wi / z * budget / int(v), 6))
+             for wi, v in zip(w, n)]),
+    })
+
+
+SQL_LANG_TEMPERATURE_MIXTURE = """
+WITH l AS (SELECT lang,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM l),
+r AS (SELECT lang, n, ROW_NUMBER() OVER (ORDER BY lang) AS rk FROM l),
+w AS (SELECT rk, lang, n, pow(CAST(n AS DOUBLE) / tot.tn, 0.7) AS wk
+      FROM r, tot),
+z AS (SELECT ((((((
+        COALESCE(MAX(CASE WHEN rk = 1 THEN wk END), 0)
+        + COALESCE(MAX(CASE WHEN rk = 2 THEN wk END), 0))
+        + COALESCE(MAX(CASE WHEN rk = 3 THEN wk END), 0))
+        + COALESCE(MAX(CASE WHEN rk = 4 THEN wk END), 0))
+        + COALESCE(MAX(CASE WHEN rk = 5 THEN wk END), 0))
+        + COALESCE(MAX(CASE WHEN rk = 6 THEN wk END), 0))
+        + COALESCE(MAX(CASE WHEN rk = 7 THEN wk END), 0))
+        + COALESCE(MAX(CASE WHEN rk = 8 THEN wk END), 0) AS z
+      FROM w)
+SELECT w.lang, w.n AS n_tokens,
+       ROUND(CAST(w.n AS DOUBLE) / tot.tn, 6) AS p,
+       ROUND(w.wk / z.z, 6) AS p_temp,
+       ROUND(w.wk / z.z * 10000000 / w.n, 6) AS epochs_at_10m
+FROM w, z, tot ORDER BY w.lang
+"""

@@ -267,6 +267,8 @@ QUERIES = {
     "events_incr_rollup": ["events"],
     "part_subtree_agg": ["lineitem"],
     "source_shapley": ["documents"],
+    "events_did": ["events"],
+    "lang_temperature_mixture": ["documents"],
 }
 
 
