@@ -514,6 +514,130 @@ def bfs_hops(edges, seeds, max_hops: int = 4,
     return settled
 
 
+def landmark_distances(edges, landmarks, max_hops: int = 3,
+                       u_col: str = "u", v_col: str = "v",
+                       max_inprocess_edges: int = 1_000_000):
+    """Multi-source BFS distance sketch: hop distances from every
+    LANDMARK to every reachable node over the undirected edge list —
+    the landmark/pivot distance-labeling primitive (estimate d(x, y)
+    <= min_l d(x, l) + d(l, y) without all-pairs work).  Exact integer
+    min-relaxation per landmark, so the SQL oracle unrolls the bfs_hops
+    recurrence with a landmark dimension and matches exactly.
+
+    Landmarks absent from the graph contribute nothing (the
+    bellman_ford seed rule, applied on BOTH paths).  In-process gate:
+    one numpy frontier loop per landmark over the unique-node arrays.
+    Distributed path: ONE shared frontier dataset keyed (node,
+    landmark) — each round bucket-joins the frontier onto edge
+    sources, dedups candidate (dst, lm) pairs, and anti-joins the
+    settled set on the encoded key node * 64 + lm_idx (<= 64 landmarks
+    by construction); the per-round shuffle shrinks with the frontier.
+    Returns (node, lm, dist) with dist <= max_hops."""
+    from ray.data.aggregate import Min
+
+    from kgray.ops.joins import bucket_join, semi_join
+
+    lms = sorted(int(x) for x in landmarks)
+    assert len(lms) <= 64, "encoded anti-join key supports <= 64 landmarks"
+    idx_of = {lm: i for i, lm in enumerate(lms)}
+
+    edges = edges.materialize()
+    if edges.count() <= gate(max_inprocess_edges):
+        df = edges.to_pandas()
+        sym_u = pd.concat([df[u_col], df[v_col]], ignore_index=True)
+        sym_v = pd.concat([df[v_col], df[u_col]], ignore_index=True)
+        nodes, inv = np.unique(
+            pd.concat([sym_u, sym_v], ignore_index=True).to_numpy(),
+            return_inverse=True,
+        )
+        out_n, out_l, out_d = [], [], []
+        if len(nodes):
+            m = len(sym_u)
+            src, dst = inv[:m], inv[m:]
+            for lm in lms:
+                if lm not in nodes:
+                    continue
+                dist = np.full(len(nodes), -1, np.int64)
+                dist[np.searchsorted(nodes, lm)] = 0
+                frontier = dist == 0
+                for h in range(1, max_hops + 1):
+                    nxt = np.zeros(len(nodes), bool)
+                    nxt[dst[frontier[src]]] = True
+                    nxt &= dist < 0
+                    if not nxt.any():
+                        break
+                    dist[nxt] = h
+                    frontier = nxt
+                keep = dist >= 0
+                out_n.append(nodes[keep])
+                out_l.append(np.full(keep.sum(), lm, np.int64))
+                out_d.append(dist[keep])
+        if not out_n:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "lm": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        return pa.table({
+            "node": pa.array(np.concatenate(out_n).astype(np.int64)),
+            "lm": pa.array(np.concatenate(out_l)),
+            "dist": pa.array(np.concatenate(out_d)),
+        })
+
+    sym = _symmetric(edges, u_col, v_col).materialize()
+    lm_arr = pa.array(lms, pa.int64())
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        s = pc.unique(b["src"].combine_chunks().filter(
+            pc.is_in(b["src"].combine_chunks(), value_set=lm_arr)))
+        n = s.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(n), "lm": pa.array(n),
+            "dist": pa.array(np.zeros(len(n), np.int64)),
+            "ek": pa.array(n * 64 + np.array(
+                [idx_of[int(x)] for x in n], np.int64)),
+        })
+
+    settled = (
+        sym.map_batches(seed_rows, batch_format="pyarrow")
+        .groupby("ek").aggregate(Min("node", alias_name="node"),
+                                 Min("lm", alias_name="lm"),
+                                 Min("dist", alias_name="dist"))
+        .materialize()
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = (
+            bucket_join(sym, frontier.select_columns(["node", "lm"]),
+                        on="src", right_on="node", how="inner")
+            .groupby(["dst", "lm"]).aggregate(
+                Min("lm", alias_name="_"))
+            .select_columns(["dst", "lm"])
+            .map_batches(
+                lambda b: pa.table({
+                    "node": b["dst"], "lm": b["lm"],
+                    "ek": pc.add(
+                        pc.multiply(pc.cast(b["dst"], pa.int64()),
+                                    pa.scalar(64, pa.int64())),
+                        pa.array([idx_of[int(x)]
+                                  for x in b["lm"].to_pylist()],
+                                 pa.int64())),
+                }),
+                batch_format="pyarrow")
+        )
+        fresh = semi_join(cand, settled, on="ek", anti=True) \
+            .map_batches(
+                lambda b, h=h: pa.table({
+                    "node": b["node"], "lm": b["lm"],
+                    "dist": pa.array(np.full(len(b), h, np.int64)),
+                    "ek": b["ek"],
+                }),
+                batch_format="pyarrow").materialize()
+        settled = settled.union(fresh).materialize()
+        frontier = fresh
+    return settled.select_columns(["node", "lm", "dist"])
+
+
 def kcore(edges, k: int, rounds: int = 3,
           u_col: str = "u", v_col: str = "v",
           max_inprocess_edges: int = 1_000_000):

@@ -802,3 +802,55 @@ SELECT w.lang, w.n AS n_tokens,
        ROUND(w.wk / z.z * 10000000 / w.n, 6) AS epochs_at_10m
 FROM w, z, tot ORDER BY w.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Landmark distance sketch (multi-source BFS labeling)
+# ---------------------------------------------------------------------------
+
+_LANDMARKS = (1, 2, 3, 4)
+
+
+def q_supplier_landmark_dists(sf_dir: str):
+    """Landmark distance labeling over the supplier-part bipartite
+    graph: hop distances from 4 landmark suppliers to every node
+    within 3 hops (graph.landmark_distances) — the pivot-labeling
+    primitive that answers approximate d(x, y) queries via
+    min_l d(x,l) + d(l,y) without all-pairs work.  The oracle unrolls
+    the bfs_hops min-relax recurrence with a landmark column; equality
+    is the per-landmark BFS level invariant."""
+    from kgray.ops.graph import landmark_distances
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    return landmark_distances(_part_supplier_edges(sf_dir),
+                              landmarks=_LANDMARKS, max_hops=3)
+
+
+def _landmark_sql(max_hops: int = 3) -> str:
+    from kgray.queries.analytics4 import _GRAPH_EDGE_SQL
+
+    seeds = ", ".join(str(x) for x in _LANDMARKS)
+    prev = "d0"
+    ctes = [
+        "d0 AS (SELECT DISTINCT src AS node, src AS lm,\n"
+        "              CAST(0 AS BIGINT) AS dist\n"
+        f"       FROM sym WHERE src IN ({seeds}))"
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"d{i} AS (SELECT node, lm, CAST(MIN(dist) AS BIGINT) AS dist"
+            " FROM (\n"
+            f"         SELECT node, lm, dist FROM {prev}\n"
+            "         UNION ALL\n"
+            "         SELECT s.dst AS node, d.lm, d.dist + 1 AS dist\n"
+            f"         FROM sym s JOIN {prev} d ON s.src = d.node\n"
+            "       ) GROUP BY 1, 2)"
+        )
+        prev = f"d{i}"
+    return (
+        "WITH " + _GRAPH_EDGE_SQL + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT node, lm, dist FROM {prev}"
+    )
+
+
+SQL_SUPPLIER_LANDMARK_DISTS = _landmark_sql(max_hops=3)

@@ -80,6 +80,32 @@ def test_rolling_median_lower_median_convention(ray_session, tmp_path):
     assert got == want
 
 
+def test_landmark_distances_paths_agree(ray_session, monkeypatch):
+    """In-process and forced-distributed landmark BFS must emit the
+    identical (node, lm, dist) set; landmarks absent from the graph
+    contribute nothing on either path."""
+    import ray.data as rd
+
+    from kgray.ops.graph import landmark_distances
+
+    edges = pd.DataFrame({"u": [1, 2, 3, 10], "v": [2, 3, 4, 11]})
+
+    def run():
+        out = landmark_distances(
+            rd.from_pandas(edges), landmarks=[1, 10, 99], max_hops=3
+        ).to_pandas()
+        return out.sort_values(["lm", "node"], ignore_index=True)
+
+    a = run()
+    monkeypatch.setenv("KGRAY_FORCE_DISTRIBUTED", "1")
+    b = run()
+    monkeypatch.delenv("KGRAY_FORCE_DISTRIBUTED")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    got = {(r.lm, r.node): r.dist for r in a.itertuples()}
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
+                   (10, 10): 0, (10, 11): 1}
+
+
 def test_source_shapley_efficiency_axiom(ray_session, tmp_path):
     """Sum of the P!-scaled Shapley numerators must equal
     P! * v(grand coalition) = P! * |total vocabulary| (efficiency),

@@ -269,6 +269,7 @@ QUERIES = {
     "source_shapley": ["documents"],
     "events_did": ["events"],
     "lang_temperature_mixture": ["documents"],
+    "supplier_landmark_dists": ["lineitem"],
 }
 
 
