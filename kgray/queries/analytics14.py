@@ -854,3 +854,154 @@ def _landmark_sql(max_hops: int = 3) -> str:
 
 
 SQL_SUPPLIER_LANDMARK_DISTS = _landmark_sql(max_hops=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact Wasserstein-1 (earth mover) distance between two distributions
+# ---------------------------------------------------------------------------
+
+
+def q_events_wasserstein(sf_dir: str):
+    """EXACT Wasserstein-1 distance between the click and purchase
+    value distributions — the transport-metric complement of the KS
+    (sup-norm) and KL/JS (density) drift audits already in the
+    catalog.  W1 = integral |F_a - F_b| becomes the INTEGER
+    w1_scaled = sum over consecutive distinct cents values of
+    |cumA * NB - cumB * NA| * gap (cross-multiplied ECDFs — no float
+    until the single final division by NA*NB).  One distinct-value
+    histogram fold (value-vocabulary scale, <= cents-range rows) comes
+    to the driver sorted; valid while NA * NB * value_range < 2^63."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def vals(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"v": c, "a": (t == "click").astype(np.int64),
+                           "b": (t == "purchase").astype(np.int64)})
+        g = df.groupby("v", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = pre_aggregate(
+        ev.map_batches(vals, batch_format="pyarrow"),
+        ["v"], {"a": ("a", "sum"), "b": ("b", "sum")},
+    ).to_pandas().sort_values("v", ignore_index=True)  # value-vocab scale
+    v = g["v"].to_numpy(np.int64)
+    ca = np.cumsum(g["a"].to_numpy(np.int64))
+    cb = np.cumsum(g["b"].to_numpy(np.int64))
+    na, nb = int(ca[-1]), int(cb[-1])
+    w1s = int(np.sum(np.abs(ca[:-1] * nb - cb[:-1] * na)
+                     * (v[1:] - v[:-1])))
+    return pa.table({
+        "n_click": pa.array([na], pa.int64()),
+        "n_purchase": pa.array([nb], pa.int64()),
+        "w1_scaled": pa.array([w1s], pa.int64()),
+        "w1_cents": pa.array(
+            [float(round_half_up(w1s / (na * nb), 6))], pa.float64()),
+    })
+
+
+SQL_EVENTS_WASSERSTEIN = """
+WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS t
+           FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (SELECT v,
+             CAST(SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM e GROUP BY 1),
+c AS (SELECT v, SUM(a) OVER (ORDER BY v) AS ca,
+             SUM(b) OVER (ORDER BY v) AS cb,
+             LEAD(v) OVER (ORDER BY v) AS nv
+      FROM g),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM g),
+w AS (SELECT CAST(SUM(abs(ca * t.nb - cb * t.na) * (nv - v)) AS BIGINT)
+        AS w1s
+      FROM c, t WHERE nv IS NOT NULL)
+SELECT t.na AS n_click, t.nb AS n_purchase, w.w1s AS w1_scaled,
+       ROUND(CAST(w.w1s AS DOUBLE) / (t.na * t.nb), 6) AS w1_cents
+FROM w, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (monotone calibration fit, closed-form minimax)
+# ---------------------------------------------------------------------------
+
+
+def q_events_isotonic(sf_dir: str):
+    """Isotonic (monotone non-decreasing) regression of the error rate
+    over 500-cent value bands — the calibration-curve smoother.
+    Instead of the sequential pool-adjacent-violators loop (iteration
+    count is data-dependent, so a fixed unroll can't be faithful), the
+    fit uses the exact MINIMAX closed form fit_i = max_{j<=i}
+    min_{k>=i} mean(y[j..k]): every candidate mean divides identical
+    integer (pos, cnt) prefix sums in both engines, and min/max over
+    identical double sets are bit-stable.  One band fold (<= 21 rows);
+    the O(B^3) lattice is driver/SQL arithmetic on that fold."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"band": c // 500,
+                           "pos": (t == "error").astype(np.int64)})
+        g = df.groupby("band", sort=False).agg(
+            n=("pos", "size"), p=("pos", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = pre_aggregate(
+        ev.map_batches(bands, batch_format="pyarrow"),
+        ["band"], {"n": ("n", "sum"), "p": ("p", "sum")},
+    ).to_pandas().sort_values("band", ignore_index=True)  # <= 21 rows
+    n = g["n"].to_numpy(np.int64)
+    p = g["p"].to_numpy(np.int64)
+    B = len(g)
+    cp = np.concatenate([[0], np.cumsum(p)]).astype(np.float64)
+    cn = np.concatenate([[0], np.cumsum(n)]).astype(np.float64)
+    # av[j, k] = mean(y[j..k]); IEEE division is bit-exact, min/max are
+    # order-exact, so the vectorized minimax equals the SQL lattice
+    av = (cp[None, 1:] - cp[:B, None]) / (cn[None, 1:] - cn[:B, None])
+    av[np.tril_indices(B, -1)] = math.inf  # k < j never participates
+    mn = np.minimum.accumulate(av[:, ::-1], axis=1)[:, ::-1]
+    fit = np.diagonal(np.maximum.accumulate(mn, axis=0)).tolist()
+    return pa.table({
+        "band": pa.array(g["band"].to_numpy(np.int64)),
+        "n": pa.array(n), "p": pa.array(p),
+        "rate_raw": pa.array(
+            [float(round_half_up(int(pi) / int(ni), 6))
+             for pi, ni in zip(p, n)]),
+        "rate_iso": pa.array(
+            [float(round_half_up(f, 6)) for f in fit]),
+    })
+
+
+SQL_EVENTS_ISOTONIC = """
+WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) // 500 AS band,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+           FROM events),
+b AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM e GROUP BY 1),
+r AS (SELECT band, n, p,
+             ROW_NUMBER() OVER (ORDER BY band) AS i,
+             SUM(p) OVER (ORDER BY band) AS cp,
+             SUM(n) OVER (ORDER BY band) AS cn
+      FROM b),
+tri AS (SELECT j.i AS ji, i.i AS ii,
+               CAST(k.cp - j.cp + j.p AS DOUBLE)
+                 / (k.cn - j.cn + j.n) AS av
+        FROM r j, r i, r k WHERE j.i <= i.i AND k.i >= i.i),
+mn AS (SELECT ji, ii, MIN(av) AS mv FROM tri GROUP BY 1, 2),
+fit AS (SELECT ii, MAX(mv) AS fv FROM mn GROUP BY 1)
+SELECT r.band, r.n, r.p,
+       ROUND(CAST(r.p AS DOUBLE) / r.n, 6) AS rate_raw,
+       ROUND(f.fv, 6) AS rate_iso
+FROM r JOIN fit f ON r.i = f.ii ORDER BY r.band
+"""

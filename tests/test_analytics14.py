@@ -133,6 +133,55 @@ def test_source_shapley_efficiency_axiom(ray_session, tmp_path):
     assert out.loc["c", "shap_num"] > out.loc["b", "shap_num"]
 
 
+def test_isotonic_fit_is_monotone_and_pools(ray_session, tmp_path):
+    """The minimax fit must be non-decreasing and pool adjacent
+    violators into their weighted mean; W1 of identical distributions
+    must be exactly 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.queries import q_events_isotonic, q_events_wasserstein
+
+    # bands 0,1,2 with raw rates 0.5, 0.0, 1.0 -> bands 0,1 violate and
+    # pool to 1/4; band 2 stays 1.0
+    rows = []
+    eid = 0
+
+    def add(band_val, typ, k):
+        nonlocal eid
+        for _ in range(k):
+            rows.append((eid, pd.Timestamp("2024-01-01"), 1, typ,
+                         band_val))
+            eid += 1
+
+    add(1.0, "error", 1)
+    add(1.0, "view", 1)
+    add(6.0, "view", 2)
+    add(11.0, "error", 2)
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    out = q_events_isotonic(str(d)).to_pandas().sort_values("band")
+    assert out["rate_iso"].tolist() == [0.25, 0.25, 1.0]
+    assert (np.diff(out["rate_iso"]) >= 0).all()
+
+    # W1(identical click/purchase samples) == 0
+    df2 = pd.DataFrame({
+        "event_id": range(4),
+        "ts": [pd.Timestamp("2024-01-01")] * 4,
+        "user_id": [1] * 4,
+        "event_type": ["click", "purchase", "click", "purchase"],
+        "value": [1.0, 1.0, 7.0, 7.0],
+    })
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pq.write_table(pa.Table.from_pandas(df2), d2 / "events.parquet")
+    w = q_events_wasserstein(str(d2)).to_pandas()
+    assert w["w1_scaled"][0] == 0
+
+
 def test_eventually_follows_hand_log(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -270,6 +270,8 @@ QUERIES = {
     "events_did": ["events"],
     "lang_temperature_mixture": ["documents"],
     "supplier_landmark_dists": ["lineitem"],
+    "events_wasserstein": ["events"],
+    "events_isotonic": ["events"],
 }
 
 
