@@ -1005,3 +1005,124 @@ SELECT r.band, r.n, r.p,
        ROUND(f.fv, 6) AS rate_iso
 FROM r JOIN fit f ON r.i = f.ii ORDER BY r.band
 """
+
+
+# ---------------------------------------------------------------------------
+# Instance-based schema matching (data integration): which customer
+# column corresponds to which supplier column, by value overlap
+# ---------------------------------------------------------------------------
+
+_C_COLS = [("c_custkey", "int"), ("c_name", "str"),
+           ("c_nationkey", "int"), ("c_acctbal", "cents"),
+           ("c_mktsegment", "str")]
+_S_COLS = [("s_suppkey", "int"), ("s_name", "str"),
+           ("s_nationkey", "int"), ("s_acctbal", "cents")]
+
+
+def q_schema_match(sf_dir: str):
+    """Instance-based schema matching between the customer and supplier
+    tables: every (customer column, supplier column) pair ranked by
+    JACCARD OVERLAP of their canonicalized distinct value sets (ints
+    and cent-quantized doubles print identically in both engines; raw
+    double-to-string is NOT cross-engine-stable, hence the
+    canonicalization step).  Columns become ITEMS of the generic
+    set-similarity self-join (dedup.set_jaccard_pairs — the
+    ngram/link-prediction kernel with item=column, token=value), ids
+    0..4 for customer and 10..13 for supplier so cross-side pairs are
+    u < 10 <= v.  Zero-overlap pairs (e.g. the name columns) are
+    absent on both sides by the shared-token blocking invariant."""
+    from kgray.ops.dedup import set_jaccard_pairs
+
+    def explode(side_cols, base):
+        def apply(batch: pa.Table) -> pa.Table:
+            outs = []
+            for i, (col, kind) in enumerate(side_cols):
+                a = batch[col]
+                if kind == "int":
+                    vs = pc.cast(a, pa.string())
+                elif kind == "cents":
+                    c = round_half_up(
+                        a.to_numpy(zero_copy_only=False) * 100.0, 0
+                    ).astype(np.int64)
+                    vs = pa.array([str(x) for x in c], pa.string())
+                else:
+                    vs = a
+                outs.append(pa.table({
+                    "shingle": vs,
+                    "doc": pa.array(np.full(len(batch), base + i,
+                                            np.int64)),
+                }))
+            t = pa.concat_tables(outs)
+            # per-batch combiner: distinct (value, column)
+            g = t.group_by(["shingle", "doc"]).aggregate(
+                [("doc", "count")])
+            return g.select(["shingle", "doc"])
+
+        return apply
+
+    cust = _read(sf_dir, "customer",
+                 [c for c, _ in _C_COLS]).map_batches(
+        explode(_C_COLS, 0), batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier",
+                 [c for c, _ in _S_COLS]).map_batches(
+        explode(_S_COLS, 10), batch_format="pyarrow")
+    ded = pre_aggregate(cust.union(supp), ["doc", "shingle"],
+                        {"n": (None, "count")}) \
+        .select_columns(["doc", "shingle"])
+    counts = pre_aggregate(ded.select_columns(["doc"]), ["doc"],
+                           {"nsh": (None, "count")})
+    pairs = set_jaccard_pairs(
+        ded, counts, n_items=len(_C_COLS) + len(_S_COLS),
+        tau=0.000001)
+
+    names = {i: c for i, (c, _) in enumerate(_C_COLS)}
+    names.update({10 + i: c for i, (c, _) in enumerate(_S_COLS)})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        keep = (u < 10) & (v >= 10)
+        return pa.table({
+            "c_col": pa.array([names[int(x)] for x in u[keep]],
+                              pa.string()),
+            "s_col": pa.array([names[int(x)] for x in v[keep]],
+                              pa.string()),
+            "jac": pa.array(
+                batch["jac"].to_numpy(zero_copy_only=False)[keep]),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def _schema_match_sql() -> str:
+    def side(cols, tbl):
+        parts = []
+        for col, kind in cols:
+            if kind == "int":
+                v = f"CAST({col} AS VARCHAR)"
+            elif kind == "cents":
+                v = (f"CAST(CAST(round({col} * 100) AS BIGINT)"
+                     " AS VARCHAR)")
+            else:
+                v = col
+            parts.append(f"SELECT '{col}' AS col, {v} AS v FROM {tbl}")
+        return " UNION ALL ".join(parts)
+
+    return f"""
+WITH cv AS (SELECT DISTINCT col, v FROM ({side(_C_COLS, 'customer')})),
+sv AS (SELECT DISTINCT col, v FROM ({side(_S_COLS, 'supplier')})),
+cd AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n FROM cv GROUP BY 1),
+sd AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n FROM sv GROUP BY 1),
+pr AS (SELECT cv.col AS c_col, sv.col AS s_col,
+              CAST(COUNT(*) AS BIGINT) AS shared
+       FROM cv JOIN sv ON cv.v = sv.v GROUP BY 1, 2)
+SELECT pr.c_col, pr.s_col,
+       ROUND(CAST(pr.shared AS DOUBLE)
+             / (cd.n + sd.n - pr.shared), 4) AS jac
+FROM pr JOIN cd ON pr.c_col = cd.col JOIN sd ON pr.s_col = sd.col
+WHERE CAST(pr.shared AS DOUBLE) / (cd.n + sd.n - pr.shared) >= 0.000001
+ORDER BY 1, 2
+"""
+
+
+SQL_SCHEMA_MATCH = _schema_match_sql()

@@ -134,6 +134,7 @@ def _gen(tmp_path, seed):
     nation.to_parquet(tmp_path / "nation.parquet", index=False)
     supp = pd.DataFrame(
         {
+            "s_suppkey": np.arange(1, 31, dtype=np.int64),
             "s_nationkey": rng.integers(0, 4, 30).astype(np.int64),
             "s_name": [f"s{i}" for i in range(30)],
             # quantized balances force rank ties
@@ -272,6 +273,7 @@ QUERIES = {
     "supplier_landmark_dists": ["lineitem"],
     "events_wasserstein": ["events"],
     "events_isotonic": ["events"],
+    "schema_match": ["customer", "supplier"],
 }
 
 
