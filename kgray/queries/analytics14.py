@@ -1126,3 +1126,152 @@ ORDER BY 1, 2
 
 
 SQL_SCHEMA_MATCH = _schema_match_sql()
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point spectral power iteration on the term-doc matrix
+# ---------------------------------------------------------------------------
+
+_SPEC_S = 1_000_000  # fixed-point scale; bound: total_tokens * S < 2^63
+
+
+def q_term_doc_spectral(sf_dir: str):
+    """Top singular direction of the doc x term count matrix by TWO
+    rounds of integer fixed-point power iteration on A^T A — the
+    spectral 'topic axis' (terms loading heaviest on the dominant
+    co-occurrence direction).  The pagerank_int move applied to linear
+    algebra: every mat-vec is an integer multiply-sum,每 round
+    L-infinity-normalizes by max * S // max (floor-div, positive
+    operands), so ANY summation order gives identical ints and the
+    DuckDB oracle just unrolls the same recurrence.
+
+    Dataflow: documents keep their (terms, counts) as LIST columns so
+    a doc is atomic inside its row — w = A v needs NO shuffle at all
+    (per-row dot products against the broadcast vocab vector); only
+    u = A^T w pays one vocab-scale fold per round.  Valid while
+    total_token_count * S < 2^63 (shrink S for larger corpora)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks).to_pylist()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"d": did, "t": flat})
+        # rows arrive doc-contiguous, so first-occurrence group order
+        # keeps each doc's (d, t) pairs contiguous — list offsets are a
+        # per-doc cumsum, no python loop
+        g = df.groupby(["d", "t"], sort=False).size().reset_index(name="c")
+        dl = g.groupby("d", sort=False).size()
+        off = np.concatenate([[0], np.cumsum(dl.to_numpy(np.int64))]) \
+            .astype(np.int32)
+        return pa.table({
+            "d": pa.array(dl.index.to_numpy(np.int64)),
+            "ts": pa.ListArray.from_arrays(
+                pa.array(off), pa.array(g["t"], pa.string())),
+            "cs": pa.ListArray.from_arrays(
+                pa.array(off), pa.array(g["c"].to_numpy(np.int64))),
+        })
+
+    A = docs.map_batches(doc_rows, batch_format="pyarrow").materialize()
+
+    def _row_dots(batch: pa.Table, v: dict) -> tuple:
+        """Vectorized per-row dot products c . v[t] (integers: any
+        summation order is exact).  Returns (w per row, flat terms,
+        flat counts, row lengths)."""
+        ts = batch["ts"].combine_chunks()
+        flat_t = pc.list_flatten(ts).to_pandas()
+        flat_c = pc.list_flatten(
+            batch["cs"].combine_chunks()).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(ts).to_numpy(zero_copy_only=False)
+        x = flat_t.map(v).to_numpy(np.int64)
+        prod = flat_c * x
+        off = np.concatenate([[0], np.cumsum(lens)])
+        if len(prod):
+            # clip: a trailing empty doc's offset == len(prod) is out
+            # of range for reduceat; its slot is zeroed below anyway
+            w = np.add.reduceat(
+                prod, np.minimum(off[:-1], len(prod) - 1))
+        else:
+            w = np.zeros(len(batch), np.int64)
+        w[lens == 0] = 0  # reduceat repeats on empty slices
+        return w.astype(np.int64), flat_t, flat_c, lens
+
+    # v0: uniform S over the vocabulary
+    vocab = pre_aggregate(
+        A.map_batches(
+            lambda b: pa.table(
+                {"t": pc.unique(pc.list_flatten(b["ts"]))}),
+            batch_format="pyarrow"),
+        ["t"], {"n": (None, "count")},
+    ).to_pandas()["t"].tolist()  # vocab scale (the documented bound)
+    v = {t: _SPEC_S for t in vocab}
+
+    for _ in range(2):
+        v_ref = ray.put(v)
+
+        def w_pass(batch: pa.Table) -> pa.Table:
+            w, _, _, _ = _row_dots(batch, ray.get(v_ref))
+            return pa.table({"w": pa.array(w)})
+
+        mw = int(A.map_batches(w_pass, batch_format="pyarrow").max("w"))
+
+        def u_pass(batch: pa.Table) -> pa.Table:
+            # docs are atomic rows, so w is recomputed per row (exact
+            # same integers) instead of joining a doc-scale vector back
+            w, flat_t, flat_c, lens = _row_dots(batch, ray.get(v_ref))
+            wn = w * _SPEC_S // mw
+            part = flat_c * np.repeat(wn, lens)
+            g = pd.DataFrame({"t": flat_t, "x": part}) \
+                .groupby("t", sort=False)["x"].sum().reset_index()
+            g["x"] = g["x"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        u = pre_aggregate(
+            A.map_batches(u_pass, batch_format="pyarrow"),
+            ["t"], {"x": ("x", "sum")},
+        ).to_pandas()  # vocab scale
+        mu = int(u["x"].max())
+        v = {t: int(x) * _SPEC_S // mu
+             for t, x in zip(u["t"], u["x"])}
+
+    out = pd.DataFrame({"term": list(v), "score": list(v.values())})
+    out = out.sort_values(["score", "term"], ascending=[False, True],
+                          kind="mergesort").head(20)
+    return pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "score": pa.array(out["score"].to_numpy(np.int64)),
+    })
+
+
+def _spectral_sql(rounds: int = 2, s: int = _SPEC_S) -> str:
+    prev_v = "v0"
+    ctes = [
+        """a AS (SELECT doc_id AS d, t, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) GROUP BY 1, 2)""",
+        f"v0 AS (SELECT DISTINCT t, CAST({s} AS BIGINT) AS x FROM a)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"w{i} AS (SELECT a.d, CAST(SUM(a.c * {prev_v}.x) AS BIGINT)"
+            f" AS y FROM a JOIN {prev_v} ON a.t = {prev_v}.t GROUP BY 1)")
+        ctes.append(
+            f"w{i}n AS (SELECT d, y * {s} // (SELECT MAX(y) FROM w{i})"
+            f" AS y FROM w{i})")
+        ctes.append(
+            f"u{i} AS (SELECT a.t, CAST(SUM(a.c * w{i}n.y) AS BIGINT)"
+            f" AS x FROM a JOIN w{i}n ON a.d = w{i}n.d GROUP BY 1)")
+        ctes.append(
+            f"v{i} AS (SELECT t, CAST(x * {s} // (SELECT MAX(x)"
+            f" FROM u{i}) AS BIGINT) AS x FROM u{i})")
+        prev_v = f"v{i}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT t AS term, x AS score FROM {prev_v}"
+            "\nORDER BY score DESC, term LIMIT 20")
+
+
+SQL_TERM_DOC_SPECTRAL = _spectral_sql()

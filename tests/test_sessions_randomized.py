@@ -274,6 +274,7 @@ QUERIES = {
     "events_wasserstein": ["events"],
     "events_isotonic": ["events"],
     "schema_match": ["customer", "supplier"],
+    "term_doc_spectral": ["documents"],
 }
 
 
