@@ -125,6 +125,14 @@ SUITE = [
     "part_als_factors",
     "events_auc",
     "orders_cdc_apply",
+    # round-4 session 22: keyed big-big interval-overlap join (session
+    # intervals x session intervals), exact integer Shapley source
+    # valuation (bitmask fold + subset lattice), and integer fixed-point
+    # spectral power iteration (2 mat-vec rounds over list-column
+    # atomic docs); suite totals before these entries exclude them
+    "events_session_join",
+    "source_shapley",
+    "term_doc_spectral",
 ]
 
 
@@ -338,6 +346,11 @@ SCALE10 = [
     # session 19: the iterative-ML shuffle shape (4 ALS half-steps) —
     # growth here would flag a super-linear factor-attach stage
     "part_als_factors",
+    # session 22: interval-overlap join (pair output can grow
+    # super-linearly if sessions merge) and the iterative spectral
+    # mat-vec (vocab broadcast per round)
+    "events_session_join",
+    "term_doc_spectral",
 ]
 
 
