@@ -1275,3 +1275,115 @@ def _spectral_sql(rounds: int = 2, s: int = _SPEC_S) -> str:
 
 
 SQL_TERM_DOC_SPECTRAL = _spectral_sql()
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage data selection (submodular corpus pruning)
+# ---------------------------------------------------------------------------
+
+_COVER_K = 5
+
+
+def q_docs_greedy_cover(sf_dir: str):
+    """Submodular greedy data selection: pick K=5 documents that
+    maximize marginal VOCABULARY coverage, one at a time (the
+    facility-location/max-coverage corpus-pruning move; greedy is the
+    classic (1 - 1/e) approximation).  Each round is one broadcast-
+    covered-set scan computing per-doc marginal gains (per-batch
+    distinct-token combiner + batch-local top-1, so only
+    batches-scale candidates reach the driver) + one pushdown-filtered
+    read of the winner's tokens; ties break (gain DESC, doc_id).
+    Zero-gain docs stay candidates (the LEFT-join face in SQL) so the
+    tie-break stays total.  Integer outputs only: (round, doc_id,
+    gain, covered_after)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    covered: set = set()
+    picked: set = set()
+    rows = []
+    for r in range(1, _COVER_K + 1):
+        cov_ref = ray.put(covered)
+        picked_ref = ray.put(picked)
+
+        def gains(batch: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            pk = ray.get(picked_ref)
+            toks = pc.split_pattern(batch["text"], " ")
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            did = np.repeat(
+                batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+            df = pd.DataFrame(
+                {"d": did, "t": pc.list_flatten(toks).to_pylist()}
+            ).drop_duplicates()
+            df = df[~df["t"].isin(cov)]
+            g = df.groupby("d", sort=False).size()
+            all_d = pd.Index(
+                batch["doc_id"].to_numpy(zero_copy_only=False))
+            gain = g.reindex(all_d, fill_value=0).astype(np.int64)
+            keep = ~all_d.isin(pk)
+            cand = pd.DataFrame({"doc_id": all_d[keep],
+                                 "gain": gain[keep].to_numpy()})
+            if not len(cand):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "gain": pa.array([], pa.int64())})
+            cand = cand.sort_values(["gain", "doc_id"],
+                                    ascending=[False, True],
+                                    kind="mergesort").head(1)
+            return pa.Table.from_pandas(cand, preserve_index=False)
+
+        cands = docs.map_batches(
+            gains, batch_format="pyarrow").to_pandas()  # batches-scale
+        cands = cands.sort_values(["gain", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        win, gain = int(cands["doc_id"].iloc[0]), int(cands["gain"].iloc[0])
+        txt = docs.filter(expr=f"doc_id == {win}") \
+            .to_pandas()["text"].iloc[0]
+        covered |= set(txt.split(" "))
+        picked.add(win)
+        rows.append((r, win, gain, len(covered)))
+    return pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "gain": pa.array([r[2] for r in rows], pa.int64()),
+        "covered_after": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _greedy_cover_sql(k: int = _COVER_K) -> str:
+    ctes = [
+        """tok AS (SELECT DISTINCT doc_id,
+              unnest(string_split(text, ' ')) AS w FROM documents)""",
+        "alld AS (SELECT DISTINCT doc_id FROM tok)",
+        "c0 AS (SELECT w FROM tok WHERE 1 = 0)",
+        "pk0 AS (SELECT doc_id FROM alld WHERE 1 = 0)",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""g{r} AS (SELECT a.doc_id, CAST(COALESCE(x.gain, 0) AS BIGINT)
+            AS gain
+       FROM alld a LEFT JOIN (
+         SELECT doc_id, COUNT(DISTINCT w) AS gain FROM tok
+         WHERE w NOT IN (SELECT w FROM c{r - 1}) GROUP BY 1) x
+       ON a.doc_id = x.doc_id
+       WHERE a.doc_id NOT IN (SELECT doc_id FROM pk{r - 1}))""")
+        ctes.append(
+            f"p{r} AS (SELECT doc_id, gain FROM g{r}"
+            " ORDER BY gain DESC, doc_id LIMIT 1)")
+        ctes.append(
+            f"c{r} AS (SELECT w FROM c{r - 1} UNION"
+            f" SELECT w FROM tok JOIN p{r} USING (doc_id))")
+        ctes.append(
+            f"pk{r} AS (SELECT doc_id FROM pk{r - 1} UNION ALL"
+            f" SELECT doc_id FROM p{r})")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, doc_id, gain,"
+        f" CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS covered_after"
+        f" FROM p{r}"
+        for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY round"
+
+
+SQL_DOCS_GREEDY_COVER = _greedy_cover_sql()

@@ -275,6 +275,7 @@ QUERIES = {
     "events_isotonic": ["events"],
     "schema_match": ["customer", "supplier"],
     "term_doc_spectral": ["documents"],
+    "docs_greedy_cover": ["documents"],
 }
 
 
