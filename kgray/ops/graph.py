@@ -638,6 +638,119 @@ def landmark_distances(edges, landmarks, max_hops: int = 3,
     return settled.select_columns(["node", "lm", "dist"])
 
 
+def greedy_matching(edges, rounds: int = 3,
+                    u_col: str = "u", v_col: str = "v",
+                    max_inprocess_edges: int = 1_000_000):
+    """Distributed greedy MAXIMAL MATCHING (the parallel 'local-min
+    edge' algorithm): each round every node nominates its minimum
+    incident edge in the deterministic (u, v) order; an edge matched
+    by BOTH endpoints joins the matching, its endpoints and their
+    incident edges drop out, repeat.  ``rounds`` is fixed (with a
+    converged short-circuit), so an unrolled SQL recurrence matches
+    exactly — the kcore/pagerank_int oracle pattern for a
+    combinatorial optimization primitive.
+
+    Edge identity is the int64 encode u * 2^32 + v (requires ids <
+    2^31 — assert-guarded); per round the distributed path pays one
+    per-node min fold + two joins (edge == both endpoints' min) + two
+    anti-joins (drop matched endpoints).  Returns (u, v, round)."""
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import bucket_join, semi_join
+
+    def dedup_norm(batch: pa.Table) -> pa.Table:
+        a = batch[u_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v  # self-loops never match
+        df = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+        assert (df["v"] < (1 << 31)).all(), "edge encode needs ids < 2^31"
+        df["eid"] = (df["u"].to_numpy(np.int64) << 32) \
+            + df["v"].to_numpy(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    e = pre_aggregate(
+        edges.map_batches(dedup_norm, batch_format="pyarrow"),
+        ["u", "v"], {"eid": ("eid", "min")},
+    ).materialize()
+
+    if e.count() <= gate(max_inprocess_edges):
+        df = e.to_pandas()
+        uu = df["u"].to_numpy(np.int64)
+        vv = df["v"].to_numpy(np.int64)
+        eid = df["eid"].to_numpy(np.int64)
+        alive = np.ones(len(df), bool)
+        out_u, out_v, out_r = [], [], []
+        for r in range(1, rounds + 1):
+            if not alive.any():
+                break
+            au, av, ae = uu[alive], vv[alive], eid[alive]
+            nodes = np.concatenate([au, av])
+            eids2 = np.concatenate([ae, ae])
+            order = np.lexsort((eids2, nodes))
+            n_sorted = nodes[order]
+            first = np.ones(len(n_sorted), bool)
+            first[1:] = n_sorted[1:] != n_sorted[:-1]
+            mkeys = n_sorted[first]
+            mvals = eids2[order][first]
+            mu = mvals[np.searchsorted(mkeys, au)]
+            mv = mvals[np.searchsorted(mkeys, av)]
+            m = (mu == ae) & (mv == ae)
+            if not m.any():
+                break
+            out_u.extend(au[m].tolist())
+            out_v.extend(av[m].tolist())
+            out_r.extend([r] * int(m.sum()))
+            dead = np.unique(np.concatenate([au[m], av[m]]))
+            alive_idx = np.flatnonzero(alive)
+            drop = np.isin(au, dead) | np.isin(av, dead)
+            alive[alive_idx[drop]] = False
+        return pa.table({"u": pa.array(out_u, pa.int64()),
+                         "v": pa.array(out_v, pa.int64()),
+                         "round": pa.array(out_r, pa.int64())})
+
+    matched = None
+    cur = e
+    for r in range(1, rounds + 1):
+        if cur.count() == 0:
+            break
+        sym = cur.map_batches(
+            lambda b: pa.table({
+                "node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]),
+                "eid": pa.concat_arrays(
+                    [b["eid"].combine_chunks(),
+                     b["eid"].combine_chunks()]),
+            }),
+            batch_format="pyarrow")
+        nmin = pre_aggregate(sym, ["node"], {"me": ("eid", "min")})
+        ju = bucket_join(cur, nmin, on="u", right_on="node", how="inner")
+        ju = ju.filter(expr="eid == me").select_columns(["u", "v", "eid"])
+        jv = bucket_join(ju, nmin, on="v", right_on="node", how="inner")
+        mt = jv.filter(expr="eid == me") \
+            .select_columns(["u", "v"]).materialize()
+        if mt.count() == 0:
+            break
+        mrows = mt.map_batches(
+            lambda b, r=r: b.append_column(
+                "round", pa.array(np.full(len(b), r, np.int64))),
+            batch_format="pyarrow")
+        matched = mrows if matched is None else matched.union(mrows)
+        matched = matched.materialize()
+        dead = mt.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays(
+                [b["u"].combine_chunks(), b["v"].combine_chunks()])}),
+            batch_format="pyarrow")
+        cur = semi_join(cur, dead, on="u", right_on="node", anti=True)
+        cur = semi_join(cur, dead, on="v", right_on="node",
+                        anti=True).materialize()
+    if matched is None:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "round": pa.array([], pa.int64())})
+    return matched
+
+
 def kcore(edges, k: int, rounds: int = 3,
           u_col: str = "u", v_col: str = "v",
           max_inprocess_edges: int = 1_000_000):

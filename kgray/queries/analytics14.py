@@ -1387,3 +1387,58 @@ def _greedy_cover_sql(k: int = _COVER_K) -> str:
 
 
 SQL_DOCS_GREEDY_COVER = _greedy_cover_sql()
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximal matching (combinatorial optimization on the big graph)
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_matching(sf_dir: str):
+    """Parallel greedy maximal matching over the supplier-part
+    bipartite graph (graph.greedy_matching): each round every node
+    nominates its minimum incident edge and mutually-nominated edges
+    enter the matching — a deterministic distributed approximation of
+    maximum matching (assignment of suppliers to parts with no node
+    reused).  3 fixed rounds; the oracle unrolls the identical
+    nominate/match/drop recurrence."""
+    from kgray.ops.graph import greedy_matching
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    return greedy_matching(_part_supplier_edges(sf_dir), rounds=3)
+
+
+def _matching_sql(rounds: int = 3) -> str:
+    # every CTE is MATERIALIZED: the default inlining re-evaluates each
+    # referenced CTE per use, which compounds across the unrolled rounds
+    # (e{r} references m{r} twice, m{r} references n{r} twice, ...) —
+    # the un-hinted form spilled DuckDB to disk-full at sf0.1
+    ctes = [
+        """e0 AS MATERIALIZED (SELECT u, v, u * 4294967296 + v AS eid FROM (
+       SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+              CAST(l_partkey + 10000000 AS BIGINT) AS v
+       FROM lineitem))"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (SELECT node,
+              CAST(MIN(eid) AS BIGINT) AS me FROM (
+         SELECT u AS node, eid FROM e{p}
+         UNION ALL SELECT v AS node, eid FROM e{p}) GROUP BY 1)""")
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
+       JOIN n{r} a ON e.u = a.node AND e.eid = a.me
+       JOIN n{r} b ON e.v = b.node AND e.eid = b.me)""")
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (SELECT * FROM e{p}
+       WHERE u NOT IN (SELECT u FROM m{r} UNION ALL SELECT v FROM m{r})
+         AND v NOT IN (SELECT u FROM m{r} UNION ALL SELECT v FROM m{r}))"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT u, v, CAST({r} AS BIGINT) AS round FROM m{r}"
+        for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY round, u, v"
+
+
+SQL_SUPPLIER_MATCHING = _matching_sql()

@@ -276,6 +276,7 @@ QUERIES = {
     "schema_match": ["customer", "supplier"],
     "term_doc_spectral": ["documents"],
     "docs_greedy_cover": ["documents"],
+    "supplier_matching": ["lineitem"],
 }
 
 
