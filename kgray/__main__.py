@@ -162,6 +162,25 @@ def main(argv: list[str] | None = None) -> int:
                         "destroyed, not merely unreferenced")
     f.set_defaults(fn=_cmd_forget)
 
+    r = sub.add_parser(
+        "refresh",
+        help="refresh the registered incremental rollups (materialized "
+             "aggregate views; unseen base files fold in, untouched "
+             "bases are watermark-check noops)",
+    )
+    r.add_argument("registry_dir", help="rollup registry directory")
+    r.add_argument("--register", metavar="NAME",
+                   help="add/replace a rollup definition before refreshing")
+    r.add_argument("--base", help="base table dir (with --register)")
+    r.add_argument("--keys", help="comma-separated group keys "
+                                  "(with --register)")
+    r.add_argument("--agg", help="comma-separated out=src:op specs, op in "
+                                 "sum/count/min/max; src '-' for count "
+                                 "(with --register)")
+    r.add_argument("--columns", help="comma-separated base read columns "
+                                     "(optional pruning, with --register)")
+    r.set_defaults(fn=_cmd_refresh)
+
     q = sub.add_parser(
         "query",
         help="run one catalog query over a testdata dir (or --list them)",
@@ -179,6 +198,37 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_refresh(args) -> int:
+    import json as _json
+
+    from kgray.ops.rollup import refresh_all, register_rollup
+
+    if args.register:
+        if not (args.base and args.keys and args.agg):
+            print("--register needs --base, --keys and --agg")
+            return 2
+        specs = {}
+        for part in args.agg.split(","):
+            out, rest = part.split("=", 1)
+            src, op = rest.rsplit(":", 1)
+            specs[out.strip()] = (None if src.strip() == "-"
+                                  else src.strip(), op.strip())
+        register_rollup(
+            args.registry_dir, args.register, args.base,
+            [k.strip() for k in args.keys.split(",")], specs,
+            columns=[c.strip() for c in args.columns.split(",")]
+            if args.columns else None)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True)
+    info = refresh_all(args.registry_dir)
+    print(_json.dumps(info, sort_keys=True))
+    ray.shutdown()
+    return 0
 
 
 def _cmd_query(args) -> int:

@@ -143,3 +143,63 @@ def refresh_rollup(base_dir: str, rollup_dir: str, keys: list[str],
     })
     return kio.read_table(table_dir, version=manifest["version"]), \
         {"mode": mode, "folded_files": len(new)}
+
+
+# ---------------------------------------------------------------------------
+# Registry: a set of named rollups refreshed together (the standing
+# materialized-view catalog of an append-mode pipeline; `python -m
+# kgray refresh` drives it)
+# ---------------------------------------------------------------------------
+
+_REGISTRY = "rollups.json"
+
+
+def _registry_path(registry_dir: str) -> str:
+    return os.path.join(registry_dir, _REGISTRY)
+
+
+def load_registry(registry_dir: str) -> dict:
+    p = _registry_path(registry_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def register_rollup(registry_dir: str, name: str, base_dir: str,
+                    keys: list[str], specs: dict,
+                    columns: list[str] | None = None) -> None:
+    """Add (or replace) a named rollup definition.  Specs use the
+    ``{out: (src|None, op)}`` shape; the registry file commits via
+    tmp+rename like the per-rollup state."""
+    for out, (_src, op) in specs.items():
+        if op not in _MERGEABLE:
+            raise ValueError(
+                f"rollup spec {out!r}: op {op!r} is not mergeable "
+                f"(allowed: {sorted(_MERGEABLE)})")
+    os.makedirs(registry_dir, exist_ok=True)
+    reg = load_registry(registry_dir)
+    reg[name] = {
+        "base": base_dir, "keys": list(keys),
+        "specs": {k: [v[0], v[1]] for k, v in specs.items()},
+        "columns": list(columns) if columns else None,
+    }
+    tmp = _registry_path(registry_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1, sort_keys=True)
+    os.replace(tmp, _registry_path(registry_dir))
+
+
+def refresh_all(registry_dir: str) -> dict:
+    """Refresh every registered rollup (each into
+    ``registry_dir/<name>/``); returns {name: info}.  A rollup whose
+    base is untouched is a noop (watermark check only — no scan), so
+    running this after every append batch is cheap by construction."""
+    out = {}
+    for name, spec in sorted(load_registry(registry_dir).items()):
+        specs = {k: (v[0], v[1]) for k, v in spec["specs"].items()}
+        _ds, info = refresh_rollup(
+            spec["base"], os.path.join(registry_dir, name),
+            spec["keys"], specs, columns=spec["columns"])
+        out[name] = info
+    return out

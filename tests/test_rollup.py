@@ -126,6 +126,39 @@ def test_crash_window_is_idempotent(ray_session, tmp_path):
                                   check_dtype=False)
 
 
+def test_registry_refresh_all(ray_session, tmp_path):
+    """Two registered rollups over one appending base: refresh_all
+    folds the delta into both; a second refresh_all is a pure noop for
+    both; registered specs survive the json round-trip."""
+    from kgray import io as kio
+    from kgray.ops.rollup import (load_registry, refresh_all,
+                                  register_rollup)
+
+    rng = np.random.default_rng(15)
+    base = str(tmp_path / "base")
+    reg = str(tmp_path / "reg")
+    ds, df1 = _batch(rng, 150)
+    kio.write_partitioned(ds, base, key_col="id", num_partitions=4)
+    register_rollup(reg, "by_k", base, ["k"], SPECS)
+    register_rollup(reg, "totals", base, ["k"],
+                    {"n": (None, "count"), "s": ("v", "sum")})
+    assert set(load_registry(reg)) == {"by_k", "totals"}
+    info = refresh_all(reg)
+    assert {v["mode"] for v in info.values()} == {"full"}
+    ds2, df2 = _batch(rng, 150)
+    kio.write_partitioned(ds2, base, key_col="id", num_partitions=4,
+                          keep_partitions={int(p) for p in
+                                           kio.read_manifest(base)
+                                           ["partitions"]})
+    info = refresh_all(reg)
+    assert {v["mode"] for v in info.values()} == {"incremental"}
+    info = refresh_all(reg)
+    assert {v["mode"] for v in info.values()} == {"noop"}
+    out = kio.read_table(str(tmp_path / "reg" / "by_k" / "table"))
+    pd.testing.assert_frame_equal(_got(out), _expected([df1, df2]),
+                                  check_dtype=False)
+
+
 def test_non_mergeable_spec_rejected(ray_session, tmp_path):
     from kgray import io as kio
     from kgray.ops.rollup import refresh_rollup
