@@ -1442,3 +1442,77 @@ def _matching_sql(rounds: int = 3) -> str:
 
 
 SQL_SUPPLIER_MATCHING = _matching_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weighted interval scheduling (per-user DP over event windows)
+# ---------------------------------------------------------------------------
+
+_SCHED_G_US = 1_800_000_000  # each event books a half-open 30-min window
+
+
+def q_user_interval_schedule(sf_dir: str):
+    """Weighted interval scheduling per user: each event books the
+    half-open window [ts, ts+30min) worth its integer cents; the
+    answer is the maximum total value of a NON-OVERLAPPING subset —
+    the classic O(n log n) DP dp[i] = max(dp[i-1], v_i + dp[p(i)])
+    with p(i) = #(ends <= start_i) by binary search.  The DP is
+    inherently sequential per user, so the per-user loop is the
+    documented exception (positions, not rows; each user's p-vector is
+    one searchsorted).  The oracle carries the dp PREFIX AS A LIST
+    through a recursive CTE (dp[p+1] needs arbitrary lookback, unlike
+    the scalar-state EWMA recurrence) — list_append per row, 1-based
+    list[1] = dp[0] = 0."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def sched(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        c = round_half_up(df["value"].to_numpy(np.float64) * 100.0, 0) \
+            .astype(np.int64)
+        out = []
+        for uid, idx in df.groupby("user_id", sort=False).indices.items():
+            s = us[idx]
+            e = s + _SCHED_G_US  # ends sorted because starts are
+            v = c[idx]
+            p = np.searchsorted(e, s, side="right")
+            dp = np.zeros(len(idx) + 1, np.int64)
+            for i in range(len(idx)):
+                dp[i + 1] = max(dp[i], v[i] + dp[p[i]])
+            out.append((uid, len(idx), int(dp[-1])))
+        return pd.DataFrame(out, columns=["user_id", "n_events",
+                                          "best_cents"])
+
+    return grouped_map(ev, "user_id", sched)
+
+
+SQL_USER_INTERVAL_SCHEDULE = f"""
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_SCHED_G_US} AS e,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+p AS MATERIALIZED (
+  SELECT a.user_id, a.rn, CAST(COALESCE(MAX(b.rn), 0) AS BIGINT) AS pi
+  FROM r a LEFT JOIN r b
+    ON a.user_id = b.user_id AND b.e <= a.s AND b.rn < a.rn
+  GROUP BY 1, 2),
+d AS (
+  SELECT r.user_id, r.rn,
+         [CAST(0 AS BIGINT), GREATEST(CAST(0 AS BIGINT), r.v)] AS l
+  FROM r WHERE r.rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn,
+         list_append(d.l, GREATEST(d.l[len(d.l)],
+                                   r.v + d.l[p.pi + 1]))
+  FROM d
+  JOIN r ON r.user_id = d.user_id AND r.rn = d.rn + 1
+  JOIN p ON p.user_id = r.user_id AND p.rn = r.rn),
+sel AS (SELECT user_id, rn, l,
+               MAX(rn) OVER (PARTITION BY user_id) AS mx FROM d)
+SELECT user_id, CAST(mx AS BIGINT) AS n_events,
+       CAST(l[len(l)] AS BIGINT) AS best_cents
+FROM sel WHERE rn = mx ORDER BY user_id
+"""

@@ -133,6 +133,29 @@ def test_source_shapley_efficiency_axiom(ray_session, tmp_path):
     assert out.loc["c", "shap_num"] > out.loc["b", "shap_num"]
 
 
+def test_interval_schedule_picks_optimal_subset(ray_session, tmp_path):
+    """Three overlapping 30-min windows (0m, 10m, 20m) worth 5/9/5:
+    greedy-by-value takes 9, but the optimal non-overlapping subset is
+    {first, third} = 10 — the DP must find it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.queries import q_user_interval_schedule
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            [0, 10, 30], unit="m"),
+        "value": [0.05, 0.09, 0.05],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    out = q_user_interval_schedule(str(d)).to_pandas()
+    assert out["best_cents"].tolist() == [10]
+
+
 def test_isotonic_fit_is_monotone_and_pools(ray_session, tmp_path):
     """The minimax fit must be non-decreasing and pool adjacent
     violators into their weighted mean; W1 of identical distributions

@@ -277,6 +277,7 @@ QUERIES = {
     "term_doc_spectral": ["documents"],
     "docs_greedy_cover": ["documents"],
     "supplier_matching": ["lineitem"],
+    "user_interval_schedule": ["events"],
 }
 
 
