@@ -1516,3 +1516,132 @@ SELECT user_id, CAST(mx AS BIGINT) AS n_events,
        CAST(l[len(l)] AS BIGINT) AS best_cents
 FROM sel WHERE rn = mx ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Propensity-score matching ATT (nearest-control matching estimator)
+# ---------------------------------------------------------------------------
+
+
+def q_events_psm_att(sf_dir: str):
+    """Matching estimator for the treatment effect on the treated:
+    treatment = md5(user), score = the user's PRE-period cents (the
+    propensity proxy), outcome = POST-period cents; every treated user
+    matches the nearest control in (score, user_id) order — the closer
+    of the previous/next control by |score gap|, previous on ties —
+    and ATT = mean(outcome - matched outcome).  All gaps, sums and
+    counts are exact integers; the user-profile table here is
+    aggregate-scale, and the scale path is the sorted-neighborhood
+    decomposition (range-partition by score, head/tail boundary
+    controls per partition) since matching only ever needs each
+    treated's score-neighbors."""
+    from kgray.ops.sample import _md5_hex
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"g": pa.array(np.zeros(len(batch), np.int8)),
+                         "day": pa.array(us // 86_400_000_000)})
+
+    dd = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"), ["g"],
+        {"lo": ("day", "min"), "hi": ("day", "max")},
+    ).to_pandas()
+    lo, hi = int(dd["lo"][0]), int(dd["hi"][0])
+    split_day = lo + (hi - lo) // 2
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        post = us // 86_400_000_000 > split_day
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(
+            zero_copy_only=False),
+            "score": np.where(post, 0, c),
+            "outcome": np.where(post, c, 0)})
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    u = pre_aggregate(
+        ev.map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"],
+        {"score": ("score", "sum"), "outcome": ("outcome", "sum")},
+    ).to_pandas()  # aggregate-scale (see docstring for the scale path)
+    u["treat"] = [h < "8" for h in _md5_hex(u["user_id"].tolist())]
+    u = u.sort_values(["score", "user_id"], ignore_index=True)
+    cs = np.where(u["treat"], np.nan, u["score"].astype(float))
+    co = np.where(u["treat"], np.nan, u["outcome"].astype(float))
+    ps = pd.Series(cs).ffill().to_numpy()
+    po = pd.Series(co).ffill().to_numpy()
+    ns = pd.Series(cs).bfill().to_numpy()
+    no = pd.Series(co).bfill().to_numpy()
+    t = u["treat"].to_numpy()
+    sc = u["score"].to_numpy(np.int64)
+    out = u["outcome"].to_numpy(np.int64)
+    prev_ok = ~np.isnan(ps[t])
+    next_ok = ~np.isnan(ns[t])
+    use_prev = prev_ok & (~next_ok | (sc[t] - np.where(prev_ok, ps[t], 0)
+                                      <= np.where(next_ok, ns[t], 0)
+                                      - sc[t]))
+    mo = np.where(use_prev, po[t], no[t]).astype(np.int64)
+    n_t = int(t.sum())
+    n_c = int((~t).sum())
+    so = int(out[t].sum())
+    sm = int(mo.sum())
+    return pa.table({
+        "n_treated": pa.array([n_t], pa.int64()),
+        "n_control": pa.array([n_c], pa.int64()),
+        "mean_treated": pa.array(
+            [float(round_half_up(so / n_t, 6))]),
+        "mean_matched": pa.array(
+            [float(round_half_up(sm / n_t, 6))]),
+        "att_cents": pa.array(
+            [float(round_half_up((so - sm) / n_t, 6))]),
+    })
+
+
+SQL_EVENTS_PSM_ATT = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+b AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS sd FROM e),
+u AS (SELECT user_id,
+             md5(CAST(user_id AS VARCHAR)) < '8' AS treat,
+             CAST(SUM(CASE WHEN day <= b.sd THEN c ELSE 0 END)
+                  AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN day > b.sd THEN c ELSE 0 END)
+                  AS BIGINT) AS outcome
+      FROM e, b GROUP BY 1, 2),
+o AS (SELECT *,
+        last_value(CASE WHEN NOT treat THEN score END IGNORE NULLS)
+          OVER w1 AS ps,
+        last_value(CASE WHEN NOT treat THEN outcome END IGNORE NULLS)
+          OVER w1 AS po,
+        first_value(CASE WHEN NOT treat THEN score END IGNORE NULLS)
+          OVER w2 AS ns,
+        first_value(CASE WHEN NOT treat THEN outcome END IGNORE NULLS)
+          OVER w2 AS no
+      FROM u
+      WINDOW w1 AS (ORDER BY score, user_id ROWS UNBOUNDED PRECEDING),
+             w2 AS (ORDER BY score, user_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+m AS (SELECT score, outcome,
+             CASE WHEN ps IS NULL THEN no
+                  WHEN ns IS NULL THEN po
+                  WHEN score - ps <= ns - score THEN po
+                  ELSE no END AS mo
+      FROM o WHERE treat)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_treated,
+       CAST((SELECT COUNT(*) FROM u WHERE NOT treat) AS BIGINT)
+         AS n_control,
+       ROUND(CAST(SUM(outcome) AS DOUBLE) / COUNT(*), 6)
+         AS mean_treated,
+       ROUND(CAST(SUM(mo) AS DOUBLE) / COUNT(*), 6) AS mean_matched,
+       ROUND(CAST(SUM(outcome) - SUM(mo) AS DOUBLE) / COUNT(*), 6)
+         AS att_cents
+FROM m
+"""

@@ -278,6 +278,7 @@ QUERIES = {
     "docs_greedy_cover": ["documents"],
     "supplier_matching": ["lineitem"],
     "user_interval_schedule": ["events"],
+    "events_psm_att": ["events"],
 }
 
 
