@@ -1645,3 +1645,103 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_treated,
          AS att_cents
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (cumulative incremental responders by score decile)
+# ---------------------------------------------------------------------------
+
+
+def q_events_qini(sf_dir: str):
+    """Qini uplift curve: users ranked by activity (total cents DESC,
+    user_id), split into 10 rank bands; per cumulative band the Qini
+    value R_t - R_c * N_t / N_c counts incremental responders
+    (responder = user with any purchase) among the treated over the
+    control baseline scaled to the treated exposure.  All band
+    aggregates are integer folds; the single float per band is the
+    identical (R_c * N_t) / N_c expression in both engines.  Band of a
+    user = (10 * (rank - 1)) // n — integer, no NTILE remainder
+    ambiguity."""
+    from kgray.ops.sample import _md5_hex
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "score": c,
+            "resp": (t == "purchase").astype(np.int64)})
+        g = df.groupby("user_id", sort=False).agg(
+            score=("score", "sum"), resp=("resp", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    u = pre_aggregate(
+        ev.map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"],
+        {"score": ("score", "sum"), "resp": ("resp", "max")},
+    ).to_pandas()  # aggregate-scale; scale path = distributed NTILE
+    u["treat"] = [h < "8" for h in _md5_hex(u["user_id"].tolist())]
+    u = u.sort_values(["score", "user_id"], ascending=[False, True],
+                      ignore_index=True, kind="mergesort")
+    n = len(u)
+    band = (10 * np.arange(n, dtype=np.int64)) // n
+    t = u["treat"].to_numpy()
+    resp = u["resp"].to_numpy(np.int64)
+    rows = []
+    for b in range(10):
+        cum = band <= b
+        nt = int((cum & t).sum())
+        nc = int((cum & ~t).sum())
+        rt = int(resp[cum & t].sum())
+        rc = int(resp[cum & ~t].sum())
+        rows.append((b, nt, nc, rt, rc,
+                     float(round_half_up(rt - (rc * nt) / nc, 6))
+                     if nc else None))
+    return pa.table({
+        "band": pa.array([r[0] for r in rows], pa.int64()),
+        "n_t": pa.array([r[1] for r in rows], pa.int64()),
+        "n_c": pa.array([r[2] for r in rows], pa.int64()),
+        "r_t": pa.array([r[3] for r in rows], pa.int64()),
+        "r_c": pa.array([r[4] for r in rows], pa.int64()),
+        "qini": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_QINI = """
+WITH u AS (SELECT user_id,
+                  md5(CAST(user_id AS VARCHAR)) < '8' AS treat,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS score,
+                  CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS resp
+           FROM events GROUP BY 1),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM u),
+bd AS (SELECT *, (10 * (rn - 1)) // n AS band FROM r),
+agg AS (SELECT band,
+               CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bnt,
+               CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+                 AS bnc,
+               CAST(SUM(CASE WHEN treat THEN resp ELSE 0 END) AS BIGINT)
+                 AS brt,
+               CAST(SUM(CASE WHEN treat THEN 0 ELSE resp END) AS BIGINT)
+                 AS brc
+        FROM bd GROUP BY 1),
+cum AS (SELECT CAST(band AS BIGINT) AS band,
+               CAST(SUM(bnt) OVER w AS BIGINT) AS n_t,
+               CAST(SUM(bnc) OVER w AS BIGINT) AS n_c,
+               CAST(SUM(brt) OVER w AS BIGINT) AS r_t,
+               CAST(SUM(brc) OVER w AS BIGINT) AS r_c
+        FROM agg WINDOW w AS (ORDER BY band ROWS UNBOUNDED PRECEDING))
+SELECT band, n_t, n_c, r_t, r_c,
+       CASE WHEN n_c = 0 THEN NULL
+            ELSE ROUND(r_t - CAST(r_c * n_t AS DOUBLE) / n_c, 6)
+       END AS qini
+FROM cum ORDER BY band
+"""

@@ -279,6 +279,7 @@ QUERIES = {
     "supplier_matching": ["lineitem"],
     "user_interval_schedule": ["events"],
     "events_psm_att": ["events"],
+    "events_qini": ["events"],
 }
 
 
