@@ -133,6 +133,9 @@ SUITE = [
     "events_session_join",
     "source_shapley",
     "term_doc_spectral",
+    # session 22b: the composed curation chain (quality gate -> exact
+    # near-dup purge -> decontamination -> mixture stats) as one entry
+    "curation_e2e",
 ]
 
 

@@ -241,6 +241,15 @@ def set_jaccard_pairs(exploded, counts, n_items: int, tau: float,
     # territory, or the forced-distributed gate) counts attach via two
     # keyed union-cogroups — pair rows NEVER pay a groupby.aggregate or
     # a join stage in either path (the tpch_q13 union-cogroup shape).
+    if n_items == 0:
+        # empty item set (e.g. an upstream filter kept nothing): the
+        # schema-less empty dataset can't even name its columns
+        val = "cont" if metric == "containment" else "jac"
+        return __import__("ray").data.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            val: pa.array([], pa.float64()),
+        }))
     if n_items <= gate(max_broadcast_count_rows):
         import ray
 

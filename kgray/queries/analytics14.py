@@ -1745,3 +1745,130 @@ SELECT band, n_t, n_c, r_t, r_c,
        END AS qini
 FROM cum ORDER BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (quality gate -> near-dup purge ->
+# decontamination -> mixture stats), ONE oracle over the whole chain
+# ---------------------------------------------------------------------------
+
+
+def q_curation_e2e(sf_dir: str):
+    """The standing LLM-curation chain as ONE value-hash-checked unit:
+    (1) Gopher-style quality gate — 5 <= tokens <= 5000 and top-word
+    fraction <= 3/10 by integer cross-multiply; (2) exact near-dup
+    purge on the survivors — 3-gram Jaccard >= 0.8 pairs -> connected
+    components -> keep the min-id representative; (3) GPT-3-style
+    decontamination — the md5 < '2' eighth of survivors is the
+    held-out set, training docs sharing any word-5-gram with it drop;
+    (4) per-source doc/token mixture of the final corpus.  Every stage
+    is an existing auto-gated operator (quality kernel, set-similarity
+    self-join, CC, broadcast contamination probe); what this adds is
+    the proof that the COMPOSITION matches the composed SQL, filters
+    included."""
+    from kgray.ops.canonical import connected_components
+    from kgray.ops.dedup import ngram_contamination, ngram_jaccard_pairs
+    from kgray.ops.sample import _md5_hex
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def quality(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        lens)
+        df = pd.DataFrame({"d": did,
+                           "t": pc.list_flatten(toks).to_pylist()})
+        mx = df.groupby(["d", "t"], sort=False).size() \
+            .groupby("d", sort=False).max()
+        mx = mx.reindex(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        fill_value=0).to_numpy(np.int64)
+        nt = lens.astype(np.int64)
+        keep = (nt >= 5) & (nt <= 5000) & (mx * 10 <= nt * 3)
+        return batch.filter(pa.array(keep)).append_column(
+            "n_tokens", pa.array(nt[keep]))
+
+    q = docs.map_batches(quality, batch_format="pyarrow").materialize()
+
+    pairs = ngram_jaccard_pairs(q.select_columns(["doc_id", "text"]),
+                                tau=0.8)
+    comp = connected_components(pairs)
+    dropped = comp.map_batches(
+        lambda t: pa.table({"node": t.filter(
+            pc.not_equal(t["node"], t["component"]))["node"]}),
+        batch_format="pyarrow")
+    kept = semi_join(q, dropped, on="doc_id", right_on="node",
+                     anti=True).materialize()
+
+    def is_test(ids: np.ndarray) -> np.ndarray:
+        return np.array([h < "2" for h in _md5_hex(ids.tolist())],
+                        np.bool_)
+
+    cont = ngram_contamination(kept, is_test, n=5)
+    clean = cont.filter(expr="n_shared == 0").select_columns(["doc_id"])
+    final = semi_join(kept.select_columns(["doc_id", "source",
+                                           "n_tokens"]),
+                      clean, on="doc_id")
+    return pre_aggregate(
+        final, ["source"],
+        {"n_docs": (None, "count"), "n_tokens": ("n_tokens", "sum")},
+    )
+
+
+SQL_CURATION_E2E = """
+WITH RECURSIVE
+tw AS MATERIALIZED (SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents)
+    GROUP BY doc_id, w) GROUP BY doc_id),
+q AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN tw ON d.doc_id = tw.doc_id
+  WHERE len(string_split(d.text, ' ')) BETWEEN 5 AND 5000
+    AND tw.mx * 10 <= len(string_split(d.text, ' ')) * 3),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM q WHERE len(string_split(text, ' ')) >= 3),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cand AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS common
+         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT c.u, c.v
+  FROM cand c JOIN sh a ON c.u = a.doc_id JOIN sh b ON c.v = b.doc_id
+  WHERE CAST(c.common AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - c.common) >= 0.8),
+sym AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+cc AS (
+  SELECT src AS node, src AS label FROM sym
+  UNION
+  SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+kept AS MATERIALIZED (
+  SELECT * FROM q WHERE doc_id NOT IN
+    (SELECT node FROM comp WHERE node <> component)),
+g5 AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(text,' ')) - 3),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2] || ' '
+                || string_split(text,' ')[i+3] || ' '
+                || string_split(text,' ')[i+4]))) AS g
+  FROM kept WHERE len(string_split(text, ' ')) >= 5),
+ev AS (SELECT DISTINCT g FROM g5
+       WHERE md5(CAST(doc_id AS VARCHAR)) < '2'),
+contam AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN ev ON g5.g = ev.g
+           WHERE md5(CAST(g5.doc_id AS VARCHAR)) >= '2'),
+final AS (SELECT * FROM kept
+          WHERE md5(CAST(doc_id AS VARCHAR)) >= '2'
+            AND doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM final GROUP BY 1 ORDER BY 1
+"""

@@ -280,6 +280,7 @@ QUERIES = {
     "user_interval_schedule": ["events"],
     "events_psm_att": ["events"],
     "events_qini": ["events"],
+    "curation_e2e": ["documents"],
 }
 
 
