@@ -674,6 +674,11 @@ def greedy_matching(edges, rounds: int = 3,
         ["u", "v"], {"eid": ("eid", "min")},
     ).materialize()
 
+    if e.count() == 0:  # e.g. only self-loops: schema-less empty
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "round": pa.array([], pa.int64())})
+
     if e.count() <= gate(max_inprocess_edges):
         df = e.to_pandas()
         uu = df["u"].to_numpy(np.int64)
