@@ -1872,3 +1872,119 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM final GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point Holt-Winters (level + trend + weekly seasonality)
+# ---------------------------------------------------------------------------
+
+_HW_S = 1_000_000       # micro-units
+_HW_OFF = 1 << 40       # shift-positive: floor-div == truncate-div
+_HW_DAYS = 120          # first 120 days of the order stream
+_HW_M = 7               # weekly season
+
+
+def _hw_fd(x, d):
+    """floor(x / d) via shifted positive operands — numpy floors
+    negative //, DuckDB truncates toward zero; adding OFF*d makes the
+    numerator positive so both engines agree (the EWMA/Holt lesson,
+    third appearance)."""
+    return (x + _HW_OFF * d) // d - _HW_OFF
+
+
+def q_orders_hw_forecast(sf_dir: str):
+    """Holt-Winters (additive, weekly season) 7-day forecast of daily
+    order counts per priority, in EXACT integer micro-units: alpha =
+    1/4, beta = 1/4, gamma = 1/2 as shifted floor-divs, the seasonal
+    state a rotating 7-slot integer vector.  Completes the forecasting
+    family (EWMA -> Holt -> Holt-Winters); the oracle carries (level,
+    trend, season-list) through a per-priority recursive CTE — the
+    dp-list trick from user_interval_schedule applied to a
+    triple-recurrence.  Days gap-fill to the global [lo, lo+120)
+    window so the recurrence index is contiguous in both engines."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "p": batch["o_orderpriority"],
+            "day": pa.array(us // 86_400_000_000),
+        })
+
+    dd = orders.map_batches(days, batch_format="pyarrow").materialize()
+    lo = int(dd.min("day"))
+
+    cnt = pre_aggregate(
+        dd.filter(expr=f"day >= {lo} and day < {lo + _HW_DAYS}"),
+        ["p", "day"], {"y": (None, "count")},
+    )
+
+    def hw(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p, grp in df.groupby("p", sort=False):
+            y = np.zeros(_HW_DAYS, np.int64)
+            y[grp["day"].to_numpy(np.int64) - lo] = \
+                grp["y"].to_numpy(np.int64)
+            lvl = _HW_S * int(y[0])
+            b = 0
+            s = [0] * _HW_M
+            for t in range(1, _HW_DAYS):
+                sy = _HW_S * int(y[t])
+                sprev = s[0]
+                lnew = _hw_fd(sy - sprev + 3 * (lvl + b), 4)
+                b = _hw_fd(lnew - lvl + 3 * b, 4)
+                snew = _hw_fd(sy - lnew + sprev, 2)
+                lvl = lnew
+                s = s[1:] + [snew]
+            for h in range(1, _HW_M + 1):
+                out.append((p, h, int(lvl + h * b + s[h - 1])))
+        return pd.DataFrame(out, columns=["o_orderpriority", "h",
+                                          "forecast_micro"])
+
+    return grouped_map(cnt, "p", hw)
+
+
+SQL_ORDERS_HW_FORECAST = f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT o_orderpriority AS p,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders),
+b AS (SELECT MIN(day) AS lo FROM base),
+cal AS (SELECT p, lo + gs.g AS day, CAST(gs.g + 1 AS BIGINT) AS rn
+        FROM (SELECT DISTINCT p FROM base), b,
+             (SELECT unnest(range(0, {_HW_DAYS})) AS g) gs),
+y AS MATERIALIZED (
+  SELECT cal.p, cal.rn,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS y
+  FROM cal LEFT JOIN (
+    SELECT p, day, COUNT(*) AS n FROM base, b
+    WHERE day >= lo AND day < lo + {_HW_DAYS} GROUP BY 1, 2) c
+  ON cal.p = c.p AND cal.day = c.day),
+hw AS (
+  SELECT p, rn, CAST({_HW_S} * y AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b,
+         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+  FROM y WHERE rn = 1
+  UNION ALL
+  SELECT y.p, y.rn,
+         (({_HW_S} * y.y - hw.s[1] + 3 * (hw.l + hw.b)
+           + {_HW_OFF} * 4) // 4 - {_HW_OFF}) AS lnew,
+         (((({_HW_S} * y.y - hw.s[1] + 3 * (hw.l + hw.b)
+             + {_HW_OFF} * 4) // 4 - {_HW_OFF}) - hw.l + 3 * hw.b
+           + {_HW_OFF} * 4) // 4 - {_HW_OFF}),
+         hw.s[2:7] ||
+           [({_HW_S} * y.y
+             - (({_HW_S} * y.y - hw.s[1] + 3 * (hw.l + hw.b)
+                 + {_HW_OFF} * 4) // 4 - {_HW_OFF})
+             + hw.s[1] + {_HW_OFF} * 2) // 2 - {_HW_OFF}]
+  FROM hw JOIN y ON y.p = hw.p AND y.rn = hw.rn + 1),
+fin AS (SELECT p, l, b, s,
+               ROW_NUMBER() OVER (PARTITION BY p ORDER BY rn DESC) AS rr
+        FROM hw)
+SELECT fin.p AS o_orderpriority, CAST(h.h AS BIGINT) AS h,
+       CAST(fin.l + h.h * fin.b + fin.s[h.h] AS BIGINT)
+         AS forecast_micro
+FROM fin, (SELECT unnest(range(1, 8)) AS h) h
+WHERE fin.rr = 1 ORDER BY 1, 2
+"""

@@ -281,6 +281,7 @@ QUERIES = {
     "events_psm_att": ["events"],
     "events_qini": ["events"],
     "curation_e2e": ["documents"],
+    "orders_hw_forecast": ["orders"],
 }
 
 
