@@ -1988,3 +1988,109 @@ SELECT fin.p AS o_orderpriority, CAST(h.h AS BIGINT) AS h,
 FROM fin, (SELECT unnest(range(1, 8)) AS h) h
 WHERE fin.rr = 1 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery sweep (data profiling)
+# ---------------------------------------------------------------------------
+
+_FD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"]
+
+
+def q_orders_fd_discovery(sf_dir: str):
+    """Functional-dependency DISCOVERY over every ordered column pair
+    of orders (the profiling generalization of the single-pair
+    fd_violations audit): A -> B holds iff |distinct(A,B)| ==
+    |distinct A|, and the violation count |distinct(A,B)| - |distinct
+    A| measures how far it fails.  5 single-column + 10 pair distinct
+    folds (each a combiner fold + count, integers only); the 20
+    ordered verdicts are arithmetic on those 15 numbers."""
+    sets = []
+    for i, a in enumerate(_FD_COLS):
+        sets.append((a,))
+        for b_ in _FD_COLS[i + 1:]:
+            sets.append((a, b_))
+
+    def explode_sets(batch: pa.Table) -> pa.Table:
+        # ONE corpus pass serves all 15 distinct counts: per column
+        # set, the batch's distinct value tuples as injectively
+        # encoded strings (\x1f never appears in the values).  The
+        # encoding is Ray-internal only — the oracle counts its own
+        # DISTINCTs, so no cross-engine string parity is needed.
+        df = pd.DataFrame({c: batch[c].to_pylist() for c in _FD_COLS})
+        for c in _FD_COLS:
+            df[c] = df[c].astype(str)
+        outs = []
+        for si, cols in enumerate(sets):
+            u = df[list(cols)].drop_duplicates()
+            v = u[cols[0]] if len(cols) == 1 else \
+                u[cols[0]] + "\x1f" + u[cols[1]]
+            outs.append(pd.DataFrame({
+                "sid": np.full(len(u), si, np.int64), "v": v}))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    ex = _read(sf_dir, "orders", _FD_COLS).map_batches(
+        explode_sets, batch_format="pyarrow")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # (sid, v) keys are near-unique (orderkey sets are row-scale),
+        # so a groupby.aggregate would pay the full sort-shuffle
+        # pathology; ONE v-keyed cogroup dedups and pre-counts per
+        # bucket instead (all copies of a value land together)
+        g = df.drop_duplicates(["sid", "v"]).groupby("sid", sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cnt = pre_aggregate(
+        grouped_map(ex, "v", bucket_counts),
+        ["sid"], {"n": ("n", "sum")},
+    ).to_pandas().set_index("sid")["n"]
+    res = {cols: int(cnt[si]) for si, cols in enumerate(sets)}
+    d1 = {k[0]: v for k, v in res.items() if len(k) == 1}
+    d2 = {k: v for k, v in res.items() if len(k) == 2}
+    rows = []
+    for a in _FD_COLS:
+        for b_ in _FD_COLS:
+            if a == b_:
+                continue
+            dab = d2.get((a, b_)) or d2[(b_, a)]
+            v = dab - d1[a]
+            rows.append((a, b_, d1[a], dab, v, v == 0))
+    rows.sort()
+    return pa.table({
+        "col_a": pa.array([r[0] for r in rows], pa.string()),
+        "col_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_distinct_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct_ab": pa.array([r[3] for r in rows], pa.int64()),
+        "n_violations": pa.array([r[4] for r in rows], pa.int64()),
+        "holds": pa.array([r[5] for r in rows], pa.bool_()),
+    })
+
+
+def _fd_sql() -> str:
+    parts = []
+    for a in _FD_COLS:
+        for b_ in _FD_COLS:
+            if a == b_:
+                continue
+            parts.append(f"""
+SELECT '{a}' AS col_a, '{b_}' AS col_b,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {a} FROM orders))
+            AS BIGINT) AS n_distinct_a,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT DISTINCT {a}, {b_} FROM orders)) AS BIGINT)
+         AS n_distinct_ab,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT DISTINCT {a}, {b_} FROM orders))
+            - (SELECT COUNT(*) FROM (SELECT DISTINCT {a} FROM orders))
+            AS BIGINT) AS n_violations,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {a}, {b_} FROM orders))
+         = (SELECT COUNT(*) FROM (SELECT DISTINCT {a} FROM orders))
+         AS holds""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_a, col_b"
+
+
+SQL_ORDERS_FD_DISCOVERY = _fd_sql()

@@ -117,6 +117,7 @@ def _gen(tmp_path, seed):
         {
             "o_orderkey": np.arange(200, dtype=np.int64),
             "o_custkey": rng.integers(1, 40, 200).astype(np.int64),
+            "o_orderstatus": rng.choice(["O", "F", "P"], 200),
             "o_totalprice": np.round(rng.uniform(0.01, 99999, 200), 2),
             # dates/priorities for the forecasting + CDC sweeps
             "o_orderdate": (ts0 + pd.to_timedelta(
@@ -282,6 +283,7 @@ QUERIES = {
     "events_qini": ["events"],
     "curation_e2e": ["documents"],
     "orders_hw_forecast": ["orders"],
+    "orders_fd_discovery": ["orders"],
 }
 
 
