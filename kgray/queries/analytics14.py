@@ -2070,6 +2070,187 @@ def q_orders_fd_discovery(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# EM-learned Fellegi-Sunter linkage parameters (unsupervised ER)
+# ---------------------------------------------------------------------------
+
+_EM_INIT = (0.1, [0.9, 0.9, 0.9], [0.1, 0.1, 0.1])
+_EM_ITERS = 2
+
+
+def _em_step(p, m, u, n):
+    """One EM iteration on the 8 agreement-pattern counts.  Every float
+    op is written in the EXACT order the generated SQL uses (left-assoc
+    products over fields, left-assoc sums in pattern order 0..7) so
+    the doubles are bit-identical."""
+    gam = []
+    for g in range(8):
+        mp, up = 1.0, 1.0
+        for i in range(3):
+            bit = (g >> i) & 1
+            mp = mp * (m[i] if bit else 1.0 - m[i])
+            up = up * (u[i] if bit else 1.0 - u[i])
+        num = p * mp
+        gam.append(num / (num + (1.0 - p) * up))
+    S = 0.0
+    for g in range(8):
+        S = S + gam[g] * n[g]
+    T = 0
+    for g in range(8):
+        T = T + n[g]
+    m2, u2 = [], []
+    for i in range(3):
+        sm, su = 0.0, 0.0
+        for g in range(8):
+            if (g >> i) & 1:
+                sm = sm + gam[g] * n[g]
+                su = su + (1.0 - gam[g]) * n[g]
+        m2.append(sm / S)
+        u2.append(su / (T - S))
+    return S / T, m2, u2
+
+
+def _em_sql_level(prev: str | None) -> str:
+    """SELECT list for one EM level: expressions mirror _em_step
+    exactly.  ``prev`` is None for the literal-init first level, else
+    the prior CTE name whose columns (pm, m1..m3, u1..u3) hold the
+    params."""
+    if prev is None:
+        p0, m0, u0 = _EM_INIT
+        p = repr(p0)
+        m = [repr(x) for x in m0]
+        u = [repr(x) for x in u0]
+    else:
+        p = f"{prev}.pm"
+        m = [f"{prev}.m{i + 1}" for i in range(3)]
+        u = [f"{prev}.u{i + 1}" for i in range(3)]
+    gam = []
+    for g in range(8):
+        mp, up = "1.0", "1.0"
+        for i in range(3):
+            bit = (g >> i) & 1
+            mt = m[i] if bit else f"(1.0 - {m[i]})"
+            ut = u[i] if bit else f"(1.0 - {u[i]})"
+            mp = f"({mp} * {mt})"
+            up = f"({up} * {ut})"
+        num = f"({p} * {mp})"
+        gam.append(f"({num} / ({num} + ((1.0 - {p}) * {up})))")
+    S = " + ".join(f"{gam[g]} * n{g}" for g in range(8))
+    T = " + ".join(f"n{g}" for g in range(8))
+    cols = [f"(({S}) / ({T})) AS pm"]
+    for i in range(3):
+        sm = " + ".join(f"{gam[g]} * n{g}"
+                        for g in range(8) if (g >> i) & 1)
+        su = " + ".join(f"(1.0 - {gam[g]}) * n{g}"
+                        for g in range(8) if (g >> i) & 1)
+        cols.append(f"(({sm}) / ({S})) AS m{i + 1}")
+        cols.append(f"(({su}) / (({T}) - ({S}))) AS u{i + 1}")
+    return ", ".join(cols)
+
+
+def q_customer_linkage_em(sf_dir: str):
+    """UNSUPERVISED Fellegi-Sunter parameter learning: candidate
+    customer pairs blocked on (nation, segment) compare on three
+    fields — 1000-dollar balance band (shift-positive floor), the
+    last-2 name digits, custkey mod 10 — and the 8 agreement-pattern
+    counts drive 2 fixed EM iterations estimating the match prevalence
+    p and per-field m/u probabilities.  The corpus pass is ONE block
+    cogroup with per-bucket pattern pre-counts (8-row fold); EM runs
+    on those 8 integers with float expression trees generated by the
+    SAME code that emits the SQL (left-assoc products and pattern-
+    order sums), so the unrolled-CTE oracle is bit-identical."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"])
+
+    def blockkey(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        names = batch["c_name"].to_pylist()
+        return pa.table({
+            "blk": pc.binary_join_element_wise(
+                pc.cast(batch["c_nationkey"], pa.string()),
+                batch["c_mktsegment"], "|"),
+            "key": batch["c_custkey"],
+            "band": pa.array((cents + 10_000_000) // 100_000),
+            "suf": pa.array([s[-2:] for s in names], pa.string()),
+            "mod": pa.array(
+                batch["c_custkey"].to_numpy(zero_copy_only=False) % 10),
+        })
+
+    bk = cust.map_batches(blockkey, batch_format="pyarrow")
+
+    def pair_patterns(df: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(8, np.int64)
+        for _, grp in df.groupby("blk", sort=False):
+            g = grp.sort_values("key")
+            n = len(g)
+            if n < 2:
+                continue
+            iu, iv = np.triu_indices(n, k=1)
+            band = g["band"].to_numpy(np.int64)
+            suf = g["suf"].to_numpy()
+            mod = g["mod"].to_numpy(np.int64)
+            pat = ((band[iu] == band[iv]).astype(np.int64)
+                   + 2 * (suf[iu] == suf[iv]).astype(np.int64)
+                   + 4 * (mod[iu] == mod[iv]).astype(np.int64))
+            out += np.bincount(pat, minlength=8)
+        return pd.DataFrame({"g": np.arange(8, dtype=np.int64),
+                             "n": out})
+
+    cnt = pre_aggregate(
+        grouped_map(bk, "blk", pair_patterns), ["g"], {"n": ("n", "sum")},
+    ).to_pandas().set_index("g")["n"]
+    n = [int(cnt.get(g, 0)) for g in range(8)]
+    p, m, u = _EM_INIT
+    for _ in range(_EM_ITERS):
+        p, m, u = _em_step(p, m, u, n)
+    return pa.table({
+        **{f"n{g}": pa.array([n[g]], pa.int64()) for g in range(8)},
+        "pm": pa.array([float(round_half_up(p, 6))]),
+        **{f"m{i + 1}": pa.array([float(round_half_up(m[i], 6))])
+           for i in range(3)},
+        **{f"u{i + 1}": pa.array([float(round_half_up(u[i], 6))])
+           for i in range(3)},
+    })
+
+
+def _linkage_em_sql() -> str:
+    lvl1 = _em_sql_level(None)
+    lvl2 = _em_sql_level("e1")
+    pats = ", ".join(
+        f"CAST(COUNT(*) FILTER (pat = {g}) AS BIGINT) AS n{g}"
+        for g in range(8))
+    final = ("ROUND(e2.pm, 6) AS pm, "
+             + ", ".join(f"ROUND(e2.m{i + 1}, 6) AS m{i + 1}"
+                         for i in range(3)) + ", "
+             + ", ".join(f"ROUND(e2.u{i + 1}, 6) AS u{i + 1}"
+                         for i in range(3)))
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT c_custkey AS key,
+         CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS blk,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+           AS band,
+         substr(c_name, len(c_name) - 1, 2) AS suf,
+         c_custkey % 10 AS md
+  FROM customer),
+pat AS MATERIALIZED (
+  SELECT {pats} FROM (
+    SELECT CASE WHEN a.band = b.band THEN 1 ELSE 0 END
+           + 2 * (CASE WHEN a.suf = b.suf THEN 1 ELSE 0 END)
+           + 4 * (CASE WHEN a.md = b.md THEN 1 ELSE 0 END) AS pat
+    FROM c a JOIN c b ON a.blk = b.blk AND a.key < b.key)),
+e1 AS (SELECT {lvl1} FROM pat),
+e2 AS (SELECT {lvl2} FROM pat, e1)
+SELECT pat.*, {final} FROM pat, e2
+"""
+
+
+SQL_CUSTOMER_LINKAGE_EM = _linkage_em_sql()
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

@@ -284,6 +284,7 @@ QUERIES = {
     "curation_e2e": ["documents"],
     "orders_hw_forecast": ["orders"],
     "orders_fd_discovery": ["orders"],
+    "customer_linkage_em": ["customer"],
 }
 
 
