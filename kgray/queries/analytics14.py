@@ -2098,6 +2098,12 @@ def _em_step(p, m, u, n):
     T = 0
     for g in range(8):
         T = T + n[g]
+    def clamp(x):
+        # degenerate patterns (a field agreeing in zero pairs) drive
+        # m/u to EXACT 0/1 and the next iteration's gamma to 0/0 —
+        # clamp identically in both engines
+        return min(max(x, 1e-06), 0.999999)
+
     m2, u2 = [], []
     for i in range(3):
         sm, su = 0.0, 0.0
@@ -2105,9 +2111,9 @@ def _em_step(p, m, u, n):
             if (g >> i) & 1:
                 sm = sm + gam[g] * n[g]
                 su = su + (1.0 - gam[g]) * n[g]
-        m2.append(sm / S)
-        u2.append(su / (T - S))
-    return S / T, m2, u2
+        m2.append(clamp(sm / S))
+        u2.append(clamp(su / (T - S)))
+    return clamp(S / T), m2, u2
 
 
 def _em_sql_level(prev: str | None) -> str:
@@ -2137,14 +2143,19 @@ def _em_sql_level(prev: str | None) -> str:
         gam.append(f"({num} / ({num} + ((1.0 - {p}) * {up})))")
     S = " + ".join(f"{gam[g]} * n{g}" for g in range(8))
     T = " + ".join(f"n{g}" for g in range(8))
-    cols = [f"(({S}) / ({T})) AS pm"]
+
+    def clamp(expr: str) -> str:
+        return f"LEAST(GREATEST({expr}, 1e-06), 0.999999)"
+
+    cols = [f"{clamp(f'(({S}) / ({T}))')} AS pm"]
     for i in range(3):
         sm = " + ".join(f"{gam[g]} * n{g}"
                         for g in range(8) if (g >> i) & 1)
         su = " + ".join(f"(1.0 - {gam[g]}) * n{g}"
                         for g in range(8) if (g >> i) & 1)
-        cols.append(f"(({sm}) / ({S})) AS m{i + 1}")
-        cols.append(f"(({su}) / (({T}) - ({S}))) AS u{i + 1}")
+        cols.append(f"{clamp(f'(({sm}) / ({S}))')} AS m{i + 1}")
+        cols.append(
+            f"{clamp(f'(({su}) / (({T}) - ({S})))')} AS u{i + 1}")
     return ", ".join(cols)
 
 
