@@ -967,7 +967,10 @@ def q_events_isotonic(sf_dir: str):
     cn = np.concatenate([[0], np.cumsum(n)]).astype(np.float64)
     # av[j, k] = mean(y[j..k]); IEEE division is bit-exact, min/max are
     # order-exact, so the vectorized minimax equals the SQL lattice
-    av = (cp[None, 1:] - cp[:B, None]) / (cn[None, 1:] - cn[:B, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # the k < j lower triangle divides by <= 0 and is overwritten
+        av = (cp[None, 1:] - cp[:B, None]) \
+            / (cn[None, 1:] - cn[:B, None])
     av[np.tril_indices(B, -1)] = math.inf  # k < j never participates
     mn = np.minimum.accumulate(av[:, ::-1], axis=1)[:, ::-1]
     fit = np.diagonal(np.maximum.accumulate(mn, axis=0)).tolist()
