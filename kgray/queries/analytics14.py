@@ -2265,6 +2265,328 @@ SELECT pat.*, {final} FROM pat, e2
 SQL_CUSTOMER_LINKAGE_EM = _linkage_em_sql()
 
 
+# ---------------------------------------------------------------------------
+# Cramer-von Mises two-sample statistic (L2 drift, exact integers)
+# ---------------------------------------------------------------------------
+
+
+def q_events_cvm(sf_dir: str):
+    """Exact two-sample Cramer-von Mises statistic between the click
+    and purchase value distributions — the L2 complement of KS (sup)
+    and Wasserstein (L1) already in the drift family.  Same
+    distinct-cents histogram fold as W1; the integer core is
+    t_scaled = sum over pooled values of (cumA*NB - cumB*NA)^2 *
+    (nA_v + nB_v), the pooled-weight L2 form; the classic normalized
+    T = t_scaled / (NA*NB*(NA+NB)^2 ... ) is left as the single final
+    division with identical operands.  Valid while NA^2*NB^2*(NA+NB)
+    < 2^63 x granularity — at larger scales keep the scaled integer
+    (it is the hash-checked value anyway)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def vals(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"v": c, "a": (t == "click").astype(np.int64),
+                           "b": (t == "purchase").astype(np.int64)})
+        g = df.groupby("v", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = pre_aggregate(
+        ev.map_batches(vals, batch_format="pyarrow"),
+        ["v"], {"a": ("a", "sum"), "b": ("b", "sum")},
+    ).to_pandas().sort_values("v", ignore_index=True)
+    na_v = g["a"].to_numpy(np.int64)
+    nb_v = g["b"].to_numpy(np.int64)
+    ca = np.cumsum(na_v)
+    cb = np.cumsum(nb_v)
+    na, nb = int(ca[-1]), int(cb[-1])
+    d = ca * nb - cb * na
+    # python ints: d^2 * weight sums exceed int64 at sf0.1
+    t_scaled = int(sum(int(x) * int(x) * int(w)
+                       for x, w in zip(d, na_v + nb_v)))
+    n = na + nb
+    return pa.table({
+        "n_click": pa.array([na], pa.int64()),
+        "n_purchase": pa.array([nb], pa.int64()),
+        "t_scaled": pa.array([str(t_scaled)], pa.string()),
+        "cvm_t": pa.array(
+            # float() FIRST: the oracle CASTs the HUGEINT to DOUBLE
+            # before dividing; python's exact-int true division would
+            # round differently in the last ulp
+            [float(round_half_up(
+                float(t_scaled) / (na * nb) / (na * nb) / n, 6))],
+            pa.float64()),
+    })
+
+
+SQL_EVENTS_CVM = """
+WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS t
+           FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (SELECT v,
+             CAST(SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM e GROUP BY 1),
+c AS (SELECT v, a, b, SUM(a) OVER (ORDER BY v) AS ca,
+             SUM(b) OVER (ORDER BY v) AS cb
+      FROM g),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM g),
+w AS (SELECT SUM((ca * t.nb - cb * t.na) * (ca * t.nb - cb * t.na)
+                 * (a + b)) AS ts
+      FROM c, t)
+SELECT t.na AS n_click, t.nb AS n_purchase,
+       CAST(w.ts AS VARCHAR) AS t_scaled,
+       ROUND(CAST(w.ts AS DOUBLE) / (t.na * t.nb) / (t.na * t.nb)
+             / (t.na + t.nb), 6) AS cvm_t
+FROM w, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (sequence-model train/eval)
+# ---------------------------------------------------------------------------
+
+
+def q_events_markov_acc(sf_dir: str):
+    """First-order Markov next-event model TRAINED on the md5 < '8'
+    user split and EVALUATED on the rest: prediction for state a is
+    the argmax transition count (ties to the lexicographically
+    smallest target), accuracy is the share of held-out consecutive
+    pairs the argmax gets right.  One user cogroup emits consecutive
+    (from, to) pairs with the split flag; everything after is a
+    |types|^2-row fold + integer arithmetic.  States unseen in
+    training drop from the eval on both sides (inner join
+    semantics)."""
+    from kgray.ops.sample import _md5_hex
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)
+        nxt = g["event_type"].shift(-1)
+        keep = nxt.notna()
+        users = df["user_id"].to_numpy()[keep.to_numpy()]
+        out = pd.DataFrame({
+            "a": df["event_type"].to_numpy()[keep.to_numpy()],
+            "b": nxt[keep].to_numpy(),
+            "train": pd.Series(
+                [h < "8" for h in _md5_hex(users.tolist())]),
+        })
+        r = out.groupby(["train", "a", "b"], sort=False).size() \
+            .reset_index(name="n")
+        r["n"] = r["n"].astype(np.int64)
+        return r
+
+    cnt = pre_aggregate(
+        grouped_map(ev, "user_id", pairs),
+        ["train", "a", "b"], {"n": ("n", "sum")},
+    ).to_pandas()  # <= 2 * |types|^2 rows
+    tr = cnt[cnt["train"]]
+    te = cnt[~cnt["train"]]
+    pred = {}
+    for a, grp in tr.groupby("a"):
+        g = grp.sort_values(["n", "b"], ascending=[False, True],
+                            kind="mergesort")
+        pred[a] = g["b"].iloc[0]
+    rows = []
+    for a in sorted(pred):
+        sub = te[te["a"] == a]
+        n_test = int(sub["n"].sum())
+        if n_test == 0:
+            continue
+        n_ok = int(sub.loc[sub["b"] == pred[a], "n"].sum())
+        rows.append((a, pred[a], n_test, n_ok,
+                     float(round_half_up(n_ok / n_test, 6))))
+    return pa.table({
+        "state": pa.array([r[0] for r in rows], pa.string()),
+        "predicted": pa.array([r[1] for r in rows], pa.string()),
+        "n_test": pa.array([r[2] for r in rows], pa.int64()),
+        "n_correct": pa.array([r[3] for r in rows], pa.int64()),
+        "acc": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_MARKOV_ACC = """
+WITH s AS (SELECT user_id, event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS b,
+                  md5(CAST(user_id AS VARCHAR)) < '8' AS train
+           FROM events),
+p AS (SELECT train, a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+pr AS (SELECT a, b AS predicted FROM (
+         SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+                        ORDER BY n DESC, b) AS rn
+         FROM p WHERE train) WHERE rn = 1),
+ev AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN b = pr.predicted THEN n ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+              MIN(pr.predicted) AS predicted
+       FROM p JOIN pr USING (a) WHERE NOT train GROUP BY a)
+SELECT a AS state, predicted, n_test, n_correct,
+       ROUND(CAST(n_correct AS DOUBLE) / n_test, 6) AS acc
+FROM ev ORDER BY state
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strengths from pairwise precedence outcomes
+# ---------------------------------------------------------------------------
+
+_BT_SLOTS = 6
+_BT_ITERS = 2
+
+
+def _bt_step(w, n):
+    """One MM iteration of Bradley-Terry on the slot-pivoted win
+    matrix n[i][j] (i beat j), guard-zeroed for absent slots; the
+    float ops mirror the generated SQL exactly (CASE guards included,
+    left-assoc sums in slot order)."""
+    K = _BT_SLOTS
+    w2 = []
+    for i in range(K):
+        W = 0
+        for j in range(K):
+            W = W + n[i][j]
+        den = 0.0
+        for j in range(K):
+            if j == i:
+                continue
+            tot = n[i][j] + n[j][i]
+            den = den + (tot / (w[i] + w[j]) if tot > 0 else 0.0)
+        w2.append(W / den if den > 0.0 else 0.0)
+    Z = 0.0
+    for i in range(K):
+        Z = Z + w2[i]
+    return [wi / Z if Z > 0.0 else 0.0 for wi in w2]
+
+
+def _bt_sql_level(prev: str | None) -> str:
+    K = _BT_SLOTS
+    if prev is None:
+        w = ["1.0"] * K
+    else:
+        w = [f"{prev}.w{i}" for i in range(K)]
+    raw = []
+    for i in range(K):
+        W = " + ".join(f"n{i}_{j}" for j in range(K))
+        terms = []
+        for j in range(K):
+            if j == i:
+                continue
+            tot = f"(n{i}_{j} + n{j}_{i})"
+            terms.append(
+                f"(CASE WHEN {tot} > 0 THEN CAST({tot} AS DOUBLE)"
+                f" / ({w[i]} + {w[j]}) ELSE 0.0 END)")
+        den = " + ".join(terms)
+        raw.append(f"(CASE WHEN ({den}) > 0.0 THEN ({W}) / ({den})"
+                   " ELSE 0.0 END)")
+    Z = " + ".join(raw)
+    cols = [
+        f"(CASE WHEN ({Z}) > 0.0 THEN {raw[i]} / ({Z}) ELSE 0.0 END)"
+        f" AS w{i}" for i in range(K)
+    ]
+    return ", ".join(cols)
+
+
+def q_events_bradley_terry(sf_dir: str):
+    """Bradley-Terry strength ranking of event types from pairwise
+    PRECEDENCE outcomes: type i 'beats' j for a user when the user's
+    first i-event strictly precedes their first j-event; 2 fixed MM
+    iterations turn the win matrix into normalized strengths.  Types
+    rank-pivot into 6 slots alphabetically (absent slots are
+    guard-zeroed CASEs so sparse fixtures can't divide by zero — the
+    linkage-EM clamp lesson as structure), and the float recurrence is
+    emitted by the SAME generator as the SQL.  The corpus pass is the
+    eventually-follows (user, type) first-time fold; everything after
+    is |types|^2 integers."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": batch["event_type"],
+            "us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    fl = pre_aggregate(
+        ev.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id", "t"], {"f": ("us", "min")},
+    )
+
+    def wins(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+        m = m[(m["t_a"] != m["t_b"]) & (m["f_a"] < m["f_b"])]
+        g = m.groupby(["t_a", "t_b"], sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cnt = pre_aggregate(
+        grouped_map(fl, "user_id", wins),
+        ["t_a", "t_b"], {"n": ("n", "sum")},
+    ).to_pandas()
+    types = sorted(set(cnt["t_a"]) | set(cnt["t_b"]))
+    assert len(types) <= _BT_SLOTS, "rank pivot supports <= 6 types"
+    idx = {t: i for i, t in enumerate(types)}
+    n = [[0] * _BT_SLOTS for _ in range(_BT_SLOTS)]
+    for r in cnt.itertuples():
+        n[idx[r.t_a]][idx[r.t_b]] = int(r.n)
+    w = [1.0] * _BT_SLOTS
+    for _ in range(_BT_ITERS):
+        w = _bt_step(w, n)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "strength": pa.array(
+            [float(round_half_up(w[idx[t]], 6)) for t in types],
+            pa.float64()),
+    })
+
+
+def _bt_sql() -> str:
+    K = _BT_SLOTS
+    pats = ", ".join(
+        f"CAST(COALESCE(SUM(n) FILTER (ri = {i} AND rj = {j}), 0)"
+        f" AS BIGINT) AS n{i}_{j}"
+        for i in range(K) for j in range(K))
+    lvls = []
+    prev = None
+    for it in range(1, _BT_ITERS + 1):
+        lvls.append(f"b{it} AS (SELECT {_bt_sql_level(prev)} FROM nm"
+                    + (f", {prev}" if prev else "") + ")")
+        prev = f"b{it}"
+    w_case = " ".join(f"WHEN {i} THEN b{_BT_ITERS}.w{i}"
+                      for i in range(K))
+    return f"""
+WITH f AS (SELECT user_id, event_type AS t, epoch_us(MIN(ts)) AS fu
+           FROM events GROUP BY 1, 2),
+ty AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT)
+              AS r
+       FROM (SELECT DISTINCT t FROM f)),
+wn AS (SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n
+       FROM f a JOIN f b ON a.user_id = b.user_id AND a.t <> b.t
+                AND a.fu < b.fu
+       GROUP BY 1, 2),
+nm AS (SELECT {pats} FROM wn
+       JOIN ty x ON wn.ta = x.t JOIN ty y ON wn.tb = y.t,
+       LATERAL (SELECT x.r AS ri, y.r AS rj) l),
+{", ".join(lvls)}
+SELECT ty.t AS event_type,
+       ROUND(CASE ty.r {w_case} END, 6) AS strength
+FROM ty, b{_BT_ITERS} ORDER BY 1
+"""
+
+
+SQL_EVENTS_BRADLEY_TERRY = _bt_sql()
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

@@ -285,6 +285,9 @@ QUERIES = {
     "orders_hw_forecast": ["orders"],
     "orders_fd_discovery": ["orders"],
     "customer_linkage_em": ["customer"],
+    "events_cvm": ["events"],
+    "events_markov_acc": ["events"],
+    "events_bradley_terry": ["events"],
 }
 
 
