@@ -616,6 +616,123 @@ def list_versions(path: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Multi-table transactions: one atomic commit point over several
+# manifested tables (a KG-construct run writes triples + entities +
+# canonical; readers need a CONSISTENT set, not whichever mix of
+# versions a crash left behind)
+# ---------------------------------------------------------------------------
+
+TXNS_DIR = "_txns"
+
+
+def _txns_dir(root: str) -> str:
+    return os.path.join(root, TXNS_DIR)
+
+
+def _existing_txns(root: str) -> dict[int, str]:
+    d = _txns_dir(root)
+    out: dict[int, str] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.startswith("t") and f.endswith(".json"):
+            try:
+                out[int(f[1:-5])] = os.path.join(d, f)
+            except ValueError:
+                continue
+    return out
+
+
+def commit_txn(root: str, tables: dict[str, str], note: str = "") -> dict:
+    """Atomically commit the CURRENT version of every listed table as
+    one named consistent set.  ``tables`` maps logical names to
+    manifested table dirs; each entry pins (path, version,
+    content_hash).  The txn file commits via tmp+rename, so it either
+    exists completely or not at all — table writes + snapshots happen
+    FIRST, and a crash anywhere before the rename leaves the previous
+    txn (and therefore a consistent older view) in force.  Data bytes
+    stay safe because pinned versions are ordinary snapshots; pass the
+    pinned set to :func:`expire_versions`'s ``protect`` when expiring
+    tables referenced by live txns (:func:`txn_pinned_versions`)."""
+    entries: dict[str, dict] = {}
+    for name, path in tables.items():
+        m = read_manifest(path)
+        if m is None or "version" not in m:
+            raise FileNotFoundError(
+                f"txn table {name!r}: no versioned manifest at {path}")
+        rel = os.path.relpath(path, root)
+        entries[name] = {
+            "path": path if rel.startswith("..") else rel,
+            "version": int(m["version"]),
+            "content_hash": manifest_content_hash(m),
+        }
+    txns = _existing_txns(root)
+    tid = (max(txns) + 1) if txns else 1
+    rec = {"txn": tid, "note": note, "tables": entries}
+    d = _txns_dir(root)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"t{tid:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(d, f"t{tid:06d}.json"))
+    return rec
+
+
+def list_txns(root: str) -> list[dict]:
+    out = []
+    for t in sorted(_existing_txns(root)):
+        with open(_existing_txns(root)[t]) as f:
+            out.append(json.load(f))
+    return out
+
+
+def latest_txn(root: str) -> dict | None:
+    txns = _existing_txns(root)
+    if not txns:
+        return None
+    with open(txns[max(txns)]) as f:
+        return json.load(f)
+
+
+def read_txn_table(root: str, name: str, txn: int | None = None,
+                   **read_kwargs):
+    """Read table ``name`` at the version pinned by txn ``txn`` (default
+    latest committed) — the cross-table-consistent face of
+    :func:`read_table`."""
+    rec = latest_txn(root) if txn is None else None
+    if txn is not None:
+        txns = _existing_txns(root)
+        if txn not in txns:
+            raise FileNotFoundError(f"txn {txn} not found under {root}")
+        with open(txns[txn]) as f:
+            rec = json.load(f)
+    if rec is None:
+        raise FileNotFoundError(f"no committed txn under {root}")
+    if name not in rec["tables"]:
+        raise KeyError(f"txn {rec['txn']} has no table {name!r}")
+    e = rec["tables"][name]
+    path = e["path"]
+    if not os.path.isabs(path):
+        path = os.path.join(root, path)
+    return read_table(path, version=e["version"], **read_kwargs)
+
+
+def txn_pinned_versions(root: str, table_path: str) -> set[int]:
+    """Versions of ``table_path`` pinned by ANY committed txn — pass to
+    :func:`expire_versions`'s ``protect``."""
+    out: set[int] = set()
+    ap = os.path.abspath(table_path)
+    for rec in list_txns(root):
+        for e in rec["tables"].values():
+            p = e["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(root, p)
+            if os.path.abspath(p) == ap:
+                out.add(int(e["version"]))
+    return out
+
+
 def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
     """Targeted delete (GDPR / right-to-be-forgotten primitive): remove
     all rows whose ``key_col`` value is in ``keys``, rewriting ONLY the
@@ -703,13 +820,18 @@ def delete_rows(path: str, keys, key_col: str | None = None) -> dict:
     )
 
 
-def expire_versions(path: str, keep_last: int = 1) -> int:
+def expire_versions(path: str, keep_last: int = 1,
+                    protect: set[int] | None = None) -> int:
     """Drop all but the newest ``keep_last`` snapshots and vacuum data
     files referenced by neither the current manifest nor a surviving
     snapshot (the Iceberg expire-snapshots + orphan-vacuum move).
-    Returns the number of snapshots dropped."""
+    ``protect`` (e.g. :func:`txn_pinned_versions`) exempts versions a
+    live multi-table txn still references.  Returns the number of
+    snapshots dropped."""
     vs = _existing_versions(path)
     drop = sorted(vs)[:-keep_last] if keep_last > 0 else sorted(vs)
+    if protect:
+        drop = [v for v in drop if v not in protect]
     for v in drop:
         try:
             os.remove(vs[v])

@@ -414,6 +414,15 @@ def kg_construct(
             stats_cols=("doc_id",),
             bloom_cols=("doc_id", "subject_canonical"),
         )
+    # one atomic commit point over the three tables: a crash anywhere
+    # above leaves the PREVIOUS txn's consistent view in force, so
+    # io.read_txn_table readers never see a triples/entities/canonical
+    # mix from different runs
+    io.commit_txn(out_dir, {
+        "triples": triples_dir,
+        "entities": ent_dir,
+        "triples_canonical": canon_dir,
+    }, note="kg_construct")
     return manifests
 
 
