@@ -53,3 +53,18 @@ def test_flat_namespace_compat():
         _query_vec,
         q_tpch_q1,
     )
+
+
+def test_operators_index_is_current(ray_session):
+    """OPERATORS.md (scripts/gen_operators.py) must list every
+    queries() entry — regenerate it when adding operators."""
+    import os
+
+    import __ray_entry__ as entry
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "OPERATORS.md")
+    with open(path) as f:
+        body = f.read()
+    missing = [n for n in entry.queries() if f"`{n}`" not in body]
+    assert not missing, f"regenerate OPERATORS.md: missing {missing[:5]}"
