@@ -284,6 +284,9 @@ def q_blocking_eval(sf_dir: str):
     ))
 
     def per_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        # emits in-prefix window PAIRS (corpus-scale: they STAY in the
+        # dataset — only the <= 4-per-prefix boundary rows return to
+        # the driver) already normalized to pk = "min|max"
         out = []
         for p, grp in df.groupby("p", sort=False):
             g = grp.sort_values(["text", "doc_id"], kind="mergesort")
@@ -291,39 +294,42 @@ def q_blocking_eval(sf_dir: str):
             n = len(g)
             for w in (1, 2):
                 if n > w:
+                    u = np.minimum(keys[:-w], keys[w:])
+                    v = np.maximum(keys[:-w], keys[w:])
                     out.append(pd.DataFrame(
-                        {"k1": keys[:-w], "k2": keys[w:],
-                         "is_pair": 1, "rank": -1, "p": ""}))
+                        {"pk": [f"{a}|{b_}" for a, b_ in zip(u, v)],
+                         "is_pair": 1, "rank": -1, "p": "",
+                         "k": 0}))
             sel = np.zeros(n, bool)
             sel[:2] = True
             sel[max(n - 2, 0):] = True
             ranks = offsets[p] + np.flatnonzero(sel) + 1
             out.append(pd.DataFrame(
-                {"k1": keys[sel], "k2": -1, "is_pair": 0,
-                 "rank": ranks, "p": p}))
+                {"pk": "", "is_pair": 0, "rank": ranks, "p": p,
+                 "k": keys[sel]}))
         return pd.concat(out) if out else pd.DataFrame(
-            {"k1": [], "k2": [], "is_pair": [], "rank": [], "p": []})
+            {"pk": pd.array([], dtype="str"),
+             "is_pair": pd.array([], dtype="int64"),
+             "rank": pd.array([], dtype="int64"),
+             "p": pd.array([], dtype="str"),
+             "k": pd.array([], dtype="int64")})
 
-    rows = grouped_map(dp, "p", per_prefix).to_pandas()
-    pairs = rows[rows["is_pair"] == 1][["k1", "k2"]]
-    b = rows[rows["is_pair"] == 0].sort_values("rank")
+    rows = grouped_map(dp, "p", per_prefix).materialize()
+    b = rows.filter(expr="is_pair == 0") \
+        .to_pandas().sort_values("rank")  # <= 4 rows per prefix
     br = b["rank"].to_numpy(np.int64)
-    bk = b["k1"].to_numpy(np.int64)
+    bk = b["k"].to_numpy(np.int64)
     bp = b["p"].to_numpy()
-    cross = []
+    cross_pk = []
     for w in (1, 2):
         if len(b) > w:
             close = (br[w:] - br[:-w] <= 2) & (bp[w:] != bp[:-w])
-            cross.append(pd.DataFrame(
-                {"k1": bk[:-w][close], "k2": bk[w:][close]}))
-    allp = pd.concat([pairs] + cross, ignore_index=True)
-    u = np.minimum(allp["k1"].to_numpy(np.int64),
-                   allp["k2"].to_numpy(np.int64))
-    v = np.maximum(allp["k1"].to_numpy(np.int64),
-                   allp["k2"].to_numpy(np.int64))
-    cand = rd.from_arrow(pa.table(
-        {"pk": pa.array([f"{a}|{b_}" for a, b_ in zip(u, v)],
-                        pa.string())}))
+            u = np.minimum(bk[:-w][close], bk[w:][close])
+            v = np.maximum(bk[:-w][close], bk[w:][close])
+            cross_pk.extend(f"{a}|{b_}" for a, b_ in zip(u, v))
+    cand = rows.filter(expr="is_pair == 1").select_columns(["pk"]) \
+        .union(rd.from_arrow(pa.table(
+            {"pk": pa.array(cross_pk, pa.string())})))
 
     gold = ngram_jaccard_pairs(docs, tau=0.8)
 
@@ -334,9 +340,10 @@ def q_blocking_eval(sf_dir: str):
             [f"{a}|{b_}" for a, b_ in zip(uu, vv)], pa.string())})
 
     gk = gold.map_batches(gold_keys, batch_format="pyarrow").materialize()
+    cand = cand.materialize()
     n_hit = semi_join(gk, cand, on="pk").count()
     n_golden = gk.count()
-    n_cand = len(allp)
+    n_cand = cand.count()
     n_docs = dp.count()
     comb = n_docs * (n_docs - 1) // 2
     return pa.table({
