@@ -2594,6 +2594,67 @@ FROM ty, b{_BT_ITERS} ORDER BY 1
 SQL_EVENTS_BRADLEY_TERRY = _bt_sql()
 
 
+# ---------------------------------------------------------------------------
+# Keyless band self-join: near-identical order totals
+# ---------------------------------------------------------------------------
+
+
+def q_orders_price_twins(sf_dir: str):
+    """Order pairs whose totals differ by <= 5 cents
+    (joins.band_self_join — the keyless |a-b| <= d theta-join via
+    width-delta bucket replication; the naive SQL BETWEEN form
+    nested-loops for minutes, so the oracle uses the same rewrite),
+    aggregated to per-$1000-band pair counts and total absolute gap.
+    Integer cents end-to-end."""
+    from kgray.ops.joins import band_self_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"k": batch["o_orderkey"], "c": pa.array(c)})
+
+    pairs = band_self_join(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        id_col="k", value_col="c", delta=5)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": pc.divide(batch["vmin"], pa.scalar(100_000,
+                                                       pa.int64())),
+            "d": batch["d"],
+        })
+
+    out = pre_aggregate(
+        pairs.map_batches(bands, batch_format="pyarrow"),
+        ["band"], {"n_pairs": (None, "count"), "gap_c": ("d", "sum")},
+    ).materialize()
+    if out.count() == 0:
+        # typed empty: sparse corpora can genuinely have no twin pairs
+        # and a schema-less empty dataset can't be compared
+        return pa.table({"band": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "gap_c": pa.array([], pa.int64())})
+    return out
+
+
+SQL_ORDERS_PRICE_TWINS = """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+rep AS (SELECT k, c, c // 5 AS nb, c // 5 + g.g AS g
+        FROM o, (VALUES (0), (1)) g(g)),
+pr AS (SELECT LEAST(a.c, b.c) AS vmin, abs(a.c - b.c) AS d
+       FROM rep a JOIN rep b ON a.g = b.g AND a.k < b.k
+       WHERE abs(a.c - b.c) <= 5 AND GREATEST(a.nb, b.nb) = a.g)
+SELECT vmin // 100000 AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d) AS BIGINT) AS gap_c
+FROM pr GROUP BY 1 ORDER BY 1
+"""
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

@@ -52,6 +52,30 @@ def test_interval_join_matches_brute_force(left, right):
     assert got_set == _brute_overlaps(left, right)
 
 
+vals_strat = st.lists(st.integers(0, 60), min_size=1, max_size=25)
+
+
+@given(vals_strat, st.integers(1, 7))
+@settings(max_examples=25, deadline=None)
+def test_band_self_join_matches_brute_force(vals, delta):
+    import ray.data as rd
+
+    from kgray.ops.joins import band_self_join
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(len(vals), dtype=np.int64), "c": vals}))
+    got = band_self_join(ds, "k", "c", delta).to_pandas()
+    got_set = {(r.u, r.v, r.d, r.vmin) for r in got.itertuples()}
+    want = set()
+    for a in range(len(vals)):
+        for b in range(a + 1, len(vals)):
+            if abs(vals[a] - vals[b]) <= delta:
+                want.add((min(a, b), max(a, b),
+                          abs(vals[a] - vals[b]),
+                          min(vals[a], vals[b])))
+    assert got_set == want
+
+
 def _brute_matching(pairs, rounds=3):
     e = sorted({(min(u, v), max(u, v)) for u, v in pairs if u != v})
     out = set()

@@ -288,6 +288,7 @@ QUERIES = {
     "events_cvm": ["events"],
     "events_markov_acc": ["events"],
     "events_bradley_terry": ["events"],
+    "orders_price_twins": ["orders"],
 }
 
 
