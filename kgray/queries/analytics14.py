@@ -2655,6 +2655,118 @@ FROM pr GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Integer-exact MMR (maximal marginal relevance) diversity re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+
+
+def _q127(m: np.ndarray) -> np.ndarray:
+    """floor(x*127 + 0.5) on float64 — the pinned quantize grid; dot
+    products of these integer-valued vectors stay < 2^53, so their
+    sums are EXACT in any engine and any summation order."""
+    return np.floor(m.astype(np.float64) * 127.0 + 0.5)
+
+
+def q_embed_mmr(sf_dir: str):
+    """Maximal-marginal-relevance top-5 for query vec 0: pick k =
+    argmax of 2*rel(x) - max_{s in picked} sim(x, s) (lambda = 2/3 as
+    the integer combo 2*rel - maxsim; the first pick is pure rel) —
+    the diversity-aware re-ranking every RAG stack bolts onto ANN.
+    Iterative float argmax over raw cosines would flip on ulps, so
+    similarities are integer dot products on the floor(x*127 + 0.5)
+    grid (order-exact even through float accumulation).  Each round is
+    one broadcast-selected-set scan with batch-local argmax
+    (greedy-cover shape); the oracle unrolls K selection levels."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fetch_q(vid: int) -> np.ndarray:
+        t = emb.filter(expr=f"vec_id == {vid}") \
+            .take_batch(1, batch_format="pyarrow")
+        return _q127(_matrix(t, "embedding"))[0]
+
+    qv = fetch_q(0)
+    picked: list[tuple[int, int]] = []  # (vec_id, score)
+    sel_vecs: list[np.ndarray] = []
+    for _ in range(_MMR_K):
+        sel = np.array(sel_vecs) if sel_vecs else None
+        pids = [p for p, _ in picked]
+
+        def best(batch: pa.Table) -> pa.Table:
+            m = _q127(_matrix(batch, "embedding"))
+            vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            keep = vid != 0
+            for p in pids:
+                keep &= vid != p
+            if not keep.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64())})
+            m = m[keep]
+            vid = vid[keep]
+            rel = (m @ qv).astype(np.int64)
+            if sel is None:
+                score = rel
+            else:
+                score = 2 * rel - (m @ sel.T).max(axis=1).astype(
+                    np.int64)
+            i = np.lexsort((vid, -score))[0]
+            return pa.table({"vec_id": pa.array([int(vid[i])]),
+                             "score": pa.array([int(score[i])])})
+
+        cands = emb.map_batches(
+            best, batch_format="pyarrow").to_pandas()  # batches-scale
+        cands = cands.sort_values(["score", "vec_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        win = int(cands["vec_id"].iloc[0])
+        picked.append((win, int(cands["score"].iloc[0])))
+        sel_vecs.append(fetch_q(win))
+    return pa.table({
+        "rank": pa.array(range(1, _MMR_K + 1), pa.int64()),
+        "vec_id": pa.array([p for p, _ in picked], pa.int64()),
+        "score": pa.array([s for _, s in picked], pa.int64()),
+    })
+
+
+def _mmr_sql(k: int = _MMR_K) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 127 + 0.5)) AS q
+  FROM embeddings)""",
+        """r AS MATERIALIZED (
+  SELECT vec_id, e.q,
+         list_dot_product(e.q, (SELECT q FROM e WHERE vec_id = 0))
+           AS rel
+  FROM e WHERE vec_id <> 0)""",
+        """p1 AS MATERIALIZED (
+  SELECT vec_id, q, rel, rel AS sc FROM r
+  ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        excl = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, i))
+        sims = ", ".join(
+            f"list_dot_product(r.q, (SELECT q FROM p{j}))"
+            for j in range(1, i))
+        mx = sims if i == 2 else f"GREATEST({sims})"
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT vec_id, q, rel, 2 * rel - {mx} AS sc FROM r
+  WHERE vec_id NOT IN ({excl})
+  ORDER BY sc DESC, vec_id LIMIT 1)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id,"
+        f" CAST(sc AS BIGINT) AS score FROM p{i}"
+        for i in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"
+
+
+SQL_EMBED_MMR = _mmr_sql()
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

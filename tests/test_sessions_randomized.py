@@ -289,6 +289,7 @@ QUERIES = {
     "events_markov_acc": ["events"],
     "events_bradley_terry": ["events"],
     "orders_price_twins": ["orders"],
+    "embed_mmr": ["embeddings"],
 }
 
 
