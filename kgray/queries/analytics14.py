@@ -2767,6 +2767,122 @@ def _mmr_sql(k: int = _MMR_K) -> str:
 SQL_EMBED_MMR = _mmr_sql()
 
 
+# ---------------------------------------------------------------------------
+# Facility-location (coverage) selection over embeddings
+# ---------------------------------------------------------------------------
+
+_FL_K = 5
+_FL_CANDS = 50
+
+
+def q_embed_facility_loc(sf_dir: str):
+    """Facility-location data selection: from the 50-candidate pool
+    (vec_id < 50) greedily pick 5 representatives maximizing the
+    corpus coverage objective sum_x max_{s in S} sim(x, s) — the
+    coreset-selection twin of docs_greedy_cover with geometric
+    coverage instead of vocabulary.  Similarities are int8-grid dot
+    products (order-exact integer sums, the MMR trick), so the greedy
+    argmax never flips on ulps.  Each round is ONE corpus scan with
+    the candidate matrix broadcast (per-batch partial gain sums per
+    candidate — a 50-float... 50-INTEGER fold); coverage is recomputed
+    from the <= 5 selected vectors instead of carrying per-row state.
+    The oracle unrolls K greedy levels over the same integer sums."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    cand_t = emb.filter(expr=f"vec_id < {_FL_CANDS}") \
+        .take_batch(_FL_CANDS, batch_format="pyarrow")
+    cand_ids = np.asarray(cand_t["vec_id"].to_numpy(
+        zero_copy_only=False), np.int64)
+    order = np.argsort(cand_ids)
+    cand_ids = cand_ids[order]
+    C = _q127(_matrix(cand_t, "embedding"))[order]  # (50, d)
+
+    picked: list[int] = []
+    gains: list[int] = []
+    for _ in range(_FL_K):
+        sel = C[[int(np.searchsorted(cand_ids, p)) for p in picked]] \
+            if picked else None
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = _q127(_matrix(batch, "embedding"))
+            dots = (m @ C.T).astype(np.int64)  # (rows, 50)
+            if sel is None:
+                cov = np.zeros(len(m), np.int64)
+            else:
+                # empty-set coverage is 0 and stays a floor (the
+                # standard monotone submodular form; without it a
+                # negative-similarity facility would LOWER coverage)
+                cov = np.maximum(
+                    (m @ sel.T).max(axis=1).astype(np.int64), 0)
+            tot = np.maximum(dots, cov[:, None]).sum(axis=0)
+            base = int(cov.sum())
+            return pa.table({
+                "ci": pa.array(np.arange(_FL_CANDS, dtype=np.int64)),
+                "s": pa.array(tot.astype(np.int64)),
+                "b": pa.array(np.full(_FL_CANDS, base, np.int64)),
+            })
+
+        agg = pre_aggregate(
+            emb.map_batches(partial, batch_format="pyarrow"),
+            ["ci"], {"s": ("s", "sum"), "b": ("b", "sum")},
+        ).to_pandas().sort_values("ci", ignore_index=True)
+        gain = (agg["s"] - agg["b"]).to_numpy(np.int64)
+        free = ~np.isin(cand_ids, np.array(picked, np.int64))
+        g_f, id_f = gain[free], cand_ids[free]
+        # NB -gain on a sentinel int64.min wraps back to int64.min —
+        # filter picked candidates out instead of masking
+        i = int(np.lexsort((id_f, -g_f))[0])
+        picked.append(int(id_f[i]))
+        gains.append(int(g_f[i]))
+    return pa.table({
+        "rank": pa.array(range(1, _FL_K + 1), pa.int64()),
+        "vec_id": pa.array(picked, pa.int64()),
+        "gain": pa.array(gains, pa.int64()),
+    })
+
+
+def _fl_sql(k: int = _FL_K) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 127 + 0.5)) AS q
+  FROM embeddings)""",
+        f"cand AS MATERIALIZED (SELECT vec_id, q FROM e"
+        f" WHERE vec_id < {_FL_CANDS})",
+        """d AS MATERIALIZED (
+  SELECT e.vec_id AS x, cand.vec_id AS c,
+         CAST(list_dot_product(e.q, cand.q) AS BIGINT) AS s
+  FROM e, cand)""",
+        "cov0 AS (SELECT vec_id AS x, CAST(0 AS BIGINT) AS cv FROM e)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        excl = ("" if i == 1 else
+                " WHERE d.c NOT IN (" + " UNION ALL ".join(
+                    f"SELECT c FROM p{j}" for j in range(1, i)) + ")")
+        ctes.append(
+            f"""g{i} AS (SELECT d.c,
+       CAST(SUM(GREATEST(d.s, cov{p}.cv) - cov{p}.cv) AS BIGINT)
+         AS gain
+       FROM d JOIN cov{p} ON d.x = cov{p}.x{excl} GROUP BY 1)""")
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT c, gain FROM g{i}"
+            " ORDER BY gain DESC, c LIMIT 1)")
+        ctes.append(
+            f"""cov{i} AS MATERIALIZED (
+  SELECT cov{p}.x, GREATEST(cov{p}.cv, d.s) AS cv
+  FROM cov{p} JOIN d ON d.x = cov{p}.x
+  JOIN p{i} ON d.c = p{i}.c)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, c AS vec_id, gain"
+        f" FROM p{i}" for i in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"
+
+
+SQL_EMBED_FACILITY_LOC = _fl_sql()
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

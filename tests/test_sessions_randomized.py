@@ -290,6 +290,7 @@ QUERIES = {
     "events_bradley_terry": ["events"],
     "orders_price_twins": ["orders"],
     "embed_mmr": ["embeddings"],
+    "embed_facility_loc": ["embeddings"],
 }
 
 
