@@ -2883,6 +2883,149 @@ def _fl_sql(k: int = _FL_K) -> str:
 SQL_EMBED_FACILITY_LOC = _fl_sql()
 
 
+# ---------------------------------------------------------------------------
+# Entropic optimal transport (Sinkhorn) between value-band histograms
+# ---------------------------------------------------------------------------
+
+_SK_B = 8
+_SK_ITERS = 2
+
+
+def _sk_step(u, v, a, b, K):
+    """One Sinkhorn iteration, float ops in generator order: u_i =
+    a_i / sum_j K_ij v_j (left fold over j), then v_j = b_j /
+    sum_i K_ij u_i with the FRESH u."""
+    B = _SK_B
+    u2 = []
+    for i in range(B):
+        s = 0.0
+        for j in range(B):
+            s = s + K[i][j] * v[j]
+        u2.append(a[i] / s)
+    v2 = []
+    for j in range(B):
+        s = 0.0
+        for i in range(B):
+            s = s + K[i][j] * u2[i]
+        v2.append(b[j] / s)
+    return u2, v2
+
+
+def q_events_sinkhorn(sf_dir: str):
+    """Entropic optimal transport between the click and purchase
+    $50-band value histograms: 2 Sinkhorn iterations on the 8x8
+    kernel K_ij = exp(-|i-j|) (epsilon = 1), reporting the resulting
+    transport-plan cost sum_ij u_i K_ij v_j |i-j| — the computational
+    OT face next to the closed-form W1.  Band masses are identical
+    integer divisions; every exp is the SAME libm call in both
+    engines (the time-decay lesson) and every cross-band sum an
+    explicit left fold emitted by the shared generator (_sk_step ==
+    the generated SQL level by level)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def bands(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        band = np.minimum(c // 5000, _SK_B - 1)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"band": band,
+                           "a": (t == "click").astype(np.int64),
+                           "b": (t == "purchase").astype(np.int64)})
+        g = df.groupby("band", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = pre_aggregate(
+        ev.map_batches(bands, batch_format="pyarrow"),
+        ["band"], {"a": ("a", "sum"), "b": ("b", "sum")},
+    ).to_pandas().set_index("band")
+    na_v = [int(g["a"].get(i, 0)) for i in range(_SK_B)]
+    nb_v = [int(g["b"].get(i, 0)) for i in range(_SK_B)]
+    NA, NB = sum(na_v), sum(nb_v)
+    a = [n / NA for n in na_v]
+    b = [n / NB for n in nb_v]
+    K = [[math.exp(-abs(i - j)) for j in range(_SK_B)]
+         for i in range(_SK_B)]
+    u = [1.0] * _SK_B
+    v = [1.0] * _SK_B
+    for _ in range(_SK_ITERS):
+        u, v = _sk_step(u, v, a, b, K)
+    cost = 0.0
+    for i in range(_SK_B):
+        for j in range(_SK_B):
+            cost = cost + u[i] * K[i][j] * v[j] * abs(i - j)
+    return pa.table({
+        "n_click": pa.array([NA], pa.int64()),
+        "n_purchase": pa.array([NB], pa.int64()),
+        "sinkhorn_cost": pa.array(
+            [float(round_half_up(cost, 6))], pa.float64()),
+        **{f"u{i}": pa.array([float(round_half_up(u[i], 6))])
+           for i in range(_SK_B)},
+    })
+
+
+def _sk_sql() -> str:
+    B = _SK_B
+
+    def K(i, j):
+        return f"exp(CAST({-abs(i - j)} AS DOUBLE))"
+
+    # histogram CTE pivots band masses into a0..a7 / b0..b7 columns
+    hist = ", ".join(
+        f"CAST(COALESCE(SUM(a) FILTER (band = {i}), 0) AS BIGINT)"
+        f" AS na{i}, "
+        f"CAST(COALESCE(SUM(b) FILTER (band = {i}), 0) AS BIGINT)"
+        f" AS nb{i}"
+        for i in range(B))
+    tot_a = " + ".join(f"na{i}" for i in range(B))
+    tot_b = " + ".join(f"nb{i}" for i in range(B))
+    probs = ", ".join(
+        f"CAST(na{i} AS DOUBLE) / ({tot_a}) AS a{i}, "
+        f"CAST(nb{i} AS DOUBLE) / ({tot_b}) AS b{i}"
+        for i in range(B))
+    lvls = []
+    u = ["1.0"] * B
+    v = ["1.0"] * B
+    for it in range(1, _SK_ITERS + 1):
+        prev = f"s{it - 1}" if it > 1 else "pr"
+        un = []
+        for i in range(B):
+            s = " + ".join(f"{K(i, j)} * {v[j]}" for j in range(B))
+            un.append(f"(pr.a{i} / ({s}))")
+        vn = []
+        for j in range(B):
+            s = " + ".join(f"{K(i, j)} * {un[i]}" for i in range(B))
+            vn.append(f"(pr.b{j} / ({s}))")
+        cols = (", ".join(f"{un[i]} AS u{i}" for i in range(B)) + ", "
+                + ", ".join(f"{vn[j]} AS v{j}" for j in range(B)))
+        lvls.append(f"s{it} AS (SELECT {cols} FROM pr"
+                    + (f", s{it - 1}" if it > 1 else "") + ")")
+        u = [f"s{it}.u{i}" for i in range(B)]
+        v = [f"s{it}.v{j}" for j in range(B)]
+    cost = " + ".join(
+        f"{u[i]} * {K(i, j)} * {v[j]} * {abs(i - j)}"
+        for i in range(B) for j in range(B) if i != j)
+    outs = ", ".join(f"ROUND({u[i]}, 6) AS u{i}" for i in range(B))
+    return f"""
+WITH e AS (SELECT LEAST(CAST(round(value * 100) AS BIGINT) // 5000,
+                        {B - 1}) AS band,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS b
+           FROM events WHERE event_type IN ('click', 'purchase')),
+h AS (SELECT {hist} FROM e),
+pr AS (SELECT h.*, {probs} FROM h),
+{", ".join(lvls)}
+SELECT ({tot_a}) AS n_click, ({tot_b}) AS n_purchase,
+       ROUND({cost}, 6) AS sinkhorn_cost, {outs}
+FROM pr, s{_SK_ITERS}
+"""
+
+
+SQL_EVENTS_SINKHORN = _sk_sql()
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

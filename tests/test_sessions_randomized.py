@@ -291,6 +291,7 @@ QUERIES = {
     "orders_price_twins": ["orders"],
     "embed_mmr": ["embeddings"],
     "embed_facility_loc": ["embeddings"],
+    "events_sinkhorn": ["events"],
 }
 
 
