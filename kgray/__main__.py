@@ -181,6 +181,17 @@ def main(argv: list[str] | None = None) -> int:
                                      "(optional pruning, with --register)")
     r.set_defaults(fn=_cmd_refresh)
 
+    t = sub.add_parser(
+        "txn",
+        help="multi-table transactions: list the commit chain of an "
+             "output dir, or show the table versions a txn pins",
+    )
+    t.add_argument("root", help="directory holding _txns/ (e.g. a "
+                                "kg_construct output)")
+    t.add_argument("--show", type=int, metavar="ID",
+                   help="print one txn's pinned table set")
+    t.set_defaults(fn=_cmd_txn)
+
     q = sub.add_parser(
         "query",
         help="run one catalog query over a testdata dir (or --list them)",
@@ -198,6 +209,25 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_txn(args) -> int:
+    import json as _json
+
+    from kgray import io as kio
+
+    if args.show is not None:
+        txns = {r["txn"]: r for r in kio.list_txns(args.root)}
+        if args.show not in txns:
+            print(f"txn {args.show} not found")
+            return 1
+        print(_json.dumps(txns[args.show], indent=1, sort_keys=True))
+        return 0
+    for r in kio.list_txns(args.root):
+        tables = ", ".join(
+            f"{n}@v{e['version']}" for n, e in sorted(r["tables"].items()))
+        print(f"txn {r['txn']}: {r.get('note', '')} [{tables}]")
+    return 0
 
 
 def _cmd_refresh(args) -> int:

@@ -3026,6 +3026,89 @@ FROM pr, s{_SK_ITERS}
 SQL_EVENTS_SINKHORN = _sk_sql()
 
 
+# ---------------------------------------------------------------------------
+# AR(1) fit per event type (Yule-Walker on exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def q_events_ar1(sf_dir: str):
+    """AR(1) coefficient of each type's daily cents series by
+    Yule-Walker: phi = lag-1 autocovariance / variance, both computed
+    from EXACT integer moments over the gap-filled day grid (sum x,
+    sum x^2, sum x_t*x_{t-1}, n — the raw-moment discipline from
+    Welch t).  One (type, day) fold; the lag pairing and the final two
+    divisions run on the days-scale series with identical operands in
+    both engines."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def day_cents(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"t": batch["event_type"],
+                         "day": pa.array(us // 86_400_000_000),
+                         "c": pa.array(c)})
+
+    g = pre_aggregate(
+        ev.map_batches(day_cents, batch_format="pyarrow"),
+        ["t", "day"], {"x": ("c", "sum")},
+    ).to_pandas()  # (types x days)-scale
+    lo, hi = int(g["day"].min()), int(g["day"].max())
+    n_days = hi - lo + 1
+    rows = []
+    for t, grp in sorted(g.groupby("t")):
+        x = np.zeros(n_days, np.int64)
+        x[grp["day"].to_numpy(np.int64) - lo] = \
+            grp["x"].to_numpy(np.int64)
+        n = n_days - 1  # lag pairs
+        sx = int(x[:-1].sum())
+        sy = int(x[1:].sum())
+        sxx = int((x[:-1].astype(object) ** 2).sum())
+        sxy = int((x[:-1].astype(object) * x[1:].astype(object)).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        # float() each side first: moments can exceed 2^53 and the
+        # oracle CASTs to DOUBLE before dividing (the CvM lesson)
+        rows.append((t, n, float(round_half_up(
+            float(num) / float(den), 6))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "phi": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_AR1 = """
+WITH e AS (SELECT event_type AS t,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+cal AS (SELECT t.t, b.lo + g.g AS day FROM
+        (SELECT DISTINCT t FROM e) t, b,
+        (SELECT unnest(range(0, (SELECT hi - lo + 1 FROM b))) AS g) g),
+d AS (SELECT cal.t, cal.day, CAST(COALESCE(s.x, 0) AS BIGINT) AS x
+      FROM cal LEFT JOIN (SELECT t, day, SUM(c) AS x FROM e
+                          GROUP BY 1, 2) s
+      ON cal.t = s.t AND cal.day = s.day),
+lagd AS (SELECT t, x,
+                lag(x) OVER (PARTITION BY t ORDER BY day) AS px
+         FROM d),
+m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(px) AS BIGINT) AS sx,
+             CAST(SUM(x) AS BIGINT) AS sy,
+             CAST(SUM(px * px) AS BIGINT) AS sxx,
+             CAST(SUM(px * x) AS BIGINT) AS sxy
+      FROM lagd WHERE px IS NOT NULL GROUP BY 1)
+SELECT t AS event_type, n AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS phi
+FROM m ORDER BY 1
+"""
+
+
 def _fd_sql() -> str:
     parts = []
     for a in _FD_COLS:

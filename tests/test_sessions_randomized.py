@@ -292,6 +292,7 @@ QUERIES = {
     "embed_mmr": ["embeddings"],
     "embed_facility_loc": ["embeddings"],
     "events_sinkhorn": ["events"],
+    "events_ar1": ["events"],
 }
 
 
