@@ -3080,6 +3080,87 @@ def q_events_ar1(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# Weekly periodogram power (frequency-domain seasonality detection)
+# ---------------------------------------------------------------------------
+
+
+def q_events_weekly_power(sf_dir: str):
+    """Spectral power of each type's daily cents series at the weekly
+    frequency — the periodogram face of seasonality detection:
+    P = (sum_t x_t cos(2*pi*t/7))^2 + (sin...)^2.  A direct float sum
+    over thousands of days is summation-order-sensitive, so the series
+    folds to SEVEN exact integer residue-class sums S_r (t mod 7)
+    first and the trig mixing is a 7-term explicit left fold of
+    cos(2*pi*r/7) * S_r — identical libm calls and fold order in both
+    engines."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"t": batch["event_type"],
+                         "r": pa.array((us // 86_400_000_000) % 7),
+                         "c": pa.array(c)})
+
+    g = pre_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["t", "r"], {"s": ("c", "sum")},
+    ).to_pandas()  # |types| x 7 rows
+    rows = []
+    for t, grp in sorted(g.groupby("t")):
+        S = [0] * 7
+        for rr in grp.itertuples():
+            S[int(rr.r)] = int(rr.s)
+        cr = 0.0
+        si = 0.0
+        tot = 0
+        for r in range(7):
+            ang = 2.0 * math.pi * r / 7.0
+            cr = cr + math.cos(ang) * S[r]
+            si = si + math.sin(ang) * S[r]
+            tot = tot + S[r]
+        power = cr * cr + si * si
+        # normalize by total^2: the raw power's 4-decimal round sits
+        # past double precision at ~1e11 magnitude (measured one-ulp
+        # flip); the O(1e-3) amplitude share rounds cleanly
+        rows.append((t, tot,
+                     float(round_half_up(power / (tot * tot), 6))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "total_c": pa.array([r[1] for r in rows], pa.int64()),
+        "weekly_amp2": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _weekly_power_sql() -> str:
+    cr = " + ".join(
+        f"cos(2.0 * pi() * {r} / 7.0) * s{r}" for r in range(7))
+    si = " + ".join(
+        f"sin(2.0 * pi() * {r} / 7.0) * s{r}" for r in range(7))
+    tot = " + ".join(f"s{r}" for r in range(7))
+    pats = ", ".join(
+        f"CAST(COALESCE(SUM(c) FILTER (r = {r}), 0) AS BIGINT) AS s{r}"
+        for r in range(7))
+    return f"""
+WITH e AS (SELECT event_type AS t,
+                  (epoch_us(ts) // 86400000000) % 7 AS r,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+p AS (SELECT t, {pats} FROM e GROUP BY 1)
+SELECT t AS event_type, CAST({tot} AS BIGINT) AS total_c,
+       ROUND((({cr}) * ({cr}) + ({si}) * ({si}))
+             / (CAST({tot} AS DOUBLE) * ({tot})), 6) AS weekly_amp2
+FROM p ORDER BY 1
+"""
+
+
+SQL_EVENTS_WEEKLY_POWER = _weekly_power_sql()
+
+
 SQL_EVENTS_AR1 = """
 WITH e AS (SELECT event_type AS t,
                   epoch_us(ts) // 86400000000 AS day,

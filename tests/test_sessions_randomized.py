@@ -293,6 +293,7 @@ QUERIES = {
     "embed_facility_loc": ["embeddings"],
     "events_sinkhorn": ["events"],
     "events_ar1": ["events"],
+    "events_weekly_power": ["events"],
 }
 
 
