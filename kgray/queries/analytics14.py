@@ -3161,6 +3161,154 @@ FROM p ORDER BY 1
 SQL_EVENTS_WEEKLY_POWER = _weekly_power_sql()
 
 
+# ---------------------------------------------------------------------------
+# Burstiness + memory of inter-arrival times (Goh-Barabasi)
+# ---------------------------------------------------------------------------
+
+
+def q_events_burstiness(sf_dir: str):
+    """Goh-Barabasi temporal dynamics per event type: burstiness
+    B = (sigma - mu)/(sigma + mu) of the per-(user, type)
+    inter-arrival times and memory M = Pearson correlation of
+    consecutive inter-arrivals — the human-dynamics signature pair.
+    Inter-arrivals quantize to whole MINUTES so every raw moment fits
+    int64 (microsecond squares would need 128-bit); one user cogroup
+    emits 9 integer moment partials per type, and the driver applies
+    the identical float-first formula trees the SQL uses (each HUGEINT
+    moment CASTs to DOUBLE before any arithmetic — the CvM rule).
+    Degenerate types (zero variance) emit NULL on both sides."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        df["us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        g = df.groupby(["user_id", "event_type"], sort=False)
+        d = (df["us"] - g["us"].shift()) // 60_000_000
+        df["d"] = d
+        pd_ = df.groupby(["user_id", "event_type"], sort=False)["d"] \
+            .shift()
+        t = df["event_type"].to_numpy()
+        have_d = d.notna().to_numpy()
+        have_p = (pd_.notna() & d.notna()).to_numpy()
+        dd = d.to_numpy()[have_d].astype(np.int64)
+        td = t[have_d]
+        x = pd_.to_numpy()[have_p].astype(np.int64)
+        y = d.to_numpy()[have_p].astype(np.int64)
+        tp = t[have_p]
+        rows = []
+        for tt in sorted(set(t)):
+            di = dd[td == tt]
+            xi = x[tp == tt]
+            yi = y[tp == tt]
+            rows.append({
+                "t": tt, "n1": len(di), "sd": int(di.sum()),
+                "sd2": int((di ** 2).sum()), "n2": len(xi),
+                "sx": int(xi.sum()), "sy": int(yi.sum()),
+                "sxy": int((xi * yi).sum()),
+                "sxx": int((xi ** 2).sum()),
+                "syy": int((yi ** 2).sum()),
+            })
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            if c != "t":
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    m = pre_aggregate(
+        grouped_map(ev, "user_id", partials), ["t"],
+        {c: (c, "sum") for c in ["n1", "sd", "sd2", "n2", "sx", "sy",
+                                 "sxy", "sxx", "syy"]},
+    ).to_pandas()
+    rows = []
+    for r in m.sort_values("t").itertuples():
+        mu = float(r.sd) / r.n1
+        var = float(r.sd2) / r.n1 - mu * mu
+        sig = math.sqrt(var)
+        B = (sig - mu) / (sig + mu) if sig + mu > 0 else None
+        mx = float(r.sx) / r.n2
+        my = float(r.sy) / r.n2
+        cov = float(r.sxy) / r.n2 - mx * my
+        vx = float(r.sxx) / r.n2 - mx * mx
+        vy = float(r.syy) / r.n2 - my * my
+        M = (cov / (math.sqrt(vx) * math.sqrt(vy))
+             if vx > 0 and vy > 0 else None)
+        rows.append((r.t, int(r.n1), int(r.n2),
+                     float(round_half_up(B, 6)) if B is not None
+                     else None,
+                     float(round_half_up(M, 6)) if M is not None
+                     else None))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_gaps": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "burstiness": pa.array([r[3] for r in rows], pa.float64()),
+        "memory": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH s AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us,
+                  event_id FROM events),
+d AS (SELECT t,
+             (us - lag(us) OVER w) // 60000000 AS d
+      FROM s WINDOW w AS (PARTITION BY user_id, t
+                          ORDER BY us, event_id)),
+m AS (SELECT t,
+             CAST(COUNT(d) AS BIGINT) AS n1,
+             CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(d * d) AS BIGINT) AS sd2
+      FROM d WHERE d IS NOT NULL GROUP BY 1),
+p AS (SELECT t, d, pd FROM (
+        SELECT t, d,
+               lag(d) OVER (PARTITION BY user_id, t
+                            ORDER BY us, event_id) AS pd
+        FROM (SELECT user_id, t, us, event_id,
+                     (us - lag(us) OVER w) // 60000000 AS d
+              FROM s WINDOW w AS (PARTITION BY user_id, t
+                                  ORDER BY us, event_id)))
+      WHERE d IS NOT NULL AND pd IS NOT NULL),
+m2 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n2,
+              CAST(SUM(pd) AS BIGINT) AS sx,
+              CAST(SUM(d) AS BIGINT) AS sy,
+              CAST(SUM(pd * d) AS BIGINT) AS sxy,
+              CAST(SUM(pd * pd) AS BIGINT) AS sxx,
+              CAST(SUM(d * d) AS BIGINT) AS syy
+       FROM p GROUP BY 1)
+SELECT m.t AS event_type, m.n1 AS n_gaps, m2.n2 AS n_pairs,
+       CASE WHEN sqrt(CAST(sd2 AS DOUBLE) / n1
+                      - (CAST(sd AS DOUBLE) / n1)
+                        * (CAST(sd AS DOUBLE) / n1))
+                 + CAST(sd AS DOUBLE) / n1 > 0
+            THEN ROUND((sqrt(CAST(sd2 AS DOUBLE) / n1
+                             - (CAST(sd AS DOUBLE) / n1)
+                               * (CAST(sd AS DOUBLE) / n1))
+                        - CAST(sd AS DOUBLE) / n1)
+                       / (sqrt(CAST(sd2 AS DOUBLE) / n1
+                               - (CAST(sd AS DOUBLE) / n1)
+                                 * (CAST(sd AS DOUBLE) / n1))
+                          + CAST(sd AS DOUBLE) / n1), 6)
+            ELSE NULL END AS burstiness,
+       CASE WHEN CAST(sxx AS DOUBLE) / n2
+                 - (CAST(sx AS DOUBLE) / n2) * (CAST(sx AS DOUBLE) / n2)
+                 > 0
+             AND CAST(syy AS DOUBLE) / n2
+                 - (CAST(sy AS DOUBLE) / n2) * (CAST(sy AS DOUBLE) / n2)
+                 > 0
+            THEN ROUND((CAST(sxy AS DOUBLE) / n2
+                        - (CAST(sx AS DOUBLE) / n2)
+                          * (CAST(sy AS DOUBLE) / n2))
+                       / (sqrt(CAST(sxx AS DOUBLE) / n2
+                               - (CAST(sx AS DOUBLE) / n2)
+                                 * (CAST(sx AS DOUBLE) / n2))
+                          * sqrt(CAST(syy AS DOUBLE) / n2
+                                 - (CAST(sy AS DOUBLE) / n2)
+                                   * (CAST(sy AS DOUBLE) / n2))), 6)
+            ELSE NULL END AS memory
+FROM m JOIN m2 ON m.t = m2.t ORDER BY 1
+"""
+
+
 SQL_EVENTS_AR1 = """
 WITH e AS (SELECT event_type AS t,
                   epoch_us(ts) // 86400000000 AS day,

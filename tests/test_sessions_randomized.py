@@ -294,6 +294,7 @@ QUERIES = {
     "events_sinkhorn": ["events"],
     "events_ar1": ["events"],
     "events_weekly_power": ["events"],
+    "events_burstiness": ["events"],
 }
 
 
