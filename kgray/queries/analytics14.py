@@ -3162,6 +3162,114 @@ SQL_EVENTS_WEEKLY_POWER = _weekly_power_sql()
 
 
 # ---------------------------------------------------------------------------
+# Regression discontinuity (local linear, integer-Cramer both sides)
+# ---------------------------------------------------------------------------
+
+def q_events_rdd(sf_dir: str):
+    """Sharp regression discontinuity at the cents-range MIDPOINT
+    (scale-invariant — a fixed dollar cutoff empties one side on
+    narrow distributions): fit the error rate linearly in centered
+    cents on EACH side within a quarter-range bandwidth and report the
+    intercept jump at the cutoff — the fourth corner of the causal
+    quartet (DiD, PSM, Qini, RDD).  Per-side OLS uses the
+    integer-Cramer moment fold (events_ols2): 5 int64 moments per
+    side, exact integer determinants, float-FIRST divisions
+    (numerators pass 2^53 at scale, the CvM rule).  jump = a_R - a_L
+    of identical-operand divisions."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_col(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"g": pa.array(np.zeros(len(batch), np.int8)),
+                         "c": pa.array(c)})
+
+    bounds = pre_aggregate(
+        ev.map_batches(cents_col, batch_format="pyarrow"), ["g"],
+        {"lo": ("c", "min"), "hi": ("c", "max")},
+    ).to_pandas()
+    lo, hi = int(bounds["lo"][0]), int(bounds["hi"][0])
+    cut = lo + (hi - lo) // 2
+    bw = (hi - lo) // 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        x = c - cut
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        y = (t == "error").astype(np.int64)
+        keep = (x >= -bw) & (x <= bw)
+        x, y = x[keep], y[keep]
+        side = (x >= 0).astype(np.int64)
+        df = pd.DataFrame({"side": side, "n": 1, "sx": x,
+                           "sxx": x * x, "sy": y, "sxy": x * y})
+        g = df.groupby("side", sort=False).sum().reset_index()
+        for col in g.columns:
+            g[col] = g[col].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = pre_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["side"], {k: (k, "sum")
+                   for k in ["n", "sx", "sxx", "sy", "sxy"]},
+    ).to_pandas().set_index("side")
+
+    def fit(s):
+        r = m.loc[s]
+        n, sx, sxx, sy, sxy = (int(r["n"]), int(r["sx"]),
+                               int(r["sxx"]), int(r["sy"]),
+                               int(r["sxy"]))
+        den = n * sxx - sx * sx
+        a = float(sy * sxx - sx * sxy) / float(den)
+        b = float(n * sxy - sx * sy) / float(den)
+        return n, a, b
+
+    nl, al, bl = fit(0)
+    nr, ar, br = fit(1)
+    return pa.table({
+        "n_left": pa.array([nl], pa.int64()),
+        "n_right": pa.array([nr], pa.int64()),
+        "a_left": pa.array([float(round_half_up(al, 6))]),
+        "b_left": pa.array([float(round_half_up(bl, 6))]),
+        "a_right": pa.array([float(round_half_up(ar, 6))]),
+        "b_right": pa.array([float(round_half_up(br, 6))]),
+        "jump": pa.array([float(round_half_up(ar - al, 6))]),
+    })
+
+
+SQL_EVENTS_RDD = """
+WITH c0 AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                     AS y
+            FROM events),
+b AS (SELECT MIN(c) + (MAX(c) - MIN(c)) // 2 AS cut,
+             (MAX(c) - MIN(c)) // 4 AS bw FROM c0),
+e AS (SELECT c - b.cut AS x, y FROM c0, b),
+w AS (SELECT x, y, CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side
+      FROM e, b WHERE x BETWEEN -b.bw AND b.bw),
+m AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM w GROUP BY 1),
+f AS (SELECT side, n,
+             CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+      FROM m)
+SELECT l.n AS n_left, r.n AS n_right,
+       ROUND(l.a, 6) AS a_left, ROUND(l.b, 6) AS b_left,
+       ROUND(r.a, 6) AS a_right, ROUND(r.b, 6) AS b_right,
+       ROUND(r.a - l.a, 6) AS jump
+FROM f l, f r WHERE l.side = 0 AND r.side = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Burstiness + memory of inter-arrival times (Goh-Barabasi)
 # ---------------------------------------------------------------------------
 

@@ -295,6 +295,7 @@ QUERIES = {
     "events_ar1": ["events"],
     "events_weekly_power": ["events"],
     "events_burstiness": ["events"],
+    "events_rdd": ["events"],
 }
 
 
