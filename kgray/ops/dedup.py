@@ -1663,17 +1663,34 @@ def set_jaccard_pairs_prefix(exploded, tau: float, digits: int = 4,
         )
         return g.rename_columns(["shingle", "n"])
 
-    freq = (
+    freq_ds = (
         exploded.map_batches(tok_partial, batch_format="pyarrow")
         .groupby("shingle")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # token-vocab scale, never corpus scale
+        .materialize()
     )
-    if len(freq) > gate(max_broadcast_vocab) and len(freq) > 0:
-        raise NotImplementedError(
-            "token vocab exceeds the broadcast gate; fall back to "
-            "set_jaccard_pairs (inverted-index path) for this input"
-        )
+    if freq_ds.count() > gate(max_broadcast_vocab):
+        # vocab too large to broadcast the rank order — auto-fall back
+        # to the inverted-index path, which needs no global token order
+        # (counts/n_items derived here; exploded may carry duplicate
+        # (doc, shingle) rows, so distinct-count per doc inside a
+        # doc-keyed cogroup — every doc lives whole in one bucket)
+        from kgray.util import grouped_map as _gm
+
+        exploded = exploded.materialize()
+
+        def doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("doc", sort=False)["shingle"].nunique()
+            return pd.DataFrame({
+                "doc": g.index.to_numpy(),
+                "nsh": g.to_numpy().astype(np.int64),
+            })
+
+        counts = _gm(exploded, "doc", doc_counts).materialize()
+        return set_jaccard_pairs(
+            exploded, counts, n_items=counts.count(), tau=tau,
+            digits=digits, num_buckets=num_buckets)
+    freq = freq_ds.to_pandas()  # token-vocab scale, never corpus scale
     # rare-first total order; ties broken on the token value
     freq = freq.sort_values(["n", "shingle"], kind="mergesort")
     rank_of = pd.Series(np.arange(len(freq), dtype=np.int64),

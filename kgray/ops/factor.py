@@ -20,7 +20,13 @@ Scale shape: the rating table streams; each half-step attaches the
 opposite factor vector (broadcast dict under ``max_broadcast_keys``,
 ``joins.bucket_join`` above it or under KGRAY_FORCE_DISTRIBUTED) and
 folds per-key partials batch-side before ONE aggregate-scale shuffle.
-Factor tables are user-/item-key-scale, never rating-scale.
+Factor tables are user-/item-key-scale, never rating-scale — and they
+stay MATERIALIZED DATASETS between half-steps: the distributed path
+feeds ``bucket_join`` a Dataset directly, so at billions of keys no
+round ever concatenates a factor table on the driver.  Only the gated
+broadcast path (<= ``max_broadcast_keys`` rows, or always at test
+scale) collects, because a broadcast dict is driver-built by
+definition.
 """
 
 from __future__ import annotations
@@ -31,21 +37,24 @@ import pyarrow as pa
 
 
 def _half_step(r_ds, key_col: str, other_col: str, rating_col: str,
-               other_tbl: pa.Table, scale: int,
+               other_ds, n_other: int, scale: int,
                max_broadcast_keys: int):
     """One ALS half-step: new factors for ``key_col`` given the
-    ``other_col`` factor table (columns: other_col, 'f')."""
+    ``other_col`` factor DATASET (columns: other_col, 'f'), which stays
+    distributed on the bucket_join path — no driver concat."""
     import ray
 
-    from kgray.ops.agg import pre_aggregate
     from kgray.ops.joins import bucket_join
     from kgray.util import gate
 
     s2 = scale * scale
 
-    if other_tbl.num_rows <= gate(max_broadcast_keys):
+    if n_other <= gate(max_broadcast_keys):
+        # gated path only: a broadcast dict is driver-built by definition
+        other_tbl = _concat_refs(other_ds.to_arrow_refs())
         fmap_ref = ray.put(dict(zip(
-            other_tbl[other_col].to_pylist(), other_tbl["f"].to_pylist())))
+            other_tbl[other_col].to_pylist(), other_tbl["f"].to_pylist()))
+            if other_tbl is not None else {})
 
         def attach(batch: pa.Table) -> pa.Table:
             fmap = ray.get(fmap_ref)
@@ -55,10 +64,7 @@ def _half_step(r_ds, key_col: str, other_col: str, rating_col: str,
 
         joined = r_ds.map_batches(attach, batch_format="pyarrow")
     else:
-        import ray.data as rd
-
-        joined = bucket_join(r_ds, rd.from_arrow(other_tbl),
-                             on=other_col, how="inner")
+        joined = bucket_join(r_ds, other_ds, on=other_col, how="inner")
 
     # user/item keys are near-unique per batch, so a per-batch combiner
     # compresses nothing and groupby.aggregate degenerates (the repo's
@@ -84,7 +90,10 @@ def _half_step(r_ds, key_col: str, other_col: str, rating_col: str,
         return pd.DataFrame({key_col: g.index, "f": out}) \
             .astype({"f": np.int64})
 
-    return grouped_map(joined, key_col, fold)
+    # materialize: the next half-step joins against this table and
+    # counts its rows — re-running the lazy join+fold per consumer
+    # would re-execute the shuffle (the graph-extraction lesson)
+    return grouped_map(joined, key_col, fold).materialize()
 
 
 def als1(r_ds, user_col: str, item_col: str, rating_col: str,
@@ -109,25 +118,20 @@ def als1(r_ds, user_col: str, item_col: str, rating_col: str,
             "f": pa.array(np.full(len(batch), scale, np.int64)),
         })
 
-    v = items.map_batches(init, batch_format="pyarrow") \
-        .materialize().to_arrow_refs()
-    v_tbl = _concat_refs(v)
-    u_tbl = None
+    v_ds = items.map_batches(init, batch_format="pyarrow").materialize()
+    n_v = v_ds.count()
+    u_ds, n_u = None, 0
     for _ in range(iters):
-        u_tbl = _collect(_half_step(
-            r_ds, user_col, item_col, rating_col, v_tbl, scale,
-            max_broadcast_keys))
-        v_tbl = _collect(_half_step(
-            r_ds, item_col, user_col, rating_col, u_tbl, scale,
-            max_broadcast_keys))
-    import ray.data as rd
+        u_ds = _half_step(
+            r_ds, user_col, item_col, rating_col, v_ds, n_v, scale,
+            max_broadcast_keys)
+        n_u = u_ds.count()
+        v_ds = _half_step(
+            r_ds, item_col, user_col, rating_col, u_ds, n_u, scale,
+            max_broadcast_keys)
+        n_v = v_ds.count()
 
-    return rd.from_arrow(u_tbl), rd.from_arrow(v_tbl)
-
-
-def _collect(ds) -> pa.Table:
-    # factor tables are key-scale (one row per user/item) — safe to hold
-    return _concat_refs(ds.materialize().to_arrow_refs())
+    return u_ds, v_ds
 
 
 def _concat_refs(refs) -> pa.Table:

@@ -114,13 +114,40 @@ def stratified_sample(ds, strata_col: str, id_col: str, k: int):
 
 
 def rank_quantiles(ds, col: str, ps: list[float],
-                   labels: list[str] | None = None) -> pa.Table:
+                   labels: list[str] | None = None,
+                   max_distinct: int = 2_000_000) -> pa.Table:
     """Exact global quantiles of ``col``: value-histogram combiner (one
     row per distinct value per batch) -> groupby-sum fold -> driver-side
     rank over the distinct-value table (metadata-scale: bounded by the
     number of DISTINCT values, not rows).  rank(p) = ceil(p*N); returns
-    (q, value) rows."""
+    (q, value) rows.
+
+    High-cardinality auto-gate: the distinct-value table is only
+    driver-safe for bounded domains (lengths, scores, cents).  Above
+    ``max_distinct`` distinct values (exact count of the folded
+    histogram, pre-screened by a 50k-row sample so the obvious
+    continuous-column case never builds the histogram at all), the op
+    switches to distributed value-range order-statistic SELECTION
+    (``_range_select_quantiles``): only ranges containing a target rank
+    sort locally, nothing key-scale ever lands on the driver.  Both
+    paths pin the same rank(p) = ceil(p*N) element, so they are
+    value-identical; ``KGRAY_FORCE_DISTRIBUTED`` collapses the gate and
+    pins the range path."""
     from ray.data.aggregate import Sum
+
+    from kgray.util import gate
+
+    cap = gate(max_distinct)
+    if cap > 0:
+        # cheap pre-screen: a near-all-distinct sample means a
+        # continuous column — skip the (distinct-scale) histogram fold
+        samp = ds.limit(50_000).select_columns([col]).to_pandas()
+        likely_high = (len(samp) >= 50_000
+                       and samp[col].nunique() >= 0.8 * len(samp))
+    else:
+        likely_high = True
+    if likely_high:
+        return _range_select_quantiles(ds, col, ps, labels)
 
     def partial(batch: pa.Table) -> pa.Table:
         vc = pa.table({col: batch[col]}).group_by(col).aggregate(
@@ -128,13 +155,17 @@ def rank_quantiles(ds, col: str, ps: list[float],
         )
         return pa.table({col: vc[col], "n": vc["count_all"].cast(pa.int64())})
 
-    hist = (
+    hist_ds = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(col)
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values(col, ignore_index=True)
+        .materialize()
     )
+    # exact safety net behind the sample screen: a half-distinct column
+    # passes the 0.8 ratio but can still exceed the driver gate
+    if hist_ds.count() > cap:
+        return _range_select_quantiles(ds, col, ps, labels)
+    hist = hist_ds.to_pandas().sort_values(col, ignore_index=True)
     total = int(hist["n"].sum())
     cum = hist["n"].cumsum().to_numpy()
     vals = hist[col].to_numpy()
@@ -150,6 +181,105 @@ def rank_quantiles(ds, col: str, ps: list[float],
             "value": pa.array(np.asarray(out_v)),
         }
     )
+
+
+def _range_select_quantiles(ds, col: str, ps: list[float],
+                            labels: list[str] | None = None) -> pa.Table:
+    """Distributed exact order-statistic selection (the
+    q_events_value_deciles machinery, generalized): a value-range
+    histogram (combiner fold, metadata-scale) gives every range its
+    global rank offset; target ranks rank(p)=ceil(p*N) land in known
+    ranges; ONLY those ranges sort locally to recover the exact
+    element.  Selected values are returned UNTOUCHED (float equality is
+    exact on untouched values); ties need no tie-break column because
+    equal values share a range and any ordering among them yields the
+    same ranked value."""
+    from ray.data.aggregate import Max, Min
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.util import default_num_buckets, grouped_map
+
+    if labels is None:
+        labels = [f"p{int(round(p * 100))}" for p in ps]
+
+    ds = ds.select_columns([col]).materialize()
+    total = ds.count()
+    if total == 0:
+        return pa.table({"q": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64())})
+
+    # rank -> [output positions]: distinct ps can share a rank on tiny N
+    targets: dict[int, list[int]] = {}
+    for i, p in enumerate(ps):
+        rank = int(np.ceil(p * total)) if p > 0 else 1
+        targets.setdefault(rank, []).append(i)
+
+    bounds = ds.aggregate(Min(col), Max(col))
+    lo = float(bounds[f"min({col})"])
+    hi = float(bounds[f"max({col})"])
+    n_ranges = default_num_buckets()
+    width = (hi - lo) / n_ranges or 1.0
+
+    def rng_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(
+            ((v.astype(np.float64) - lo) / width).astype(np.int64),
+            0, n_ranges - 1)
+
+    def range_counts(batch: pa.Table) -> pa.Table:
+        r = rng_of(batch[col].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(r, minlength=n_ranges)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"rng": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    hist = (
+        pre_aggregate(
+            ds.map_batches(range_counts, batch_format="pyarrow"),
+            ["rng"], {"c": ("c", "sum")},
+        )
+        .to_pandas().sort_values("rng")
+    )
+    offsets = np.zeros(n_ranges, np.int64)
+    idx = hist["rng"].to_numpy(np.int64)
+    csum = np.concatenate([[0],
+                           np.cumsum(hist["c"].to_numpy(np.int64))[:-1]])
+    offsets[idx] = csum
+    ends = np.zeros(n_ranges, np.int64)
+    ends[idx] = csum + hist["c"].to_numpy(np.int64)
+    hot = np.fromiter(
+        (int(r) for r in idx
+         if any(offsets[r] < t <= ends[r] for t in targets)),
+        np.int64,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        keep = np.isin(rng_of(v), hot)
+        kept = batch[col].filter(pa.array(keep))
+        return pa.table({
+            "rng": pa.array(rng_of(v)[keep]),
+            "value": kept,
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r, grp in df.groupby("rng", sort=False):
+            g = grp["value"].sort_values(kind="mergesort").to_numpy()
+            base = int(offsets[int(r)])
+            for t, idxs in targets.items():
+                if base < t <= base + len(g):
+                    for i in idxs:
+                        out.append((i, g[t - base - 1]))
+        return pd.DataFrame(out, columns=["i", "value"])
+
+    res = grouped_map(tagged, "rng", pick).to_pandas()
+    res = res.sort_values("i").reset_index(drop=True)
+    return pa.table({
+        "q": pa.array([labels[i] for i in res["i"]], pa.string()),
+        "value": pa.array(res["value"].to_numpy()),
+    })
 
 
 def grouped_rank_quantiles(ds, key: str, col: str, ps: list[float],

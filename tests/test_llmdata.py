@@ -265,3 +265,18 @@ def test_prefix_join_paths_agree(ray_session, tau, seed):
                 brute.append((a, b, round(j, 4)))
     assert key(got_p) == sorted(brute)
     assert key(got_i) == sorted(brute)
+
+
+def test_prefix_join_vocab_gate_auto_fallback(ray_session):
+    """Above the vocab broadcast gate the prefix join must DELEGATE to
+    the inverted-index path (identical pairs), not raise."""
+    from kgray.ops.dedup import set_jaccard_pairs_prefix
+
+    sets = _random_sets(7)
+    exploded = _exploded_of(sets)
+    want = set_jaccard_pairs_prefix(exploded, tau=0.5).to_pandas()
+    got = set_jaccard_pairs_prefix(
+        exploded, tau=0.5, max_broadcast_vocab=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["u"], df["v"], df["jac"]))
+    assert key(got) == key(want) and len(got) > 0

@@ -313,3 +313,46 @@ def test_priority_sample_rejects_nonpositive_weights(ray_session):
                        "w": np.array([1, 0, 2], np.int64)})
     with pytest.raises(Exception):
         priority_sample(rd.from_pandas(df), "doc_id", "w", k=2).to_pandas()
+
+
+def test_rank_quantiles_range_path_matches_histogram(ray_session, monkeypatch):
+    """High-cardinality auto-gate: the distributed range-selection path
+    (pinned via KGRAY_FORCE_DISTRIBUTED) returns the exact same ranked
+    elements as the histogram path on a continuous float column with
+    duplicates and a skewed spike."""
+    from kgray.ops.sample import rank_quantiles
+
+    rs = np.random.RandomState(11)
+    vals = np.concatenate([
+        rs.normal(100.0, 25.0, 3000),
+        np.full(500, 42.5),          # duplicate spike crossing ranks
+        rs.uniform(-50.0, 900.0, 1500),
+    ])
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    ps = [0.05, 0.5, 0.9, 0.99]
+
+    hist = rank_quantiles(ds, "v", ps).to_pandas()
+    monkeypatch.setenv("KGRAY_FORCE_DISTRIBUTED", "1")
+    rng = rank_quantiles(ds, "v", ps).to_pandas()
+    monkeypatch.delenv("KGRAY_FORCE_DISTRIBUTED")
+
+    pd.testing.assert_frame_equal(hist, rng)
+    sv = np.sort(vals)
+    for p, lab in zip(ps, hist["q"]):
+        rank = max(int(np.ceil(p * len(sv))), 1)
+        assert hist.set_index("q")["value"][lab] == sv[rank - 1]
+
+
+def test_rank_quantiles_exact_safety_net(ray_session):
+    """A half-distinct column passes the 0.8 sample screen but must
+    still be exact through whichever path the gate picks (tiny
+    max_distinct forces the exact-count fallback to the range path)."""
+    from kgray.ops.sample import rank_quantiles
+
+    rs = np.random.RandomState(3)
+    vals = np.repeat(rs.uniform(0, 1000, 800), 2)  # distinct = n/2
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    out = rank_quantiles(ds, "v", [0.5, 0.9], max_distinct=10).to_pandas()
+    sv = np.sort(vals)
+    assert out.set_index("q")["value"]["p50"] == sv[int(np.ceil(0.5 * len(sv))) - 1]
+    assert out.set_index("q")["value"]["p90"] == sv[int(np.ceil(0.9 * len(sv))) - 1]
