@@ -455,3 +455,109 @@ SELECT f.q AS q_vec, CAST(COUNT(*) AS BIGINT) AS n_common
 FROM f10 f JOIN t10 t ON f.q = t.q AND f.vec_id = t.vec_id
 GROUP BY 1
 """
+
+
+def q_train_word2vec(sf_dir: str):
+    """One synchronous round of integer fixed-point skip-gram
+    negative-sampling word2vec (SURVEY.md §2 A8; reference trains gensim
+    embeddings in pytorch/classification/word2vec.py:36-45) — input
+    embeddings of the 30 highest-mass words after round 1.  The integer
+    gradient fold is summation-order-exact, so the oracle UNROLLS the
+    identical round (hash init, deterministic hash-slot negatives, libm
+    sigmoid, floor-quantized gradient terms, shifted-positive integer
+    division) — see kgray/ops/word2vec.py."""
+    from kgray.ops.word2vec import train_word2vec
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    u, _v, nw = train_word2vec(docs, dim=4, k_neg=2, lr_den=4, iters=1,
+                               scale=10_000, window=2)
+    top = set(
+        nw.sort(["n", "w"], descending=[True, False]).limit(30)
+        .to_pandas()["w"]
+    )  # constant-bounded (30 rows) driver set, like the Q18 survivors
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pa.array([w in top for w in batch["w"].to_pylist()],
+                        pa.bool_())
+        b = batch.filter(keep)
+        return pa.table({
+            "w": b["w"],
+            "e0": b["u0"], "e1": b["u1"], "e2": b["u2"], "e3": b["u3"],
+        })
+
+    return u.map_batches(pick, batch_format="pyarrow")
+
+
+def _w2v_round1_sql(dim: int = 4, k_neg: int = 2, lr_den: int = 4,
+                    scale: int = 10_000, top: int = 30) -> str:
+    """Emit the dims-unrolled one-round SGNS oracle (same generator
+    emits the formula trees the Ray kernel computes)."""
+    mod = 2 * scale + 1
+    s2 = scale * scale
+    h = lambda e: f"CAST('0x'||substr(md5({e}),1,13) AS BIGINT)"
+    ud = ",\n         ".join(
+        "({hh} % {mod}) - {scale} AS u{d}".format(
+            hh=h("w||'#u%d'" % d), mod=mod, scale=scale, d=d)
+        for d in range(dim))
+    vd = ",\n         ".join(
+        "({hh} % {mod}) - {scale} AS v{d}".format(
+            hh=h("c||'#v%d'" % d), mod=mod, scale=scale, d=d)
+        for d in range(dim))
+    dot = " + ".join(f"u0.u{d}*v0.v{d}" for d in range(dim))
+    ucols = ", ".join(f"u0.u{d}" for d in range(dim))
+    vcols = ", ".join(f"v0.v{d}" for d in range(dim))
+    sums = ",\n         ".join(
+        "CAST(SUM(CAST(floor(coef * CAST(n AS DOUBLE) * "
+        f"CAST(v{d} AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s{d}"
+        for d in range(dim))
+    upd = ",\n         ".join(
+        f"u0.u{d} + (((du.s{d} + 1000000*({lr_den}*du.tw)) // "
+        f"({lr_den}*du.tw)) - 1000000) AS e{d}"
+        for d in range(dim))
+    outs = ", ".join(f"CAST(e{d} AS BIGINT) AS e{d}" for d in range(dim))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+pp AS (SELECT t1.tok AS w, t2.tok AS c, CAST(COUNT(*) AS BIGINT) AS n
+       FROM toks t1 JOIN toks t2
+         ON t1.doc_id = t2.doc_id AND t2.pos - t1.pos BETWEEN 1 AND 2
+       GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT c FROM pp),
+vsz AS (SELECT COUNT(*) AS v FROM vocab),
+slot AS (SELECT c, {h('c')} % (SELECT v FROM vsz) AS s FROM vocab),
+nw AS (SELECT w, CAST(SUM(n) AS BIGINT) AS n FROM pp GROUP BY 1),
+negt AS (SELECT nw.w,
+                {h("nw.w||'#n'||j.j")} % (SELECT v FROM vsz) AS s,
+                nw.n
+         FROM nw CROSS JOIN (SELECT UNNEST(range(1, {k_neg + 1})) AS j) j),
+negs AS (SELECT negt.w, slot.c, negt.n FROM negt JOIN slot USING (s)),
+allp AS (SELECT w, c, n, 1 AS label FROM pp
+         UNION ALL SELECT w, c, n, 0 AS label FROM negs),
+u0 AS (SELECT w,
+         {ud}
+       FROM nw),
+v0 AS (SELECT c,
+         {vd}
+       FROM vocab),
+jp AS (SELECT a.w, a.c, a.n, a.label, {ucols}, {vcols},
+              {dot} AS dot
+       FROM allp a JOIN u0 USING (w) JOIN v0 USING (c)),
+cf AS (SELECT *, CAST(label AS DOUBLE)
+               - 1.0/(1.0+exp(-(CAST(dot AS DOUBLE)/{s2}.0))) AS coef
+       FROM jp),
+du AS (SELECT w,
+         {sums},
+         CAST(SUM(n) AS BIGINT) AS tw
+       FROM cf GROUP BY w),
+u1 AS (SELECT u0.w,
+         {upd}
+       FROM u0 JOIN du USING (w)),
+top AS (SELECT w FROM nw ORDER BY n DESC, w LIMIT {top})
+SELECT u1.w AS w, {outs}
+FROM u1 JOIN top USING (w) ORDER BY w
+"""
+
+
+SQL_TRAIN_WORD2VEC = _w2v_round1_sql()
