@@ -326,16 +326,25 @@ def _cmd_forget(args) -> int:
 
 def _cmd_versions(args) -> int:
     import json as _json
+    import os as _os
 
-    from kgray.io import expire_versions, list_versions
+    from kgray.io import expire_versions, list_versions, txn_pinned_versions
 
     out = {}
     for path in args.tables:
+        # default-protect versions pinned by committed multi-table txns
+        # (kg_construct commits under the table's parent dir): expiring a
+        # pinned snapshot would leave a txn record whose read raises
+        protect = txn_pinned_versions(
+            _os.path.dirname(_os.path.abspath(path)), path)
         dropped = (
-            expire_versions(path, keep_last=args.expire_keep_last)
+            expire_versions(path, keep_last=args.expire_keep_last,
+                            protect=protect)
             if args.expire_keep_last > 0 else 0
         )
-        out[path] = {"dropped": dropped, "versions": list_versions(path)}
+        out[path] = {"dropped": dropped,
+                     "txn_protected": sorted(protect),
+                     "versions": list_versions(path)}
     print(_json.dumps(out, indent=1))
     return 0
 

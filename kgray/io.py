@@ -667,22 +667,32 @@ def commit_txn(root: str, tables: dict[str, str], note: str = "") -> dict:
             "version": int(m["version"]),
             "content_hash": manifest_content_hash(m),
         }
-    txns = _existing_txns(root)
-    tid = (max(txns) + 1) if txns else 1
-    rec = {"txn": tid, "note": note, "tables": entries}
     d = _txns_dir(root)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"t{tid:06d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(rec, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(d, f"t{tid:06d}.json"))
-    return rec
+    while True:
+        txns = _existing_txns(root)
+        tid = (max(txns) + 1) if txns else 1
+        rec = {"txn": tid, "note": note, "tables": entries}
+        tmp = os.path.join(d, f"t{tid:06d}.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        # exclusive create (os.link never overwrites): two concurrent
+        # committers race to the same tid, the loser retries with the
+        # next id instead of silently clobbering the winner's record
+        try:
+            os.link(tmp, os.path.join(d, f"t{tid:06d}.json"))
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return rec
 
 
 def list_txns(root: str) -> list[dict]:
+    txns = _existing_txns(root)  # one listdir, not one per txn
     out = []
-    for t in sorted(_existing_txns(root)):
-        with open(_existing_txns(root)[t]) as f:
+    for t in sorted(txns):
+        with open(txns[t]) as f:
             out.append(json.load(f))
     return out
 
@@ -712,6 +722,11 @@ def read_txn_table(root: str, name: str, txn: int | None = None,
     if name not in rec["tables"]:
         raise KeyError(f"txn {rec['txn']} has no table {name!r}")
     e = rec["tables"][name]
+    if e.get("destroyed"):
+        raise FileNotFoundError(
+            f"txn {rec['txn']} table {name!r}: pinned version "
+            f"{e['version']} was destroyed by a hard forget/expiry "
+            "(see prune_txn_pins)")
     path = e["path"]
     if not os.path.isabs(path):
         path = os.path.join(root, path)
@@ -731,6 +746,38 @@ def txn_pinned_versions(root: str, table_path: str) -> set[int]:
             if os.path.abspath(p) == ap:
                 out.add(int(e["version"]))
     return out
+
+
+def prune_txn_pins(root: str) -> int:
+    """Mark txn table pins whose snapshot version no longer EXISTS (a
+    hard forget / manual expiry destroyed the bytes): the entry gains
+    ``destroyed: true`` so listings are honest and
+    :func:`read_txn_table` fails with a clear error instead of a
+    missing-snapshot one.  Returns the number of entries marked."""
+    n = 0
+    for _t, fp in sorted(_existing_txns(root).items()):
+        with open(fp) as f:
+            rec = json.load(f)
+        changed = False
+        for _name, e in rec["tables"].items():
+            if e.get("destroyed"):
+                continue
+            p = e["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(root, p)
+            m = read_manifest(p)
+            current = int(m["version"]) if m and "version" in m else None
+            if (e["version"] not in _existing_versions(p)
+                    and e["version"] != current):
+                e["destroyed"] = True
+                changed = True
+                n += 1
+        if changed:
+            tmp = f"{fp}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(rec, f, indent=1, sort_keys=True)
+            os.replace(tmp, fp)
+    return n
 
 
 def delete_rows(path: str, keys, key_col: str | None = None) -> dict:

@@ -51,7 +51,18 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
             else:
                 out[name] = getattr(g[src], op)()
         res = pd.DataFrame(out).reset_index()
-        return pa.Table.from_pandas(res, preserve_index=False)
+        t = pa.Table.from_pandas(
+            res, preserve_index=False).replace_schema_metadata(None)
+        # typed-empty guard: an empty batch round-trips string keys
+        # through pandas as null-typed columns, and the schema flip
+        # surfaces as Ray's "RefBundle with a different schema" warning
+        # downstream of the fold — pin key columns to the INPUT types
+        for k in keys:
+            want = batch.schema.field(k).type
+            if t.schema.field(k).type != want:
+                t = t.set_column(
+                    t.column_names.index(k), k, t[k].cast(want))
+        return t
 
     aggs = []
     for name, (src, op) in partial_cols.items():
@@ -79,7 +90,8 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
         for out, (hidden_sum, hidden_cnt) in mean_cols.items():
             df[out] = df[hidden_sum] / df[hidden_cnt].replace(0, np.nan)
         df = df.drop(columns=[c for c in hidden if c in df.columns])
-        return pa.Table.from_pandas(df[out_order], preserve_index=False)
+        return pa.Table.from_pandas(
+            df[out_order], preserve_index=False).replace_schema_metadata(None)
 
     return folded.map_batches(finalize, batch_format="pyarrow")
 
@@ -106,7 +118,9 @@ def grouped_corr(ds, key: str, x: str, y: str, out_col: str = "r",
         g = df.groupby(key, sort=False, dropna=False)
         res = g[["__x", "__y", "__xx", "__yy", "__xy"]].sum()
         res["__n"] = g.size()
-        return pa.Table.from_pandas(res.reset_index(), preserve_index=False)
+        return pa.Table.from_pandas(
+            res.reset_index(),
+            preserve_index=False).replace_schema_metadata(None)
 
     folded = (
         ds.map_batches(partial, batch_format="pyarrow")

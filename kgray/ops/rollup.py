@@ -98,15 +98,26 @@ def refresh_rollup(base_dir: str, rollup_dir: str, keys: list[str],
     state = _load_state(rollup_dir)
     table_dir = os.path.join(rollup_dir, _TABLE)
 
+    # defensive .get throughout: a truncated / older-schema
+    # rollup_state.json must fall back to the documented safe full
+    # recompute, never KeyError mid-refresh
+    recorded = (state or {}).get("processed_files")
     incremental = (
         state is not None
         and state.get("sig") == sig
         and state.get("base") == base_dir
+        and isinstance(recorded, list)
         # history rewrite (compact/delete/overwrite): full recompute
-        and not (set(state["processed_files"]) - set(files))
+        and not (set(recorded) - set(files))
     )
-    processed = set(state["processed_files"]) if incremental else set()
+    processed = set(recorded) if incremental else set()
     new = [f for f in files if f not in processed]
+    if not new and not incremental:
+        # manifested base with ZERO data files: nothing to fold and no
+        # schema to type an empty delta from — refuse loudly instead of
+        # rd.read_parquet([])'s opaque error
+        raise FileNotFoundError(
+            f"rollup refresh: base table at {base_dir} has no data files")
 
     if incremental and not new:
         return kio.read_table(table_dir,

@@ -479,4 +479,9 @@ def forget_docs(out_dir: str, doc_ids, hard: bool = False) -> dict:
         out[t] = io.delete_rows(path, doc_ids)
         if hard:
             io.expire_versions(path, keep_last=1)
+    if hard:
+        # destroying pinned snapshot bytes is the point of a hard
+        # forget, but the txn records that pinned them must not keep
+        # promising a readable version — mark them destroyed
+        out["txn_pins_destroyed"] = io.prune_txn_pins(out_dir)
     return out

@@ -128,9 +128,13 @@ def grouped_map(ds, key: str, fn, num_buckets: int | None = None,
             g = g.drop(columns="__gbucket")
         out = fn(g)
         # emit ARROW blocks: any downstream sort/groupby over pandas blocks
-        # is ~12x slower (measured 7.6s vs 0.6s on a 14k-row aggregate)
+        # is ~12x slower (measured 7.6s vs 0.6s on a 14k-row aggregate).
+        # Strip the pandas schema metadata: its dict payload makes the
+        # schema unhashable and Ray's block-schema dedup then warns
+        # "Failed to hash the schemas" on every such block
         if isinstance(out, pd.DataFrame):
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
         return out
 
     def tag(batch: pa.Table) -> pa.Table:

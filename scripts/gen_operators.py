@@ -54,7 +54,11 @@ def main() -> int:
     for name, kind, doc in rows:
         doc = doc.replace("|", "\\|")
         lines.append(f"| `{name}` | {kind} | {doc} |")
-    with open("OPERATORS.md", "w") as f:
+    # write next to the repo root the imports resolve against — running
+    # from elsewhere must not drop the index into the cwd (the staleness
+    # pin in test_catalog_build would then fail against the stale copy)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "OPERATORS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote OPERATORS.md: {len(rows)} entries, {n_oracle} oracles")
     ray.shutdown()

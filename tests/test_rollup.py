@@ -170,3 +170,37 @@ def test_non_mergeable_spec_rejected(ray_session, tmp_path):
     with pytest.raises(ValueError, match="not mergeable"):
         refresh_rollup(base, str(tmp_path / "roll"), ["k"],
                        {"m": ("v", "mean")})
+
+
+def test_rollup_corrupt_state_falls_back_to_full(ray_session, tmp_path):
+    """A truncated/older-schema rollup_state.json (missing
+    processed_files) must trigger the safe full recompute, not
+    KeyError."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import io
+    from kgray.ops.rollup import refresh_rollup
+
+    base = str(tmp_path / "base")
+    roll = str(tmp_path / "roll")
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    io.write_partitioned(ds, base, "k", num_partitions=2)
+    out, info = refresh_rollup(base, roll, ("k",), {"s": ("v", "sum")})
+    assert info["mode"] == "full"
+    # corrupt the state: drop processed_files (older schema)
+    sp = os.path.join(roll, "rollup_state.json")
+    st = json.load(open(sp))
+    del st["processed_files"]
+    json.dump(st, open(sp, "w"))
+    out2, info2 = refresh_rollup(base, roll, ("k",), {"s": ("v", "sum")})
+    assert info2["mode"] == "full"
+    got = out2.to_pandas().sort_values("k", ignore_index=True)
+    assert list(got["s"]) == [40, 60]

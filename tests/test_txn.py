@@ -90,3 +90,61 @@ def test_kg_construct_commits_a_txn(ray_session, tmp_path):
                                   "triples_canonical"}
     tri = io.read_txn_table(out, "triples_canonical")
     assert tri.count() > 0
+
+
+def test_commit_txn_exclusive_create_skips_taken_id(ray_session, tmp_path):
+    """A txn file created out-of-band at the next tid must NOT be
+    silently overwritten — the committer retries with the next id."""
+    import json
+    import os
+
+    root = str(tmp_path)
+    a = str(tmp_path / "a")
+    io.write_partitioned(_ds([1]), a, "k", num_partitions=1)
+    rec1 = io.commit_txn(root, {"a": a})
+    # squat on tid 2 (what a concurrent committer would have won)
+    squat = os.path.join(root, "_txns", "t000002.json")
+    with open(squat, "w") as f:
+        json.dump({"txn": 2, "note": "squatter", "tables": {}}, f)
+    rec2 = io.commit_txn(root, {"a": a})
+    assert rec1["txn"] == 1 and rec2["txn"] == 3
+    with open(squat) as f:
+        assert json.load(f)["note"] == "squatter"  # untouched
+
+
+def test_hard_forget_marks_destroyed_txn_pins(ray_session, tmp_path):
+    """prune_txn_pins: a txn pinning a version destroyed by hard
+    expiry is marked destroyed and read_txn_table raises clearly."""
+    root = str(tmp_path)
+    a = str(tmp_path / "a")
+    io.write_partitioned(_ds([1, 2]), a, "k", num_partitions=2)
+    io.commit_txn(root, {"a": a})
+    io.write_partitioned(_ds([7, 8]), a, "k", num_partitions=2)
+    io.commit_txn(root, {"a": a})
+    # destroy the older snapshot WITHOUT protection (hard-forget path)
+    io.expire_versions(a, keep_last=1)
+    marked = io.prune_txn_pins(root)
+    assert marked == 1
+    with pytest.raises(FileNotFoundError) as ei:
+        io.read_txn_table(root, "a", txn=1)
+    assert "destroyed" in str(ei.value)
+    # latest txn still reads fine; idempotent second prune marks nothing
+    assert sorted(io.read_txn_table(root, "a").to_pandas()["x"]) == [7, 8]
+    assert io.prune_txn_pins(root) == 0
+
+
+def test_expire_with_txn_protect_keeps_pinned_readable(
+        ray_session, tmp_path):
+    """The CLI default: protect=txn_pinned_versions keeps every
+    committed txn readable through an expiry sweep."""
+    root = str(tmp_path)
+    a = str(tmp_path / "a")
+    io.write_partitioned(_ds([1, 2]), a, "k", num_partitions=2)
+    io.commit_txn(root, {"a": a})
+    io.write_partitioned(_ds([7, 8]), a, "k", num_partitions=2)
+    io.commit_txn(root, {"a": a})
+    io.expire_versions(a, keep_last=1,
+                       protect=io.txn_pinned_versions(root, a))
+    assert sorted(io.read_txn_table(root, "a", txn=1)
+                  .to_pandas()["x"]) == [1, 2]
+    assert io.prune_txn_pins(root) == 0

@@ -137,7 +137,8 @@ def test_forget_docs_end_to_end(ray_session, tmp_path):
     victim = tri["doc_id"].iloc[0]
     before_fp = manifest_content_hash(read_manifest(out + "/triples"))
     ms = forget_docs(out, [victim], hard=True)
-    assert set(ms) == {"triples", "triples_canonical"}
+    assert set(ms) == {"triples", "triples_canonical",
+                       "txn_pins_destroyed"}
     for t in ("triples", "triples_canonical"):
         after = io.read_table(out + "/" + t).to_pandas()
         assert victim not in set(after["doc_id"])
