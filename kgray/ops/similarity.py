@@ -430,7 +430,8 @@ def label_diversity(embeddings, label_col: str = "label",
 
 def kmeans_int(ds, k: int = 4, iters: int = 2,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               scale: int = 10**6, shift: int = 10**7):
+               scale: int = 10**6, shift: int = 10**7,
+               return_centroids: bool = False):
     """Integer fixed-point Lloyd k-means — the oracle-checkable face of
     the k-means family (float :func:`kmeans_lloyd` stays rows-only:
     float centroid means drift across engines).  Vectors quantize to
@@ -522,4 +523,11 @@ def kmeans_int(ds, k: int = 4, iters: int = 2,
             }
         )
 
-    return ds.map_batches(final, batch_format="pyarrow")
+    out = ds.map_batches(final, batch_format="pyarrow")
+    if return_centroids:
+        # final quantized centroids (k x d int64): lets callers tag
+        # clusters in their OWN stateless pass (broadcast k·d ints)
+        # instead of joining the assignment back onto list-typed
+        # vectors — Arrow's hash join rejects list payload columns
+        return out, C
+    return out

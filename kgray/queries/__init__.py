@@ -11,7 +11,7 @@ _SUBMODULES = ["docs", "embeds", "tpch", "events", "curation", "analytics1",
                "analytics2", "analytics3", "analytics4", "analytics5",
                "analytics6", "analytics7", "analytics8", "analytics9",
                "analytics10", "analytics11", "analytics12", "analytics13",
-               "analytics14", "llmdata"]
+               "analytics14", "llmdata", "round5"]
 
 _PRELUDE = set(_common.__all__) | {"np", "pd", "pa", "pc"}
 

@@ -1,0 +1,413 @@
+"""Round-5 operator batch — survival analysis, semantic dedup,
+graph-based keyword extraction, and DoReMi-style mixture reweighting.
+
+House exactness rules throughout: integer accumulations wherever a sum
+crosses engines (micro-unit logs, int-grid dot products, day counts);
+sequential float recurrences only where BOTH engines run the identical
+ordered fold (recursive-CTE scalar state == python left fold); libm
+``math.log``/``math.exp`` for transcendentals (DuckDB ln/exp parity —
+the tf-idf lesson)."""
+
+from ._common import *  # noqa: F401,F403
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user activity lifetimes
+# ---------------------------------------------------------------------------
+
+
+def q_events_km_survival(sf_dir: str):
+    """Kaplan-Meier survival estimate of user activity lifetime (days
+    between first and last event): users whose last event lands before
+    the corpus's final day are OBSERVED churns, the final-day cohort is
+    right-CENSORED (scale-invariant rule — a fixed horizon emptied the
+    observed set on this corpus).  S(t) = prod_{u<=t} (1 - d_u/n_u)
+    over observed lifetimes t; risk set n_t counts every user (observed
+    or censored) with lifetime >= t.
+
+    Scale shape: one user-keyed min/max fold (user-scale shuffle), one
+    day-histogram fold (day-scale), and the day-scale cumprod runs as a
+    driver left fold in ascending-t order — the oracle's RECURSIVE CTE
+    multiplies the identical (1 - d/n) factors in the identical order,
+    so the doubles are bit-equal (the EWMA scalar-state pattern, float
+    edition)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"user_id": batch["user_id"],
+                         "d": pa.array(d, pa.int64())})
+
+    per_user = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["user_id"], {"fd": ("d", "min"), "ld": ("d", "max")},
+    ).materialize()
+    max_ld = int(per_user.max("ld"))
+
+    def lifetime(batch: pa.Table) -> pa.Table:
+        fd = batch["fd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ld = batch["ld"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "t": pa.array(ld - fd, pa.int64()),
+            "obs": pa.array((ld < max_ld).astype(np.int64)),
+        })
+
+    hist = pre_aggregate(
+        per_user.map_batches(lifetime, batch_format="pyarrow"),
+        ["t", "obs"], {"c": (None, "count")},
+    ).to_pandas()  # day-scale: one row per (lifetime, observed) pair
+
+    at_risk = hist.groupby("t")["c"].sum().sort_index()
+    # n_t = users with lifetime >= t (suffix sum over the day histogram)
+    n_of = at_risk[::-1].cumsum()[::-1]
+    deaths = (hist[hist["obs"] == 1].groupby("t")["c"].sum().sort_index())
+    s = 1.0
+    rows = []
+    for t, d in deaths.items():
+        n = int(n_of.loc[int(t)])
+        s = s * (1.0 - float(int(d)) / float(n))
+        rows.append((int(t), int(d), n, s))
+    return pa.table({
+        "t": pa.array([r[0] for r in rows], pa.int64()),
+        "d": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "surv": pa.array(
+            [float(round_half_up(r[3], 6)) for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_KM_SURVIVAL = """
+WITH RECURSIVE
+u AS (SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE))
+                  AS BIGINT) AS fd,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(MAX(ts) AS DATE))
+                  AS BIGINT) AS ld
+      FROM events GROUP BY 1),
+mx AS (SELECT MAX(ld) AS m FROM u),
+lif AS (SELECT ld - fd AS t,
+               CASE WHEN ld < (SELECT m FROM mx) THEN 1 ELSE 0 END AS obs
+        FROM u),
+dt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d FROM lif
+       WHERE obs = 1 GROUP BY 1),
+rk AS (SELECT dt.t, dt.d,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lif l
+               WHERE l.t >= dt.t) AS n,
+              ROW_NUMBER() OVER (ORDER BY dt.t) AS i
+       FROM dt),
+km AS (SELECT i, t, d, n,
+              1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+       FROM rk WHERE i = 1
+       UNION ALL
+       SELECT r.i, r.t, r.d, r.n,
+              km.s * (1.0 - CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE))
+       FROM km JOIN rk r ON r.i = km.i + 1)
+SELECT t, d, n, ROUND(s, 6) AS surv FROM km ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic near-duplicate audit (Abbas et al.
+# 2023 — k-means clusters bound the pair search, no all-pairs scan)
+# ---------------------------------------------------------------------------
+
+_SD_TAU_NUM, _SD_TAU_DEN = 7, 20  # cos >= 0.35 on this corpus's spread
+_SD_GRID = 100
+
+
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup semantic near-dup audit: integer k-means clusters (the
+    oracle-checked ``kmeans_int``, k=4, 2 rounds) BLOCK the pair
+    search; within each cluster a vector is dropped when an
+    earlier-id cluster-mate sits within cosine >= 7/20 of it.  Cosine
+    is decided EXACTLY on an integer grid (q = round(100x)): dot >= 0
+    and 400*dot^2 >= 49*|u|^2*|v|^2 — cross-multiplied squares, no
+    division, no sqrt, bit-identical in both engines (the embed_mmr
+    int-grid recipe; all magnitudes < 2^53 so the SQL doubles are
+    exact).  Output is the per-cluster (size, dropped) audit — the
+    pair scan is cluster-local, so the blocking makes the method
+    linear-ish at corpus scale while the oracle embeds the ENTIRE
+    kmeans unroll as a sub-CTE (the langid-confusion composition
+    move)."""
+    import ray
+
+    from kgray.ops.similarity import kmeans_int
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    _assign, C = kmeans_int(emb, k=4, iters=2, scale=10**6, shift=10**7,
+                            return_centroids=True)
+    # tag clusters in our OWN stateless pass with the broadcast k x d
+    # centroids (Arrow's hash join rejects list payload columns, and a
+    # vec->cluster dict would be key-scale driver state); the argmin
+    # replicates kmeans_int's final assignment exactly: min over
+    # ||c||^2 - 2 m.c on the shifted int grid, ties to lowest cluster
+    cref = ray.put(C)
+
+    def with_cluster(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        m = round_half_up(
+            _matrix(batch, "embedding").astype(np.float64) * 10**6, 0
+        ).astype(np.int64) + 10**7
+        scores = (C_ * C_).sum(axis=1)[None, :] - 2 * (m @ C_.T)
+        return batch.append_column(
+            "cluster", pa.array(np.argmin(scores, axis=1).astype(np.int64)))
+
+    j = emb.map_batches(with_cluster, batch_format="pyarrow")
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, g in df.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            M = np.rint(np.stack(
+                [np.asarray(v, np.float64) for v in g["embedding"]]
+            ) * _SD_GRID).astype(np.int64)
+            G = M @ M.T
+            n2 = np.diag(G).copy()
+            cond = (G >= 0) & (
+                _SD_TAU_DEN * _SD_TAU_DEN * G * G
+                >= _SD_TAU_NUM * _SD_TAU_NUM * np.outer(n2, n2))
+            dropped = np.triu(cond, 1).any(axis=0)
+            out.append((int(k), len(g), int(dropped.sum())))
+        return pd.DataFrame(out, columns=["cluster", "n", "n_dropped"])
+
+    res = grouped_map(j, "cluster", per_cluster).to_pandas() \
+        .sort_values("cluster", ignore_index=True)
+    return pa.table({
+        "cluster": pa.array(res["cluster"].to_numpy(np.int64)),
+        "n": pa.array(res["n"].to_numpy(np.int64)),
+        "n_dropped": pa.array(res["n_dropped"].to_numpy(np.int64)),
+    })
+
+
+def _semdedup_sql() -> str:
+    from kgray.queries.analytics7 import _kmeans_sql
+
+    tn2 = _SD_TAU_NUM * _SD_TAU_NUM
+    td2 = _SD_TAU_DEN * _SD_TAU_DEN
+    return f"""
+WITH ak AS ({_kmeans_sql()}),
+qi AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * {_SD_GRID}) AS DOUBLE))
+              AS v
+       FROM embeddings),
+j AS (SELECT q.vec_id, q.v, a.cluster FROM qi q JOIN ak a USING (vec_id)),
+nn AS (SELECT vec_id, list_dot_product(v, v) AS n2 FROM qi),
+drops AS (SELECT DISTINCT b.vec_id
+          FROM j a JOIN j b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN nn na ON na.vec_id = a.vec_id
+          JOIN nn nb ON nb.vec_id = b.vec_id
+          WHERE list_dot_product(a.v, b.v) >= 0
+            AND {td2} * list_dot_product(a.v, b.v)
+                      * list_dot_product(a.v, b.v)
+                >= {tn2} * na.n2 * nb.n2)
+SELECT j.cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped
+FROM j LEFT JOIN drops d USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_EMBED_SEMDEDUP = _semdedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_textrank_terms(sf_dir: str):
+    """TextRank (Mihalcea & Tarau 2004) keyword scores: the word
+    co-occurrence graph (distinct undirected token pairs within a
+    distance-1..2 window — the word_window_pairs kernel) ranked by the
+    oracle-checked integer fixed-point PageRank; top-30 terms.  The
+    oracle composes the window-pair SQL with the pagerank_int unrolled
+    recurrence over string nodes — integer arithmetic makes the
+    4-iteration recurrence summation-order-exact (the
+    part_supplier_pagerank pattern on a DERIVED graph)."""
+    from kgray.ops.graph import pagerank_int
+    from kgray.ops.word2vec import window_pair_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = window_pair_counts(docs, "text", window=2)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        keep = w != c
+        w, c = w[keep], c[keep]
+        lo = np.minimum(w, c)
+        hi = np.maximum(w, c)
+        return pa.table({"u": pa.array(lo, pa.string()),
+                         "v": pa.array(hi, pa.string())}) \
+            .group_by(["u", "v"]).aggregate([])
+
+    edges = pairs.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+    edges = grouped_map(
+        edges, "u", lambda df: df.drop_duplicates(["u", "v"]))
+    ranked = pagerank_int(edges, iters=4)
+    import ray.data as _rd
+
+    if isinstance(ranked, pa.Table):
+        ranked = _rd.from_arrow(ranked)
+    top = ranked.sort(["r", "node"], descending=[True, False]).limit(30) \
+        .to_pandas()
+    return pa.table({
+        "term": pa.array(top["node"], pa.string()),
+        "r": pa.array(top["r"].to_numpy(np.int64)),
+    })
+
+
+def _textrank_sql(iters: int = 4, scale: int = 10**12) -> str:
+    edge_sql = """toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+e AS (SELECT DISTINCT least(t1.tok, t2.tok) AS u,
+                      greatest(t1.tok, t2.tok) AS v
+      FROM toks t1 JOIN toks t2
+        ON t1.doc_id = t2.doc_id AND t2.pos - t1.pos BETWEEN 1 AND 2
+      WHERE t1.tok <> t2.tok),
+sym AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1)"""
+    prev = "r0"
+    ctes = [
+        f"r0 AS (SELECT node, CAST({scale} // n.n AS BIGINT) AS r\n"
+        "       FROM deg CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM deg) n)"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT d.node, CAST((15 * {scale}) // (100 * m.n)\n"
+            "         + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)"
+            " AS r\n"
+            "       FROM deg d\n"
+            "       CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM deg) m\n"
+            "       LEFT JOIN (SELECT s.dst AS node,"
+            " SUM(r.r // sd.degree) AS contrib\n"
+            f"                  FROM sym s JOIN {prev} r ON s.src = r.node\n"
+            "                  JOIN deg sd ON s.src = sd.node\n"
+            "                  GROUP BY 1) c ON d.node = c.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + edge_sql + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT node AS term, r FROM {prev}"
+        " ORDER BY r DESC, node LIMIT 30"
+    )
+
+
+SQL_DOC_TEXTRANK_TERMS = _textrank_sql()
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain mixture reweighting (one exponentiated-gradient
+# round over per-source excess unigram-LM loss)
+# ---------------------------------------------------------------------------
+
+
+def q_doremi_weights(sf_dir: str):
+    """One DoReMi-style (Xie et al. 2023) exponentiated-gradient round
+    over document sources: domains whose tokens are more SURPRISING
+    under the corpus-wide unigram LM (higher avg negative log-prob than
+    the global baseline) get upweighted w_d ~ exp(L_d - B).  Per-token
+    surprisal is quantized to integer micro-nats (floor(-1e6 *
+    ln(cnt/T)), libm ln memoized per distinct count — the DSIR
+    integer-log recipe), so every cross-engine SUM is exact; the <=
+    20-term normalizer Z runs as an ordered left fold in BOTH engines
+    (recursive-CTE scalar state — the temperature-mixture trick at a
+    cardinality its 8-slot pivot can't reach)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(t).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(np.repeat(
+                batch["source"].to_numpy(zero_copy_only=False), lens)),
+            "w": pc.list_flatten(t),
+        })
+
+    tokds = docs.map_batches(toks, batch_format="pyarrow").materialize()
+    cnt = pre_aggregate(tokds, ["w"], {"n": (None, "count")}) \
+        .to_pandas()  # vocab-scale fold, broadcast below (DSIR shape)
+    T = int(cnt["n"].sum())
+    cost_of = {}
+    for w, n in zip(cnt["w"], cnt["n"]):
+        n = int(n)
+        if n not in cost_of:
+            cost_of[n] = int(np.floor(
+                -1000000.0 * math.log(float(n) / float(T))))
+    cmap_ref = ray.put(dict(zip(
+        cnt["w"], (cost_of[int(n)] for n in cnt["n"]))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cmap_ref)
+        c = np.fromiter((cm[w] for w in batch["w"].to_pylist()),
+                        np.int64, batch.num_rows)
+        return pa.table({"source": batch["source"],
+                         "c": pa.array(c, pa.int64())})
+
+    per = pre_aggregate(
+        tokds.map_batches(score, batch_format="pyarrow"),
+        ["source"], {"s": ("c", "sum"), "n": (None, "count")},
+    ).to_pandas().sort_values("source", ignore_index=True)
+    S = per["s"].to_numpy(np.int64)
+    N = per["n"].to_numpy(np.int64)
+    B = float(int(S.sum())) / float(int(N.sum()))
+    L = [float(int(s)) / float(int(n)) for s, n in zip(S, N)]
+    E = [math.exp((l - B) / 1000000.0) for l in L]
+    z = E[0]
+    for v in E[1:]:  # ordered left fold, source order
+        z = z + v
+    return pa.table({
+        "source": pa.array(per["source"], pa.string()),
+        "n_tokens": pa.array(N),
+        "excess_unats": pa.array(
+            [float(round_half_up(l - B, 4)) for l in L], pa.float64()),
+        "w": pa.array(
+            [float(round_half_up(e / z, 6)) for e in E], pa.float64()),
+    })
+
+
+SQL_DOREMI_WEIGHTS = """
+WITH RECURSIVE
+tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+cost AS (SELECT w,
+                CAST(floor(-1000000.0 *
+                     ln(CAST(n AS DOUBLE) / CAST((SELECT t FROM tot)
+                                                 AS DOUBLE))) AS BIGINT)
+                  AS c
+         FROM cnt),
+per AS (SELECT tok.source, CAST(SUM(cost.c) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok JOIN cost USING (w) GROUP BY 1),
+base AS (SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS b
+         FROM per),
+r AS (SELECT source, s, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS l,
+             exp((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (SELECT b FROM base)) / 1000000.0) AS e,
+             ROW_NUMBER() OVER (ORDER BY source) AS rk
+      FROM per),
+zf AS (SELECT rk, e AS acc FROM r WHERE rk = 1
+       UNION ALL
+       SELECT r.rk, zf.acc + r.e FROM zf JOIN r ON r.rk = zf.rk + 1),
+z AS (SELECT acc FROM zf ORDER BY rk DESC LIMIT 1)
+SELECT r.source, r.n AS n_tokens,
+       ROUND(r.l - (SELECT b FROM base), 4) AS excess_unats,
+       ROUND(r.e / (SELECT acc FROM z), 6) AS w
+FROM r ORDER BY r.source
+"""

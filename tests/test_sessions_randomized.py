@@ -296,6 +296,12 @@ QUERIES = {
     "events_weekly_power": ["events"],
     "events_burstiness": ["events"],
     "events_rdd": ["events"],
+    # round 5
+    "events_km_survival": ["events"],
+    "embed_semdedup": ["embeddings"],
+    "doc_textrank_terms": ["documents"],
+    "doremi_weights": ["documents"],
+    "train_word2vec": ["documents"],
 }
 
 
