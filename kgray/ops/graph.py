@@ -289,31 +289,40 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
 
 
 def _pagerank_int_kernel(src: np.ndarray, dst: np.ndarray, n: int,
-                         iters: int, scale: int) -> np.ndarray:
+                         iters: int, scale: int,
+                         seed_idx: np.ndarray | None = None) -> np.ndarray:
     """Fixed-point integer power iteration (damping 85/100, all ops
     int64 floor division) — bit-exact regardless of summation order,
     which is what lets the SQL oracle unroll the same recurrence with
     SUM/``//`` and match hash-for-hash (the Q9 integral-coefficient
     lesson: floats drift across engines, integers cannot).  Shared by
     the in-process gate, the distributed path and the brute test
-    oracle.  ``src``/``dst`` index the SYMMETRIC edge list."""
+    oracle.  ``src``/``dst`` index the SYMMETRIC edge list.
+    ``seed_idx`` switches to PERSONALIZED pagerank: the 15% teleport
+    mass lands only on the seed nodes (split evenly, integer floor)
+    instead of uniformly."""
     deg = np.zeros(n, np.int64)
     np.add.at(deg, src, 1)
     rank = np.full(n, scale // n, np.int64)
-    base = (15 * scale) // (100 * n)
+    if seed_idx is None:
+        basev = np.full(n, (15 * scale) // (100 * n), np.int64)
+    else:
+        basev = np.zeros(n, np.int64)
+        basev[seed_idx] = (15 * scale) // (100 * len(seed_idx))
     nz = deg[src] > 0
     snz, dnz = src[nz], dst[nz]
     for _ in range(iters):
         dang = int(rank[deg == 0].sum())
         contrib = np.zeros(n, np.int64)
         np.add.at(contrib, dnz, rank[snz] // deg[snz])
-        rank = base + (85 * (contrib + dang // n)) // 100
+        rank = basev + (85 * (contrib + dang // n)) // 100
     return rank
 
 
 def pagerank_int(edges, iters: int = 4, scale: int = 10**12,
                  u_col: str = "u", v_col: str = "v",
-                 max_inprocess_edges: int = 1_000_000):
+                 max_inprocess_edges: int = 1_000_000,
+                 seeds=None):
     """Deterministic integer-arithmetic PageRank over the undirected
     edge set: rank' = (15*S)//(100*N) + (85*(Σ rank//deg + dang//N))//100
     with S = ``scale``.  Unlike float :func:`pagerank` (whose per-node
@@ -340,8 +349,16 @@ def pagerank_int(edges, iters: int = 4, scale: int = 10**12,
             return pa.table({"node": pa.array([], pa.int64()),
                              "r": pa.array([], pa.int64())})
         m = len(sym_u)
+        seed_idx = None
+        if seeds is not None:
+            # seeds filtered to graph nodes on BOTH paths (the
+            # bellman_ford lesson: absent seeds must not carry mass)
+            seed_idx = np.nonzero(
+                np.isin(nodes, np.unique(np.asarray(list(seeds)))))[0]
+            if not len(seed_idx):
+                raise ValueError("pagerank_int: no seed is a graph node")
         rank = _pagerank_int_kernel(inv[:m], inv[m:], len(nodes), iters,
-                                    scale)
+                                    scale, seed_idx)
         return pa.table({"node": pa.array(nodes),
                          "r": pa.array(rank, pa.int64())})
 
@@ -350,6 +367,22 @@ def pagerank_int(edges, iters: int = 4, scale: int = 10**12,
     if n == 0:
         return pa.table({"node": pa.array([], pa.int64()),
                          "r": pa.array([], pa.int64())})
+    seed_set = None
+    if seeds is not None:
+        import ray as _ray
+
+        # count seeds PRESENT in the graph (distributed membership fold;
+        # the seed list itself is a constant-bounded broadcast)
+        sarr = np.unique(np.asarray(list(seeds)))
+        sref = _ray.put(sarr)
+        n_seed = int(deg.map_batches(
+            lambda b: pa.table({"m": pa.array(np.isin(
+                b["node"].to_numpy(zero_copy_only=False),
+                _ray.get(sref)).astype(np.int64))}),
+            batch_format="pyarrow").sum("m") or 0)
+        if n_seed == 0:
+            raise ValueError("pagerank_int: no seed is a graph node")
+        seed_set = (sref, (15 * scale) // (100 * n_seed))
     base = (15 * scale) // (100 * n)
     init = scale // n
 
@@ -390,7 +423,17 @@ def pagerank_int(edges, iters: int = 4, scale: int = 10**12,
 
         def rebuild(batch: pa.Table, uplift=uplift) -> pa.Table:
             c = pc.fill_null(batch["c"], pa.scalar(0, pa.int64()))
-            r = base + (
+            if seed_set is None:
+                bv = base
+            else:
+                import ray as _ray
+
+                sref_, sbase = seed_set
+                bv = np.where(
+                    np.isin(batch["node"].to_numpy(zero_copy_only=False),
+                            _ray.get(sref_)),
+                    np.int64(sbase), np.int64(0))
+            r = bv + (
                 85 * (c.to_numpy(zero_copy_only=False) + uplift)
             ) // 100
             return pa.table(
@@ -1411,3 +1454,180 @@ def ppr_int(edges, seeds, iters: int = 4, scale: int = 10**12,
         ).map_batches(rebuild, batch_format="pyarrow").materialize()
 
     return state.select_columns(["node", "r"])
+
+
+def luby_mis(edges, rounds: int = 3, u_col: str = "u", v_col: str = "v",
+             max_inprocess_edges: int = 1_000_000):
+    """Deterministic Luby-style MAXIMAL INDEPENDENT SET over an
+    undirected edge list: each round every ACTIVE node with a priority
+    strictly below all its active neighbors' joins the set, its
+    neighbors drop out, repeat — the classic parallel MIS, made
+    oracle-unrollable by replacing randomness with the md5 hash
+    priority h(node) = md5int13(str(node)) (distinctness is asserted;
+    a 13-hex-char collision is ~2^-52 per pair and would make the
+    round's winner ambiguous).  Isolated active nodes (no remaining
+    active neighbor) are selected immediately.
+
+    Returns (node, state) with state in {'in','out','open'} — 'open'
+    counts nodes still undecided after ``rounds`` (fixed bound so the
+    SQL oracle can unroll; 3 rounds settle hash-random graphs almost
+    surely).  Distributed path per round: two semi-joins restrict the
+    edge set to active endpoints, one min-fold computes each node's
+    active-neighbor priority floor (priorities are STATELESS md5 maps,
+    never joined), two anti-joins retire selected + removed — the
+    greedy_matching round shape."""
+    import hashlib
+
+    import pandas as pd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.joins import semi_join
+
+    def _h(vals) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(x).encode()).hexdigest()[:13], 16)
+             for x in vals), np.int64, len(vals))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch[u_col].to_numpy(zero_copy_only=False)
+        b = batch[v_col].to_numpy(zero_copy_only=False)
+        keep = a != b
+        df = pd.DataFrame({"u": a[keep], "v": b[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    e = edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+    if e.count() <= gate(max_inprocess_edges):
+        df = e.to_pandas().drop_duplicates(["u", "v"])
+        uu, vv = df["u"].to_numpy(), df["v"].to_numpy()
+        nodes = np.unique(np.concatenate([uu, vv]))
+        h = _h(nodes)
+        assert len(np.unique(h)) == len(nodes), \
+            "luby_mis: md5 priority collision"
+        idx = {n: i for i, n in enumerate(nodes)}
+        su = np.fromiter((idx[x] for x in uu), np.int64, len(uu))
+        sv = np.fromiter((idx[x] for x in vv), np.int64, len(vv))
+        src = np.concatenate([su, sv])
+        dst = np.concatenate([sv, su])
+        state = np.zeros(len(nodes), np.int8)  # 0 open, 1 in, 2 out
+        for _ in range(rounds):
+            act = state == 0
+            if not act.any():
+                break
+            ea = act[src] & act[dst]
+            minnb = np.full(len(nodes), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(minnb, src[ea], h[dst[ea]])
+            sel = act & (h < minnb)  # no active neighbor -> max sentinel
+            if not sel.any():
+                break
+            rm = np.zeros(len(nodes), bool)
+            rm[dst[ea & sel[src]]] = True
+            state[sel] = 1
+            state[rm & (state == 0)] = 2
+        lab = np.array(["open", "in", "out"])[state]
+        return pa.table({"node": pa.array(nodes),
+                         "state": pa.array(lab, pa.string())})
+
+    def with_h(col: str, out: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                out, pa.array(_h(batch[col].to_pylist()), pa.int64()))
+        return f
+
+    nodes0 = pre_aggregate(
+        e.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays(
+                [b["u"].combine_chunks(), b["v"].combine_chunks()])}),
+            batch_format="pyarrow"),
+        ["node"], {"__c": (None, "count")},
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes0.count()
+    n_h = pre_aggregate(
+        nodes0.map_batches(with_h("node", "h"), batch_format="pyarrow"),
+        ["h"], {"__c": (None, "count")}).count()
+    assert n_h == n_nodes, "luby_mis: md5 priority collision"
+
+    active = nodes0
+    done = []  # (state_label, Dataset of nodes)
+    cur_e = e
+    for _ in range(rounds):
+        if active.count() == 0 or cur_e.count() == 0:
+            break
+        cur_e = semi_join(cur_e, active, on="u", right_on="node")
+        cur_e = semi_join(cur_e, active, on="v", right_on="node") \
+            .materialize()
+        if cur_e.count() == 0:
+            # every remaining active is isolated -> all join the MIS
+            # (h < min over an empty neighbor set), and the loop ends
+            done.append(("in", active))
+            active = None
+            break
+
+        def sym_h(batch: pa.Table) -> pa.Table:
+            hu = _h(batch["u"].to_pylist())
+            hv = _h(batch["v"].to_pylist())
+            return pa.table({
+                "node": pa.concat_arrays(
+                    [batch["u"].combine_chunks(),
+                     batch["v"].combine_chunks()]),
+                "nbh": pa.array(np.concatenate([hv, hu]), pa.int64()),
+            })
+
+        minnb = pre_aggregate(
+            cur_e.map_batches(sym_h, batch_format="pyarrow"),
+            ["node"], {"m": ("nbh", "min")}).materialize()
+
+        from kgray.ops.joins import bucket_join
+
+        cand = bucket_join(
+            active.map_batches(with_h("node", "h"),
+                               batch_format="pyarrow"),
+            minnb, on="node", how="left")
+
+        def pick(batch: pa.Table) -> pa.Table:
+            h = batch["h"].to_numpy(zero_copy_only=False)
+            m = batch["m"].to_pandas()  # nullable: no-active-neighbor
+            sel = (m.isna() | (h < m.fillna(
+                np.iinfo(np.int64).max).to_numpy(np.int64))).to_numpy()
+            return pa.table({"node": batch["node"].filter(pa.array(sel))})
+
+        selected = cand.map_batches(pick, batch_format="pyarrow") \
+            .materialize()
+        if selected.count() == 0:
+            break
+        removed = pre_aggregate(
+            semi_join(cur_e, selected, on="u", right_on="node")
+            .map_batches(lambda b: pa.table({"node": b["v"]}),
+                         batch_format="pyarrow")
+            .union(
+                semi_join(cur_e, selected, on="v", right_on="node")
+                .map_batches(lambda b: pa.table({"node": b["u"]}),
+                             batch_format="pyarrow")),
+            ["node"], {"__c": (None, "count")},
+        ).select_columns(["node"]).materialize()
+        done.append(("in", selected))
+        done.append(("out", removed))
+        active = semi_join(active, selected, on="node", anti=True)
+        active = semi_join(active, removed, on="node", anti=True) \
+            .materialize()
+
+    import ray.data as rd
+
+    parts = []
+    for lab, ds_ in done:
+        parts.append(ds_.map_batches(
+            lambda b, lab=lab: pa.table({
+                "node": b["node"],
+                "state": pa.array([lab] * b.num_rows, pa.string())}),
+            batch_format="pyarrow"))
+    if active is not None:
+        parts.append(active.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "state": pa.array(["open"] * b.num_rows, pa.string())}),
+            batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

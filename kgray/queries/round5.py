@@ -411,3 +411,316 @@ SELECT r.source, r.n AS n_tokens,
        ROUND(r.e / (SELECT acc FROM z), 6) AS w
 FROM r ORDER BY r.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seeded teleport) over the supplier-part graph
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = (1, 2, 3, 4)
+
+
+def q_supplier_ppr(sf_dir: str):
+    """PERSONALIZED integer fixed-point PageRank: the 15% teleport mass
+    restarts only at seed suppliers {1..4} (split evenly), ranking the
+    graph by proximity to the seed set — topic-sensitive PageRank as a
+    first-class primitive (``graph.pagerank_int(seeds=...)``).  Integer
+    arithmetic keeps the 4-iteration recurrence summation-order-exact;
+    the oracle unrolls it with a CASE teleport term whose seed count is
+    computed from the graph (seeds are filtered to present nodes on
+    both paths — the bellman_ford lesson)."""
+    from kgray.ops.graph import pagerank_int
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    return pagerank_int(_part_supplier_edges(sf_dir), iters=4,
+                        seeds=_PPR_SEEDS)
+
+
+def _ppr_sql(iters: int = 4, scale: int = 10**12) -> str:
+    from kgray.queries.analytics4 import _GRAPH_EDGE_SQL
+
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    prev = "r0"
+    ctes = [
+        f"ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM deg"
+        f" WHERE node IN ({seeds}))",
+        f"r0 AS (SELECT node, CAST({scale} // n.n AS BIGINT) AS r\n"
+        "       FROM deg CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM deg) n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT d.node, CAST(\n"
+            f"         CASE WHEN d.node IN ({seeds})\n"
+            f"              THEN (15 * {scale}) // (100 * (SELECT k FROM ns))\n"
+            "              ELSE 0 END\n"
+            "         + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)"
+            " AS r\n"
+            "       FROM deg d\n"
+            "       LEFT JOIN (SELECT s.dst AS node,"
+            " SUM(r.r // sd.degree) AS contrib\n"
+            f"                  FROM sym s JOIN {prev} r ON s.src = r.node\n"
+            "                  JOIN deg sd ON s.src = sd.node\n"
+            "                  GROUP BY 1) c ON d.node = c.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + _GRAPH_EDGE_SQL + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT node, r FROM {prev}"
+    )
+
+
+SQL_SUPPLIER_PPR = _ppr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set over the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+def q_word_mis(sf_dir: str):
+    """Deterministic Luby-style maximal independent set over the word
+    co-occurrence window graph (``graph.luby_mis``, 3 rounds, md5 hash
+    priorities instead of randomness): per word 'in' / 'out' / 'open'.
+    The classic parallel-graph primitive, oracle-unrolled — each SQL
+    round selects actives with no smaller-priority active neighbor and
+    retires their neighborhoods, exactly the engine's round rule."""
+    from kgray.ops.graph import luby_mis
+    from kgray.ops.word2vec import window_pair_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = window_pair_counts(docs, "text", window=2)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        keep = w != c
+        return pa.table({"u": pa.array(np.minimum(w[keep], c[keep]),
+                                       pa.string()),
+                         "v": pa.array(np.maximum(w[keep], c[keep]),
+                                       pa.string())}) \
+            .group_by(["u", "v"]).aggregate([])
+
+    edges = pairs.map_batches(undirect, batch_format="pyarrow")
+    return luby_mis(edges, rounds=3)
+
+
+SQL_WORD_MIS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+e AS (SELECT DISTINCT least(t1.tok, t2.tok) AS u,
+                      greatest(t1.tok, t2.tok) AS v
+      FROM toks t1 JOIN toks t2
+        ON t1.doc_id = t2.doc_id AND t2.pos - t1.pos BETWEEN 1 AND 2
+      WHERE t1.tok <> t2.tok),
+sym AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+h AS (SELECT DISTINCT src AS node,
+             CAST('0x' || substr(md5(src), 1, 13) AS BIGINT) AS hv
+      FROM sym),
+a0 AS (SELECT node FROM h),
+s1 AS (SELECT a.node FROM a0 a JOIN h ha ON ha.node = a.node
+       WHERE NOT EXISTS (
+         SELECT 1 FROM sym s JOIN a0 b ON b.node = s.dst
+         JOIN h hb ON hb.node = s.dst
+         WHERE s.src = a.node AND hb.hv < ha.hv)),
+rm1 AS (SELECT DISTINCT s.dst AS node
+        FROM sym s JOIN s1 ON s1.node = s.src
+        JOIN a0 a ON a.node = s.dst),
+a1 AS (SELECT node FROM a0
+       WHERE node NOT IN (SELECT node FROM s1)
+         AND node NOT IN (SELECT node FROM rm1)),
+s2 AS (SELECT a.node FROM a1 a JOIN h ha ON ha.node = a.node
+       WHERE NOT EXISTS (
+         SELECT 1 FROM sym s JOIN a1 b ON b.node = s.dst
+         JOIN h hb ON hb.node = s.dst
+         WHERE s.src = a.node AND hb.hv < ha.hv)),
+rm2 AS (SELECT DISTINCT s.dst AS node
+        FROM sym s JOIN s2 ON s2.node = s.src
+        JOIN a1 a ON a.node = s.dst),
+a2 AS (SELECT node FROM a1
+       WHERE node NOT IN (SELECT node FROM s2)
+         AND node NOT IN (SELECT node FROM rm2)),
+s3 AS (SELECT a.node FROM a2 a JOIN h ha ON ha.node = a.node
+       WHERE NOT EXISTS (
+         SELECT 1 FROM sym s JOIN a2 b ON b.node = s.dst
+         JOIN h hb ON hb.node = s.dst
+         WHERE s.src = a.node AND hb.hv < ha.hv)),
+rm3 AS (SELECT DISTINCT s.dst AS node
+        FROM sym s JOIN s3 ON s3.node = s.src
+        JOIN a2 a ON a.node = s.dst),
+a3 AS (SELECT node FROM a2
+       WHERE node NOT IN (SELECT node FROM s3)
+         AND node NOT IN (SELECT node FROM rm3))
+SELECT node, 'in' AS state FROM s1
+UNION ALL SELECT node, 'out' FROM rm1
+UNION ALL SELECT node, 'in' FROM s2
+UNION ALL SELECT node, 'out' FROM rm2
+UNION ALL SELECT node, 'in' FROM s3
+UNION ALL SELECT node, 'out' FROM rm3
+UNION ALL SELECT node, 'open' FROM a3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_events_changepoint(sf_dir: str):
+    """Single-changepoint binary segmentation over the daily events
+    value series: the split k maximizing the between-segment
+    sum-of-squares reduction gain(k) = (S1*n2 - S2*n1)^2 / (n1*n2*N)
+    over daily cents totals.  All candidate numerators/denominators are
+    EXACT integers; the gain double each engine computes is the SAME
+    rounded value of the SAME exact rational (one HUGEINT-exact square,
+    one division), so the argmax ordering is identical — ties break to
+    the earliest day (the decision-stump raw-gain lesson).  One
+    day-scale fold; the candidate sweep is day-scale driver work."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas().sort_values("d", ignore_index=True)  # day-scale
+    y = [int(v) for v in g["s"]]
+    dd = [int(v) for v in g["d"]]
+    K = len(y)
+    tot = sum(y)
+    best = None
+    pref = 0
+    for k in range(1, K):
+        pref += y[k - 1]
+        n1, n2 = k, K - k
+        num = (pref * n2 - (tot - pref) * n1) ** 2
+        den = n1 * n2 * K
+        gain = float(num) / float(den)
+        if best is None or gain > best[0]:
+            best = (gain, k, pref)
+    gain, k, s1 = best
+    return pa.table({
+        "split_day": pa.array([dd[k - 1]], pa.int64()),
+        "n1": pa.array([k], pa.int64()),
+        "n2": pa.array([K - k], pa.int64()),
+        "mean1": pa.array(
+            [float(round_half_up(float(s1) / float(k), 4))], pa.float64()),
+        "mean2": pa.array(
+            [float(round_half_up(float(tot - s1) / float(K - k), 4))],
+            pa.float64()),
+        "gain": pa.array([float(round_half_up(gain, 4))], pa.float64()),
+    })
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+o AS (SELECT d, s,
+             ROW_NUMBER() OVER (ORDER BY d) AS k,
+             SUM(s) OVER (ORDER BY d) AS pref
+      FROM daily),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS kk FROM daily),
+cand AS (SELECT o.d, o.k, o.pref,
+                CAST((o.pref * (tot.kk - o.k)
+                      - (tot.t - o.pref) * o.k) AS HUGEINT) AS a,
+                CAST(o.k * (tot.kk - o.k) * tot.kk AS BIGINT) AS den
+         FROM o, tot WHERE o.k < tot.kk),
+gains AS (SELECT d, k, pref, den,
+                 CAST(a * a AS DOUBLE) / CAST(den AS DOUBLE) AS gain
+          FROM cand)
+SELECT g.d AS split_day,
+       CAST(g.k AS BIGINT) AS n1,
+       CAST(tot.kk - g.k AS BIGINT) AS n2,
+       ROUND(CAST(g.pref AS DOUBLE) / CAST(g.k AS DOUBLE), 4) AS mean1,
+       ROUND(CAST(tot.t - g.pref AS DOUBLE)
+             / CAST(tot.kk - g.k AS DOUBLE), 4) AS mean2,
+       ROUND(g.gain, 4) AS gain
+FROM gains g, tot
+ORDER BY g.gain DESC, g.k LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: langid heuristic vs labeled lang (annotator agreement)
+# ---------------------------------------------------------------------------
+
+
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa between the langid heuristic and the labeled lang
+    column — chance-corrected agreement, the annotator-QA metric the
+    raw-accuracy confusion matrix lacks.  Exact integers end-to-end:
+    kappa = (agree*N - pe_num) / (N*N - pe_num) with pe_num =
+    sum_l row_l * col_l, one final division (the langid-confusion
+    composition: the oracle embeds the langid SQL)."""
+    from kgray.queries.docs import q_langid
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    pred = q_langid(sf_dir)
+    j = bucket_join(docs, pred, on="doc_id", how="inner")
+    ct = pre_aggregate(
+        j, ["lang", "lang_pred"], {"n": (None, "count")},
+    ).to_pandas()  # label-scale contingency
+    N = int(ct["n"].sum())
+    agree = int(ct.loc[ct["lang"] == ct["lang_pred"], "n"].sum())
+    row = ct.groupby("lang")["n"].sum()
+    col = ct.groupby("lang_pred")["n"].sum()
+    labels = sorted(set(row.index) | set(col.index))
+    pe_num = sum(int(row.get(l, 0)) * int(col.get(l, 0)) for l in labels)
+    kappa = float(agree * N - pe_num) / float(N * N - pe_num)
+    return pa.table({
+        "n": pa.array([N], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "pe_num": pa.array([pe_num], pa.int64()),
+        "kappa": pa.array([float(round_half_up(kappa, 6))], pa.float64()),
+    })
+
+
+SQL_LANGID_KAPPA = """
+WITH pred AS (
+WITH s AS (
+  SELECT doc_id,
+    CAST(contains(text, 'the ') AS INT) + CAST(contains(text, ' and ') AS INT) + CAST(contains(text, ' of ') AS INT) AS s_en,
+    CAST(contains(text, 'der ') AS INT) + CAST(contains(text, ' und ') AS INT) + CAST(contains(text, ' sch') AS INT) AS s_de,
+    CAST(contains(text, ' le ') AS INT) + CAST(contains(text, ' de ') AS INT) + CAST(contains(text, ' est') AS INT) AS s_fr,
+    CAST(contains(text, ' el ') AS INT) + CAST(contains(text, ' de ') AS INT) + CAST(contains(text, 'ción') AS INT) AS s_es,
+    CAST(contains(text, '的') AS INT) + CAST(contains(text, '是') AS INT) + CAST(contains(text, '了') AS INT) AS s_zh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       WHEN s_es >= s_zh THEN 'es'
+       ELSE 'zh' END AS lang_pred
+FROM s
+),
+j AS (SELECT d.lang, p.lang_pred FROM documents d
+      JOIN pred p ON d.doc_id = p.doc_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+agree AS (SELECT CAST(COUNT(*) AS BIGINT) AS a FROM j
+          WHERE lang = lang_pred),
+row_t AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS r FROM j GROUP BY 1),
+col_t AS (SELECT lang_pred AS l, CAST(COUNT(*) AS BIGINT) AS c
+          FROM j GROUP BY 1),
+pe AS (SELECT CAST(SUM(COALESCE(row_t.r, 0) * COALESCE(col_t.c, 0))
+              AS BIGINT) AS pn
+       FROM row_t FULL OUTER JOIN col_t USING (l))
+SELECT n.n, agree.a AS agree, pe.pn AS pe_num,
+       ROUND(CAST(agree.a * n.n - pe.pn AS DOUBLE)
+             / CAST(n.n * n.n - pe.pn AS DOUBLE), 6) AS kappa
+FROM n, agree, pe
+"""

@@ -302,6 +302,10 @@ QUERIES = {
     "doc_textrank_terms": ["documents"],
     "doremi_weights": ["documents"],
     "train_word2vec": ["documents"],
+    "supplier_ppr": ["lineitem"],
+    "word_mis": ["documents"],
+    "events_changepoint": ["events"],
+    "langid_kappa": ["documents"],
 }
 
 
