@@ -724,3 +724,207 @@ SELECT n.n, agree.a AS agree, pe.pn AS pe_num,
              / CAST(n.n * n.n - pe.pn AS DOUBLE), 6) AS kappa
 FROM n, agree, pe
 """
+
+
+# ---------------------------------------------------------------------------
+# t-closeness privacy audit: per-source language distribution distance
+# ---------------------------------------------------------------------------
+
+
+def q_source_lang_tcloseness(sf_dir: str):
+    """t-closeness audit (Li et al. 2007) of the source partitioning
+    with lang as the sensitive attribute: per source, the total
+    variation distance between its language distribution and the
+    corpus-wide one — the k-anonymity/l-diversity companion that
+    catches skewed (attribute-revealing) equivalence classes.  Exact
+    cross-multiplied integers (tv_num = sum_l |n_sl*N - n_l*N_s|), one
+    final division."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    ct = pre_aggregate(
+        docs, ["source", "lang"], {"n": (None, "count")},
+    ).to_pandas()  # (source x lang)-scale
+    N = int(ct["n"].sum())
+    lang_tot = ct.groupby("lang")["n"].sum()
+    rows = []
+    for s, g in ct.groupby("source"):
+        Ns = int(g["n"].sum())
+        have = dict(zip(g["lang"], g["n"]))
+        tv_num = sum(
+            abs(int(have.get(l, 0)) * N - int(lang_tot[l]) * Ns)
+            for l in lang_tot.index)
+        rows.append((s, Ns, tv_num,
+                     float(round_half_up(tv_num / (2.0 * Ns * N), 6))))
+    rows.sort()
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "tv_num": pa.array([r[2] for r in rows], pa.int64()),
+        "tv": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_SOURCE_LANG_TCLOSENESS = """
+WITH ct AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ct),
+lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM ct GROUP BY 1),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM ct GROUP BY 1)
+SELECT st.source, st.ns AS n,
+       CAST(SUM(abs(COALESCE(ct.n, 0) * tot.nn - lt.nl * st.ns))
+            AS BIGINT) AS tv_num,
+       ROUND(CAST(SUM(abs(COALESCE(ct.n, 0) * tot.nn - lt.nl * st.ns))
+                  AS DOUBLE) / (2.0 * st.ns * tot.nn), 6) AS tv
+FROM st CROSS JOIN lt CROSS JOIN tot
+LEFT JOIN ct ON ct.source = st.source AND ct.lang = lt.lang
+GROUP BY 1, 2, tot.nn
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate rule attrition: what each filter uniquely removes
+# ---------------------------------------------------------------------------
+
+
+def q_quality_rule_attrition(sf_dir: str):
+    """Per-rule attrition audit of a 4-rule quality gate (too-short,
+    too-long, repeated-top-word, long-average-token): for each rule the
+    number of failing docs and the number ONLY that rule catches — the
+    ablation view a curation pipeline needs before dropping a rule.
+    All rule predicates are integer cross-multiplies (no float
+    thresholds), so counts are bit-exact."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = np.repeat(np.arange(len(nt)), nt)
+        flat = pc.list_flatten(toks)
+        df = pd.DataFrame({"d": did, "t": flat.to_pylist()})
+        mx = df.groupby(["d", "t"], sort=False).size() \
+            .groupby("d", sort=False).max() \
+            .reindex(np.arange(len(nt)), fill_value=0).to_numpy(np.int64)
+        tl = df["t"].str.len().to_numpy(np.int64)
+        sl = np.zeros(len(nt), np.int64)
+        np.add.at(sl, did, tl)
+        r1 = nt < 5
+        r2 = nt > 5000
+        r3 = mx * 10 > nt * 3
+        r4 = sl > 8 * nt
+        fails = np.stack([r1, r2, r3, r4])
+        only = fails & (fails.sum(axis=0) == 1)
+        out = []
+        for i, name in enumerate(["too_short", "too_long",
+                                  "top_word_repeat", "long_tokens"]):
+            out.append((name, int(fails[i].sum()), int(only[i].sum())))
+        return pa.table({
+            "rule": pa.array([o[0] for o in out], pa.string()),
+            "n_fail": pa.array([o[1] for o in out], pa.int64()),
+            "n_only": pa.array([o[2] for o in out], pa.int64()),
+        })
+
+    return pre_aggregate(
+        docs.map_batches(rules, batch_format="pyarrow"),
+        ["rule"], {"n_fail": ("n_fail", "sum"), "n_only": ("n_only", "sum")},
+    )
+
+
+SQL_QUALITY_RULE_ATTRITION = """
+WITH tw AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c * len(t)) AS BIGINT)
+              AS sl
+            FROM (SELECT doc_id, t, COUNT(*) AS c FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents) GROUP BY 1, 2)
+            GROUP BY 1),
+f AS (SELECT d.doc_id,
+             CASE WHEN len(string_split(d.text, ' ')) < 5
+                  THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(string_split(d.text, ' ')) > 5000
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN tw.mx * 10 > len(string_split(d.text, ' ')) * 3
+                  THEN 1 ELSE 0 END AS r3,
+             CASE WHEN tw.sl > 8 * len(string_split(d.text, ' '))
+                  THEN 1 ELSE 0 END AS r4
+      FROM documents d JOIN tw ON d.doc_id = tw.doc_id),
+u AS (SELECT *, r1 + r2 + r3 + r4 AS tot FROM f)
+SELECT 'too_short' AS rule, CAST(SUM(r1) AS BIGINT) AS n_fail,
+       CAST(SUM(CASE WHEN r1 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only FROM u
+UNION ALL
+SELECT 'too_long', CAST(SUM(r2) AS BIGINT),
+       CAST(SUM(CASE WHEN r2 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM u
+UNION ALL
+SELECT 'top_word_repeat', CAST(SUM(r3) AS BIGINT),
+       CAST(SUM(CASE WHEN r3 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM u
+UNION ALL
+SELECT 'long_tokens', CAST(SUM(r4) AS BIGINT),
+       CAST(SUM(CASE WHEN r4 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pair-counting cluster quality: kmeans_int clusters vs labels
+# ---------------------------------------------------------------------------
+
+
+def q_embed_cluster_pair_quality(sf_dir: str):
+    """Pair-counting (Rand-style) quality of the integer k-means
+    clustering against the embeddings' labels: TP = same-cluster AND
+    same-label pairs, pairwise precision/recall/F1 — the standard
+    entity-resolution clustering metric, exact because every term is an
+    integer pair count (C(n,2) sums) with one final division.  The
+    oracle embeds the full kmeans unroll (composition)."""
+    from kgray.ops.similarity import kmeans_int
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]) \
+        .materialize()
+    assign = kmeans_int(emb, k=4, iters=2, scale=10**6, shift=10**7)
+    labels = emb.select_columns(["vec_id", "label"])
+    j = bucket_join(labels, assign, on="vec_id", how="inner")
+    cells = pre_aggregate(
+        j, ["cluster", "label"], {"n": (None, "count")},
+    ).to_pandas()  # (k x labels)-scale
+    tp = int(sum(int(n) * (int(n) - 1) // 2 for n in cells["n"]))
+    csz = cells.groupby("cluster")["n"].sum()
+    gsz = cells.groupby("label")["n"].sum()
+    pp = int(sum(int(n) * (int(n) - 1) // 2 for n in csz))
+    gp = int(sum(int(n) * (int(n) - 1) // 2 for n in gsz))
+    return pa.table({
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "cluster_pairs": pa.array([pp], pa.int64()),
+        "label_pairs": pa.array([gp], pa.int64()),
+        "precision": pa.array(
+            [float(round_half_up(tp / pp, 6))], pa.float64()),
+        "recall": pa.array(
+            [float(round_half_up(tp / gp, 6))], pa.float64()),
+        "f1": pa.array(
+            [float(round_half_up(2.0 * tp / (pp + gp), 6))], pa.float64()),
+    })
+
+
+def _cluster_pair_sql() -> str:
+    from kgray.queries.analytics7 import _kmeans_sql
+
+    return f"""
+WITH ak AS ({_kmeans_sql()}),
+cells AS (SELECT ak.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n
+          FROM embeddings e JOIN ak ON ak.vec_id = e.vec_id
+          GROUP BY 1, 2),
+tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS v FROM cells),
+pp AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS v FROM (
+         SELECT CAST(SUM(n) AS BIGINT) AS s FROM cells GROUP BY cluster)),
+gp AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS v FROM (
+         SELECT CAST(SUM(n) AS BIGINT) AS s FROM cells GROUP BY label))
+SELECT tp.v AS tp_pairs, pp.v AS cluster_pairs, gp.v AS label_pairs,
+       ROUND(CAST(tp.v AS DOUBLE) / CAST(pp.v AS DOUBLE), 6) AS precision,
+       ROUND(CAST(tp.v AS DOUBLE) / CAST(gp.v AS DOUBLE), 6) AS recall,
+       ROUND(2.0 * tp.v / (pp.v + gp.v), 6) AS f1
+FROM tp, pp, gp
+"""
+
+
+SQL_EMBED_CLUSTER_PAIR_QUALITY = _cluster_pair_sql()

@@ -306,6 +306,9 @@ QUERIES = {
     "word_mis": ["documents"],
     "events_changepoint": ["events"],
     "langid_kappa": ["documents"],
+    "source_lang_tcloseness": ["documents"],
+    "quality_rule_attrition": ["documents"],
+    "embed_cluster_pair_quality": ["embeddings"],
 }
 
 
