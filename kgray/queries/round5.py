@@ -16,7 +16,7 @@ from ._common import *  # noqa: F401,F403
 # ---------------------------------------------------------------------------
 
 
-def q_events_km_survival(sf_dir: str):
+def q_events_km_lifetime(sf_dir: str):
     """Kaplan-Meier survival estimate of user activity lifetime (days
     between first and last event): users whose last event lands before
     the corpus's final day are OBSERVED churns, the final-day cohort is
@@ -77,7 +77,7 @@ def q_events_km_survival(sf_dir: str):
     })
 
 
-SQL_EVENTS_KM_SURVIVAL = """
+SQL_EVENTS_KM_LIFETIME = """
 WITH RECURSIVE
 u AS (SELECT user_id,
              CAST(date_diff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE))
@@ -116,7 +116,7 @@ _SD_TAU_NUM, _SD_TAU_DEN = 7, 20  # cos >= 0.35 on this corpus's spread
 _SD_GRID = 100
 
 
-def q_embed_semdedup(sf_dir: str):
+def q_embed_semdedup_blocked(sf_dir: str):
     """SemDeDup semantic near-dup audit: integer k-means clusters (the
     oracle-checked ``kmeans_int``, k=4, 2 rounds) BLOCK the pair
     search; within each cluster a vector is dropped when an
@@ -211,7 +211,7 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-SQL_EMBED_SEMDEDUP = _semdedup_sql()
+SQL_EMBED_SEMDEDUP_BLOCKED = _semdedup_sql()
 
 
 # ---------------------------------------------------------------------------

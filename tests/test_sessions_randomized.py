@@ -297,8 +297,8 @@ QUERIES = {
     "events_burstiness": ["events"],
     "events_rdd": ["events"],
     # round 5
-    "events_km_survival": ["events"],
-    "embed_semdedup": ["embeddings"],
+    "events_km_lifetime": ["events"],
+    "embed_semdedup_blocked": ["embeddings"],
     "doc_textrank_terms": ["documents"],
     "doremi_weights": ["documents"],
     "train_word2vec": ["documents"],
