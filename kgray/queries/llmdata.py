@@ -458,18 +458,18 @@ GROUP BY 1
 
 
 def q_train_word2vec(sf_dir: str):
-    """One synchronous round of integer fixed-point skip-gram
+    """TWO synchronous rounds of integer fixed-point skip-gram
     negative-sampling word2vec (SURVEY.md §2 A8; reference trains gensim
     embeddings in pytorch/classification/word2vec.py:36-45) — input
-    embeddings of the 30 highest-mass words after round 1.  The integer
-    gradient fold is summation-order-exact, so the oracle UNROLLS the
-    identical round (hash init, deterministic hash-slot negatives, libm
-    sigmoid, floor-quantized gradient terms, shifted-positive integer
-    division) — see kgray/ops/word2vec.py."""
+    embeddings of the 30 highest-mass words after round 2.  The integer
+    gradient fold is summation-order-exact, so the oracle UNROLLS both
+    rounds as stacked CTE layers (hash init, deterministic hash-slot
+    negatives, libm sigmoid, floor-quantized gradient terms,
+    shifted-positive integer division) — see kgray/ops/word2vec.py."""
     from kgray.ops.word2vec import train_word2vec
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    u, _v, nw = train_word2vec(docs, dim=4, k_neg=2, lr_den=4, iters=1,
+    u, _v, nw = train_word2vec(docs, dim=4, k_neg=2, lr_den=4, iters=2,
                                scale=10_000, window=2)
     top = set(
         nw.sort(["n", "w"], descending=[True, False]).limit(30)
@@ -488,10 +488,12 @@ def q_train_word2vec(sf_dir: str):
     return u.map_batches(pick, batch_format="pyarrow")
 
 
-def _w2v_round1_sql(dim: int = 4, k_neg: int = 2, lr_den: int = 4,
-                    scale: int = 10_000, top: int = 30) -> str:
-    """Emit the dims-unrolled one-round SGNS oracle (same generator
-    emits the formula trees the Ray kernel computes)."""
+def _w2v_sql(dim: int = 4, k_neg: int = 2, lr_den: int = 4,
+             scale: int = 10_000, top: int = 30, rounds: int = 2) -> str:
+    """Emit the dims-unrolled ``rounds``-round SGNS oracle (the same
+    generator emits the formula trees the Ray kernel computes; both U
+    and V update simultaneously each round, so round r's CTEs join the
+    r-1 factor tables — the ALS/kmeans_int stacked-layer pattern)."""
     mod = 2 * scale + 1
     s2 = scale * scale
     h = lambda e: f"CAST('0x'||substr(md5({e}),1,13) AS BIGINT)"
@@ -503,18 +505,56 @@ def _w2v_round1_sql(dim: int = 4, k_neg: int = 2, lr_den: int = 4,
         "({hh} % {mod}) - {scale} AS v{d}".format(
             hh=h("c||'#v%d'" % d), mod=mod, scale=scale, d=d)
         for d in range(dim))
-    dot = " + ".join(f"u0.u{d}*v0.v{d}" for d in range(dim))
-    ucols = ", ".join(f"u0.u{d}" for d in range(dim))
-    vcols = ", ".join(f"v0.v{d}" for d in range(dim))
-    sums = ",\n         ".join(
-        "CAST(SUM(CAST(floor(coef * CAST(n AS DOUBLE) * "
-        f"CAST(v{d} AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s{d}"
-        for d in range(dim))
-    upd = ",\n         ".join(
-        f"u0.u{d} + (((du.s{d} + 1000000*({lr_den}*du.tw)) // "
-        f"({lr_den}*du.tw)) - 1000000) AS e{d}"
-        for d in range(dim))
-    outs = ", ".join(f"CAST(e{d} AS BIGINT) AS e{d}" for d in range(dim))
+    ctes = [f"""u0 AS (SELECT w,
+         {ud}
+       FROM nw)""", f"""v0 AS (SELECT c,
+         {vd}
+       FROM vocab)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        dot = " + ".join(f"u.u{d}*v.v{d}" for d in range(dim))
+        ucols = ", ".join(f"u.u{d}" for d in range(dim))
+        vcols = ", ".join(f"v.v{d}" for d in range(dim))
+        sums_u = ",\n         ".join(
+            "CAST(SUM(CAST(floor(coef * CAST(n AS DOUBLE) * "
+            f"CAST(v{d} AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s{d}"
+            for d in range(dim))
+        sums_v = ",\n         ".join(
+            "CAST(SUM(CAST(floor(coef * CAST(n AS DOUBLE) * "
+            f"CAST(u{d} AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s{d}"
+            for d in range(dim))
+        upd_u = ",\n         ".join(
+            f"u.u{d} + (((du.s{d} + 1000000*({lr_den}*du.tw)) // "
+            f"({lr_den}*du.tw)) - 1000000) AS u{d}"
+            for d in range(dim))
+        upd_v = ",\n         ".join(
+            f"v.v{d} + (((dv.s{d} + 1000000*({lr_den}*dv.tw)) // "
+            f"({lr_den}*dv.tw)) - 1000000) AS v{d}"
+            for d in range(dim))
+        ctes.append(
+            f"""jp{r} AS (SELECT a.w, a.c, a.n, a.label, {ucols}, {vcols},
+              {dot} AS dot
+       FROM allp a JOIN u{p} u USING (w) JOIN v{p} v USING (c))""")
+        ctes.append(
+            f"""cf{r} AS (SELECT *, CAST(label AS DOUBLE)
+               - 1.0/(1.0+exp(-(CAST(dot AS DOUBLE)/{s2}.0))) AS coef
+       FROM jp{r})""")
+        ctes.append(f"""du{r} AS (SELECT w,
+         {sums_u},
+         CAST(SUM(n) AS BIGINT) AS tw
+       FROM cf{r} GROUP BY w)""")
+        ctes.append(f"""dv{r} AS (SELECT c,
+         {sums_v},
+         CAST(SUM(n) AS BIGINT) AS tw
+       FROM cf{r} GROUP BY c)""")
+        ctes.append(f"""u{r} AS (SELECT u.w,
+         {upd_u}
+       FROM u{p} u JOIN du{r} du USING (w))""")
+        ctes.append(f"""v{r} AS (SELECT v.c,
+         {upd_v}
+       FROM v{p} v JOIN dv{r} dv USING (c))""")
+    outs = ", ".join(
+        f"CAST(u{rounds}.u{d} AS BIGINT) AS e{d}" for d in range(dim))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -535,29 +575,11 @@ negt AS (SELECT nw.w,
 negs AS (SELECT negt.w, slot.c, negt.n FROM negt JOIN slot USING (s)),
 allp AS (SELECT w, c, n, 1 AS label FROM pp
          UNION ALL SELECT w, c, n, 0 AS label FROM negs),
-u0 AS (SELECT w,
-         {ud}
-       FROM nw),
-v0 AS (SELECT c,
-         {vd}
-       FROM vocab),
-jp AS (SELECT a.w, a.c, a.n, a.label, {ucols}, {vcols},
-              {dot} AS dot
-       FROM allp a JOIN u0 USING (w) JOIN v0 USING (c)),
-cf AS (SELECT *, CAST(label AS DOUBLE)
-               - 1.0/(1.0+exp(-(CAST(dot AS DOUBLE)/{s2}.0))) AS coef
-       FROM jp),
-du AS (SELECT w,
-         {sums},
-         CAST(SUM(n) AS BIGINT) AS tw
-       FROM cf GROUP BY w),
-u1 AS (SELECT u0.w,
-         {upd}
-       FROM u0 JOIN du USING (w)),
+""" + ",\n".join(ctes) + f""",
 top AS (SELECT w FROM nw ORDER BY n DESC, w LIMIT {top})
-SELECT u1.w AS w, {outs}
-FROM u1 JOIN top USING (w) ORDER BY w
+SELECT u{rounds}.w AS w, {outs}
+FROM u{rounds} JOIN top USING (w) ORDER BY w
 """
 
 
-SQL_TRAIN_WORD2VEC = _w2v_round1_sql()
+SQL_TRAIN_WORD2VEC = _w2v_sql()

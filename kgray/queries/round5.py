@@ -928,3 +928,283 @@ FROM tp, pp, gp
 
 
 SQL_EMBED_CLUSTER_PAIR_QUALITY = _cluster_pair_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern pair support (a-then-b, non-contiguous)
+# ---------------------------------------------------------------------------
+
+
+def q_events_seq_pairs(sf_dir: str):
+    """Sequential-pattern mining, pair tier: for every ORDERED type pair
+    (a, b), the number of users with some a-event strictly before some
+    b-event — the non-contiguous "a then b" support that transition
+    (adjacent-step) counts miss.  Per (user, type) min/max timestamps
+    fold to integer microseconds, then a type x type sweep inside a
+    user cogroup; counts are exact integers."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def us(batch: pa.Table) -> pa.Table:
+        t = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"user_id": batch["user_id"],
+                         "event_type": batch["event_type"],
+                         "t": pa.array(t, pa.int64())})
+
+    mm = pre_aggregate(
+        ev.map_batches(us, batch_format="pyarrow"),
+        ["user_id", "event_type"], {"mn": ("t", "min"), "mx": ("t", "max")},
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("user_id", sort=False):
+            et = g["event_type"].to_numpy()
+            mn = g["mn"].to_numpy(np.int64)
+            mx = g["mx"].to_numpy(np.int64)
+            hit = mn[:, None] < mx[None, :]
+            np.fill_diagonal(hit, False)
+            ia, ib = np.nonzero(hit)
+            out_a.append(et[ia])
+            out_b.append(et[ib])
+        if not out_a:
+            return pd.DataFrame({"a": pd.array([], dtype=object),
+                                 "b": pd.array([], dtype=object)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    return pre_aggregate(
+        grouped_map(mm, "user_id", pairs),
+        ["a", "b"], {"support": (None, "count")},
+    )
+
+
+SQL_EVENTS_SEQ_PAIRS = """
+WITH t AS (SELECT user_id, event_type, MIN(ts) AS mn, MAX(ts) AS mx
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type AS a, b.event_type AS b,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM t a JOIN t b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+ AND a.mn < b.mx
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per source (rank-frequency log-log OLS over top ranks)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 50
+
+
+def q_source_zipf_slope(sf_dir: str):
+    """Per-source Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    top-50 token ranks (rank ties broken by token) — the corpus-health
+    diagnostic (natural text ~ -1; templated/generated text flattens).
+    Both engines accumulate the four OLS sums as an EXPLICIT left fold
+    in rank order (recursive-CTE scalar state — a cross-row float sum
+    has no order guarantee otherwise) with libm ln (the tf-idf
+    lesson)."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(t).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(np.repeat(
+                batch["source"].to_numpy(zero_copy_only=False), lens)),
+            "w": pc.list_flatten(t),
+        })
+
+    cnt = pre_aggregate(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["source", "w"], {"n": (None, "count")},
+    ).to_pandas()  # (source x vocab)-scale
+    rows = []
+    for s, g in cnt.groupby("source"):
+        g = g.sort_values(["n", "w"], ascending=[False, True],
+                          kind="mergesort").head(_ZIPF_TOP)
+        n_r = len(g)
+        sx = sy = sxy = sxx = 0.0
+        for r, f in enumerate(g["n"], start=1):
+            x = math.log(float(r))
+            y = math.log(float(int(f)))
+            sx = sx + x
+            sy = sy + y
+            sxy = sxy + x * y
+            sxx = sxx + x * x
+        slope = ((n_r * sxy - sx * sy) / (n_r * sxx - sx * sx))
+        rows.append((s, n_r, float(round_half_up(slope, 6))))
+    rows.sort()
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_ranks": pa.array([r[1] for r in rows], pa.int64()),
+        "zipf_slope": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_SOURCE_ZIPF_SLOPE = f"""
+WITH RECURSIVE
+cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents) GROUP BY 1, 2),
+rk AS (SELECT source, n,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n DESC, w) AS r
+       FROM cnt),
+top AS (SELECT source, r, ln(CAST(r AS DOUBLE)) AS x,
+               ln(CAST(n AS DOUBLE)) AS y
+        FROM rk WHERE r <= {_ZIPF_TOP}),
+nr AS (SELECT source, CAST(MAX(r) AS BIGINT) AS n_r FROM top GROUP BY 1),
+fold AS (SELECT source, r, x AS sx, y AS sy, x*y AS sxy, x*x AS sxx
+         FROM top WHERE r = 1
+         UNION ALL
+         SELECT t.source, t.r, f.sx + t.x, f.sy + t.y,
+                f.sxy + t.x*t.y, f.sxx + t.x*t.x
+         FROM fold f JOIN top t
+           ON t.source = f.source AND t.r = f.r + 1),
+fin AS (SELECT f.source, f.sx, f.sy, f.sxy, f.sxx, nr.n_r
+        FROM fold f JOIN nr ON nr.source = f.source AND f.r = nr.n_r)
+SELECT source, n_r AS n_ranks,
+       ROUND((n_r * sxy - sx * sy) / (n_r * sxx - sx * sx), 6)
+         AS zipf_slope
+FROM fin ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-skew census (shuffle-planning diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_key_skew_census(sf_dir: str):
+    """Join-key skew census over orders.o_custkey: the top-10 hottest
+    keys with their row share and their multiple of the mean key load —
+    the diagnostic that decides salting / skew_join for a planned
+    shuffle.  Counts are exact; the two ratios are single divisions of
+    integers."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cnt = pre_aggregate(
+        orders, ["o_custkey"], {"n": (None, "count")},
+    ).materialize()
+    n_keys = cnt.count()
+    total_df = pre_aggregate(
+        cnt.select_columns(["n"]).map_batches(
+            lambda b: pa.table({"k": pa.array(np.zeros(b.num_rows,
+                                                       np.int64)),
+                                "n": b["n"]}),
+            batch_format="pyarrow"),
+        ["k"], {"t": ("n", "sum")},
+    ).to_pandas()
+    total = int(total_df["t"].iloc[0])
+    top = cnt.sort(["n", "o_custkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    return pa.table({
+        "o_custkey": pa.array(top["o_custkey"].to_numpy(np.int64)),
+        "n": pa.array(top["n"].to_numpy(np.int64)),
+        "share": pa.array(
+            [float(round_half_up(int(v) / total, 6)) for v in top["n"]],
+            pa.float64()),
+        "x_mean": pa.array(
+            [float(round_half_up(int(v) * n_keys / total, 4))
+             for v in top["n"]], pa.float64()),
+    })
+
+
+SQL_ORDERS_KEY_SKEW_CENSUS = """
+WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS k FROM c)
+SELECT c.o_custkey, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / tot.t, 6) AS share,
+       ROUND(CAST(c.n * tot.k AS DOUBLE) / tot.t, 4) AS x_mean
+FROM c, tot
+ORDER BY c.n DESC, c.o_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (sibling of the KM lifetime curve)
+# ---------------------------------------------------------------------------
+
+
+def q_events_nelson_aalen(sf_dir: str):
+    """Nelson-Aalen cumulative hazard of user activity lifetime:
+    H(t) = sum_{u<=t} d_u/n_u over the same lifetime/censoring folds as
+    events_km_lifetime — the additive counterpart whose exp(-H) bounds
+    the KM curve.  The day-scale running sum is an ordered left fold in
+    BOTH engines (recursive-CTE scalar state)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"user_id": batch["user_id"],
+                         "d": pa.array(d, pa.int64())})
+
+    per_user = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["user_id"], {"fd": ("d", "min"), "ld": ("d", "max")},
+    ).materialize()
+    max_ld = int(per_user.max("ld"))
+
+    def lifetime(batch: pa.Table) -> pa.Table:
+        fd = batch["fd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ld = batch["ld"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "t": pa.array(ld - fd, pa.int64()),
+            "obs": pa.array((ld < max_ld).astype(np.int64)),
+        })
+
+    hist = pre_aggregate(
+        per_user.map_batches(lifetime, batch_format="pyarrow"),
+        ["t", "obs"], {"c": (None, "count")},
+    ).to_pandas()
+    at_risk = hist.groupby("t")["c"].sum().sort_index()
+    n_of = at_risk[::-1].cumsum()[::-1]
+    deaths = hist[hist["obs"] == 1].groupby("t")["c"].sum().sort_index()
+    h = 0.0
+    rows = []
+    for t, d in deaths.items():
+        n = int(n_of.loc[int(t)])
+        h = h + float(int(d)) / float(n)
+        rows.append((int(t), int(d), n, h))
+    return pa.table({
+        "t": pa.array([r[0] for r in rows], pa.int64()),
+        "d": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "cum_hazard": pa.array(
+            [float(round_half_up(r[3], 6)) for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_NELSON_AALEN = """
+WITH RECURSIVE
+u AS (SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE))
+                  AS BIGINT) AS fd,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(MAX(ts) AS DATE))
+                  AS BIGINT) AS ld
+      FROM events GROUP BY 1),
+mx AS (SELECT MAX(ld) AS m FROM u),
+lif AS (SELECT ld - fd AS t,
+               CASE WHEN ld < (SELECT m FROM mx) THEN 1 ELSE 0 END AS obs
+        FROM u),
+dt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d FROM lif
+       WHERE obs = 1 GROUP BY 1),
+rk AS (SELECT dt.t, dt.d,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lif l
+               WHERE l.t >= dt.t) AS n,
+              ROW_NUMBER() OVER (ORDER BY dt.t) AS i
+       FROM dt),
+na AS (SELECT i, t, d, n,
+              0.0 + CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS h
+       FROM rk WHERE i = 1
+       UNION ALL
+       SELECT r.i, r.t, r.d, r.n,
+              na.h + CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE)
+       FROM na JOIN rk r ON r.i = na.i + 1)
+SELECT t, d, n, ROUND(h, 6) AS cum_hazard FROM na ORDER BY t
+"""

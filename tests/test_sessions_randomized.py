@@ -309,6 +309,10 @@ QUERIES = {
     "source_lang_tcloseness": ["documents"],
     "quality_rule_attrition": ["documents"],
     "embed_cluster_pair_quality": ["embeddings"],
+    "events_seq_pairs": ["events"],
+    "source_zipf_slope": ["documents"],
+    "orders_key_skew_census": ["orders"],
+    "events_nelson_aalen": ["events"],
 }
 
 
