@@ -19,6 +19,8 @@ import os as _os
 from collections.abc import Callable
 from typing import Any
 
+from kgray.io import read_parquet_clean as _rpq
+
 # number of synthetic interleaved docs the KG queries run over at the
 # driver's sf=0.01 correctness scale
 _KG_DOCS = 600
@@ -63,7 +65,7 @@ def _kg_sentences_ds(n: int = _KG_DOCS):
     import ray.data as rd
 
     if n == _KG_DOCS and os.path.exists(_KG_SENT_PARQUET):
-        return rd.read_parquet(_KG_SENT_PARQUET)
+        return _rpq(_KG_SENT_PARQUET)
     from kgray.corpus import doc_ids_for_range, sentences_table
 
     return rd.from_arrow(sentences_table(doc_ids_for_range(0, n), seed=_SEED))
@@ -94,7 +96,7 @@ def _kg_flatten(sf_dir: str):
 
     from kgray.pipeline import flatten_documents
 
-    return flatten_documents(rd.read_parquet(_KG_DOCS_PARQUET))
+    return flatten_documents(_rpq(_KG_DOCS_PARQUET))
 
 
 def _kg_golden(sf_dir: str):
@@ -317,7 +319,7 @@ def _minhash_dup_docs(sf_dir: str):
 
     from kgray.ops.dedup import minhash_dup_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dup_pairs(docs, tau=0.7)
 
 
@@ -326,7 +328,7 @@ def _simhash_dup_docs(sf_dir: str):
 
     from kgray.ops.dedup import simhash_dup_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dup_pairs(docs, max_hamming=3)
 
 
@@ -338,7 +340,7 @@ def _embed_dup_bucketed(sf_dir: str):
 
     from kgray.ops.dedup import embedding_dup_pairs
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return embedding_dup_pairs(emb, tau=0.45, strategy="ivf")
 
@@ -349,7 +351,7 @@ def _knn_ivf(sf_dir: str):
     from kgray.ops.similarity import knn_ivf
     from kgray.queries import _query_vec
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _rpq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_ivf(emb, _query_vec(sf_dir), k=10)
 
 
@@ -443,7 +445,7 @@ def _media_frames(sf_dir: str):
 
     from kgray.ops.media import sample_frames
 
-    media = rd.read_parquet(_KG_MEDIA_PARQUET)
+    media = _rpq(_KG_MEDIA_PARQUET)
 
     def with_duration(batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
@@ -607,7 +609,7 @@ def _media_resize(sf_dir: str):
 
     from kgray.ops.media import resize_media
 
-    media = rd.read_parquet(_KG_MEDIA_PARQUET)
+    media = _rpq(_KG_MEDIA_PARQUET)
 
     def with_dims(batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
@@ -647,7 +649,7 @@ def _media_dup(sf_dir: str):
 
     from kgray.ops.media import media_dup_refs
 
-    media = rd.read_parquet(_KG_MEDIA_PARQUET)
+    media = _rpq(_KG_MEDIA_PARQUET)
     return media_dup_refs(media, tau=0.35)
 
 
@@ -659,7 +661,7 @@ def _media_features(sf_dir: str):
 
     from kgray.ops.media import extract_media_features
 
-    media = rd.read_parquet(_KG_MEDIA_PARQUET)
+    media = _rpq(_KG_MEDIA_PARQUET)
     feats = extract_media_features(media)
     import pyarrow as pa
 

@@ -279,7 +279,8 @@ def run_headline(sf_dir: str, num_cpus: int, n_docs: int | None = None) -> tuple
     path = _corpus_path(n_docs)
     _warmup(num_cpus)
     t0 = time.time()
-    docs = rd.read_parquet(path)
+    from kgray.io import read_parquet_clean
+    docs = read_parquet_clean(path)
     triples = extract_triples(docs, PipelineConfig()).count()
     return time.time() - t0, triples
 

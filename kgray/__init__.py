@@ -22,3 +22,49 @@ No code is copied from the reference; semantics are cited per-function as
 """
 
 __version__ = "0.1.0"
+
+
+def _install_benign_log_filters() -> None:
+    """Drop exactly ONE known-benign Ray log line: the streaming
+    executor's "RefBundle with a different schema ... new schema: ."
+    warning for ZERO-COLUMN bundles.  Ray's sort-based groupby/aggregate
+    emits an untyped empty block for every reduce partition that
+    received no keys — unavoidable whenever distinct keys < block count
+    (measured: no streaming coalesce changes the reduce partition
+    count), and harmless since downstream operators skip empty bundles.
+    Schema-change warnings with a NON-empty new schema (real drift)
+    still pass through, as does everything else."""
+    import logging
+
+    class _DropUntypedEmptySchemaWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+            msg = record.getMessage()
+            return not (
+                "different schema than the previous one" in msg
+                and "new schema: . This may lead" in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropUntypedEmptySchemaWarning())
+
+    class _DropSchemaHashMissNotice(logging.Filter):
+        """Ray's block-concat path tries to DEDUPLICATE schemas by
+        hashing them; a schema carrying dict-valued (pandas) metadata
+        is unhashable, so it logs a warning and falls back to the
+        correct non-deduped path.  We strip pandas metadata at every
+        read/emit under our control (queries._read, io.read_table via
+        manifest schemas, grouped_map/pre_aggregate outputs); the rare
+        residual carriers (third-party-written files reaching a
+        driver-side concat) only miss an optimization — the notice is
+        noise, not a correctness signal."""
+
+        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashMissNotice())
+
+
+_install_benign_log_filters()

@@ -1274,3 +1274,28 @@ def write_zordered(
         stats_cols=tuple(cols if stats_cols is None else stats_cols),
         partitioner=zpart, partitioning_name="zorder",
     )
+
+
+def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the file's pandas schema metadata
+    stripped (its dict payload makes block schemas unhashable and every
+    operator then logs "Failed to hash the schemas").  Falls back to a
+    plain read when the footer can't be inspected (directories of
+    mixed-written files)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if kwargs.get("filter") is not None:
+        # a row filter binds against the DATASET schema before the
+        # column projection, so a pruned schema= breaks the binding —
+        # strip via a fused metadata-only map instead
+        return rd.read_parquet(path, columns=columns, **kwargs) \
+            .map_batches(lambda b: b.replace_schema_metadata(None),
+                         batch_format="pyarrow")
+    try:
+        sch = pq.read_schema(path).remove_metadata()
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+    except Exception:
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, schema=sch, **kwargs)

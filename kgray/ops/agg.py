@@ -73,6 +73,14 @@ def pre_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]])
         elif op == "max":
             aggs.append(Max(name, alias_name=name))
 
+    # NB: when distinct keys < input block count, Ray's sort-aggregate
+    # necessarily emits EMPTY (zero-column) reduce partitions; they are
+    # benign, and the untyped-empty log line they trigger is suppressed
+    # by the targeted filter in kgray/__init__.  Measured dead ends: a
+    # map_batches batch_size bundle merges blocks per TASK and slashed
+    # read-side parallelism 8x (events_auc 1.3 -> 4.6 s);
+    # StreamingRepartition splits but does not merge; only a full extra
+    # all-to-all changes the reduce partition count — not worth it.
     folded = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys if len(keys) > 1 else keys[0])

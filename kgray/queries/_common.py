@@ -48,9 +48,27 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip the pandas schema metadata the testdata parquet carries —
+    # its dict payload makes block schemas unhashable, so the read op
+    # (and every operator inheriting the schema) logs "Failed to hash
+    # the schemas".  Passing the stripped footer schema makes the read
+    # itself emit clean blocks; the footer read is one driver metadata
+    # fetch, cached per path
+    path = f"{sf_dir}/{table}.parquet"
+    key = (path, tuple(columns) if columns else None)
+    sch = _schema_cache.get(key)
+    if sch is None:
+        sch = pq.read_schema(path).remove_metadata()
+        if columns:  # the schema must match the PRUNED block layout
+            sch = pa.schema([sch.field(c) for c in columns])
+        _schema_cache[key] = sch
+    return rd.read_parquet(path, columns=columns, schema=sch)
+
+
+_schema_cache: dict = {}
 
 
 def _round_col(ds, col: str, digits: int):

@@ -6,6 +6,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kgray.queries._common import *  # shared prelude (np/pa/pc, joins, aggs, _read)
+from kgray.io import read_parquet_clean as _rpqc
 
 
 
@@ -102,7 +103,7 @@ def q_tpch_q4(sf_dir: str):
 
 
 
-    orders = rd.read_parquet(
+    orders = _rpqc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
         filter=(pds.field("o_orderdate") >= datetime.datetime(1995, 7, 1))
@@ -200,7 +201,7 @@ def q_tpch_q14(sf_dir: str):
 
 
 
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pds.field("l_shipdate") >= datetime.datetime(1995, 9, 1))
@@ -1417,7 +1418,7 @@ def q_hard_negatives(sf_dir: str):
 
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    qdf = rd.read_parquet(  # prune at the read: only the 5 query rows
+    qdf = _rpqc(  # prune at the read: only the 5 query rows
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"],
         filter=pds.field("vec_id") < 5,

@@ -6,6 +6,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kgray.queries._common import *  # shared prelude (np/pa/pc, joins, aggs, _read)
+from kgray.io import read_parquet_clean as _rpqc
 
 
 
@@ -291,14 +292,14 @@ def q_tpch_q3(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rpqc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pds.field("o_orderdate") < cutoff,
     )
     orders = semi_join(orders, building, on="o_custkey",
                        right_on="c_custkey")
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pds.field("l_shipdate") > cutoff,
@@ -362,7 +363,7 @@ def q_tpch_q7(sf_dir: str):
 
 
     n1, n2 = 1, 2
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount", "l_shipdate"],
@@ -454,13 +455,13 @@ def q_tpch_q10(sf_dir: str):
 
 
 
-    orders = rd.read_parquet(
+    orders = _rpqc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey"],
         filter=(pds.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
         & (pds.field("o_orderdate") < datetime.datetime(1996, 4, 1)),
     )
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pds.field("l_returnflag") == "R",
@@ -639,7 +640,7 @@ def q_tpch_q21(sf_dir: str):
 
 
 
-    orders = rd.read_parquet(
+    orders = _rpqc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate"],
         filter=pds.field("o_orderstatus") == "F",
@@ -818,7 +819,7 @@ def q_tpch_q15(sf_dir: str):
 
     from kgray.util import rename_cols
 
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
         filter=(pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
@@ -997,7 +998,7 @@ def q_tpch_q12(sf_dir: str):
 
 
 
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linestatus", "l_shipdate"],
         filter=(pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
@@ -1348,7 +1349,7 @@ def q_tpch_q20(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    line = rd.read_parquet(
+    line = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
         filter=(pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))

@@ -6,6 +6,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kgray.queries._common import *  # shared prelude (np/pa/pc, joins, aggs, _read)
+from kgray.io import read_parquet_clean as _rpqc
 
 
 
@@ -864,7 +865,7 @@ def q_tpch_q5(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    orders = rd.read_parquet(  # prune at the read: 1995 row groups only
+    orders = _rpqc(  # prune at the read: 1995 row groups only
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pds.field("o_orderdate") >= datetime.datetime(1995, 1, 1))

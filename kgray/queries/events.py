@@ -6,6 +6,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kgray.queries._common import *  # shared prelude (np/pa/pc, joins, aggs, _read)
+from kgray.io import read_parquet_clean as _rpqc
 
 
 
@@ -126,7 +127,7 @@ def q_orders_1995(sf_dir: str):
 
     lo = datetime.datetime(1995, 1, 1)
     hi = datetime.datetime(1996, 1, 1)
-    ds = rd.read_parquet(
+    ds = _rpqc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
         filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
@@ -328,7 +329,7 @@ def q_customers_no_orders(sf_dir: str):
 
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    big = rd.read_parquet(
+    big = _rpqc(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"],
         filter=pads.field("o_totalprice") > 300000,
     )
@@ -368,7 +369,7 @@ def q_tpch_q6(sf_dir: str):
     import pyarrow.dataset as pads
 
 
-    ds = rd.read_parquet(
+    ds = _rpqc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity"],
         filter=(pads.field("l_discount") >= 0.05)
