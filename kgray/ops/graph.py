@@ -1631,3 +1631,138 @@ def luby_mis(edges, rounds: int = 3, u_col: str = "u", v_col: str = "v",
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def neighborhood_hll(edges, hops: int = 3, p: int = 10,
+                     u_col: str = "u", v_col: str = "v",
+                     max_inprocess_edges: int = 1_000_000):
+    """HyperBall-lite (Boldi, Rosa & Vigna 2011): the approximate
+    NEIGHBORHOOD FUNCTION of the undirected graph — for each hop h, the
+    estimated number of (node, reachable-node) pairs within distance h
+    — via per-node HyperLogLog registers that each round take the
+    elementwise MAX with every neighbor's previous registers.  The
+    all-pairs-BFS this replaces is O(N*E); HyperBall is O(hops*E) with
+    2^p bytes of state per node, which is what makes diameter/closeness
+    estimation feasible at graph scale.
+
+    Sketch-valued (no SQL oracle; tests pin the estimate against exact
+    BFS counts on small graphs within HLL error).  Registers ride as a
+    BINARY column (m bytes per node) — Arrow joins accept binary
+    payloads where they reject lists — so the distributed round is
+    bucket_join(sym edges, regs on src) -> dst-keyed cogroup max -> a
+    union-fold with the previous state; the in-process gate runs the
+    same recurrence on a dense (n, m) array in edge chunks.  Reuses the
+    oracle-checked HLL kernels from ops/sketch (hash, rho, estimator).
+    Returns (hop, est_pairs) for h = 0..hops."""
+    import pandas as pd
+
+    from kgray.ops.agg import pre_aggregate
+    from kgray.ops.sketch import (_hash_column, _registers,
+                                  hll_estimate_rows)
+    from kgray.util import grouped_map
+
+    m = 1 << p
+
+    def init_regs(nodes_col) -> np.ndarray:
+        h = _hash_column(nodes_col)
+        idx, rho = _registers(h, p)
+        regs = np.zeros((len(h), m), np.uint8)
+        regs[np.arange(len(h)), idx.astype(np.int64)] = rho
+        return regs
+
+    e = edges.materialize()
+    if e.count() <= gate(max_inprocess_edges):
+        df = e.to_pandas().drop_duplicates([u_col, v_col])
+        nodes, inv = np.unique(
+            np.concatenate([df[u_col].to_numpy(), df[v_col].to_numpy()]),
+            return_inverse=True)
+        n = len(nodes)
+        if n == 0:
+            return pa.table({"hop": pa.array([], pa.int64()),
+                             "est_pairs": pa.array([], pa.float64())})
+        su, sv = inv[: len(df)], inv[len(df):]
+        src = np.concatenate([su, sv])
+        dst = np.concatenate([sv, su])
+        regs = init_regs(pa.array(nodes))
+        # per-round segment max via pandas groupby.max over the gathered
+        # (E, m) matrix: 7x faster than np.maximum.reduceat on 2D
+        # (measured 1.4 s vs 10.2 s at 1.2M x 1024), and the gather
+        # buffer is preallocated once (fresh GB-scale numpy allocations
+        # first-touch-fault on this VM — the batch_signatures lesson)
+        buf = np.empty((len(src), m), np.uint8)
+        out = [(0, float(n))]
+        for h in range(1, hops + 1):
+            gathered = np.take(regs, src, axis=0, out=buf)
+            mx = pd.DataFrame(gathered).groupby(dst, sort=True).max()
+            t = mx.index.to_numpy(np.int64)
+            new = regs.copy()
+            new[t] = np.maximum(new[t], mx.to_numpy().astype(np.uint8))
+            regs = new
+            # ROUND 4: absorbs cross-block float-sum ulps so the two
+            # paths emit identical values regardless of block layout
+            est = round(float(hll_estimate_rows(regs).sum()), 4)
+            out.append((h, est))
+        return pa.table({
+            "hop": pa.array([o[0] for o in out], pa.int64()),
+            "est_pairs": pa.array([o[1] for o in out], pa.float64()),
+        })
+
+    from kgray.ops.joins import bucket_join
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([batch[u_col].combine_chunks(),
+                                     batch[v_col].combine_chunks()]),
+            "dst": pa.concat_arrays([batch[v_col].combine_chunks(),
+                                     batch[u_col].combine_chunks()]),
+        })
+
+    sym = e.map_batches(norm, batch_format="pyarrow").materialize()
+    nodes_ds = pre_aggregate(
+        sym.map_batches(lambda b: pa.table({"node": b["src"]}),
+                        batch_format="pyarrow"),
+        ["node"], {"__c": (None, "count")},
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes_ds.count()
+
+    def with_init(batch: pa.Table) -> pa.Table:
+        regs = init_regs(batch["node"])
+        return pa.table({
+            "node": batch["node"],
+            "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+        })
+
+    state = nodes_ds.map_batches(with_init, batch_format="pyarrow") \
+        .materialize()
+    out = [(0, float(n_nodes))]
+
+    def fold_max(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for node, g in df.groupby("node", sort=False):
+            stack = np.stack([np.frombuffer(b, np.uint8)
+                              for b in g["regs"]])
+            rows.append((node, stack.max(axis=0).tobytes()))
+        return pd.DataFrame(rows, columns=["node", "regs"])
+
+    for h in range(1, hops + 1):
+        shipped = bucket_join(sym, state, on="src", right_on="node",
+                              how="inner") \
+            .map_batches(lambda b: pa.table({"node": b["dst"],
+                                             "regs": b["regs"]}),
+                         batch_format="pyarrow")
+        state = grouped_map(state.union(shipped), "node", fold_max) \
+            .materialize()
+
+        def est(batch: pa.Table) -> pa.Table:
+            mat = np.stack([np.frombuffer(b, np.uint8)
+                            for b in batch["regs"].to_pylist()])
+            return pa.table({"e": pa.array(hll_estimate_rows(mat),
+                                           pa.float64())})
+
+        total = state.map_batches(est, batch_format="pyarrow").sum("e")
+        out.append((h, round(float(total or 0.0), 4)))
+
+    return pa.table({
+        "hop": pa.array([o[0] for o in out], pa.int64()),
+        "est_pairs": pa.array([o[1] for o in out], pa.float64()),
+    })

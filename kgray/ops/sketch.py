@@ -402,3 +402,30 @@ def cms_value_counts(ds, col: str, width: int = 8192, depth: int = 4):
             "est": pa.array(est, pa.int64()),
         }
     )
+
+
+def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized per-ROW HLL estimates for an (n, m) register matrix
+    (the HyperBall per-node case, where a python loop of
+    ``hll_estimate`` costs seconds at 10^4+ nodes).  The harmonic sum
+    accumulates per register VALUE in a fixed v = 0..64 order
+    (vectorized across rows), so the result is deterministic and
+    identical wherever this same function runs — both neighborhood_hll
+    paths use it; it is NOT bit-matched to the scalar
+    ``hll_estimate``'s exact-integer sum (callers pick one)."""
+    n, m = regs.shape
+    offs = (np.arange(n, dtype=np.int64)[:, None] * 65
+            + regs.astype(np.int64)).ravel()
+    counts = np.bincount(offs, minlength=n * 65).reshape(n, 65)
+    s = np.zeros(n, np.float64)
+    for v in range(65):  # fixed order: deterministic float sum
+        if counts[:, v].any():
+            s += counts[:, v] * np.ldexp(1.0, 64 - v)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m * (2.0 ** 64) / s
+    zeros = counts[:, 0]
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1),
+                                 np.e))
+    use_lc = (e <= 2.5 * m) & (zeros > 0)
+    return np.where(use_lc, lc, e)

@@ -1208,3 +1208,93 @@ na AS (SELECT i, t, d, n,
        FROM na JOIN rk r ON r.i = na.i + 1)
 SELECT t, d, n, ROUND(h, 6) AS cum_hazard FROM na ORDER BY t
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function (approximate graph analytics)
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_neighborhood_func(sf_dir: str):
+    """HyperBall-lite neighborhood function of the supplier-part graph
+    (graph.neighborhood_hll): estimated reachable pairs within 0..3
+    hops — the diameter/closeness primitive whose exact form is
+    all-pairs BFS (O(N*E), infeasible at graph scale).  Sketch-valued:
+    rows-only (tests pin the estimator against exact BFS counts on
+    small graphs; the forced-distributed path is bit-identical to the
+    in-process one because max-merge is deterministic)."""
+    from kgray.ops.graph import neighborhood_hll
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    return neighborhood_hll(_part_supplier_edges(sf_dir), hops=3)
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality strength of the daily order-revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_orders_seasonality_strength(sf_dir: str):
+    """Seasonality strength of daily order revenue: 1 minus the
+    residual-to-total variance ratio after removing day-of-week
+    floor-means — STL's "strength of seasonality" statistic with every
+    accumulation exact-integer (daily cents, floor means, raw moments;
+    HUGEINT in the oracle, python ints here), one final division."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        orders.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas().sort_values("d", ignore_index=True)  # day-scale
+    y = [int(v) for v in g["s"]]
+    dow = [int(v) % 7 for v in g["d"]]
+    n = len(y)
+    sw = {}
+    cw = {}
+    for w, v in zip(dow, y):
+        sw[w] = sw.get(w, 0) + v
+        cw[w] = cw.get(w, 0) + 1
+    mw = {w: sw[w] // cw[w] for w in sw}
+    r = [v - mw[w] for w, v in zip(dow, y)]
+    sy, syy = sum(y), sum(v * v for v in y)
+    sr, srr = sum(r), sum(v * v for v in r)
+    strength = 1.0 - (float(n * srr - sr * sr)
+                      / float(n * syy - sy * sy))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "strength": pa.array(
+            [float(round_half_up(strength, 6))], pa.float64()),
+    })
+
+
+SQL_ORDERS_SEASONALITY_STRENGTH = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders GROUP BY 1),
+dw AS (SELECT d, s, d % 7 AS w FROM daily),
+mw AS (SELECT w, CAST(SUM(s) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+       FROM dw GROUP BY 1),
+r AS (SELECT dw.d, dw.s, dw.s - mw.m AS res FROM dw JOIN mw USING (w)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS syy,
+               CAST(SUM(res) AS HUGEINT) AS sr,
+               CAST(SUM(CAST(res AS HUGEINT) * res) AS HUGEINT) AS srr
+        FROM r)
+SELECT n AS n_days,
+       ROUND(1.0 - (CAST(n * srr - sr * sr AS DOUBLE)
+                    / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS strength
+FROM agg
+"""

@@ -313,6 +313,7 @@ QUERIES = {
     "source_zipf_slope": ["documents"],
     "orders_key_skew_census": ["orders"],
     "events_nelson_aalen": ["events"],
+    "orders_seasonality_strength": ["orders"],
 }
 
 
