@@ -1298,3 +1298,280 @@ SELECT n AS n_days,
                     / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS strength
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# NB label-noise audit: rank of the GOLD label among classifier scores
+# ---------------------------------------------------------------------------
+
+
+def q_docs_nb_label_rank(sf_dir: str):
+    """Confident-learning-lite label-noise audit: for every document,
+    the RANK of its gold lang among the Naive-Bayes candidate scores
+    (1 = the model agrees; higher = suspected label noise), folded to
+    (lang, gold_rank, n_docs).  Model, quantization and tie rule are
+    IDENTICAL to docs_nb_confusion (integer micro-unit log weights,
+    min-lang tie-break); the oracle reuses that query's CTE chain
+    verbatim and adds the rank join — scores are exact int64, so ranks
+    are exact."""
+    import ray
+
+    from kgray.ops.dsir import _explode
+    from kgray.queries.analytics8 import _NB_SCALE
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        rows, flat = _explode(batch["text"].to_pylist())
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": langs[rows], "t": flat})
+        g = df.groupby(["lang", "t"], sort=False).size().reset_index(
+            name="c")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    counts = pre_aggregate(
+        docs.map_batches(tok_counts, batch_format="pyarrow"),
+        ["lang", "t"], {"c": ("c", "sum")},
+    )
+    dl = pre_aggregate(
+        _read(sf_dir, "documents", ["lang"]),
+        ["lang"], {"d": (None, "count")},
+    )
+    cdf = counts.to_pandas()
+    ddf = dl.to_pandas().sort_values("lang").reset_index(drop=True)
+    langs = ddf["lang"].tolist()
+    l_of = {l: i for i, l in enumerate(langs)}
+    vocab = pd.unique(cdf["t"])
+    v_of = pd.Series(np.arange(len(vocab), dtype=np.int64), index=vocab)
+    V = len(vocab)
+    n_l = cdf.groupby("lang")["c"].sum().reindex(langs).fillna(0) \
+        .to_numpy(np.int64)
+    D = int(ddf["d"].sum())
+    W = np.empty((len(langs), V + 1), np.int64)
+    for li in range(len(langs)):
+        W[li, :] = int(math.floor(
+            _NB_SCALE * math.log(1.0 / float(n_l[li] + V)) + 0.5))
+    li_idx = cdf["lang"].map(l_of).to_numpy(np.int64)
+    ti_idx = cdf["t"].map(v_of).to_numpy(np.int64)
+    cvals = cdf["c"].to_numpy(np.int64)
+    W[li_idx, ti_idx] = np.fromiter(
+        (math.floor(_NB_SCALE * math.log((c + 1) / float(n_l[li] + V))
+                    + 0.5)
+         for li, c in zip(li_idx, cvals)), np.int64, len(cvals))
+    prior = np.fromiter(
+        (math.floor(_NB_SCALE * math.log(d / float(D)) + 0.5)
+         for d in ddf["d"].to_numpy(np.int64)), np.int64, len(langs))
+    model = ray.put((W, v_of, prior, langs))
+
+    def rank_gold(batch: pa.Table) -> pa.Table:
+        Wm, vmap, pri, ls = ray.get(model)
+        texts = batch["text"].to_pylist()
+        rows, flat = _explode(texts)
+        idx = (pd.Series(flat).map(vmap).fillna(Wm.shape[1] - 1)
+               .to_numpy(np.int64))
+        starts = np.searchsorted(rows, np.arange(len(texts)))
+        scores = np.empty((len(texts), len(ls)), np.int64)
+        for li in range(len(ls)):
+            contrib = Wm[li, idx]
+            sums = (np.add.reduceat(contrib, starts) if len(contrib)
+                    else np.zeros(len(texts), np.int64))
+            scores[:, li] = sums + pri[li]
+        gold = np.fromiter(
+            ((l_of.get(l, -1)) for l in
+             batch["lang"].to_numpy(zero_copy_only=False)),
+            np.int64, len(texts))
+        gs = scores[np.arange(len(texts)), gold]
+        # better = higher score, ties to the LOWER lang index
+        better = (scores > gs[:, None]).sum(axis=1) + (
+            (scores == gs[:, None])
+            & (np.arange(len(ls))[None, :] < gold[:, None])
+        ).sum(axis=1)
+        out = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "gold_rank": (better + 1).astype(np.int64),
+        })
+        g = out.groupby(["lang", "gold_rank"], sort=False).size() \
+            .reset_index(name="n_docs")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return pre_aggregate(
+        docs.map_batches(rank_gold, batch_format="pyarrow"),
+        ["lang", "gold_rank"], {"n_docs": ("n_docs", "sum")},
+    )
+
+
+def _nb_label_rank_sql() -> str:
+    from kgray.queries.analytics8 import SQL_DOCS_NB_CONFUSION
+
+    base = SQL_DOCS_NB_CONFUSION[: SQL_DOCS_NB_CONFUSION.index("best AS")]
+    return base + """gold AS (
+  SELECT t.doc_id, d.lang, t.score AS gs
+  FROM tot t JOIN documents d
+    ON d.doc_id = t.doc_id AND d.lang = t.cand),
+rk AS (SELECT g.doc_id, g.lang,
+              CAST(1 + COUNT(t2.cand) AS BIGINT) AS gold_rank
+       FROM gold g LEFT JOIN tot t2
+         ON t2.doc_id = g.doc_id
+        AND (t2.score > g.gs
+             OR (t2.score = g.gs AND t2.cand < g.lang))
+       GROUP BY 1, 2)
+SELECT lang, gold_rank, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM rk GROUP BY 1, 2
+"""
+
+
+SQL_DOCS_NB_LABEL_RANK = _nb_label_rank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of per-user event streams
+# ---------------------------------------------------------------------------
+
+
+def q_events_entropy_rate(sf_dir: str):
+    """First-order Markov entropy rate of event-type streams:
+    H = -(1/N) * sum_{a,b} n_ab * ln(n_ab / n_a) over per-user adjacent
+    transitions — the predictability measure behind process-mining
+    conformance.  Each transition's cost quantizes to integer
+    micro-nats (floor(1e6*ln(p)), libm ln memoized per distinct
+    (n_ab, n_a)), so the big sum is exact; one final division."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        same = us[1:] == us[:-1]
+        return pd.DataFrame({"a": et[:-1][same], "b": et[1:][same]})
+
+    pairs = pre_aggregate(
+        grouped_map(ev, "user_id", trans),
+        ["a", "b"], {"n": (None, "count")},
+    ).to_pandas()  # type^2-scale
+    na = pairs.groupby("a")["n"].sum()
+    N = int(pairs["n"].sum())
+    total = 0
+    for a, b, n in sorted(zip(pairs["a"], pairs["b"], pairs["n"])):
+        n = int(n)
+        c = int(np.floor(1000000.0 * math.log(
+            float(n) / float(int(na[a])))))
+        total += n * c
+    return pa.table({
+        "n_transitions": pa.array([N], pa.int64()),
+        "cost_sum": pa.array([total], pa.int64()),
+        "entropy_rate": pa.array(
+            [float(round_half_up(-total / (1000000.0 * N), 6))],
+            pa.float64()),
+    })
+
+
+SQL_EVENTS_ENTROPY_RATE = """
+WITH s AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+p AS (SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+na AS (SELECT a, CAST(SUM(n) AS BIGINT) AS t FROM p GROUP BY 1),
+c AS (SELECT p.a, p.b, p.n,
+             CAST(floor(1000000.0 * ln(CAST(p.n AS DOUBLE)
+                                       / CAST(na.t AS DOUBLE)))
+                  AS BIGINT) AS c
+      FROM p JOIN na USING (a)),
+agg AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(n * c) AS BIGINT) AS tot FROM c)
+SELECT nn AS n_transitions, tot AS cost_sum,
+       ROUND(-CAST(tot AS DOUBLE) / (1000000.0 * nn), 6) AS entropy_rate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the supplier-part graph
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the supplier-part graph:
+    the Pearson correlation of endpoint degrees over all DIRECTED edges
+    — the hub-connects-to-hub diagnostic (bipartite graphs trend
+    negative).  Every moment is an exact integer over the symmetric
+    edge list; the final r = cov / sqrt(vj * vk) is a mirrored float
+    tree (IEEE sqrt is correctly rounded, so identical integer-valued
+    operands give identical doubles)."""
+    from kgray.ops.graph import node_degrees
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    edges = _part_supplier_edges(sf_dir).materialize()
+    deg = node_degrees(edges).materialize()
+    ju = bucket_join(edges.select_columns(["u", "v"]), deg, on="u",
+                     right_on="node", how="inner")
+    jb = bucket_join(ju, deg, on="v", right_on="node", how="inner",
+                     right_suffix="_v")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        j = batch["degree"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = batch["degree_v"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # symmetric edge list: every undirected edge contributes both
+        # (j, k) and (k, j)
+        sj = np.concatenate([j, k])
+        sk = np.concatenate([k, j])
+        return pa.table({
+            "m": pa.array([len(sj)], pa.int64()),
+            "sj": pa.array([int(sj.sum())], pa.int64()),
+            "sjk": pa.array([int((sj * sk).sum())], pa.int64()),
+            "sjj": pa.array([int((sj * sj).sum())], pa.int64()),
+        })
+
+    mm = pre_aggregate(
+        jb.map_batches(moments, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["g"], {"m": ("m", "sum"), "sj": ("sj", "sum"),
+                "sjk": ("sjk", "sum"), "sjj": ("sjj", "sum")},
+    ).to_pandas()
+    m = int(mm["m"].iloc[0])
+    sj = int(mm["sj"].iloc[0])
+    sjk = int(mm["sjk"].iloc[0])
+    sjj = int(mm["sjj"].iloc[0])
+    num = float(m * sjk - sj * sj)
+    den = math.sqrt(float(m * sjj - sj * sj)
+                    * float(m * sjj - sj * sj))
+    r = num / den
+    return pa.table({
+        "m_directed": pa.array([m], pa.int64()),
+        "assortativity": pa.array(
+            [float(round_half_up(r, 6))], pa.float64()),
+    })
+
+
+SQL_SUPPLIER_ASSORTATIVITY = """
+WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+                  CAST(l_partkey + 10000000 AS BIGINT) AS v
+           FROM lineitem),
+sym AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1),
+jk AS (SELECT du.d AS j, dv.d AS k
+       FROM sym s JOIN deg du ON du.node = s.src
+       JOIN deg dv ON dv.node = s.dst),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(j) AS BIGINT) AS sj,
+               CAST(SUM(CAST(j AS HUGEINT) * k) AS BIGINT) AS sjk,
+               CAST(SUM(CAST(j AS HUGEINT) * j) AS BIGINT) AS sjj
+        FROM jk)
+SELECT m AS m_directed,
+       ROUND(CAST(m * sjk - sj * sj AS DOUBLE)
+             / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
+                    * CAST(m * sjj - sj * sj AS DOUBLE)), 6)
+         AS assortativity
+FROM agg
+"""

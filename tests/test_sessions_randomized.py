@@ -314,6 +314,9 @@ QUERIES = {
     "orders_key_skew_census": ["orders"],
     "events_nelson_aalen": ["events"],
     "orders_seasonality_strength": ["orders"],
+    "docs_nb_label_rank": ["documents"],
+    "events_entropy_rate": ["events"],
+    "supplier_assortativity": ["lineitem"],
 }
 
 
