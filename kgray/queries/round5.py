@@ -1575,3 +1575,227 @@ SELECT m AS m_directed,
          AS assortativity
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue sign sequence
+# ---------------------------------------------------------------------------
+
+
+def q_events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test for randomness of daily event revenue:
+    the day sequence becomes +/- by comparison with the LOWER MEDIAN of
+    daily cents totals (exact integer order statistic; == median counts
+    as below), R = number of sign runs, and z = (R - mu)/sigma from the
+    classic moments — every operand an exact integer, the final tree
+    mirrored (IEEE sqrt correctly rounded).  One day-scale fold."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas().sort_values("d", ignore_index=True)  # day-scale
+    y = g["s"].to_numpy(np.int64)
+    n = len(y)
+    med = int(np.sort(y)[(n - 1) // 2])  # lower median, exact
+    sign = y > med
+    n1 = int(sign.sum())
+    n2 = n - n1
+    runs = int(1 + (sign[1:] != sign[:-1]).sum()) if n else 0
+    mu = 1.0 + 2.0 * n1 * n2 / float(n1 + n2)
+    sig2 = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / (float(n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+    z = (runs - mu) / math.sqrt(sig2)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_above": pa.array([n1], pa.int64()),
+        "runs": pa.array([runs], pa.int64()),
+        "z": pa.array([float(round_half_up(z, 6))], pa.float64()),
+    })
+
+
+SQL_EVENTS_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+med AS (SELECT s AS m FROM (
+          SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r FROM daily)
+        WHERE r = ((SELECT n FROM n) - 1) // 2 + 1),
+sg AS (SELECT d, CASE WHEN s > (SELECT m FROM med) THEN 1 ELSE 0 END
+              AS above
+       FROM daily),
+runs AS (SELECT CAST(1 + SUM(chg) AS BIGINT) AS r FROM (
+           SELECT CASE WHEN above <> LAG(above) OVER (ORDER BY d)
+                       THEN 1 ELSE 0 END AS chg
+           FROM sg) t),
+agg AS (SELECT (SELECT CAST(SUM(above) AS BIGINT) FROM sg) AS n1,
+               (SELECT n FROM n) - (SELECT CAST(SUM(above) AS BIGINT)
+                                    FROM sg) AS n2,
+               (SELECT r FROM runs) AS r,
+               (SELECT n FROM n) AS n)
+SELECT n AS n_days, n1 AS n_above, r AS runs,
+       ROUND((r - (1.0 + 2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                       * (n1 + n2 - 1))), 6) AS z
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-segment exact Gini of order values
+# ---------------------------------------------------------------------------
+
+
+def q_orders_gini_by_segment(sf_dir: str):
+    """Exact per-segment Gini of order totals: G = (2*SUM(i*x) -
+    (n+1)*SUM(x)) / (n*SUM(x)) with ascending ranks — tie ordering
+    cannot change SUM(i*x) over equal values, so the integer-cents sums
+    are engine-invariant.  One broadcast dim attach + one segment
+    cogroup (a GROUP fits a worker — the grouped-window assumption);
+    python-int folds inside the bucket are overflow-immune."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey", how="inner")
+
+    def per_segment(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for seg, grp in df.groupby("c_mktsegment", sort=False):
+            x = np.sort(round_half_up(
+                grp["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+            ).astype(np.int64))
+            n = len(x)
+            sx = int(x.sum())
+            six = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+            gini = float(2 * six - (n + 1) * sx) / float(n * sx)
+            out.append((seg, n, float(round_half_up(gini, 6))))
+        return pd.DataFrame(out, columns=["c_mktsegment", "n", "gini"])
+
+    return grouped_map(j, "c_mktsegment", per_segment)
+
+
+SQL_ORDERS_GINI_BY_SEGMENT = """
+WITH x AS (SELECT c.c_mktsegment,
+                  CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+r AS (SELECT c_mktsegment, v,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY v) AS i
+      FROM x),
+agg AS (SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sx,
+               CAST(SUM(CAST(i AS HUGEINT) * v) AS HUGEINT) AS six
+        FROM r GROUP BY 1)
+SELECT c_mktsegment, n,
+       ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence matrix between source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+def q_source_js_matrix(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the mixture-planning distance matrix (symmetric,
+    bounded, defined on disjoint supports where KL blows up).  Each KL
+    term quantizes to integer micro-nats: c = floor(1e6 * ln(2*n1*N2 /
+    (n1*N2 + n2*N1))) with libm ln of a double-exact integer ratio, so
+    the per-pair sums are exact; the finish is two divisions and one
+    explicit 2-term sum."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(t).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(np.repeat(
+                batch["source"].to_numpy(zero_copy_only=False), lens)),
+            "w": pc.list_flatten(t),
+        })
+
+    cnt = pre_aggregate(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["source", "w"], {"n": (None, "count")},
+    ).to_pandas()  # (source x vocab)-scale
+    piv = cnt.pivot_table(index="w", columns="source", values="n",
+                          aggfunc="sum", fill_value=0).sort_index()
+    sources = sorted(piv.columns)
+    tot = {s: int(piv[s].sum()) for s in sources}
+    rows = []
+    for i, s1 in enumerate(sources):
+        n1v = piv[s1].to_numpy(np.int64)
+        for s2 in sources[i + 1:]:
+            n2v = piv[s2].to_numpy(np.int64)
+            N1, N2 = tot[s1], tot[s2]
+            t1 = 0
+            for n1, n2 in zip(n1v.tolist(), n2v.tolist()):
+                if n1:
+                    t1 += n1 * int(math.floor(1000000.0 * math.log(
+                        float(2 * n1 * N2) / float(n1 * N2 + n2 * N1))))
+            t2 = 0
+            for n1, n2 in zip(n1v.tolist(), n2v.tolist()):
+                if n2:
+                    t2 += n2 * int(math.floor(1000000.0 * math.log(
+                        float(2 * n2 * N1) / float(n2 * N1 + n1 * N2))))
+            a = float(t1) / (1000000.0 * float(N1))
+            b = float(t2) / (1000000.0 * float(N2))
+            js = 0.5 * (a + b)
+            rows.append((s1, s2, float(round_half_up(js, 6))))
+    return pa.table({
+        "s1": pa.array([r[0] for r in rows], pa.string()),
+        "s2": pa.array([r[1] for r in rows], pa.string()),
+        "js": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_SOURCE_JS_MATRIX = """
+WITH cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+               SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents) GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+pairs AS (SELECT a.source AS s1, b.source AS s2, a.t AS t1, b.t AS t2
+          FROM tot a JOIN tot b ON a.source < b.source),
+u AS (SELECT p.s1, p.s2, p.t1, p.t2, v.w,
+             COALESCE(c1.n, 0) AS n1, COALESCE(c2.n, 0) AS n2
+      FROM pairs p
+      CROSS JOIN (SELECT DISTINCT w FROM cnt) v
+      LEFT JOIN cnt c1 ON c1.source = p.s1 AND c1.w = v.w
+      LEFT JOIN cnt c2 ON c2.source = p.s2 AND c2.w = v.w),
+terms AS (SELECT s1, s2, t1, t2,
+            CASE WHEN n1 > 0 THEN n1 * CAST(floor(1000000.0 *
+              ln(CAST(2 * n1 * t2 AS DOUBLE)
+                 / CAST(n1 * t2 + n2 * t1 AS DOUBLE))) AS BIGINT)
+                 ELSE 0 END AS c1,
+            CASE WHEN n2 > 0 THEN n2 * CAST(floor(1000000.0 *
+              ln(CAST(2 * n2 * t1 AS DOUBLE)
+                 / CAST(n2 * t1 + n1 * t2 AS DOUBLE))) AS BIGINT)
+                 ELSE 0 END AS c2
+          FROM u),
+agg AS (SELECT s1, s2, t1, t2,
+               CAST(SUM(c1) AS BIGINT) AS tt1,
+               CAST(SUM(c2) AS BIGINT) AS tt2
+        FROM terms GROUP BY 1, 2, 3, 4)
+SELECT s1, s2,
+       ROUND(0.5 * ((CAST(tt1 AS DOUBLE) / (1000000.0 * t1))
+                    + (CAST(tt2 AS DOUBLE) / (1000000.0 * t2))), 6)
+         AS js
+FROM agg ORDER BY s1, s2
+"""

@@ -317,6 +317,9 @@ QUERIES = {
     "docs_nb_label_rank": ["documents"],
     "events_entropy_rate": ["events"],
     "supplier_assortativity": ["lineitem"],
+    "events_runs_test": ["events"],
+    "orders_gini_by_segment": ["orders", "customer"],
+    "source_js_matrix": ["documents"],
 }
 
 
