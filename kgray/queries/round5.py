@@ -1799,3 +1799,144 @@ SELECT s1, s2,
          AS js
 FROM agg ORDER BY s1, s2
 """
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 and lag-7 Pearson autocorrelation of daily event revenue —
+    the trend/weekly-memory diagnostic under the forecasting family.
+    For each lag the aligned-pair moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    are exact integers over day cents; the final correlation is one
+    mirrored float tree (IEEE sqrt).  Day gaps are real gaps: pairs
+    align on d and d+k PRESENT in the series, the calendar-honest
+    definition."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas().sort_values("d", ignore_index=True)
+    dd = g["d"].to_numpy(np.int64)
+    yy = g["s"].to_numpy(np.int64)
+    of = dict(zip(dd.tolist(), yy.tolist()))
+    rows = []
+    for k in (1, 7):
+        xs, ys = [], []
+        for d, x in zip(dd.tolist(), yy.tolist()):
+            if d + k in of:
+                xs.append(x)
+                ys.append(of[d + k])
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        r = (float(n * sxy - sx * sy)
+             / math.sqrt(float(n * sxx - sx * sx)
+                         * float(n * syy - sy * sy)))
+        rows.append((k, n, float(round_half_up(r, 6))))
+    return pa.table({
+        "lag": pa.array([r[0] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "autocorr": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+lags AS (SELECT UNNEST([1, 7]) AS k),
+p AS (SELECT l.k, a.s AS x, b.s AS y
+      FROM lags l JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.k),
+agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM p GROUP BY 1)
+SELECT k AS lag, n AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM agg ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Supplier-concentration HHI per part brand
+# ---------------------------------------------------------------------------
+
+
+def q_brand_supplier_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration of supplier quantity shares
+    within each part brand — the supply-risk audit.  HHI = sum s_i^2
+    computed as an exact integer ratio sum(q_i^2) / (sum q_i)^2, one
+    division per brand."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    j = broadcast_join(li, part, on="l_partkey", right_on="p_partkey",
+                       how="inner")
+
+    def qint(batch: pa.Table) -> pa.Table:
+        q = round_half_up(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return pa.table({"p_brand": batch["p_brand"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "q": pa.array(q)})
+
+    bs = pre_aggregate(
+        j.map_batches(qint, batch_format="pyarrow"),
+        ["p_brand", "l_suppkey"], {"q": ("q", "sum")},
+    ).to_pandas()  # (brand x supplier)-scale
+    rows = []
+    for b, grp in bs.groupby("p_brand"):
+        q = [int(v) for v in grp["q"]]
+        tot = sum(q)
+        num = sum(v * v for v in q)
+        rows.append((b, len(q),
+                     float(round_half_up(float(num) / float(tot * tot),
+                                         6))))
+    rows.sort()
+    return pa.table({
+        "p_brand": pa.array([r[0] for r in rows], pa.string()),
+        "n_suppliers": pa.array([r[1] for r in rows], pa.int64()),
+        "hhi": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_BRAND_SUPPLIER_HHI = """
+WITH q AS (SELECT p.p_brand, l.l_suppkey,
+                  CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                    AS q
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY 1, 2),
+agg AS (SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS num,
+               CAST(SUM(q) AS BIGINT) AS tot
+        FROM q GROUP BY 1)
+SELECT p_brand, n_suppliers,
+       ROUND(CAST(num AS DOUBLE)
+             / CAST(CAST(tot AS HUGEINT) * tot AS DOUBLE), 6) AS hhi
+FROM agg ORDER BY p_brand
+"""

@@ -320,6 +320,8 @@ QUERIES = {
     "events_runs_test": ["events"],
     "orders_gini_by_segment": ["orders", "customer"],
     "source_js_matrix": ["documents"],
+    "events_autocorr": ["events"],
+    "brand_supplier_hhi": ["lineitem", "part"],
 }
 
 
