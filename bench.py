@@ -424,6 +424,9 @@ SCALE10 = [
     "doc_containment_pairs",
     "cross_dup_docs",
     "source_shapley",
+    # round 5 additions: the SGNS trainer (pair-fold + 2 gradient-fold
+    # rounds) — vocab-bounded per round, corpus passes pipeline
+    "train_word2vec",
 ]
 
 
