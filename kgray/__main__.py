@@ -190,6 +190,9 @@ def main(argv: list[str] | None = None) -> int:
                                 "kg_construct output)")
     t.add_argument("--show", type=int, metavar="ID",
                    help="print one txn's pinned table set")
+    t.add_argument("--prune", action="store_true",
+                   help="mark pins whose snapshot was destroyed (hard "
+                        "forget / manual expiry) so listings stay honest")
     t.set_defaults(fn=_cmd_txn)
 
     q = sub.add_parser(
@@ -212,6 +215,11 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _cmd_txn(args) -> int:
+    from kgray import io as _kio
+
+    if getattr(args, "prune", False):
+        n = _kio.prune_txn_pins(args.root)
+        print(f"pruned {n} destroyed pin(s)")
     import json as _json
 
     from kgray import io as kio
