@@ -1293,7 +1293,12 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
             .map_batches(lambda b: b.replace_schema_metadata(None),
                          batch_format="pyarrow")
     try:
-        sch = pq.read_schema(path).remove_metadata()
+        fpath = path
+        if os.path.isdir(path):  # ray-written dir: footer of one file
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet"))
+            fpath = os.path.join(path, files[0])
+        sch = pq.read_schema(fpath).remove_metadata()
         if columns:
             sch = pa.schema([sch.field(c) for c in columns])
     except Exception:

@@ -61,6 +61,14 @@ def _read(sf_dir: str, table: str, columns=None):
     key = (path, tuple(columns) if columns else None)
     sch = _schema_cache.get(key)
     if sch is None:
+        from kgray.io import read_parquet_clean
+
+        # directory tables (e.g. the scale10 replica tier) have no
+        # single footer — delegate to the helper's fallback
+        import os as _os
+
+        if _os.path.isdir(path):
+            return read_parquet_clean(path, columns=columns)
         sch = pq.read_schema(path).remove_metadata()
         if columns:  # the schema must match the PRUNED block layout
             sch = pa.schema([sch.field(c) for c in columns])
