@@ -1940,3 +1940,203 @@ SELECT p_brand, n_suppliers,
              / CAST(CAST(tot AS HUGEINT) * tot AS DOUBLE), 6) AS hhi
 FROM agg ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (integer degree/frequency scoring)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = 5
+_RAKE_TOP = 15
+
+
+def q_doc_rake_phrases(sf_dir: str):
+    """RAKE keyphrases (Rose et al. 2010) with DATA-DRIVEN stopwords
+    (the corpus's top-5 tokens — no external stopword list in this
+    sandbox): candidate phrases are maximal non-stopword runs, each
+    word scores deg/freq over the phrase corpus, a phrase scores the
+    sum of its words.  Scoring is EXACT integers end-to-end:
+    score(word) = (1e6 * deg) // freq, so the phrase fold is an int
+    sum and the top-15 cut is engine-invariant (score desc, phrase
+    asc).  Phrase building is the gaps-and-islands rn-rt trick on
+    stopword boundaries in both engines."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    tok_counts = pre_aggregate(
+        docs.map_batches(
+            lambda b: pa.table({
+                "w": pc.list_flatten(pc.split_pattern(b["text"], " "))}),
+            batch_format="pyarrow"),
+        ["w"], {"n": (None, "count")},
+    ).to_pandas()
+    stops = set(
+        tok_counts.sort_values(["n", "w"], ascending=[False, True],
+                               kind="mergesort").head(_RAKE_STOPS)["w"])
+
+    import ray
+
+    stops_ref = ray.put(stops)
+
+    def phrases(batch: pa.Table) -> pa.Table:
+        st = ray.get(stops_ref)
+        out = []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            run = []
+            for w in text.split(" ") + [None]:
+                if w is None or w in st or w == "":
+                    if run:
+                        out.append(" ".join(run))
+                        run = []
+                else:
+                    run.append(w)
+        return pa.table({"phrase": pa.array(out, pa.string())})
+
+    ph = pre_aggregate(
+        docs.map_batches(phrases, batch_format="pyarrow"),
+        ["phrase"], {"n": (None, "count")},
+    ).to_pandas()  # phrase-vocab scale
+    deg = {}
+    freq = {}
+    for p, n in zip(ph["phrase"], ph["n"]):
+        ws = p.split(" ")
+        L = len(ws)
+        for w in ws:
+            deg[w] = deg.get(w, 0) + L * int(n)
+            freq[w] = freq.get(w, 0) + int(n)
+    score = {w: (1000000 * deg[w]) // freq[w] for w in deg}
+    rows = []
+    for p, n in zip(ph["phrase"], ph["n"]):
+        s = sum(score[w] for w in p.split(" "))
+        rows.append((p, int(n), s))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:_RAKE_TOP]
+    return pa.table({
+        "phrase": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_DOC_RAKE_PHRASES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+stops AS (SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+            ORDER BY n DESC, tok LIMIT {_RAKE_STOPS})),
+kept AS (SELECT doc_id, pos, tok,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS rn
+         FROM toks
+         WHERE tok NOT IN (SELECT tok FROM stops) AND tok <> ''),
+runs AS (SELECT doc_id, pos - rn AS grp, tok, pos FROM kept),
+ph AS (SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase
+       FROM runs GROUP BY doc_id, grp),
+pc AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+pw AS (SELECT pc.phrase, pc.n,
+              unnest(string_split(pc.phrase, ' ')) AS w,
+              CAST(len(string_split(pc.phrase, ' ')) AS BIGINT) AS L
+       FROM pc),
+wstat AS (SELECT w, CAST(SUM(L * n) AS BIGINT) AS deg,
+                 CAST(SUM(n) AS BIGINT) AS freq
+          FROM pw GROUP BY 1),
+wsc AS (SELECT w, (1000000 * deg) // freq AS s FROM wstat),
+psc AS (SELECT pw.phrase, pw.n,
+               CAST(SUM(wsc.s) AS BIGINT) AS score
+        FROM pw JOIN wsc USING (w) GROUP BY 1, 2)
+SELECT phrase, n, score FROM psc
+ORDER BY score DESC, phrase LIMIT {_RAKE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the supplier-part graph
+# ---------------------------------------------------------------------------
+
+_RC_KS = (2, 4, 8, 16)
+
+
+def q_supplier_rich_club(sf_dir: str):
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)): the
+    density of the subgraph induced by nodes with degree > k, for k in
+    {2,4,8,16} — do high-degree hubs preferentially interconnect?
+    Exact integer edge/node counts, one division per k."""
+    from kgray.ops.graph import node_degrees
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    edges = _part_supplier_edges(sf_dir).materialize()
+    deg = node_degrees(edges).materialize()
+    ju = bucket_join(edges.select_columns(["u", "v"]), deg, on="u",
+                     right_on="node", how="inner")
+    jb = bucket_join(ju, deg, on="v", right_on="node", how="inner",
+                     right_suffix="_v").materialize()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        du = batch["degree"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dv = batch["degree_v"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {"g": pa.array([0], pa.int64())}
+        for k in _RC_KS:
+            cols[f"e{k}"] = pa.array(
+                [int(((du > k) & (dv > k)).sum())], pa.int64())
+        return pa.table(cols)
+
+    e_counts = pre_aggregate(
+        jb.map_batches(counts, batch_format="pyarrow"),
+        ["g"], {f"e{k}": (f"e{k}", "sum") for k in _RC_KS},
+    ).to_pandas()
+
+    def ncount(batch: pa.Table) -> pa.Table:
+        d = batch["degree"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {"g": pa.array([0], pa.int64())}
+        for k in _RC_KS:
+            cols[f"n{k}"] = pa.array([int((d > k).sum())], pa.int64())
+        return pa.table(cols)
+
+    n_counts = pre_aggregate(
+        deg.map_batches(ncount, batch_format="pyarrow"),
+        ["g"], {f"n{k}": (f"n{k}", "sum") for k in _RC_KS},
+    ).to_pandas()
+    rows = []
+    for k in _RC_KS:
+        ek = int(e_counts[f"e{k}"].iloc[0])
+        nk = int(n_counts[f"n{k}"].iloc[0])
+        phi = (float(2 * ek) / float(nk * (nk - 1))
+               if nk > 1 else 0.0)
+        rows.append((k, nk, ek, float(round_half_up(phi, 6))))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_k": pa.array([r[1] for r in rows], pa.int64()),
+        "e_k": pa.array([r[2] for r in rows], pa.int64()),
+        "phi": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_SUPPLIER_RICH_CLUB = """
+WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+                  CAST(l_partkey + 10000000 AS BIGINT) AS v
+           FROM lineitem),
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1),
+ks AS (SELECT UNNEST([2, 4, 8, 16]) AS k),
+nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+       FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+       FROM ks LEFT JOIN (
+         SELECT e.u, e.v, du.d AS dju, dv.d AS djv
+         FROM e JOIN deg du ON du.node = e.u
+         JOIN deg dv ON dv.node = e.v) t
+         ON t.dju > ks.k AND t.djv > ks.k
+       GROUP BY 1)
+SELECT nk.k, nk.n_k, ek.e_k,
+       CASE WHEN nk.n_k > 1
+            THEN ROUND(CAST(2 * ek.e_k AS DOUBLE)
+                       / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS phi
+FROM nk JOIN ek USING (k) ORDER BY nk.k
+"""

@@ -322,6 +322,8 @@ QUERIES = {
     "source_js_matrix": ["documents"],
     "events_autocorr": ["events"],
     "brand_supplier_hhi": ["lineitem", "part"],
+    "doc_rake_phrases": ["documents"],
+    "supplier_rich_club": ["lineitem"],
 }
 
 
