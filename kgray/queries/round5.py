@@ -2124,9 +2124,9 @@ sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
 deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
         FROM sym GROUP BY 1),
 ks AS (SELECT UNNEST([2, 4, 8, 16]) AS k),
-nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+nk AS (SELECT ks.k, CAST(COUNT(deg.node) AS BIGINT) AS n_k
        FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY 1),
-ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+ek AS (SELECT ks.k, CAST(COUNT(t.u) AS BIGINT) AS e_k
        FROM ks LEFT JOIN (
          SELECT e.u, e.v, du.d AS dju, dv.d AS djv
          FROM e JOIN deg du ON du.node = e.u
