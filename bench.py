@@ -170,8 +170,12 @@ SUITE = [
     # near-dup purge -> decontamination -> mixture stats) as one entry
     "curation_e2e",
     # round 5: one integer fixed-point SGNS round (SURVEY §2 A8 closed —
-    # pair fold + deterministic hash negatives + two gradient folds)
+    # pair fold + deterministic hash negatives + two gradient folds),
+    # RAKE keyphrase extraction (islands + integer scores) and the
+    # Luby parallel-MIS rounds over the word graph
     "train_word2vec",
+    "doc_rake_phrases",
+    "word_mis",
 ]
 
 

@@ -148,3 +148,21 @@ def test_expire_with_txn_protect_keeps_pinned_readable(
     assert sorted(io.read_txn_table(root, "a", txn=1)
                   .to_pandas()["x"]) == [1, 2]
     assert io.prune_txn_pins(root) == 0
+
+
+def test_cli_txn_prune_flag(ray_session, tmp_path, capsys):
+    """python -m kgray txn ROOT --prune marks destroyed pins."""
+    from kgray.__main__ import main
+
+    root = str(tmp_path)
+    a = str(tmp_path / "a")
+    io.write_partitioned(_ds([1, 2]), a, "k", num_partitions=2)
+    io.commit_txn(root, {"a": a})
+    io.write_partitioned(_ds([7, 8]), a, "k", num_partitions=2)
+    io.commit_txn(root, {"a": a})
+    io.expire_versions(a, keep_last=1)  # destroy the pinned snapshot
+    rc = main(["txn", root, "--prune"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "pruned 1 destroyed pin(s)" in out
+    with pytest.raises(FileNotFoundError):
+        io.read_txn_table(root, "a", txn=1)
