@@ -2140,3 +2140,221 @@ SELECT nk.k, nk.n_k, ek.e_k,
             ELSE 0.0 END AS phi
 FROM nk JOIN ek USING (k) ORDER BY nk.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox trend audit: global vs per-segment slope signs
+# ---------------------------------------------------------------------------
+
+
+def q_orders_trend_sign_audit(sf_dir: str):
+    """Simpson's-paradox detector for the revenue-over-time trend: the
+    SIGN of an OLS slope is the sign of the integer n*Sxy - Sx*Sy, so
+    global-vs-per-segment trend disagreement is decided in EXACT
+    integer arithmetic (no floats anywhere).  Output: per segment, its
+    slope-numerator sign and whether it contradicts the global sign —
+    the aggregation-reversal audit every dashboard needs."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey", how="inner")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"seg": batch["c_mktsegment"],
+                         "x": pa.array(d, pa.int64()),
+                         "y": pa.array(c, pa.int64())})
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "seg": batch["seg"].to_numpy(zero_copy_only=False),
+            "n": 1,
+            "sx": batch["x"].to_numpy(zero_copy_only=False),
+            "sy": batch["y"].to_numpy(zero_copy_only=False),
+            "sxy": (batch["x"].to_numpy(zero_copy_only=False)
+                    * batch["y"].to_numpy(zero_copy_only=False)),
+        })
+        g = df.groupby("seg", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    mm = pre_aggregate(
+        j.map_batches(prep, batch_format="pyarrow")
+        .map_batches(moments, batch_format="pyarrow"),
+        ["seg"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                  "sy": ("sy", "sum"), "sxy": ("sxy", "sum")},
+    ).to_pandas()  # segment-scale
+    gn = int(mm["n"].sum())
+    gsx = int(mm["sx"].sum())
+    gsy = int(mm["sy"].sum())
+    gsxy = int(mm["sxy"].sum())
+    gnum = gn * gsxy - gsx * gsy
+    gsign = (gnum > 0) - (gnum < 0)
+    rows = []
+    for _, r in mm.iterrows():
+        num = int(r["n"]) * int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+        s = (num > 0) - (num < 0)
+        rows.append((r["seg"], int(r["n"]), s, gsign,
+                     1 if s * gsign < 0 else 0))
+    rows.sort()
+    return pa.table({
+        "seg": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "seg_sign": pa.array([r[2] for r in rows], pa.int64()),
+        "global_sign": pa.array([r[3] for r in rows], pa.int64()),
+        "reversed": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_ORDERS_TREND_SIGN_AUDIT = """
+WITH b AS (SELECT c.c_mktsegment AS seg,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                    AS x,
+                  CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS y
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+m AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM b GROUP BY 1),
+g AS (SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(sx) AS HUGEINT) AS sx,
+             CAST(SUM(sy) AS HUGEINT) AS sy,
+             CAST(SUM(sxy) AS HUGEINT) AS sxy FROM m),
+sg AS (SELECT sign(g.n * g.sxy - g.sx * g.sy) AS gs FROM g)
+SELECT m.seg, m.n,
+       CAST(sign(CAST(m.n AS HUGEINT) * m.sxy
+                 - CAST(m.sx AS HUGEINT) * m.sy) AS BIGINT) AS seg_sign,
+       CAST(sg.gs AS BIGINT) AS global_sign,
+       CAST(CASE WHEN sign(CAST(m.n AS HUGEINT) * m.sxy
+                           - CAST(m.sx AS HUGEINT) * m.sy) * sg.gs < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS reversed
+FROM m, sg ORDER BY m.seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth over the doc-ordered corpus prefix
+# ---------------------------------------------------------------------------
+
+_HEAPS_POINTS = 10
+
+
+def q_docs_heaps_law(sf_dir: str):
+    """Heaps'-law fit V(n) ~ K*n^beta of vocabulary growth along the
+    doc_id-ordered corpus: each token's FIRST document (min doc_id —
+    one vocab-scale fold) turns cumulative-distinct into a histogram,
+    sampled at 10 doc-count checkpoints; beta/lnK come from a log-log
+    OLS whose four sums run as an ORDERED left fold over the 10 points
+    (libm ln).  Sub-linear beta (<1) is the healthy-corpus signature;
+    beta ~ 1 flags boilerplate-free synthetic or exploding vocab."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(t).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"w": pc.list_flatten(t).to_pylist(),
+                           "d": did})
+        g = df.groupby("w", sort=False)["d"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    first = pre_aggregate(
+        docs.map_batches(first_seen, batch_format="pyarrow"),
+        ["w"], {"d": ("d", "min")},
+    ).to_pandas()  # vocab-scale
+    ndocs_df = pre_aggregate(
+        docs.select_columns(["doc_id"]),
+        ["doc_id"], {"c": (None, "count")},
+    ).to_pandas()
+    doc_ids = np.sort(ndocs_df["doc_id"].to_numpy(np.int64))
+    n = len(doc_ids)
+    # tokens per doc for the x axis (cumulative token counts)
+    tokc = pre_aggregate(
+        docs.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "t": pc.list_value_length(
+                    pc.split_pattern(b["text"], " ")).cast(pa.int64()),
+            }), batch_format="pyarrow"),
+        ["doc_id"], {"t": ("t", "sum")},
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    cumtok = tokc["t"].to_numpy(np.int64).cumsum()
+    firsts = np.sort(first["d"].to_numpy(np.int64))
+    rows = []
+    sx = sy = sxy = sxx = 0.0
+    k = 0
+    for i in range(1, _HEAPS_POINTS + 1):
+        ci = (n * i) // _HEAPS_POINTS - 1  # checkpoint doc index
+        boundary = int(doc_ids[ci])
+        V = int(np.searchsorted(firsts, boundary, side="right"))
+        T = int(cumtok[ci])
+        x = math.log(float(T))
+        y = math.log(float(V))
+        k += 1
+        sx = sx + x
+        sy = sy + y
+        sxy = sxy + x * y
+        sxx = sxx + x * x
+        rows.append((i, T, V))
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    out = pa.table({
+        "checkpoint": pa.array([r[0] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "vocab": pa.array([r[2] for r in rows], pa.int64()),
+        "beta": pa.array(
+            [float(round_half_up(beta, 6))] * len(rows), pa.float64()),
+    })
+    return out
+
+
+SQL_DOCS_HEAPS_LAW = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+first AS (SELECT w, CAST(MIN(doc_id) AS BIGINT) AS d FROM tok GROUP BY 1),
+ids AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM (SELECT DISTINCT doc_id FROM documents)),
+tokc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t
+         FROM tok GROUP BY 1),
+cum AS (SELECT i.doc_id, i.r, i.n,
+               CAST(SUM(COALESCE(tokc.t, 0)) OVER (ORDER BY i.doc_id)
+                    AS BIGINT) AS cumtok
+        FROM ids i LEFT JOIN tokc USING (doc_id)),
+cp AS (SELECT ck.i, c.doc_id AS boundary, c.cumtok AS n_tokens
+       FROM (SELECT UNNEST(range(1, {_HEAPS_POINTS + 1})) AS i) ck
+       JOIN cum c ON c.r = (c.n * ck.i) // {_HEAPS_POINTS}),
+pts AS (SELECT cp.i, cp.n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first
+                WHERE d <= cp.boundary) AS vocab
+        FROM cp),
+fold AS (SELECT i, ln(CAST(n_tokens AS DOUBLE)) AS sx,
+                ln(CAST(vocab AS DOUBLE)) AS sy,
+                ln(CAST(n_tokens AS DOUBLE))
+                  * ln(CAST(vocab AS DOUBLE)) AS sxy,
+                ln(CAST(n_tokens AS DOUBLE))
+                  * ln(CAST(n_tokens AS DOUBLE)) AS sxx
+         FROM pts WHERE i = 1
+         UNION ALL
+         SELECT p.i, f.sx + ln(CAST(p.n_tokens AS DOUBLE)),
+                f.sy + ln(CAST(p.vocab AS DOUBLE)),
+                f.sxy + ln(CAST(p.n_tokens AS DOUBLE))
+                      * ln(CAST(p.vocab AS DOUBLE)),
+                f.sxx + ln(CAST(p.n_tokens AS DOUBLE))
+                      * ln(CAST(p.n_tokens AS DOUBLE))
+         FROM fold f JOIN pts p ON p.i = f.i + 1),
+fin AS (SELECT sx, sy, sxy, sxx FROM fold
+        ORDER BY i DESC LIMIT 1)
+SELECT pts.i AS checkpoint, pts.n_tokens, pts.vocab,
+       ROUND(({_HEAPS_POINTS} * fin.sxy - fin.sx * fin.sy)
+             / ({_HEAPS_POINTS} * fin.sxx - fin.sx * fin.sx), 6) AS beta
+FROM pts, fin ORDER BY pts.i
+"""

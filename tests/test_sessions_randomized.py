@@ -324,6 +324,8 @@ QUERIES = {
     "brand_supplier_hhi": ["lineitem", "part"],
     "doc_rake_phrases": ["documents"],
     "supplier_rich_club": ["lineitem"],
+    "orders_trend_sign_audit": ["orders", "customer"],
+    "docs_heaps_law": ["documents"],
 }
 
 
