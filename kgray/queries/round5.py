@@ -2358,3 +2358,201 @@ SELECT pts.i AS checkpoint, pts.n_tokens, pts.vocab,
              / ({_HEAPS_POINTS} * fin.sxx - fin.sx * fin.sx), 6) AS beta
 FROM pts, fin ORDER BY pts.i
 """
+
+
+# ---------------------------------------------------------------------------
+# Granger-lite: does the click series help predict the purchase series?
+# ---------------------------------------------------------------------------
+
+
+def q_events_granger_lite(sf_dir: str):
+    """Granger-style predictive test on daily series: does yesterday's
+    CLICK revenue improve predicting today's PURCHASE revenue over its
+    own lag?  Restricted (p_t ~ p_{t-1}) vs full (p_t ~ p_{t-1} +
+    c_{t-1}) OLS, compared by n*RSS computed from n-scaled centered
+    moments — every moment is an exact integer over day cents (days
+    absent for a type count as 0, so the day grid is dense and both
+    engines align identically); the two RSS trees and the F-like
+    statistic mirror term-for-term (IEEE arithmetic on double-exact
+    integer operands)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "t": batch["event_type"],
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d", "t"], {"s": ("c", "sum")},
+    ).to_pandas()  # day x type scale
+    lo, hi = int(g["d"].min()), int(g["d"].max())
+    ndays = hi - lo + 1
+    p = np.zeros(ndays, np.int64)
+    c = np.zeros(ndays, np.int64)
+    for _, r in g.iterrows():
+        (p if r["t"] == "purchase" else c)[int(r["d"]) - lo] = int(r["s"])
+    y = [int(v) for v in p[1:]]
+    x1 = [int(v) for v in p[:-1]]
+    x2 = [int(v) for v in c[:-1]]
+    n = len(y)
+    sy, s1, s2 = sum(y), sum(x1), sum(x2)
+    syy = sum(v * v for v in y)
+    s11 = sum(v * v for v in x1)
+    s22 = sum(v * v for v in x2)
+    s12 = sum(a * b for a, b in zip(x1, x2))
+    s1y = sum(a * b for a, b in zip(x1, y))
+    s2y = sum(a * b for a, b in zip(x2, y))
+    # n-scaled centered moments (exact ints -> exact doubles)
+    Cyy = float(n * syy - sy * sy)
+    C11 = float(n * s11 - s1 * s1)
+    C22 = float(n * s22 - s2 * s2)
+    C12 = float(n * s12 - s1 * s2)
+    C1y = float(n * s1y - s1 * sy)
+    C2y = float(n * s2y - s2 * sy)
+    rss_r = Cyy - (C1y * C1y) / C11
+    det = C11 * C22 - C12 * C12
+    b1 = (C22 * C1y - C12 * C2y) / det
+    b2 = (C11 * C2y - C12 * C1y) / det
+    rss_f = Cyy - (b1 * C1y + b2 * C2y)
+    fstat = ((rss_r - rss_f) / rss_f) * float(n - 3)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "f_like": pa.array([float(round_half_up(fstat, 4))],
+                           pa.float64()),
+        "rss_ratio": pa.array(
+            [float(round_half_up(rss_f / rss_r, 6))], pa.float64()),
+    })
+
+
+SQL_EVENTS_GRANGER_LITE = """
+WITH raw AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         event_type AS t,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+grid AS (SELECT UNNEST(range((SELECT MIN(d) FROM raw),
+                             (SELECT MAX(d) FROM raw) + 1)) AS d),
+series AS (SELECT g.d,
+                  COALESCE(p.s, 0) AS p, COALESCE(c.s, 0) AS c
+           FROM grid g
+           LEFT JOIN raw p ON p.d = g.d AND p.t = 'purchase'
+           LEFT JOIN raw c ON c.d = g.d AND c.t = 'click'),
+lagd AS (SELECT d, p AS y,
+                LAG(p) OVER (ORDER BY d) AS x1,
+                LAG(c) OVER (ORDER BY d) AS x2
+         FROM series),
+rows_ AS (SELECT * FROM lagd WHERE x1 IS NOT NULL),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1) AS BIGINT) AS s1,
+             CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      FROM rows_),
+cm AS (SELECT n,
+              CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+              CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+              CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+              CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+              CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+              CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y
+       FROM m),
+fit AS (SELECT n, cyy, c1y, c2y,
+               cyy - (c1y * c1y) / c11 AS rss_r,
+               (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+               (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+        FROM cm)
+SELECT n AS n_days,
+       ROUND(((rss_r - (cyy - (b1 * c1y + b2 * c2y)))
+              / (cyy - (b1 * c1y + b2 * c2y))) * CAST(n - 3 AS DOUBLE),
+             4) AS f_like,
+       ROUND((cyy - (b1 * c1y + b2 * c2y)) / rss_r, 6) AS rss_ratio
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness: variance-to-mean of per-doc counts for top words
+# ---------------------------------------------------------------------------
+
+_WB_TOP = 20
+
+
+def q_word_burstiness(sf_dir: str):
+    """Per-word burstiness (Church & Gale): the variance-to-mean ratio
+    of per-document counts for the 20 most frequent words — VMR ~ 1 is
+    Poisson scatter, VMR >> 1 marks topical/bursty words.  VMR =
+    (D*sum(c^2) - (sum c)^2) / (D*sum c) over ALL D docs (absent docs
+    contribute zeros to both sums by construction), exact integers with
+    one final division."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(t).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"w": pc.list_flatten(t).to_pylist(),
+                           "d": did})
+        g = df.groupby(["w", "d"], sort=False).size().reset_index(
+            name="c")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    wd = pre_aggregate(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        ["w", "d"], {"c": ("c", "sum")},
+    )
+    agg = pre_aggregate(
+        wd, ["w"], {"s": ("c", "sum")},
+    ).to_pandas()
+    top = set(agg.sort_values(["s", "w"], ascending=[False, True],
+                              kind="mergesort").head(_WB_TOP)["w"])
+    D = int(docs.count())
+    sub = wd.to_pandas()
+    sub = sub[sub["w"].isin(top)]
+    rows = []
+    for w, g in sub.groupby("w"):
+        cs = [int(v) for v in g["c"]]
+        s = sum(cs)
+        ss = sum(v * v for v in cs)
+        vmr = float(D * ss - s * s) / float(D * s)
+        rows.append((w, s, float(round_half_up(vmr, 6))))
+    rows.sort()
+    return pa.table({
+        "w": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "vmr": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_WORD_BURSTINESS = f"""
+WITH wd AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) GROUP BY 1, 2),
+top AS (SELECT w FROM (
+          SELECT w, CAST(SUM(c) AS BIGINT) AS s FROM wd GROUP BY 1
+          ORDER BY s DESC, w LIMIT {_WB_TOP})),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+agg AS (SELECT wd.w, CAST(SUM(wd.c) AS BIGINT) AS s,
+               CAST(SUM(CAST(wd.c AS HUGEINT) * wd.c) AS HUGEINT) AS ss
+        FROM wd JOIN top USING (w) GROUP BY 1)
+SELECT agg.w, agg.s AS n,
+       ROUND(CAST(dd.d * agg.ss - CAST(agg.s AS HUGEINT) * agg.s
+                  AS DOUBLE)
+             / CAST(dd.d * agg.s AS DOUBLE), 6) AS vmr
+FROM agg, dd ORDER BY agg.w
+"""

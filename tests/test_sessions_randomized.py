@@ -326,6 +326,8 @@ QUERIES = {
     "supplier_rich_club": ["lineitem"],
     "orders_trend_sign_audit": ["orders", "customer"],
     "docs_heaps_law": ["documents"],
+    "events_granger_lite": ["events"],
+    "word_burstiness": ["documents"],
 }
 
 
