@@ -2556,3 +2556,164 @@ SELECT agg.w, agg.s AS n,
              / CAST(dd.d * agg.s AS DOUBLE), 6) AS vmr
 FROM agg, dd ORDER BY agg.w
 """
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across day-of-week groups of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_events_dow_anova(sf_dir: str):
+    """One-way ANOVA F of daily revenue across day-of-week groups — the
+    k-sample extension of the Welch/t family already in the catalog.
+    SSB and SSW come from n-scaled integer group moments (exact; the
+    grand total scales every term by N so no fractional means appear):
+    N^2*SST = N*(N*Syy - Sy^2)/... — implemented as the standard
+    N-scaled decomposition with every operand an exact integer, two
+    final divisions mirrored."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas()
+    g["w"] = g["d"].astype(np.int64) % 7
+    groups = g.groupby("w")["s"]
+    k = groups.ngroups
+    N = len(g)
+    Sy = int(g["s"].sum())
+    Syy = sum(int(v) * int(v) for v in g["s"])
+    # SSB (N-scaled x prod of group sizes trick avoided): use exact
+    # rational sums via python Fractions-free integers: SSB = sum_g
+    # (Tg^2/ng) - Sy^2/N -> scale by N*prod? simpler: compute the two
+    # float terms from exact integer components, mirrored
+    ssb = 0.0
+    for _, grp in groups:
+        Tg = int(grp.sum())
+        ng = len(grp)
+        ssb = ssb + float(Tg * Tg) / float(ng)
+    ssb = ssb - float(Sy * Sy) / float(N)
+    sst = float(Syy) - float(Sy * Sy) / float(N)
+    ssw = sst - ssb
+    f = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return pa.table({
+        "n_days": pa.array([N], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "f_stat": pa.array([float(round_half_up(f, 4))], pa.float64()),
+    })
+
+
+SQL_EVENTS_DOW_ANOVA = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+w AS (SELECT d % 7 AS w, s FROM daily),
+grp AS (SELECT w, CAST(SUM(s) AS BIGINT) AS tg,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM w GROUP BY 1 ORDER BY w),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS sy,
+               CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS syy,
+               CAST(COUNT(*) AS BIGINT) AS n FROM w),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+ssb AS (SELECT SUM(CAST(CAST(tg AS HUGEINT) * tg AS DOUBLE)
+                   / CAST(ng AS DOUBLE) ORDER BY w) AS acc
+        FROM grp)
+SELECT tot.n AS n_days, kk.k,
+       ROUND(((ssb.acc - CAST(CAST(tot.sy AS HUGEINT) * tot.sy AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE)) / CAST(kk.k - 1 AS DOUBLE))
+             / (((CAST(tot.syy AS DOUBLE)
+                 - CAST(CAST(tot.sy AS HUGEINT) * tot.sy AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE))
+                 - (ssb.acc
+                    - CAST(CAST(tot.sy AS HUGEINT) * tot.sy AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE)))
+                / CAST(tot.n - kk.k AS DOUBLE)), 4) AS f_stat
+FROM tot, kk, ssb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_events_mann_kendall(sf_dir: str):
+    """Mann-Kendall non-parametric trend test on daily revenue: S =
+    sum over day pairs i<j of sign(y_j - y_i) (a pure INTEGER — no
+    distributional assumptions, robust to outliers), tie-corrected
+    variance, z with the +/-1 continuity correction.  The day-scale
+    O(days^2) pair sweep is driver work over the folded aggregate; the
+    oracle's self-join computes the identical integers."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas().sort_values("d", ignore_index=True)
+    y = g["s"].to_numpy(np.int64)
+    n = len(y)
+    diff = np.sign(y[None, :] - y[:, None])
+    S = int(np.triu(diff, 1).sum())
+    # tie groups over values
+    _, tie_counts = np.unique(y, return_counts=True)
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                   for t in tie_counts if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if S > 0:
+        z = (S - 1) / math.sqrt(var_s)
+    elif S < 0:
+        z = (S + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s_stat": pa.array([S], pa.int64()),
+        "z": pa.array([float(round_half_up(z, 4))], pa.float64()),
+    })
+
+
+SQL_EVENTS_MANN_KENDALL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ss AS (SELECT CAST(SUM(CASE WHEN b.s > a.s THEN 1
+                            WHEN b.s < a.s THEN -1 ELSE 0 END)
+               AS BIGINT) AS s
+       FROM daily a JOIN daily b ON b.d > a.d),
+ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                 AS BIGINT) AS tt
+         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+               GROUP BY s HAVING COUNT(*) > 1)),
+v AS (SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt) / 18.0 AS var_s
+      FROM n, ties)
+SELECT n.n AS n_days, ss.s AS s_stat,
+       ROUND(CASE WHEN ss.s > 0
+                  THEN (ss.s - 1) / sqrt(v.var_s)
+                  WHEN ss.s < 0
+                  THEN (ss.s + 1) / sqrt(v.var_s)
+                  ELSE 0.0 END, 4) AS z
+FROM n, ss, v
+"""

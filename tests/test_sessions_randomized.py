@@ -328,6 +328,8 @@ QUERIES = {
     "docs_heaps_law": ["documents"],
     "events_granger_lite": ["events"],
     "word_burstiness": ["documents"],
+    "events_dow_anova": ["events"],
+    "events_mann_kendall": ["events"],
 }
 
 
