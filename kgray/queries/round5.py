@@ -2717,3 +2717,125 @@ SELECT n.n AS n_days, ss.s AS s_stat,
                   ELSE 0.0 END, 4) AS z
 FROM n, ss, v
 """
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve points of daily revenue concentration
+# ---------------------------------------------------------------------------
+
+
+def q_events_lorenz_points(sf_dir: str):
+    """Lorenz curve of daily revenue at decile ranks — the curve behind
+    the catalog's Gini scalars: L(i) = share of total revenue held by
+    the poorest ceil(i*n/10) days.  Cumulative sums and ranks are exact
+    integers (ascending (value, day) order pins ties); one division per
+    point."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas()
+    g = g.sort_values(["s", "d"], ignore_index=True)  # ties -> day asc
+    cum = g["s"].to_numpy(np.int64).cumsum()
+    n = len(g)
+    tot = int(cum[-1])
+    rows = []
+    for i in range(1, 11):
+        r = (i * n + 9) // 10  # ceil
+        rows.append((i, r, int(cum[r - 1]),
+                     float(round_half_up(int(cum[r - 1]) / tot, 6))))
+    return pa.table({
+        "decile": pa.array([r[0] for r in rows], pa.int64()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "cum_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "share": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_EVENTS_LORENZ_POINTS = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, d) AS rn,
+             SUM(s) OVER (ORDER BY s, d
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS tot FROM daily),
+dec AS (SELECT q.i, ((q.i * n.n) + 9) // 10 AS rk
+        FROM (SELECT UNNEST(range(1, 11)) AS i) q, n)
+SELECT dec.i AS decile, CAST(dec.rk AS BIGINT) AS n_days,
+       CAST(r.cum AS BIGINT) AS cum_cents,
+       ROUND(CAST(r.cum AS DOUBLE) / CAST(n.tot AS DOUBLE), 6) AS share
+FROM dec JOIN r ON r.rn = dec.rk CROSS JOIN n
+ORDER BY dec.i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Power-law degree exponent (continuous MLE) of the supplier-part graph
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_degree_alpha(sf_dir: str):
+    """Continuous-MLE power-law exponent of the degree distribution
+    (Clauset-Shalizi-Newman form with d_min = 2): alpha = 1 +
+    n / sum ln(d / (d_min - 1/2)) over degrees >= d_min.  Each log term
+    quantizes to integer micro-nats (floor(1e6 * ln(2d / (2*d_min -
+    1))), libm ln of a double-exact integer ratio), so the big sum is
+    exact and the finish is one mirrored division."""
+    from kgray.ops.graph import node_degrees
+    from kgray.queries.analytics4 import _part_supplier_edges
+
+    DMIN = 2
+    deg = node_degrees(_part_supplier_edges(sf_dir))
+    hist = pre_aggregate(
+        deg.filter(expr=f"degree >= {DMIN}"),
+        ["degree"], {"c": (None, "count")},
+    ).to_pandas()  # degree-vocabulary scale
+    n = int(hist["c"].sum())
+    total = 0
+    for d, c in sorted(zip(hist["degree"], hist["c"])):
+        term = int(math.floor(1000000.0 * math.log(
+            float(2 * int(d)) / float(2 * DMIN - 1))))
+        total += int(c) * term
+    alpha = 1.0 + float(n) * 1000000.0 / float(total)
+    return pa.table({
+        "n_nodes": pa.array([n], pa.int64()),
+        "log_sum_unats": pa.array([total], pa.int64()),
+        "alpha": pa.array([float(round_half_up(alpha, 6))],
+                          pa.float64()),
+    })
+
+
+SQL_SUPPLIER_DEGREE_ALPHA = """
+WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+                  CAST(l_partkey + 10000000 AS BIGINT) AS v
+           FROM lineitem),
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1),
+k AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg
+      WHERE d >= 2 GROUP BY 1),
+agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * CAST(floor(1000000.0 *
+                     ln(CAST(2 * d AS DOUBLE) / 3.0)) AS BIGINT))
+                AS BIGINT) AS total
+        FROM k)
+SELECT n AS n_nodes, total AS log_sum_unats,
+       ROUND(1.0 + CAST(n AS DOUBLE) * 1000000.0
+                   / CAST(total AS DOUBLE), 6) AS alpha
+FROM agg
+"""

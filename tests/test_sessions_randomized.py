@@ -330,6 +330,8 @@ QUERIES = {
     "word_burstiness": ["documents"],
     "events_dow_anova": ["events"],
     "events_mann_kendall": ["events"],
+    "events_lorenz_points": ["events"],
+    "supplier_degree_alpha": ["lineitem"],
 }
 
 
