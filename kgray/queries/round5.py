@@ -2839,3 +2839,171 @@ SELECT n AS n_nodes, total AS log_sum_unats,
                    / CAST(total AS DOUBLE), 6) AS alpha
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_events_theil_index(sf_dir: str):
+    """Theil T inequality index of daily revenue — the decomposable
+    entropy-based companion to the catalog's Gini/Lorenz: T = (1/n)
+    sum (x/mu) ln(x/mu) = [sum x*ln(x*n/X)] / X with X = sum x.  Each
+    log term quantizes to integer micro-nats (libm ln of the
+    double-exact ratio x*n/X), so the weighted sum is exact; zero days
+    contribute zero (lim x->0 of x ln x)."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = pre_aggregate(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["d"], {"s": ("c", "sum")},
+    ).to_pandas()
+    xs = [int(v) for v in g["s"]]
+    n = len(xs)
+    X = sum(xs)
+    total = 0
+    for x in sorted(xs):
+        if x > 0:
+            total += x * int(math.floor(1000000.0 * math.log(
+                float(x * n) / float(X))))
+    theil = float(total) / (1000000.0 * float(X))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "weighted_unats": pa.array([total], pa.int64()),
+        "theil_t": pa.array([float(round_half_up(theil, 6))],
+                            pa.float64()),
+    })
+
+
+SQL_EVENTS_THEIL_INDEX = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+terms AS (SELECT CASE WHEN s > 0
+                 THEN s * CAST(floor(1000000.0 *
+                      ln(CAST(s * tot.n AS DOUBLE)
+                         / CAST(tot.x AS DOUBLE))) AS BIGINT)
+                 ELSE 0 END AS t
+          FROM daily, tot),
+agg AS (SELECT CAST(SUM(t) AS BIGINT) AS total FROM terms)
+SELECT tot.n AS n_days, agg.total AS weighted_unats,
+       ROUND(CAST(agg.total AS DOUBLE) / (1000000.0
+             * CAST(tot.x AS DOUBLE)), 6) AS theil_t
+FROM agg, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-decile migration between the two halves of the window
+# ---------------------------------------------------------------------------
+
+
+def q_customer_decile_migration(sf_dir: str):
+    """Spend-decile migration matrix: customers are NTILE(10)-binned by
+    total spend in the FIRST and SECOND halves of the order window
+    (split at the integer midpoint day) and the (tile_then, tile_now)
+    transition counts show churn/upsell mobility.  NTILE's uneven-
+    bucket arithmetic is exact integer math on global (spend, custkey)
+    ranks (the doclen_ntile decomposition, applied per half); only
+    customers active in BOTH halves appear (inner join, matching the
+    SQL)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    pp = orders.map_batches(prep, batch_format="pyarrow").materialize()
+    lo = int(pp.min("d"))
+    hi = int(pp.max("d"))
+    mid = (lo + hi) // 2  # first half: d <= mid
+
+    def tiles_for(half_expr: str):
+        spend = pre_aggregate(
+            pp.filter(expr=half_expr), ["o_custkey"],
+            {"s": ("c", "sum")},
+        ).materialize()
+        hist = pre_aggregate(
+            spend, ["s"], {"c": (None, "count")},
+        ).to_pandas().sort_values("s")
+        base = dict(zip(
+            hist["s"].to_numpy(),
+            np.concatenate([[0],
+                            np.cumsum(hist["c"].to_numpy())[:-1]])))
+        total = int(hist["c"].sum())
+        q, rem = divmod(total, 10)
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["s", "o_custkey"], kind="mergesort")
+            tie = df.groupby("s", sort=False).cumcount().to_numpy()
+            r = df["s"].map(base).to_numpy(np.int64) + tie
+            cut = rem * (q + 1)
+            tile = np.where(
+                r < cut, r // max(q + 1, 1) + 1,
+                rem + (r - cut) // max(q, 1) + 1)
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "tile": tile.astype(np.int64),
+            })
+
+        return grouped_map(spend, "s", per_bucket)
+
+    t1 = tiles_for(f"d <= {mid}")
+    t2 = tiles_for(f"d > {mid}")
+    j = bucket_join(t1, t2, on="o_custkey", how="inner",
+                    right_suffix="_now")
+    return pre_aggregate(
+        j.map_batches(
+            lambda b: pa.table({"tile_then": b["tile"],
+                                "tile_now": b["tile_now"]}),
+            batch_format="pyarrow"),
+        ["tile_then", "tile_now"], {"n": (None, "count")},
+    )
+
+
+SQL_CUSTOMER_DECILE_MIGRATION = """
+WITH o AS (SELECT o_custkey,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                    AS d,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+           FROM orders),
+mid AS (SELECT (MIN(d) + MAX(d)) // 2 AS m FROM o),
+h1 AS (SELECT o_custkey, CAST(SUM(c) AS BIGINT) AS s FROM o, mid
+       WHERE d <= mid.m GROUP BY 1),
+h2 AS (SELECT o_custkey, CAST(SUM(c) AS BIGINT) AS s FROM o, mid
+       WHERE d > mid.m GROUP BY 1),
+t1 AS (SELECT o_custkey,
+              CAST(NTILE(10) OVER (ORDER BY s, o_custkey) AS BIGINT)
+                AS tile
+       FROM h1),
+t2 AS (SELECT o_custkey,
+              CAST(NTILE(10) OVER (ORDER BY s, o_custkey) AS BIGINT)
+                AS tile
+       FROM h2)
+SELECT t1.tile AS tile_then, t2.tile AS tile_now,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t1 JOIN t2 USING (o_custkey)
+GROUP BY 1, 2
+"""

@@ -332,6 +332,8 @@ QUERIES = {
     "events_mann_kendall": ["events"],
     "events_lorenz_points": ["events"],
     "supplier_degree_alpha": ["lineitem"],
+    "events_theil_index": ["events"],
+    "customer_decile_migration": ["orders"],
 }
 
 
