@@ -3007,3 +3007,80 @@ SELECT t1.tile AS tile_then, t2.tile AS tile_now,
 FROM t1 JOIN t2 USING (o_custkey)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio with Woolf CI: purchase propensity across user cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_events_odds_ratio(sf_dir: str):
+    """Odds ratio of purchasing (vs clicking) between the even and odd
+    user-id cohorts, with the Woolf log-normal 95% CI — the 2x2
+    epidemiological effect size.  Cell counts are exact integers; ln,
+    sqrt and exp appear once each in a term-for-term mirrored final
+    tree (libm parity, IEEE sqrt)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        even = (u % 2) == 0
+        purch = t == "purchase"
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "a": pa.array([int((even & purch).sum())], pa.int64()),
+            "b": pa.array([int((even & ~purch).sum())], pa.int64()),
+            "c": pa.array([int((~even & purch).sum())], pa.int64()),
+            "d": pa.array([int((~even & ~purch).sum())], pa.int64()),
+        })
+
+    m = pre_aggregate(
+        ev.map_batches(cells, batch_format="pyarrow"),
+        ["g"], {k: (k, "sum") for k in ("a", "b", "c", "d")},
+    ).to_pandas()
+    a, b, c, d = (int(m[k].iloc[0]) for k in ("a", "b", "c", "d"))
+    orr = (float(a) * float(d)) / (float(b) * float(c))
+    se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = math.exp(math.log(orr) - 1.96 * se)
+    hi = math.exp(math.log(orr) + 1.96 * se)
+    return pa.table({
+        "a": pa.array([a], pa.int64()),
+        "b": pa.array([b], pa.int64()),
+        "c": pa.array([c], pa.int64()),
+        "d": pa.array([d], pa.int64()),
+        "odds_ratio": pa.array([float(round_half_up(orr, 6))],
+                               pa.float64()),
+        "ci_lo": pa.array([float(round_half_up(lo, 6))], pa.float64()),
+        "ci_hi": pa.array([float(round_half_up(hi, 6))], pa.float64()),
+    })
+
+
+SQL_EVENTS_ODDS_RATIO = """
+WITH cells AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                        AND event_type = 'click'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                        AND event_type = 'click'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events WHERE event_type IN ('click', 'purchase')),
+f AS (SELECT a, b, c, d,
+             (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+             / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orr,
+             sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+      FROM cells)
+SELECT a, b, c, d,
+       ROUND(orr, 6) AS odds_ratio,
+       ROUND(exp(ln(orr) - 1.96 * se), 6) AS ci_lo,
+       ROUND(exp(ln(orr) + 1.96 * se), 6) AS ci_hi
+FROM f
+"""

@@ -334,6 +334,7 @@ QUERIES = {
     "supplier_degree_alpha": ["lineitem"],
     "events_theil_index": ["events"],
     "customer_decile_migration": ["orders"],
+    "events_odds_ratio": ["events"],
 }
 
 
