@@ -3084,3 +3084,80 @@ SELECT a, b, c, d,
        ROUND(exp(ln(orr) + 1.96 * se), 6) AS ci_hi
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V effect size: event type x day-of-week association
+# ---------------------------------------------------------------------------
+
+
+def q_events_cramers_v(sf_dir: str):
+    """Cramer's V effect size of the (event_type x day-of-week)
+    association — the bounded [0,1] companion to the catalog's raw chi2
+    test.  chi2 accumulates per cell as ((n*o - r*c)^2) / (n*r*c) with
+    every operand an exact integer (n-scaled expected counts, no
+    fractional expectations), summed in (type, dow) order as an ordered
+    float fold in both engines; V = sqrt(chi2 / (n * min(r-1, c-1)))."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"t": batch["event_type"],
+                         "w": pa.array(d % 7, pa.int64())})
+
+    ct = pre_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["t", "w"], {"n": (None, "count")},
+    ).to_pandas()  # (types x 7)-scale
+    types = sorted(ct["t"].unique())
+    dows = sorted(ct["w"].unique())
+    N = int(ct["n"].sum())
+    rt = ct.groupby("t")["n"].sum()
+    cw = ct.groupby("w")["n"].sum()
+    have = {(r["t"], int(r["w"])): int(r["n"])
+            for _, r in ct.iterrows()}
+    chi2 = 0.0
+    for t in types:  # ordered fold: (type, dow) ascending, both engines
+        for w in dows:
+            o = have.get((t, w), 0)
+            r = int(rt[t])
+            c = int(cw[w])
+            num = (N * o - r * c)
+            chi2 = chi2 + float(num * num) / float(N * r * c)
+    k = min(len(types) - 1, len(dows) - 1)
+    v = math.sqrt(chi2 / float(N * k))
+    return pa.table({
+        "n": pa.array([N], pa.int64()),
+        "chi2": pa.array([float(round_half_up(chi2, 4))], pa.float64()),
+        "cramers_v": pa.array([float(round_half_up(v, 6))],
+                              pa.float64()),
+    })
+
+
+SQL_EVENTS_CRAMERS_V = """
+WITH b AS (SELECT event_type AS t,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) % 7 AS w
+           FROM events),
+ct AS (SELECT t, w, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+rt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS r FROM ct GROUP BY 1),
+cw AS (SELECT w, CAST(SUM(n) AS BIGINT) AS c FROM ct GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM ct),
+kk AS (SELECT CAST(LEAST((SELECT COUNT(*) FROM rt) - 1,
+                         (SELECT COUNT(*) FROM cw) - 1) AS BIGINT) AS k),
+cells AS (SELECT rt.t, cw.w, rt.r, cw.c,
+                 COALESCE(ct.n, 0) AS o
+          FROM rt CROSS JOIN cw
+          LEFT JOIN ct ON ct.t = rt.t AND ct.w = cw.w),
+chi AS (SELECT SUM(
+            CAST(CAST(tot.n * o - r * c AS HUGEINT)
+                 * (tot.n * o - r * c) AS DOUBLE)
+            / CAST(CAST(tot.n AS HUGEINT) * r * c AS DOUBLE)
+            ORDER BY t, w) AS chi2
+        FROM cells, tot)
+SELECT tot.n, ROUND(chi.chi2, 4) AS chi2,
+       ROUND(sqrt(chi.chi2 / CAST(tot.n * kk.k AS DOUBLE)), 6)
+         AS cramers_v
+FROM chi, tot, kk
+"""

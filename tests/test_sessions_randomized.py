@@ -335,6 +335,7 @@ QUERIES = {
     "events_theil_index": ["events"],
     "customer_decile_migration": ["orders"],
     "events_odds_ratio": ["events"],
+    "events_cramers_v": ["events"],
 }
 
 
